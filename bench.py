@@ -1,0 +1,78 @@
+"""Benchmark harness — times the headline queries at the bench scale
+factor and prints ONE JSON line (driver contract).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datapipeline_scripts_spark.registry import all_queries
+from datapipeline_scripts_spark.session import get_spark
+
+# Headline set: the heavy/representative operators (joins, aggs, windows,
+# dedup, similarity, text, events). Cheap scans are included for scan
+# throughput; pair-explosive dedup variants are bench'd at their declared
+# keys too — they are part of the product.
+BENCH_KEYS = (
+    "agg_group",
+    "agg_rollup",
+    "join_star",
+    "join_range",
+    "join_outer",
+    "window_rank",
+    "window_running",
+    "topk",
+    "json_extract",
+    "dedup_exact_norm",
+    "dedup_minhash",
+    "knn_brute",
+    "text_tokens",
+    "text_term_freq",
+    "events_tumbling",
+    "events_session",
+    "asof_join",
+    "udf_vectorized",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    specs = all_queries()
+    # one warmup action so JVM/codegen startup isn't billed to q1
+    specs["agg_group"].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        t0 = time.perf_counter()
+        df = specs[key].build(spark, sf_dir)
+        n = df.count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+        print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

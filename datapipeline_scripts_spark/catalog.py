@@ -1,0 +1,66 @@
+"""Fixture-table catalog.
+
+The engine's unit of work mirrors the reference's: a *named collection of
+tables* (the reference moves whole databases — ``pg_dump -d "$DB_NAME"``,
+/root/reference/backup.sh:210). Here a "database" is a directory of
+parquet files, one per table (FIXTURES.md).
+
+Scale note: tables are loaded lazily with ``spark.read.parquet`` so
+Catalyst sees the parquet footers directly — column pruning and predicate
+pushdown reach the scan. Never materialize here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables worth broadcasting in joins at any scale factor.
+# At 100 TB, region/nation stay tiny (fixed cardinality); supplier/part/
+# customer grow with SF but remain << lineitem; AQE re-checks at runtime.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
+# ns-since-epoch longs (spark.sql.legacy.parquet.nanosAsLong) and we
+# truncate to µs TimestampType here — the same ns→µs truncation DuckDB
+# applies, so oracle comparisons agree (FIXTURES.md events.ts note).
+_NS_TIMESTAMP_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NS_TIMESTAMP_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer div: double division would lose precision at 1e18 ns
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,192 @@
+"""E1 — deduplication family over `documents` (BASELINE.json north star).
+
+Four strategies, cheapest-first — the order a 100 TB pipeline applies
+them:
+
+1. exact-normalized (`dedup_exact_norm`): group on an md5 of the
+   normalized text. The shuffle key is 32 hex chars, never the document
+   body — at 100 TB this is the difference between shuffling 100 TB and
+   shuffling ~3 GB of fingerprints. Oracle-checked.
+2. exact n-gram Jaccard (`dedup_ngram_jaccard`): shingle-inverted-index
+   self-join — exact pairwise similarity without a cross join (pairs
+   only materialize for docs sharing a shingle). Oracle-checked.
+3. MinHash + LSH banding (`dedup_minhash`): 16 hash permutations via
+   seeded xxhash64, banded 4×4; candidate pairs = docs colliding in a
+   band bucket. Pure DataFrame ops (no UDF, no spark.ml): at scale the
+   band-bucket join touches only colliding docs. Rows-only (xxhash64
+   has no DuckDB twin).
+4. SimHash (`dedup_simhash`): 48-bit sign-aggregated token-hash
+   fingerprint; near-dups differ in few bits. Rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.text import fingerprint_md5, normalize_text, shingles, tokens
+from datapipeline_scripts_spark.registry import query
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "dedup_exact_norm",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS norm_text FROM documents
+    )
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM norm
+    GROUP BY norm_text
+    """,
+)
+def dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization; survivor = lowest doc_id.
+
+    Groups on the md5 fingerprint (32 bytes) instead of the text body —
+    same result (collisions negligible), tiny shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, toks,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS shset
+      FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    toks AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.6 via shingle inverted index.
+
+    Scale shape: explode distinct shingles → self-join on shingle (the
+    inverted index) → pair-count aggregation. Pairs only exist for docs
+    sharing ≥1 shingle; hot shingles would need a frequency cap
+    (drop shingles with doc-freq > N — standard prefix filtering)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
+    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_HASHES = 16
+_BANDS = 4  # 4 bands × 4 rows
+
+
+@query("dedup_minhash", oracle=None, tier="ext")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidate pairs with estimated Jaccard.
+
+    Pipeline: shingle → per-doc min of seeded xxhash64 per permutation
+    (map-side combine collapses each doc to one 16-int signature) →
+    band hash → self-join on (band, bucket) → estimate = matching
+    signature fraction. Everything JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
+    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(_N_HASHES)]
+    )
+    rows_per_band = _N_HASHES // _BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_HASHES)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_HASHES)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_N_HASHES))
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", F.round(matches / F.lit(float(_N_HASHES)), 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_BITS = 48
+
+
+@query("dedup_simhash", oracle=None, tier="ext")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document from distinct-token xxhash64 bits.
+
+    Explodes tokens once; per bit position aggregates the ±1 vote with a
+    conditional sum (single shuffle, 48 partial-agg columns); reassembles
+    the fingerprint as one BIGINT. Near-dup candidate retrieval would
+    then band the fingerprint into 4×12-bit keys (same LSH idea as
+    MinHash) — kept to the fingerprint here."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = sum(F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(_SIMHASH_BITS))
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))

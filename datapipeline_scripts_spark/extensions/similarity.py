@@ -1,0 +1,85 @@
+"""E2 — vector similarity search over `embeddings` (64-dim float).
+
+Two paths, mirroring a production ANN stack:
+
+- `knn_brute`: exact cosine top-k. The query set is broadcast; the
+  candidate table streams through a single scan with the dot product in
+  codegen. O(|Q|·N) — correct baseline and the oracle-checked one.
+- `knn_bucketed`: LSH (sign-of-coordinate hyperplanes) bucketing; only
+  same-bucket candidates are scored. The 100 TB path: the join on
+  bucket id replaces the cross product; recall < 1 by design →
+  rows-only.
+
+Numeric parity: both engines cast float→double *before* any arithmetic
+and rank on the 4-dp-rounded cosine with a deterministic id tie-break
+(functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.vectors import cosine, sign_bucket
+from datapipeline_scripts_spark.registry import query
+
+
+@query(
+    "knn_brute",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings),
+         sims AS (
+           SELECT qid, cid,
+                  round(list_dot_product(qe, ce) /
+                        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                        4) AS cos_sim
+           FROM q CROSS JOIN c
+           WHERE qid <> cid
+         ),
+         ranked AS (
+           SELECT qid, cid, cos_sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+           FROM sims
+         )
+    SELECT qid, cid, cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id<5 (broadcast Q)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@query("knn_bucketed", oracle=None, tier="ext")
+def knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 within 8-hyperplane LSH buckets.
+
+    Same-bucket equi-join: each query scores only ~N/256 candidates.
+    Production tuning = multi-probe (flip lowest-margin bits) to trade
+    recall vs cost; single-probe here."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", sign_bucket(F.col("embedding"), 8).alias("bucket"))
+    q = b.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket")
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)

@@ -1,0 +1,164 @@
+"""E3 — text analysis over `documents`: token stats, term frequency,
+quality scoring, language ID, content fingerprinting.
+
+All pure Catalyst expressions (split/filter/explode/md5) — the text hot
+path stays JVM-side; at 100 TB the only shuffles are the final small
+aggregations (explode feeds straight into partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.text import fingerprint_md5, stopword_hits
+from datapipeline_scripts_spark.registry import query
+
+_STOP_EN = ("the", "a", "of")
+_STOP_ES = ("el", "la", "de")
+_STOP_DE = ("der", "die", "das")
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 2) AS avg_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting aggregated per language."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.round(F.avg(ntok.cast("double")), 2).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_term_freq",
+    oracle="""
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 term frequency (explode → count → top-k).
+
+    Scale: partial aggregation collapses each partition to its distinct
+    tokens before the shuffle; top-k is TakeOrdered, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 2) AS avg_word_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> t = 'the' OR t = 'a' OR t = 'of')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stop_ratio,
+           CASE WHEN len(string_split(text, ' ')) < 30 THEN 'short'
+                WHEN len(list_filter(string_split(text, ' '),
+                     t -> t = 'the' OR t = 'a' OR t = 'of')) = 0 THEN 'no_stopwords'
+                ELSE 'ok' END AS quality_flag
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: word count, mean word length,
+    stopword ratio, and a rule-based quality flag — the standard cheap
+    pre-filter stage of an LLM data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    stop = stopword_hits(toks, _STOP_EN)
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.length("text").cast("double") / n_words, 2).alias("avg_word_len"),
+        F.round(stop.cast("double") / n_words, 4).alias("stop_ratio"),
+        F.when(n_words < 30, "short")
+        .when(stop == 0, "no_stopwords")
+        .otherwise("ok")
+        .alias("quality_flag"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of')) AS h_en,
+             len(list_filter(string_split(text, ' '), t -> t = 'el' OR t = 'la' OR t = 'de')) AS h_es,
+             len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'die' OR t = 'das')) AS h_de
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en > 0 THEN 'en'
+                WHEN h_es >= h_de AND h_es > 0 THEN 'es'
+                WHEN h_de > 0 THEN 'de'
+                ELSE 'und' END AS predicted,
+           count(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score each doc against
+    per-language stopword sets, argmax with fixed precedence, then
+    confusion counts vs the labeled lang."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    h_en, h_es, h_de = (stopword_hits(toks, s) for s in (_STOP_EN, _STOP_ES, _STOP_DE))
+    predicted = (
+        F.when((h_en >= h_es) & (h_en >= h_de) & (h_en > 0), "en")
+        .when((h_es >= h_de) & (h_es > 0), "es")
+        .when(h_de > 0, "de")
+        .otherwise("und")
+    )
+    return d.select("lang", predicted.alias("predicted")).groupBy("lang", "predicted").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint; unique-document count per source — the
+    snapshot-manifest integrity primitive (pipeline layer reuses it)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("source", fingerprint_md5(F.col("text")).alias("fp")).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_unique")
+    )

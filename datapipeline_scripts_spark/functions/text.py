@@ -1,0 +1,52 @@
+"""Text column functions: normalization, tokenization, shingling,
+fingerprinting.
+
+These mirror the reference's shell text pipeline primitives (sed/grep/awk
+— /root/reference/backup.sh:130, /root/reference/psql-backups.sh:146-148)
+as Catalyst expressions, and power the SURVEY §2.E text-analysis /
+dedup extensions.
+
+All functions return Column expressions (lazy, codegen'd); nothing here
+touches Python row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, trim, collapse whitespace — canonical form for dedup."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text.
+
+    Scale note: at 100 TB, group/dedup on this 32-char hex instead of the
+    full document body — the shuffle moves 32 bytes per row, not the text.
+    """
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (for MinHash / Jaccard).
+
+    Built with `transform` over an index `sequence` — stays inside
+    whole-stage codegen; no UDF.
+    """
+    # sequence(0, size-n) is empty-safe only when size >= n; guard with when().
+    idx = F.sequence(F.lit(0), F.size(tok_col) - n)
+    make = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.when(F.size(tok_col) >= n, make).otherwise(F.array(F.concat_ws(" ", tok_col)))
+
+
+def stopword_hits(tok_col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Count of tokens that are in `stopwords` (int)."""
+    return F.size(F.filter(tok_col, lambda t: t.isin(*stopwords)))

@@ -1,0 +1,19 @@
+"""Core relational operator catalog (SURVEY.md §2.D).
+
+Importing this package registers every declared query with the registry.
+"""
+
+from datapipeline_scripts_spark.operators import (  # noqa: F401
+    aggregates,
+    approx,
+    arrays,
+    dates,
+    joins,
+    json_ops,
+    scalars,
+    scans,
+    sorting,
+    strings,
+    udfs,
+    windows,
+)

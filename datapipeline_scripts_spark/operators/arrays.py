@@ -1,0 +1,67 @@
+"""D25 — array operations over `embeddings.embedding`
+(ArrayType(FloatType), 64-dim).
+
+Higher-order functions (`transform`/`aggregate`/`zip_with`) run inside
+codegen; explode is the relational bridge (array → rows). All arithmetic
+is cast to DOUBLE on both engines so sequential folds are bit-stable
+(functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.vectors import sq_norm
+from datapipeline_scripts_spark.registry import query
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element access / fold (squared L2 norm) / array max."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(sq_norm(F.col("embedding")), 4).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+    )
+
+
+@query(
+    "array_explode",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vals,
+           round(sum(v), 4) AS sum_vals
+    FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY label
+    """,
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode array → rows, aggregate per label (the lateral-view
+    pattern; at scale explode multiplies row count ×dim — aggregate
+    immediately after, as here, so the shuffle stays small)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.explode("embedding").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.round(F.sum(F.col("v").cast("double")), 4).alias("sum_vals"),
+        )
+    )

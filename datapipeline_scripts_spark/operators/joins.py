@@ -1,0 +1,256 @@
+"""D9-D13, D20 — the join catalog.
+
+Scale notes (these matter more than anything else at 100 TB):
+- Dimension sides (region/nation/supplier/customer at low SF) are
+  explicitly `F.broadcast(...)` — the fact table never shuffles for them.
+- The star join chains broadcasts so lineitem is scanned once with zero
+  exchanges until the final aggregation.
+- The band join is implemented as a *bucketized equi join* (join on a
+  derived band key ± 1, then exact filter) — the scale-safe rewrite of a
+  naive theta join that would otherwise be a broadcast-nested-loop over
+  the full cross product.
+- The as-of-style range join keeps an equality component so Spark plans
+  a hash join with a post-filter, never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast inner equi-join orders⋈customer → revenue per segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one big order (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: orders with no lineitems (NOT EXISTS)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "join_star",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 5-way star join, revenue per Asian nation.
+
+    customer/nation/region are broadcast; lineitem⋈orders is the only
+    shuffle join (both sides huge at scale — sort-merge on orderkey; AQE
+    may convert to shuffled-hash). lineitem is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) AS n_fast_lines
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate <= o_orderdate + INTERVAL 45 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: lineitems shipped within 45 days of the order.
+
+    The equality on orderkey keeps this a hash/sort-merge join; the range
+    predicate evaluates as a cheap post-join filter — never a cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 45 DAYS")
+    )
+    return o.join(li, cond).groupBy("o_orderkey").agg(F.count("*").alias("n_fast_lines"))
+
+
+@query(
+    "join_band",
+    oracle="""
+    SELECT a.p_partkey AS part_a,
+           b.p_partkey AS part_b,
+           round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_gap
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) < 0.5
+    """,
+)
+def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded theta self-join (parts within 50 cents of each other),
+    implemented scale-first: equi-join on a derived price band (width =
+    the predicate radius) with each left row probing its own and the
+    next band, then the exact |Δ| filter. Identical results to the naive
+    theta join the oracle runs, but the Spark plan is a hash join on
+    the band key — O(n·bandwidth), not O(n²)."""
+    band = 0.5
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_retailprice").alias("price_a"),
+        F.floor(F.col("p_retailprice") / band).alias("band_a"),
+    )
+    # each left row probes its own band and both neighbors: a pair within
+    # the radius always has |band_a - band_b| <= 1, in either direction
+    # (the key-order filter below is independent of band order, so probing
+    # only upward would drop pairs where the lower key has the higher band)
+    a2 = a.withColumn(
+        "probe_band",
+        F.explode(F.array(F.col("band_a") - 1, F.col("band_a"), F.col("band_a") + 1)),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_retailprice").alias("price_b"),
+        F.floor(F.col("p_retailprice") / band).alias("band_b"),
+    )
+    return (
+        a2.join(b, a2.probe_band == b.band_b)
+        .filter(
+            (F.col("part_a") < F.col("part_b"))
+            & (F.abs(F.col("price_a") - F.col("price_b")) < band)
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.round(F.abs(F.col("price_a") - F.col("price_b")), 2).alias("price_gap"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS, planned as a left-semi join (the standard
+    decorrelation Catalyst applies to the SQL form too)."""
+    o = load_table(spark, sf_dir, "orders")
+    bulky = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(bulky, o.o_orderkey == bulky.l_orderkey, "left_semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the mean balance. The single-row
+    aggregate is broadcast and cross-joined — no shuffle of the big side."""
+    c = load_table(spark, sf_dir, "customer")
+    mean = c.agg(F.avg("c_acctbal").alias("_mean_bal"))
+    return (
+        c.crossJoin(F.broadcast(mean))
+        .filter(F.col("c_acctbal") > F.col("_mean_bal"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )

@@ -1,0 +1,84 @@
+"""D26 — the UDF surface: vectorized Pandas UDF (Arrow) and grouped
+applyInPandas.
+
+Reference parity (§2.F): `sqlcmd_with_backoff` takes an arbitrary
+command (`"$@"` /root/reference/backup.sh:47) — a higher-order operator;
+stored procs (backup.sh:119) are opaque server-side functions.
+
+Performance doctrine: built-ins first; when Python is unavoidable, Arrow
+batched Pandas UDFs (~10-100× over row-at-a-time). The demo UDF's math
+is pure float64 and matches the SQL oracle exactly, proving the Arrow
+path is numerically faithful.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+
+@F.pandas_udf(T.DoubleType())
+def _net_price(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized net price = price·(1-disc)·(1+tax) (float64, Arrow)."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@query(
+    "udf_vectorized",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF net price, aggregated per flag — hash-matches the pure
+    SQL oracle because both compute in float64."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("_net", _net_price("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("_net"), 2).alias("net_revenue"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "udf_grouped",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(max(o_totalprice) - min(o_totalprice), 2) AS price_spread
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group aggregation (UDAF stand-in): price spread
+    per order status. Scale: each group is one pandas frame in one
+    python worker — keys here are 3 statuses, so use only for
+    moderate-cardinality/moderate-size groups; built-ins otherwise."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                "n": [len(pdf)],
+                "price_spread": [round(pdf["o_totalprice"].max() - pdf["o_totalprice"].min(), 2)],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("price_spread", T.DoubleType()),
+        ]
+    )
+    return o.select("o_orderstatus", "o_totalprice").groupBy("o_orderstatus").applyInPandas(spread, schema)

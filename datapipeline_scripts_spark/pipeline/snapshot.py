@@ -1,0 +1,163 @@
+"""Snapshot job — the engine's `pg_dump` (A9/A10/A17/A18).
+
+Extracts a database (a catalog of tables) to a timestamped, partitioned
+parquet snapshot plus a JSON manifest carrying schema, row counts and an
+order-insensitive content hash per table. The manifest is what the
+restore drill (verify.py) checks against — the analogue of
+`pg_restore --exit-on-error` proving the artifact (A21).
+
+Layout (mirrors `s3://bucket/<env>/<service>/<ts>/`,
+/root/reference/backup.sh:220):
+
+    <root>/<env>/<service>/<snapshot_ts>/<table>/part-*.parquet
+    <root>/<env>/<service>/<snapshot_ts>/_MANIFEST.json
+
+Scale notes:
+- Content hash = sum of per-row xxhash64 — computed distributed, one
+  aggregate per table, no data through the driver (the reference's
+  "server-side execution" pattern, /root/reference/backup.sh:119-120).
+- Writes go through `df.write.parquet` so a 1000-executor cluster
+  writes all partitions in parallel; `partition_cols` lets downstream
+  reads prune (e.g. snapshot events by event_type).
+- A12 duplicate-task guard = atomic lock file creation.
+- A23 check-in = success record appended to _CHECKINS.jsonl (the
+  dead-man's-switch `curl $CHECK_IN_URL` analogue).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark import catalog
+from datapipeline_scripts_spark.pipeline.config import JobConfig
+
+MANIFEST_NAME = "_MANIFEST.json"
+LOCK_NAME = "_LOCK"
+CHECKINS_NAME = "_CHECKINS.jsonl"
+
+
+@dataclass
+class TableManifest:
+    name: str
+    n_rows: int
+    content_hash: int
+    schema_json: str
+
+
+def content_hash(df: DataFrame) -> int:
+    """Order-insensitive table hash: sum of per-row xxhash64 over all
+    columns (cast to string for type stability). Distributed partial
+    aggregation; constant driver memory."""
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    # accumulate in decimal(38,0): a plain long sum overflows (ANSI mode
+    # raises); reduce mod 2^64 at the end for a compact stable value
+    out = df.agg(F.sum(row_hash.cast("decimal(38,0)")).alias("h")).collect()[0]["h"]
+    return int(out) % (1 << 64) if out is not None else 0
+
+
+class SnapshotLockError(RuntimeError):
+    """A snapshot is already running for this target (A12 duplicate-task
+    guard: 'A task has already been issued for database…',
+    /root/reference/backup.sh:124-126)."""
+
+
+def _acquire_lock(snap_root: str, run_id: str) -> str:
+    os.makedirs(snap_root, exist_ok=True)
+    lock_path = os.path.join(snap_root, LOCK_NAME)
+    try:
+        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise SnapshotLockError(f"a snapshot task already holds {lock_path}") from exc
+    with os.fdopen(fd, "w") as fh:
+        fh.write(run_id)
+    return lock_path
+
+
+def check_in(root: str, record: dict) -> None:
+    """Dead-man's-switch success report (A23). With a CHECK_IN_URL this
+    would be an HTTP GET; locally it appends a dated success record the
+    monitor greps."""
+    with open(os.path.join(root, CHECKINS_NAME), "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+
+
+def snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    cfg: JobConfig | None = None,
+    snapshot_ts: str | None = None,
+    partition_cols: dict[str, list[str]] | None = None,
+) -> str:
+    """Snapshot every configured table; return the snapshot directory.
+
+    Flow (mirrors backup.sh): lock → extract+validate each table →
+    manifest → check-in → unlock (always, via finally — the reference's
+    `trap cleanup_on_exit EXIT`, /root/reference/backup.sh:20-36)."""
+    cfg = cfg or JobConfig()
+    snapshot_ts = snapshot_ts or time.strftime("%Y_%m_%d_%H%M%S", time.gmtime())
+    tables = [
+        t
+        for t in (cfg.tables or catalog.TABLES)
+        if t not in set(cfg.exclude_tables)  # A9's `-N apgcc` exclusion
+    ]
+    snap_root = os.path.join(out_root, cfg.snapshot_prefix())
+    lock_path = _acquire_lock(snap_root, snapshot_ts)
+    snap_dir = os.path.join(snap_root, snapshot_ts)
+    try:
+        manifests: list[TableManifest] = []
+        for name in tables:
+            df = catalog.load_table(spark, sf_dir, name)
+            target = os.path.join(snap_dir, name)
+            writer = df.write.mode("error")
+            for col in (partition_cols or {}).get(name, []):
+                writer = writer.partitionBy(col)
+            writer.parquet(target)
+            restored = spark.read.parquet(target)
+            n = restored.count()
+            if n == 0 and df.limit(1).count() > 0:  # A18 non-empty validation
+                raise RuntimeError(f"snapshot of {name} is empty")
+            manifests.append(
+                TableManifest(
+                    name=name,
+                    n_rows=n,
+                    content_hash=content_hash(restored.select(sorted(restored.columns))),
+                    schema_json=restored.schema.json(),
+                )
+            )
+        manifest = {
+            "service": cfg.clamped_service,
+            "env": cfg.env_name,
+            "snapshot_ts": snapshot_ts,
+            "source": sf_dir,
+            "tables": {m.name: {"n_rows": m.n_rows, "content_hash": m.content_hash, "schema": m.schema_json} for m in manifests},
+        }
+        with open(os.path.join(snap_dir, MANIFEST_NAME), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        check_in(snap_root, {"ok": True, "snapshot_ts": snapshot_ts, "n_tables": len(manifests)})
+        return snap_dir
+    finally:
+        os.unlink(lock_path)  # A4 guaranteed cleanup
+
+
+def export_metadata_only(spark: SparkSession, sf_dir: str, out_path: str, cfg: JobConfig | None = None) -> str:
+    """A10 `pg_dumpall --globals-only` analogue: catalog metadata (table
+    schemas + row counts) without data. Unlike the reference's v≥10
+    quirk (metadata-only dumps replacing data dumps,
+    /root/reference/psql-backups.sh:117-121 — a bug we fix, SURVEY §7.2),
+    this is an *additional* artifact, never a substitute."""
+    cfg = cfg or JobConfig()
+    meta = {}
+    for name in cfg.tables or catalog.TABLES:
+        df = catalog.load_table(spark, sf_dir, name)
+        meta[name] = {"schema": json.loads(df.schema.json()), "n_rows": df.count()}
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return out_path

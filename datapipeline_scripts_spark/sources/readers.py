@@ -1,0 +1,124 @@
+"""Readers/writers with format dispatch.
+
+The reference branches its whole pipeline on `$DB_ENGINE ==
+"sqlserver-se"` vs Postgres (/root/reference/backup.sh:100,171,242,309).
+Here the dispatch is over storage formats: a strategy map format →
+reader, the Spark-idiomatic equivalent. JDBC is configured but not
+exercised locally (no database in the container) — `jdbc_options`
+builds the exact option dict `spark.read.jdbc` needs, including the
+partitioned-read settings that matter at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV with explicit schema preferred — inference costs a full extra
+    pass over the data (fatal at 100 TB). Mirrors the reference's
+    sqlcmd CSV result sets (`-W -s ',' -k 1`,
+    /root/reference/backup.sh:118-121)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    fetchsize: int = 10_000,
+) -> dict[str, str]:
+    """Options for a *partitioned* JDBC extract — the snapshot job's
+    `pg_dump` analogue (/root/reference/backup.sh:210) reading N key
+    ranges in parallel instead of one serial dump stream.
+
+    IAM-auth deployments swap `password` for a token minted per
+    connection (the reference's `generate-db-auth-token`,
+    /root/reference/psql-backups-iam-auth.sh:119-124) via a JDBC
+    ConnectionProvider — out of local scope."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "fetchsize": str(fetchsize),
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions),
+            }
+        )
+    return opts
+
+
+READERS: dict[str, Callable[..., DataFrame]] = {
+    "parquet": read_parquet,
+    "csv": read_csv,
+    "json": read_json,
+}
+
+
+def read(spark: SparkSession, fmt: str, path: str, **kwargs) -> DataFrame:
+    """Format-dispatched read (A6)."""
+    try:
+        reader = READERS[fmt]
+    except KeyError as exc:
+        raise ValueError(f"unsupported source format {fmt!r}; known: {sorted(READERS)}") from exc
+    return reader(spark, path, **kwargs)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink; `partition_by` gives downstream partition pruning,
+    `maxRecordsPerFile` bounds file sizes so a skewed partition can't
+    produce a multi-GB file."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

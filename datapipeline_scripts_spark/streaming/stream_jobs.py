@@ -1,0 +1,88 @@
+"""True Structured Streaming jobs over the events table.
+
+`events_stream_tumbling` is registered as a declared query with the
+SAME oracle as the batch `events_tumbling` — the stream replays the
+parquet fixture with `availableNow` and lands the windowed aggregate in
+a memory sink, which must equal the batch result (streaming/batch
+unification is the point of Structured Streaming).
+
+Scale notes: in production the source is kafka/files with
+`withWatermark` bounding state; `availableNow` + complete mode here
+keeps the fixture replay deterministic. State-store sizing = #open
+windows × #event types — both tiny.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table, table_path
+from datapipeline_scripts_spark.registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema from the batch read;
+    the ns→µs conversion is applied identically)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # the file-stream source needs a directory; glob-filter to the events
+    # file within the scale-factor dir
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.select(*batch.columns)
+
+
+def tumbling_agg(df: DataFrame) -> DataFrame:
+    """The shared (batch ≡ streaming) tumbling aggregation plan."""
+    return (
+        df.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling window as a real stream (availableNow replay →
+    memory sink, complete mode), return the materialized result. Must
+    hash-match the batch oracle exactly."""
+    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_agg(_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    # copy out of the memory sink so the result outlives the query
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
