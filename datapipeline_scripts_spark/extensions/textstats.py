@@ -146,6 +146,55 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tokens_bpe",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_tokens,
+           round(avg(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)), 2)
+             AS avg_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs | digit runs | single
+    other chars) — the pre-tokenizer split most BPE vocabularies use —
+    counted per source."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_bpe_tokens"),
+        F.round(F.avg(ntok.cast("double")), 2).alias("avg_bpe_tokens"),
+    )
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(text, '.'),
+                              x -> CAST(unicode(x) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007
+           ) AS rhash
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (base 31 mod 1e9+7) over the character
+    stream — the winnowing/Rabin-Karp fingerprint primitive, expressed
+    as a codegen'd fold; integer math so both engines agree bit-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.transform(F.split("text", ""), lambda ch: F.ascii(ch).cast("long"))
+    rhash = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1000000007)
+    return d.filter(F.col("doc_id") % 7 == 0).select("doc_id", rhash.alias("rhash"))
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT source,

@@ -147,6 +147,29 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+           round(sum(CASE WHEN l_linestatus = 'P' THEN l_quantity END), 2) AS "P"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True pivot (explicit value list → no extra distinct-values scan;
+    always enumerate pivot values at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv
+
+
+@query(
     "agg_pivot_case",
     oracle="""
     SELECT l_returnflag,

@@ -46,7 +46,11 @@ def join_strategies(df: DataFrame) -> list[str]:
 
 
 def has_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in simple_plan(df)
+    """AQE keeps the 'simple' plan adaptive (no codegen markers) until
+    execution; the 'codegen' explain mode compiles the subtrees up
+    front, so it reports faithfully without running the query."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    return "WholeStageCodegen" in plan
 
 
 def audit(df: DataFrame) -> dict:
