@@ -1,0 +1,80 @@
+"""Source/sink connector tests: format dispatch, CSV/JSON round trips
+with explicit schemas, partitioned writes, JDBC option building."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.sources import readers
+
+
+def test_format_dispatch_unknown():
+    with pytest.raises(ValueError, match="unsupported source format"):
+        readers.read(None, "avro", "/nope")
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = readers.read(spark, "csv", path, schema=schema)
+    assert back.count() == 25
+    assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in nation.collect()}
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_json")
+    region.write.json(path)
+    back = readers.read(spark, "json", path, schema=region.schema)
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in region.collect()
+    )
+
+
+def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    readers.write_parquet(orders, path, partition_by=("o_orderstatus",))
+    # hive-style partition dirs exist
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    # partition pruning: only the F directory is scanned
+    from datapipeline_scripts_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
+
+
+def test_jdbc_options_partitioned():
+    opts = readers.jdbc_options(
+        "jdbc:postgresql://host/db",
+        "public.orders",
+        "u",
+        "p",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=64,
+    )
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_options_requires_bounds():
+    with pytest.raises(ValueError, match="lower_bound"):
+        readers.jdbc_options("jdbc:x", "t", "u", "p", partition_column="k")
