@@ -52,10 +52,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in BENCH_KEYS:
-        # best-of-2: the VM scheduler adds multi-second jitter; the min is
-        # the faithful cost of the plan
+        # best-of-N: the VM scheduler adds multi-second jitter randomly
+        # across queries; the min is the faithful cost of the plan
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
             t0 = time.perf_counter()
             df = specs[key].build(spark, sf_dir)
             n = df.count()

@@ -122,15 +122,26 @@ _BANDS = 4  # 4 bands × 4 rows
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) candidate pairs with estimated Jaccard.
 
-    Pipeline: shingle → per-doc min of seeded xxhash64 per permutation
-    (map-side combine collapses each doc to one 16-int signature) →
-    band hash → self-join on (band, bucket) → estimate = matching
-    signature fraction. Everything JVM-side."""
+    Pipeline: shingle → per-doc signature → band hash → self-join on
+    (band, bucket) → estimate = matching signature fraction.
+
+    The signature is computed *map-side* with
+    `array_min(transform(shingles, s -> xxhash64(seed_i, s)))` — one
+    narrow stage, zero shuffle (an explode + 16-way min groupBy does the
+    same work but shuffles |docs|·|shingles| rows first; at 100 TB that
+    exchange would dwarf the hashing). Everything JVM-side."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
-    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(_N_HASHES)]
+    shs = tok.select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("shs"))
+
+    def seeded_hash(i: int):
+        # closure factory: a default-arg lambda reads as a (value, index)
+        # HOF lambda to pyspark and the seed silently becomes the index
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = shs.select(
+        "doc_id",
+        *[F.array_min(F.transform("shs", seeded_hash(i))).alias(f"h{i}") for i in range(_N_HASHES)],
     )
     rows_per_band = _N_HASHES // _BANDS
     band_structs = F.array(
@@ -209,19 +220,27 @@ _SIMHASH_BITS = 48
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document from distinct-token xxhash64 bits.
 
-    Explodes tokens once; per bit position aggregates the ±1 vote with a
-    conditional sum (single shuffle, 48 partial-agg columns); reassembles
-    the fingerprint as one BIGINT. Near-dup candidate retrieval would
-    then band the fingerprint into 4×12-bit keys (same LSH idea as
-    MinHash) — kept to the fingerprint here."""
+    Fully map-side: hash the token array once with `transform`, then per
+    bit position count set bits with `filter`+`size` (vote_i > 0 ⇔ more
+    ones than zeros) and reassemble the fingerprint as one BIGINT.
+    Zero shuffles — the alternative explode + 48-column vote groupBy
+    moves |docs|·|tokens| rows through an exchange for the same answer.
+    Near-dup retrieval would band the fingerprint into 4×12-bit keys
+    (same LSH idea as MinHash) — kept to the fingerprint here."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
-    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
-            for i in range(_SIMHASH_BITS)
-        ]
+    hs = d.select(
+        "doc_id",
+        F.transform(F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)).alias("hs"),
     )
-    fp = sum(F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(_SIMHASH_BITS))
-    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+    n = F.size("hs")
+
+    def bit_set(i: int):
+        # closure factory: a default-arg lambda would be mistaken for a
+        # two-parameter HOF lambda by pyspark's signature inspection
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    fp = sum(
+        F.when(F.size(F.filter("hs", bit_set(i))) * 2 > n, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_SIMHASH_BITS)
+    )
+    return hs.select("doc_id", fp.cast("long").alias("simhash"))

@@ -1,0 +1,80 @@
+"""Quality tests for the sketch-based dedup/similarity operators —
+rows-only queries still need their *semantics* verified: recall of the
+LSH candidates against exact Jaccard, SimHash locality, bucketed-ANN
+containment in the brute-force ranking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.registry import get
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.6 (oracle-checked query)."""
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in get("dedup_ngram_jaccard").build(spark, sf_dir).collect()
+    }
+
+
+def test_minhash_recalls_exact_duplicates(spark, sf_dir, exact_pairs):
+    cand = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in get("dedup_minhash").build(spark, sf_dir).collect()
+    }
+    # jaccard-1.0 pairs collide in every band (guaranteed recall); for
+    # j ≥ 0.8 the 16-perm/4-band curve gives P(candidate) ≈ 0.88 — with
+    # fixed seeds the outcome is deterministic, require ≥ 60% recall
+    ones = {p for p, j in exact_pairs.items() if j >= 0.9999}
+    assert ones <= set(cand), f"missing exact-dup pairs {ones - set(cand)}"
+    high = {p for p, j in exact_pairs.items() if j >= 0.8}
+    assert high, "fixture should contain high-jaccard near-dup pairs"
+    recall = len(high & set(cand)) / len(high)
+    assert recall >= 0.6, f"recall {recall:.2f} over {len(high)} pairs"
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir, exact_pairs):
+    cand = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in get("dedup_minhash").build(spark, sf_dir).collect()
+    }
+    shared = set(cand) & set(exact_pairs)
+    assert shared
+    for p in shared:
+        assert abs(cand[p] - exact_pairs[p]) <= 0.4  # 16 perms → coarse but bounded
+
+
+def test_simhash_identical_for_duplicate_token_sets(spark, sf_dir, exact_pairs):
+    sims = {r["doc_id"]: r["simhash"] for r in get("dedup_simhash").build(spark, sf_dir).collect()}
+    ones = [p for p, j in exact_pairs.items() if j >= 0.9999]
+    # jaccard-1.0 pairs share the token *set* only if shingle sets match;
+    # simhash is token-based — hamming distance must be small
+    for a, b in ones:
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        assert ham <= 8, (a, b, ham)
+
+
+def test_bucketed_knn_results_are_true_neighbors(spark, sf_dir):
+    """Every (qid, cid) the LSH-bucketed ANN returns must rank at least
+    as high in cosine as the brute-force ranking allows (same bucket ⇒
+    real cosine computed — the approximation only loses candidates,
+    never fabricates scores)."""
+    brute = get("knn_brute").build(spark, sf_dir)
+    approx = get("knn_bucketed").build(spark, sf_dir)
+    bmap = {(r["qid"], r["cid"]): r["cos_sim"] for r in brute.collect()}
+    amap = {(r["qid"], r["cid"]): r["cos_sim"] for r in approx.filter(F.col("qid") < 5).collect()}
+    shared = set(amap) & set(bmap)
+    for k in shared:
+        assert abs(amap[k] - bmap[k]) < 1e-9
+
+
+def test_exact_norm_survivor_count(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_unique = (
+        d.select(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("t")).distinct().count()
+    )
+    survivors = get("dedup_exact_norm").build(spark, sf_dir)
+    assert survivors.count() == n_unique
