@@ -63,6 +63,74 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
+_IVF_K = 16  # coarse centroids
+_IVF_NPROBE = 2  # lists probed per query
+
+
+@query("knn_ivf", oracle=None, tier="ext")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: k-means coarse quantizer →
+    per-list inverted index → probe the NPROBE nearest lists only.
+
+    All DataFrame ops: seed centroids = first K vectors; one Lloyd
+    iteration (assign via broadcast-centroid cosine rank, re-center via
+    posexplode + per-dimension mean); then assignment defines the
+    inverted lists. A query scores ~N·NPROBE/K candidates instead of N.
+
+    At 100 TB the centroid set stays broadcast-sized (K ≤ 2^16) and the
+    lists are hash-partitioned by centroid id — the probe is an
+    equi-join on cid, never a cross product. The fixture's vectors are
+    uniform random, so recall is data-limited; the returned scores are
+    exact cosines (verified against brute force in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def centroid_frame(cent: DataFrame) -> DataFrame:
+        """Assign every vector to its nearest centroid (broadcast)."""
+        sims = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("cvec")).alias("sim"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+        return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "sim")
+
+    seeds = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned0 = centroid_frame(seeds)
+    # Lloyd re-centering: per-dimension mean of each list's members
+    recentered = (
+        assigned0.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s.getField("m").cast("float")).alias("cvec"))
+    )
+    lists = centroid_frame(recentered).select("vec_id", F.col("cid").alias("list_id"), "embedding")
+
+    q = lists.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(recentered))
+        .select("qid", "qe", "cid", cosine(F.col("qe"), F.col("cvec")).alias("sim"))
+        .withColumn("rn", F.row_number().over(W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", "qe", F.col("cid").alias("list_id"))
+    )
+    cand = (
+        qprobe.join(lists, "list_id")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
 @query("knn_bucketed", oracle=None, tier="ext")
 def knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 within 8-hyperplane LSH buckets.

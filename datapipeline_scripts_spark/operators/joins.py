@@ -217,6 +217,39 @@ def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.user_id,
+           count(*) AS n_pairs,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    GROUP BY e.user_id
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: events.user_id has only ~15 distinct values,
+    so a plain shuffle join lands everything on ≤15 reducers. Salt the
+    hot side deterministically (event_id % 8) and replicate the other
+    side across all 8 salts, join on (key, salt) → 8× the reducers, same
+    result (the oracle runs the unsalted join). AQE's skew-join handles
+    sort-merge cases automatically; explicit salting is the pattern for
+    aggregations and when AQE can't split (e.g. broadcast-ineligible
+    skewed hash joins)."""
+    n_salt = 8
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % n_salt).cast("int")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        e.join(o, (e.user_id == o.o_custkey) & (e.salt == o.salt))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@query(
     "subquery_exists",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice

@@ -71,6 +71,26 @@ def test_bucketed_knn_results_are_true_neighbors(spark, sf_dir):
         assert abs(amap[k] - bmap[k]) < 1e-9
 
 
+def test_ivf_scores_are_exact_cosines(spark, sf_dir):
+    """IVF prunes candidates but never fabricates scores: every (qid,
+    cid) it returns must carry the same cosine brute force computes."""
+    brute = {
+        (r["qid"], r["cid"]): r["cos_sim"] for r in get("knn_brute").build(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["qid"], r["cid"]): r["cos_sim"]
+        for r in get("knn_ivf").build(spark, sf_dir).filter(F.col("qid") < 5).collect()
+    }
+    shared = set(ivf) & set(brute)
+    for k in shared:
+        assert abs(ivf[k] - brute[k]) < 1e-9
+    # sanity: each of the 5 brute queries gets k=5 IVF results
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in ivf)
+    assert all(n == 5 for n in per_q.values())
+
+
 def test_exact_norm_survivor_count(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_unique = (

@@ -78,3 +78,22 @@ def test_jdbc_options_partitioned():
 def test_jdbc_options_requires_bounds():
     with pytest.raises(ValueError, match="lower_bound"):
         readers.jdbc_options("jdbc:x", "t", "u", "p", partition_column="k")
+
+
+def test_encrypted_sink_conf():
+    from datapipeline_scripts_spark.sources import sinks
+
+    kms = sinks.encrypted_sink_conf("arn:aws:kms:key/123")
+    assert kms["fs.s3a.server-side-encryption-algorithm"] == "SSE-KMS"
+    assert kms["fs.s3a.server-side-encryption.key"] == "arn:aws:kms:key/123"
+    default = sinks.encrypted_sink_conf()
+    assert default["fs.s3a.server-side-encryption-algorithm"] == "AES256"
+
+
+def test_cross_account_and_token_conf():
+    from datapipeline_scripts_spark.sources import sinks
+
+    xacct = sinks.cross_account_conf("arn:aws:iam::123:role/backups")
+    assert xacct["fs.s3a.assumed.role.arn"].endswith("role/backups")
+    tok = sinks.token_auth_conf("tkn", 1700000000)
+    assert tok["fs.s3a.session.token"] == "tkn"

@@ -17,6 +17,57 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Watermarking: replay events in two micro-batches where the second
+    file is entirely *late* (its event times precede the first batch by
+    more than the watermark delay) — the late rows must be dropped from
+    the windowed aggregate in append mode."""
+    import time
+
+    from datapipeline_scripts_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    part1 = events.filter((F.col("ts") >= "2024-01-03") & (F.col("ts") < "2024-01-20"))
+    part2 = events.filter(F.col("ts") >= "2024-01-20")
+    late = events.filter(F.col("ts") < "2024-01-02")
+    src = tmp_path / "stream_src"
+    # the input filter uses the watermark of the *previous* batch, so the
+    # late file must be the third micro-batch: batch 2 advances the
+    # watermark past Jan 20, batch 3's Jan-1 rows are then dropped
+    for i, df in enumerate([part1, part2, late], 1):
+        df.coalesce(1).write.parquet(str(src / f"batch={i}"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    import uuid
+
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    result = spark.table(sink).collect()
+    emitted = sum(r["n"] for r in result)
+    n_on_time = part1.count() + part2.count()
+    # every late row dropped; on-time rows emitted except the still-open
+    # tail window (append mode only emits finalized windows)
+    jan1_windows = [r for r in result if r["w"]["start"].month == 1 and r["w"]["start"].day == 1]
+    assert not jan1_windows, jan1_windows
+    assert 0 < emitted <= n_on_time
+    assert emitted >= n_on_time - 60  # at most the open tail window withheld
+
+
 def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
     """Closed sessions emitted by the stateful stream must be a subset of
     the batch sessionization, matching on (user, start, count, value);
