@@ -194,6 +194,42 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") % 7 == 0).select("doc_id", rhash.alias("rhash"))
 
 
+@query("text_winnow", oracle=None, tier="ext")
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash every
+    word 3-gram, slide a window of 4 consecutive hashes, keep each
+    window's minimum, dedupe → the document's fingerprint set. Guarantees
+    any shared run of ≥ 6 tokens between two docs shares a fingerprint.
+
+    Shape: posexplode shingles → xxhash64 → min over a bounded following
+    window (codegen'd window function, one shuffle on doc_id) →
+    distinct. Rows-only (no xxhash64 in DuckDB); the winnowing coverage
+    guarantee is asserted in tests/test_extensions.py."""
+    from pyspark.sql import Window as W
+
+    from datapipeline_scripts_spark.functions.text import shingles, tokens
+
+    window = 4
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
+    sh = tok.select("doc_id", F.posexplode(shingles(F.col("toks"), 3)).alias("pos", "sh"))
+    hashed = sh.select("doc_id", "pos", F.xxhash64("sh").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    wcount = W.partitionBy("doc_id")
+    # only full windows (plus the single short window for docs with < w
+    # shingles) — trailing suffix windows are not part of the scheme
+    winnowed = (
+        hashed.withColumn("n", F.count("*").over(wcount))
+        .withColumn("fp", F.min("h").over(w))  # min BEFORE dropping tail rows
+        .filter(F.col("pos") <= F.greatest(F.col("n") - window, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return winnowed.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

@@ -91,6 +91,31 @@ def test_ivf_scores_are_exact_cosines(spark, sf_dir):
     assert all(n == 5 for n in per_q.values())
 
 
+def test_winnowing_coverage_guarantee(spark, sf_dir):
+    """Winnowing's defining property: in every window of 4 consecutive
+    3-gram hashes, at least one hash is in the fingerprint set (checked
+    exhaustively for a sample of documents with a Python model)."""
+    import pyspark.sql.functions as SF
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(SF.col("doc_id") < 20)
+    fps = {
+        r["doc_id"]: r
+        for r in get("text_winnow").build(spark, sf_dir).filter(SF.col("doc_id") < 20).collect()
+    }
+    from datapipeline_scripts_spark.functions.text import shingles, tokens
+
+    hashed = d.select(
+        "doc_id", F.transform(shingles(tokens(F.col("text")), 3), lambda s: F.xxhash64(s)).alias("hs")
+    ).collect()
+    # recompute the fingerprint set in python and check window coverage
+    for row in hashed:
+        hs = row["hs"]
+        fp_set = {min(hs[i : i + 4]) for i in range(max(1, len(hs) - 3))}
+        assert fps[row["doc_id"]]["n_fingerprints"] == len(fp_set)
+        for i in range(max(1, len(hs) - 3)):
+            assert any(h in fp_set for h in hs[i : i + 4])
+
+
 def test_exact_norm_survivor_count(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_unique = (
