@@ -45,9 +45,20 @@ def table_path(sf_dir: str, name: str) -> str:
 _NS_TIMESTAMP_COLS = {"events": ("ts",)}
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive session settings for externally-created SparkSessions
+    (e.g. the verify driver's): UTC rendering for oracle parity and the
+    ns-parquet legacy read. Both are runtime-settable SQL confs."""
+    # unconditional set: idempotent, and conf.get(key, default) in
+    # Spark 4 validates the passed default, so probing first can throw
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NS_TIMESTAMP_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

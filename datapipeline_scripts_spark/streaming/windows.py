@@ -77,6 +77,43 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_topk_per_window",
+    oracle="""
+    WITH agg AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n, sum_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                                       ORDER BY n DESC, event_type) AS rn
+          FROM agg)
+    WHERE rn = 1
+    """,
+)
+def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type per hour: windowed aggregation composed with
+    a per-window ranking — the standard 'trending item' analytics shape.
+    Two shuffles total (agg on (window,type), rank on window); both keys
+    derive pre-shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    w = W.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@query(
     "events_session",
     oracle="""
     WITH marked AS (
