@@ -29,7 +29,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,14 +39,6 @@ from datapipeline_scripts_spark.pipeline.config import JobConfig
 MANIFEST_NAME = "_MANIFEST.json"
 LOCK_NAME = "_LOCK"
 CHECKINS_NAME = "_CHECKINS.jsonl"
-
-
-@dataclass
-class TableManifest:
-    name: str
-    n_rows: int
-    content_hash: int
-    schema_json: str
 
 
 def content_hash(df: DataFrame) -> int:
@@ -94,12 +85,19 @@ def snapshot(
     cfg: JobConfig | None = None,
     snapshot_ts: str | None = None,
     partition_cols: dict[str, list[str]] | None = None,
+    base_manifest: str | None = None,
 ) -> str:
     """Snapshot every configured table; return the snapshot directory.
 
     Flow (mirrors backup.sh): lock → extract+validate each table →
     manifest → check-in → unlock (always, via finally — the reference's
-    `trap cleanup_on_exit EXIT`, /root/reference/backup.sh:20-36)."""
+    `trap cleanup_on_exit EXIT`, /root/reference/backup.sh:20-36).
+
+    Incremental mode: pass `base_manifest` (a previous snapshot's
+    manifest path) and tables whose distributed content hash equals the
+    base are NOT rewritten — their manifest entry points at the base
+    snapshot (`based_on`). At 100 TB this turns the nightly job from a
+    full 100 TB write into hash scans + changed-table writes."""
     cfg = cfg or JobConfig()
     snapshot_ts = snapshot_ts or time.strftime("%Y_%m_%d_%H%M%S", time.gmtime())
     tables = [
@@ -110,10 +108,21 @@ def snapshot(
     snap_root = os.path.join(out_root, cfg.snapshot_prefix())
     lock_path = _acquire_lock(snap_root, snapshot_ts)
     snap_dir = os.path.join(snap_root, snapshot_ts)
+    base: dict | None = None
+    if base_manifest is not None:
+        with open(base_manifest) as fh:
+            base = json.load(fh)
     try:
-        manifests: list[TableManifest] = []
+        table_entries: dict[str, dict] = {}
         for name in tables:
             df = catalog.load_table(spark, sf_dir, name)
+            src_hash = content_hash(df.select(sorted(df.columns)))
+            base_entry = (base or {}).get("tables", {}).get(name)
+            if base_entry and base_entry["content_hash"] == src_hash and base_entry["schema"] == df.schema.json():
+                # unchanged since the base snapshot: record a pointer,
+                # skip the write entirely (differential backup)
+                table_entries[name] = {**base_entry, "based_on": base["snapshot_ts"]}
+                continue
             target = os.path.join(snap_dir, name)
             writer = df.write.mode("error")
             for col in (partition_cols or {}).get(name, []):
@@ -123,24 +132,22 @@ def snapshot(
             n = restored.count()
             if n == 0 and df.limit(1).count() > 0:  # A18 non-empty validation
                 raise RuntimeError(f"snapshot of {name} is empty")
-            manifests.append(
-                TableManifest(
-                    name=name,
-                    n_rows=n,
-                    content_hash=content_hash(restored.select(sorted(restored.columns))),
-                    schema_json=restored.schema.json(),
-                )
-            )
+            table_entries[name] = {
+                "n_rows": n,
+                "content_hash": content_hash(restored.select(sorted(restored.columns))),
+                "schema": restored.schema.json(),
+            }
         manifest = {
             "service": cfg.clamped_service,
             "env": cfg.env_name,
             "snapshot_ts": snapshot_ts,
             "source": sf_dir,
-            "tables": {m.name: {"n_rows": m.n_rows, "content_hash": m.content_hash, "schema": m.schema_json} for m in manifests},
+            "tables": table_entries,
         }
+        os.makedirs(snap_dir, exist_ok=True)
         with open(os.path.join(snap_dir, MANIFEST_NAME), "w") as fh:
             json.dump(manifest, fh, indent=2)
-        check_in(snap_root, {"ok": True, "snapshot_ts": snapshot_ts, "n_tables": len(manifests)})
+        check_in(snap_root, {"ok": True, "snapshot_ts": snapshot_ts, "n_tables": len(table_entries)})
         return snap_dir
     finally:
         os.unlink(lock_path)  # A4 guaranteed cleanup

@@ -67,7 +67,12 @@ def verify_snapshot(
     try:
         for name in tables:
             expect = manifest["tables"][name]
-            src = spark.read.parquet(os.path.join(snapshot_dir, name))
+            # incremental snapshots point unchanged tables at the base
+            # snapshot ("based_on") instead of re-writing their data
+            data_dir = snapshot_dir
+            if "based_on" in expect:
+                data_dir = os.path.join(os.path.dirname(snapshot_dir.rstrip("/")), expect["based_on"])
+            src = spark.read.parquet(os.path.join(data_dir, name))
             dropped = 0
             if drop_line_pattern and name in drop_line_pattern:
                 col, pattern = drop_line_pattern[name]

@@ -29,12 +29,13 @@ def main() -> int:
     ap.add_argument("out_root")
     ap.add_argument("--verify", action="store_true", help="run the restore drill after snapshotting")
     ap.add_argument("--tables", default=None, help="comma-separated subset")
+    ap.add_argument("--base", default=None, help="previous manifest path → incremental snapshot")
     args = ap.parse_args()
 
     cfg = JobConfig(tables=tuple(args.tables.split(",")) if args.tables else None)
     spark = get_spark("snapshot_job")
     snap_dir = retry(
-        lambda: snapshot(spark, args.sf_dir, args.out_root, cfg=cfg),
+        lambda: snapshot(spark, args.sf_dir, args.out_root, cfg=cfg, base_manifest=args.base),
         attempts=cfg.attempts,
         base_delay_s=cfg.backoff_s,
     )

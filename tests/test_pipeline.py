@@ -82,6 +82,43 @@ def test_verify_detects_tampering(spark, snap_dir, tmp_path):
         verify_or_raise(spark, str(tampered), str(tmp_path / "s4"))
 
 
+def test_incremental_snapshot_skips_unchanged(spark, sf_dir, tmp_path):
+    """Differential backup: a second snapshot against the first one's
+    manifest writes NO table data (nothing changed) but its manifest
+    still verifies end-to-end via the base pointers."""
+    root = str(tmp_path / "incr")
+    first = snapshot(spark, sf_dir, root, cfg=_cfg(), snapshot_ts="2026_01_01_000000")
+    second = snapshot(
+        spark,
+        sf_dir,
+        root,
+        cfg=_cfg(),
+        snapshot_ts="2026_01_02_000000",
+        base_manifest=os.path.join(first, MANIFEST_NAME),
+    )
+    # no data directories in the incremental snapshot — only the manifest
+    assert sorted(os.listdir(second)) == [MANIFEST_NAME]
+    with open(os.path.join(second, MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    assert all(t["based_on"] == "2026_01_01_000000" for t in manifest["tables"].values())
+    # the restore drill resolves the pointers and still verifies content
+    result = verify_or_raise(spark, second, str(tmp_path / "incr_scratch"))
+    assert sorted(result.tables_ok) == sorted(TABLES)
+
+
+def test_partitioned_snapshot_layout(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "partsnap")
+    cfg = JobConfig(service_name="partsvc", env_name="test", tables=("orders",))
+    snap = snapshot(
+        spark, sf_dir, root, cfg=cfg, snapshot_ts="2026_01_01_000000",
+        partition_cols={"orders": ["o_orderstatus"]},
+    )
+    orders_dir = os.path.join(snap, "orders")
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(orders_dir))
+    # partition column round-trips through the hive layout; verify passes
+    assert verify_or_raise(spark, snap, str(tmp_path / "ps_scratch")).ok
+
+
 def test_snapshot_lock_guard(tmp_path):
     lock = _acquire_lock(str(tmp_path), "run1")
     with pytest.raises(SnapshotLockError):
