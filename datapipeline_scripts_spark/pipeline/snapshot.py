@@ -120,8 +120,14 @@ def snapshot(
             base_entry = (base or {}).get("tables", {}).get(name)
             if base_entry and base_entry["content_hash"] == src_hash and base_entry["schema"] == df.schema.json():
                 # unchanged since the base snapshot: record a pointer,
-                # skip the write entirely (differential backup)
-                table_entries[name] = {**base_entry, "based_on": base["snapshot_ts"]}
+                # skip the write entirely (differential backup). If the
+                # base entry is itself a pointer (chained incrementals),
+                # keep ITS target — the pointer must always name the
+                # snapshot that physically holds the data.
+                table_entries[name] = {
+                    **base_entry,
+                    "based_on": base_entry.get("based_on", base["snapshot_ts"]),
+                }
                 continue
             target = os.path.join(snap_dir, name)
             writer = df.write.mode("error")

@@ -106,6 +106,22 @@ def test_incremental_snapshot_skips_unchanged(spark, sf_dir, tmp_path):
     assert sorted(result.tables_ok) == sorted(TABLES)
 
 
+def test_chained_incremental_snapshots_point_at_data(spark, sf_dir, tmp_path):
+    """Three snapshots, the last two incremental: the third's pointers
+    must target the FIRST snapshot (which holds the data), not the
+    manifest-only second — and the restore drill must still pass."""
+    root = str(tmp_path / "chain")
+    s1 = snapshot(spark, sf_dir, root, cfg=_cfg(), snapshot_ts="2026_01_01_000000")
+    s2 = snapshot(spark, sf_dir, root, cfg=_cfg(), snapshot_ts="2026_01_02_000000",
+                  base_manifest=os.path.join(s1, MANIFEST_NAME))
+    s3 = snapshot(spark, sf_dir, root, cfg=_cfg(), snapshot_ts="2026_01_03_000000",
+                  base_manifest=os.path.join(s2, MANIFEST_NAME))
+    with open(os.path.join(s3, MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    assert all(t["based_on"] == "2026_01_01_000000" for t in manifest["tables"].values())
+    assert verify_or_raise(spark, s3, str(tmp_path / "chain_scratch")).ok
+
+
 def test_partitioned_snapshot_layout(spark, sf_dir, tmp_path):
     root = str(tmp_path / "partsnap")
     cfg = JobConfig(service_name="partsvc", env_name="test", tables=("orders",))
