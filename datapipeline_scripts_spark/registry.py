@@ -66,5 +66,6 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from datapipeline_scripts_spark import operators, extensions, streaming  # noqa: F401
+    from datapipeline_scripts_spark.pipeline import roundtrip  # noqa: F401
 
     _LOADED = True
