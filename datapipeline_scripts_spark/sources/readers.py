@@ -90,10 +90,18 @@ def jdbc_options(
     return opts
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 READERS: dict[str, Callable[..., DataFrame]] = {
     "parquet": read_parquet,
     "csv": read_csv,
     "json": read_json,
+    "orc": read_orc,
 }
 
 

@@ -17,6 +17,15 @@ def test_format_dispatch_unknown():
         readers.read(None, "avro", "/nope")
 
 
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = str(tmp_path / "supplier_orc")
+    supplier.write.orc(path)
+    back = readers.read(spark, "orc", path, schema=supplier.schema)
+    assert back.count() == supplier.count()
+    assert {r["s_name"] for r in back.collect()} == {r["s_name"] for r in supplier.collect()}
+
+
 def test_csv_round_trip(spark, sf_dir, tmp_path):
     nation = load_table(spark, sf_dir, "nation")
     path = str(tmp_path / "nation_csv")
