@@ -14,6 +14,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     scans,
     sorting,
     strings,
+    tpch_shapes,
     udfs,
     windows,
 )
