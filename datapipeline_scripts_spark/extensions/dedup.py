@@ -114,6 +114,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DF_CAP = 100  # stop-shingle doc-frequency cap
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    toks AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+    kept AS (SELECT sh FROM toks GROUP BY sh HAVING count(*) <= {_DF_CAP}),
+    ktoks AS (SELECT doc_id, t.sh FROM toks t JOIN kept USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ktoks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM ktoks a JOIN ktoks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-frequency-capped n-gram Jaccard — the 100 TB form of
+    `dedup_ngram_jaccard`.
+
+    The uncapped inverted-index self-join is quadratic in the hottest
+    shingle's doc frequency: one boilerplate 3-gram shared by 1M docs
+    materializes 5·10^11 pairs. Dropping shingles with doc-freq >
+    {cap} (stop shingles — they carry no discriminative signal)
+    bounds every shingle's pair contribution at cap²/2 and is standard
+    prefix filtering. Jaccard is then exact over the filtered shingle
+    space. The doc-freq semi-join shuffles on the same `sh` key as the
+    pair join that follows, so the extra pass adds no new shuffle key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
+    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
+    # shingles are distinct per doc, so count(*) per shingle == doc-freq
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP).select("sh")
+    kept = sh.join(rare, "sh")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 _N_HASHES = 16
 _BANDS = 4  # 4 bands × 4 rows
 

@@ -60,6 +60,110 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q7_shape",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1998-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 'volume shipping': revenue flowing between two nations by
+    ship year. Plan: both nation dims and their joined supplier /
+    customer subsets broadcast (tiny), so lineitem⋈orders is the only
+    shuffle; the two-nation disjunction is applied after the dim joins
+    because it references both sides. Date filter pushes to the
+    lineitem scan."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-12-31 00:00:00").cast("timestamp")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").between(lo, hi))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == n1.n1_key)),
+              li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == n2.n2_key)),
+              o.o_custkey == c.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q13_shape",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 'customer distribution': orders-per-customer histogram
+    including zero-order customers (the left join is the point — an
+    inner join loses them). Double aggregation: the first groupBy
+    shuffles on c_custkey, the second on the (tiny-cardinality)
+    c_count; the reference's Q13 uses o_comment NOT LIKE, which the
+    fixture schema lacks, so the join-side residual predicate is an
+    o_orderpriority filter — same shape (predicate in the LEFT JOIN's
+    ON, not WHERE, so unmatched customers survive)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
     "tpch_q19_shape",
     oracle="""
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
