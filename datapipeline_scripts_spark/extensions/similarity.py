@@ -135,6 +135,78 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+@query(
+    "knn_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                      greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS sc
+               FROM e),
+         qz AS (SELECT vec_id,
+                       list_transform(v, x -> floor(x / sc + 0.5)) AS qv
+                FROM s),
+         q AS (SELECT vec_id AS qid, qv AS qe FROM qz WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, qv AS ce FROM qz),
+         sims AS (
+           SELECT qid, cid,
+                  round(list_dot_product(qe, ce) /
+                        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                        4) AS cos_sim
+           FROM q CROSS JOIN c
+           WHERE qid <> cid
+         ),
+         ranked AS (
+           SELECT qid, cid, cos_sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+           FROM sims
+         )
+    SELECT qid, cid, cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine over int8-quantized embeddings (GPU-less
+    quantization demo).
+
+    Per-vector symmetric quantization: scale = max|v|/127, code_i =
+    floor(v_i/scale + 0.5) ∈ [-127, 127]. The scales cancel inside
+    cosine, so ranking needs only the integer codes — at 100 TB this
+    cuts the candidate table (and every shuffle/scan byte of it) 4×
+    vs float32 and 8× vs float64, which is the whole point: ANN is
+    memory-bandwidth-bound. floor(x+0.5) rather than round() because
+    round-half behavior on negatives differs across engines;
+    floor(x+0.5) is round-half-up everywhere. Quantization noise at
+    64-dim keeps ranking near-exact (recall vs knn_brute asserted in
+    tests/test_extensions.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sc = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    # the transform lambda references sc by name, so project it first
+    qz = (
+        e.select("vec_id", "embedding", sc.alias("sc"))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") / F.col("sc") + F.lit(0.5)).cast("double"),
+            ).alias("qv"),
+        )
+    )
+    q = qz.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("qv").alias("qe"))
+    c = qz.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("ce")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
 @query("knn_bucketed", oracle=None, tier="ext")
 def knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 within 8-hyperplane LSH buckets.

@@ -91,6 +91,30 @@ def test_ivf_scores_are_exact_cosines(spark, sf_dir):
     assert all(n == 5 for n in per_q.values())
 
 
+def test_int8_knn_recall_vs_exact(spark, sf_dir):
+    """int8 quantization is lossy but at 64-dim the ranking must stay
+    near-exact: recall@10 vs brute force ≥ 0.8 per query, and the
+    quantized cosine must track the exact cosine within the worst-case
+    quantization error bound (~2·64·(0.5/127) ≈ 0.5, observed ≪)."""
+    brute = get("knn_brute").build(spark, sf_dir).collect()
+    q8 = get("knn_int8").build(spark, sf_dir).collect()
+    btop = {}
+    for r in brute:
+        btop.setdefault(r["qid"], set()).add(r["cid"])
+    qtop = {}
+    qcos = {}
+    for r in q8:
+        qtop.setdefault(r["qid"], set()).add(r["cid"])
+        qcos[(r["qid"], r["cid"])] = r["cos_sim"]
+    assert set(btop) == set(qtop) and len(btop) == 5
+    bcos = {(r["qid"], r["cid"]): r["cos_sim"] for r in brute}
+    for qid in btop:
+        recall = len(btop[qid] & qtop[qid]) / len(btop[qid])
+        assert recall >= 0.8, f"qid {qid} recall {recall}"
+    for k in set(qcos) & set(bcos):
+        assert abs(qcos[k] - bcos[k]) <= 0.05, (k, qcos[k], bcos[k])
+
+
 def test_winnowing_coverage_guarantee(spark, sf_dir):
     """Winnowing's defining property: in every window of 4 consecutive
     3-gram hashes, at least one hash is in the fingerprint set (checked
