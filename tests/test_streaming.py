@@ -98,3 +98,85 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
     bc = Counter(u for (u, *_rest) in batch_rows)
     for u, n in sc.items():
         assert bc[u] - n in (0, 1), (u, n, bc[u])
+
+
+def test_kafka_source_options_surface():
+    """Config builders emit the connector's exact option namespace."""
+    from datapipeline_scripts_spark.streaming import kafka
+
+    opts = kafka.source_options(
+        "b1:9092,b2:9092",
+        subscribe="events,events_dlq",
+        starting_offsets="latest",
+        max_offsets_per_trigger=1_000_000,
+        min_partitions=64,
+        security_protocol="SASL_SSL",
+        sasl_jaas="org.apache.kafka.common.security.scram.ScramLoginModule required;",
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events,events_dlq"
+    assert "subscribePattern" not in opts
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "1000000"
+    assert opts["minPartitions"] == "64"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kafka.source_options("b:9092")  # neither subscribe form
+    with _pytest.raises(ValueError):
+        kafka.source_options("b:9092", subscribe="a", subscribe_pattern="a.*")
+    sink = kafka.sink_options("b:9092", "out", "/tmp/ckpt")
+    assert sink == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+
+
+def test_kafka_decode_frames_on_synthetic_batch(spark):
+    """decode_frames is stream/batch agnostic — drive it with a batch
+    DataFrame shaped exactly like the connector's wire frame, including
+    a corrupt payload row (must yield NULL payload fields, not vanish)."""
+    import json
+    from datetime import datetime, timezone
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from datapipeline_scripts_spark.streaming import kafka
+
+    payload_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ts", StringType()),
+        ]
+    )
+    good = json.dumps(
+        {"user_id": 7, "event_type": "click", "value": 1.5, "ts": "2026-01-02 03:04:05"}
+    ).encode()
+    bad = b"{not json"
+    bts = datetime(2026, 1, 2, 3, 4, 6, tzinfo=timezone.utc)
+    frames = spark.createDataFrame(
+        [
+            (b"k1", good, "events", 0, 42, bts, 0),
+            (b"k2", bad, "events", 1, 43, bts, 0),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp, timestampType int",
+    )
+    out = kafka.decode_frames(frames, payload_schema, ts_column="ts")
+    rows = {r["offset"]: r for r in out.collect()}
+    assert set(rows) == {42, 43}
+    g = rows[42]
+    assert g["kafka_key"] == "k1" and g["user_id"] == 7 and g["event_type"] == "click"
+    assert g["event_time"] == datetime(2026, 1, 2, 3, 4, 5)
+    b = rows[43]
+    assert b["user_id"] is None and b["event_time"] is None  # corrupt → NULLs, row kept
