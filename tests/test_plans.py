@@ -70,3 +70,69 @@ def test_dedup_fingerprint_shuffles_hash_not_text(spark, sf_dir):
     df = get("dedup_exact_norm").build(spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "hashpartitioning(fp" in plan.replace("#", "(").replace("fp(", "fp") or "fp" in plan
+
+
+def test_cbo_stats_reach_the_optimizer(spark, sf_dir):
+    """ANALYZE TABLE feeds Catalyst's CBO what file sizes can't: row
+    counts and column NDVs. Before ANALYZE the optimizer has no
+    cardinality (rowCount estimate = None); after, the base-table
+    estimate is exact and a filtered query gets a selectivity-scaled
+    estimate strictly between 0 and the table size — the numbers join
+    reorder and build-side choice run on. (File-size-based broadcast
+    still works without stats — that part is free; cardinality is
+    not.)"""
+    import uuid
+
+    from datapipeline_scripts_spark.plans import cbo
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    sfx = uuid.uuid4().hex[:8]
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.statistics.fallBackToHdfs",
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+        )
+    }
+    nation = supplier = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.statistics.fallBackToHdfs", "false")
+        for k, v in cbo.CBO_CONF.items():
+            spark.conf.set(k, v)
+        nation = cbo.register_external(spark, sf_dir, "nation", sfx)
+        supplier = cbo.register_external(spark, sf_dir, "supplier", sfx)
+        assert cbo.plan_row_count(spark, f"SELECT * FROM {nation}") is None
+
+        cbo.analyze(spark, nation, ["n_nationkey", "n_name"])
+        cbo.analyze(spark, supplier, ["s_suppkey", "s_nationkey"])
+
+        n_rows = spark.table(nation).count()
+        assert cbo.table_stats(spark, nation)["rowCount"] == n_rows
+        cs = cbo.column_stats(spark, nation, "n_nationkey")
+        assert int(cs["distinct_count"]) == n_rows  # n_nationkey is the PK
+        # the optimizer's own cardinality estimates use the stats
+        assert cbo.plan_row_count(spark, f"SELECT * FROM {nation}") == n_rows
+        est = cbo.plan_row_count(
+            spark, f"SELECT * FROM {nation} WHERE n_nationkey < 5"
+        )
+        assert est is not None and 0 < est < n_rows, est
+        # joining through the analyzed tables keeps a finite estimate
+        q = (
+            f"SELECT s_name, n_name FROM {supplier} "
+            f"JOIN {nation} ON s_nationkey = n_nationkey"
+        )
+        jest = cbo.plan_row_count(spark, q)
+        assert jest is not None and jest > 0, jest
+        assert "BroadcastHashJoin" in simple_plan(spark.sql(q))
+    finally:
+        for t in (nation, supplier):
+            if t:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
