@@ -40,6 +40,8 @@ BENCH_KEYS = (
     "events_session",
     "asof_join",
     "udf_vectorized",
+    "tpch_q3_shape",
+    "curation_pipeline",
 )
 
 
