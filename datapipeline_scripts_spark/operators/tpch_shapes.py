@@ -124,6 +124,105 @@ def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 'order priority checking': orders in one quarter with at least
+    one line shipped after the order date (the fixture lacks
+    l_commitdate/l_receiptdate, so late-shipment stands in for the
+    reference's commit<receipt predicate — same correlated-EXISTS
+    shape). The EXISTS becomes a LeftSemi join that deduplicates
+    lineitem matches before the aggregation — no row explosion for
+    multi-line orders; the quarter filter pushes to the orders scan."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             sum(l_quantity) AS sum_qty
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      GROUP BY 1, 2, 3, 4
+    )
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 'large-volume customers': orders whose total quantity exceeds
+    a threshold, with customer context. The IN-subquery over an
+    aggregate becomes aggregate→semi-join: lineitem is aggregated once
+    on l_orderkey (partial agg map-side), the HAVING filter shrinks it
+    to a sliver, and that sliver semi-joins orders before the detail
+    re-join — the fact table is never joined at full width to itself."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    detail = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    return (
+        detail.join(c, detail.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
     "tpch_q13_shape",
     oracle="""
     SELECT c_count, count(*) AS custdist
