@@ -97,11 +97,53 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     return reader.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_partition_bytes: str | None = None,
+) -> DataFrame:
+    """binaryFile source — the multimodal ingest path: each file becomes
+    one row (`path`, `modificationTime`, `length`, `content: binary`)
+    feeding the extensions/multimodal.py decode plumbing.
+
+    Scale notes: `pathGlobFilter` prunes at listing time (never read
+    bytes you filter later); whole files can't split, so a partition's
+    size is bounded by `spark.sql.files.maxPartitionBytes` times the
+    largest-file skew — set it so the biggest file batch fits executor
+    memory, and keep huge media out of this path (chunk upstream)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_partition_bytes is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+    return reader.load(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Avro source, gated: the external spark-avro module is not baked
+    into this container. Raises a clear error locally; works unchanged
+    on a cluster submitted with
+    `--packages org.apache.spark:spark-avro_2.13:<spark-version>`."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as exc:
+        raise NotImplementedError(
+            "spark-avro not on the classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from exc
+
+
 READERS: dict[str, Callable[..., DataFrame]] = {
     "parquet": read_parquet,
     "csv": read_csv,
     "json": read_json,
     "orc": read_orc,
+    "binary": read_binary_files,
+    "avro": read_avro,
 }
 
 

@@ -14,7 +14,7 @@ from datapipeline_scripts_spark.sources import readers
 
 def test_format_dispatch_unknown():
     with pytest.raises(ValueError, match="unsupported source format"):
-        readers.read(None, "avro", "/nope")
+        readers.read(None, "xml", "/nope")
 
 
 def test_orc_round_trip(spark, sf_dir, tmp_path):
@@ -106,3 +106,24 @@ def test_cross_account_and_token_conf():
     assert xacct["fs.s3a.assumed.role.arn"].endswith("role/backups")
     tok = sinks.token_auth_conf("tkn", 1700000000)
     assert tok["fs.s3a.session.token"] == "tkn"
+
+
+def test_binary_file_reader_reads_whole_files(spark, sf_dir):
+    """binaryFile ingest: one row per file with the exact byte length,
+    and pathGlobFilter pruning at listing time."""
+    import os
+
+    df = readers.read(spark, "binary", sf_dir, glob="nation.parquet")
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["path"].endswith("nation.parquet")
+    assert r["length"] == os.path.getsize(os.path.join(sf_dir, "nation.parquet"))
+    assert bytes(r["content"][:4]) == b"PAR1"  # parquet magic — real bytes
+    # glob pruning: nothing matches → zero rows, no error
+    assert readers.read(spark, "binary", sf_dir, glob="*.nope").count() == 0
+
+
+def test_avro_reader_is_gated_without_connector(spark, sf_dir):
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        readers.read(spark, "avro", f"{sf_dir}/nation.parquet")
