@@ -12,6 +12,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     json_ops,
     scalars,
     scans,
+    sequences,
     sorting,
     strings,
     tpch_shapes,

@@ -1,0 +1,89 @@
+"""Event-sequence analytics over `events` — funnel conversion, the
+ordered-steps query family (first step A, then step B strictly after
+it), reported per entry-hour cohort.
+
+This is the classic product/behavior-analytics workload on an event
+log, and at training-data scale the same shape drives interaction-log
+curation (e.g. "prompt followed by accepted completion within T").
+
+Scale shape: both steps reduce to per-user MIN aggregates — partial
+aggregation collapses each map partition to |users| rows before the
+exchange, and the step-2 join is an equi-join on user_id against the
+already-reduced step-1 table. Nothing touches the raw event log twice
+at full width, and no window function materializes per-user event
+arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+_CONVERT_S = 3600  # "fast conversion" threshold
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT v.user_id, v.t_view, min(e.ts) AS t_purchase
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT v.user_id, v.t_view, p.t_purchase,
+             (epoch_us(p.t_purchase) - epoch_us(v.t_view)) / 1000000.0 AS lat_s
+      FROM v LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT strftime(date_trunc('hour', t_view), '%Y-%m-%d %H:00') AS cohort_hour,
+           count(*) AS n_viewers,
+           count(t_purchase) AS n_converted,
+           CAST(count(CASE WHEN lat_s <= {_CONVERT_S} THEN 1 END) AS BIGINT)
+             AS n_converted_1h,
+           round(avg(lat_s), 2) AS avg_latency_s
+    FROM f
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → purchase funnel per entry-hour cohort: viewers, converts
+    (any purchase strictly after the first view), fast converts
+    (≤ 1 h), and mean conversion latency.
+
+    Latency compares unix_micros — never seconds-truncated casts, which
+    flip results for sub-second margins (same pitfall as session
+    gaps)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = (F.unix_micros("t_purchase") - F.unix_micros("t_view")) / F.lit(1_000_000.0)
+    f = v.join(p, ["user_id", "t_view"], "left").withColumn("lat_s", lat)
+    return (
+        f.groupBy(F.date_format(F.date_trunc("hour", "t_view"), "yyyy-MM-dd HH:00").alias("cohort_hour"))
+        .agg(
+            F.count("*").alias("n_viewers"),
+            F.count("t_purchase").alias("n_converted"),
+            F.count(F.when(F.col("lat_s") <= _CONVERT_S, 1)).cast("long").alias("n_converted_1h"),
+            F.round(F.avg("lat_s"), 2).alias("avg_latency_s"),
+        )
+        .orderBy("cohort_hour")
+    )
