@@ -270,3 +270,32 @@ def agg_pivot_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("long").alias("n_bulk"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg): suppliers per nation as a sorted
+    CSV. Sorting inside the aggregate (array_sort before join) is what
+    makes the concatenation deterministic — collect_list order is not.
+    Scale: collect_list is the one aggregate whose state grows with
+    group size; it's bounded here by suppliers-per-nation, and a
+    grouped string column this shape feeds prompt/report generation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_csv"),
+        )
+    )

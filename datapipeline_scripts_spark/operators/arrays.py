@@ -65,3 +65,43 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("v").cast("double")), 4).alias("sum_vals"),
         )
     )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS INTEGER) AS n_langs,
+           CAST(coalesce(sum(CASE WHEN lang = 'en' THEN n END), 0) AS BIGINT) AS en_docs,
+           CAST(count(CASE WHEN n >= 10 THEN 1 END) AS INTEGER) AS n_langs_10plus
+    FROM counts
+    GROUP BY source
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column operations: build a lang→count map per source
+    (map_from_entries over collected structs), then read it back with
+    element_at, map_filter, and map size. The oracle expresses the same
+    semantics relationally — the map type is Spark-side surface being
+    exercised; results must agree with the plain-SQL twin.
+
+    Scale: the map's cardinality is bounded by |langs| (~10²), so the
+    per-group state stays small no matter the row count; the heavy
+    reduction happens in the relational pre-aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    mapped = counts.groupBy("source").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("lang", "n")))
+        ).alias("lang_counts")
+    )
+    return mapped.select(
+        "source",
+        F.size("lang_counts").alias("n_langs"),
+        F.coalesce(F.element_at("lang_counts", F.lit("en")), F.lit(0)).cast("long").alias("en_docs"),
+        F.size(F.map_filter("lang_counts", lambda k, v: v >= 10)).alias("n_langs_10plus"),
+    )

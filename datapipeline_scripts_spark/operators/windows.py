@@ -69,3 +69,68 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
         F.rank().over(w).alias("order_seq"),
     )
+
+
+@query(
+    "window_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS last_price,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation functions per customer order history: lead,
+    first/last value, ntile quartile. last_value needs the explicit
+    unbounded-following frame in BOTH engines (the default frame stops
+    at CURRENT ROW — the classic silent-wrong-answer); order includes
+    the unique o_orderkey so every value is engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user aggregate with a time-RANGE frame (not
+    ROWS): the frame is defined by event-time distance, so ts ties all
+    enter the frame together in both engines — no tie-break needed.
+    Spark has no interval RANGE frame; the equivalence is a
+    rangeBetween on unix_micros (inclusive bounds both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
