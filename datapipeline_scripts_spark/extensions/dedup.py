@@ -176,6 +176,95 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MAX_ITERS = 20
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      WITH sh AS ({_SHINGLE_SQL}),
+      toks AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b
+      FROM p0
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    membership AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT m.doc_id, m.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+    FROM membership m
+    JOIN (SELECT cluster_id, count(*) AS n FROM membership GROUP BY 1) c
+      USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate *clusters*: connected components over the exact-Jaccard
+    pair graph (≥ 0.6), labeling every involved doc with its
+    component's minimum doc_id — the canonicalization step a dedup
+    pipeline runs after pair generation, since "A≈B, B≈C" must keep
+    one of {{A,B,C}}, not one per pair.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own and its neighbors' labels; converged when no label
+    changes (the driver checks a count per round — the loop is over a
+    |docs-in-pairs|-sized frame, not the corpus). localCheckpoint
+    truncates the growing lineage each round (at cluster scale, use a
+    durable checkpoint dir). Rounds needed = graph diameter, ≤
+    O(log n) for the star-shaped clusters dedup produces; capped at
+    {_CC_MAX_ITERS}. The oracle is a recursive-CTE transitive closure
+    over the same pair graph."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    edges = edges.repartition(spark.sparkContext.defaultParallelism, "b").localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        merged = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("new_lbl"),
+                "lbl",
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = merged.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    membership = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    sizes = membership.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return membership.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
 _N_HASHES = 16
 _BANDS = 4  # 4 bands × 4 rows
 

@@ -147,3 +147,20 @@ def test_exact_norm_survivor_count(spark, sf_dir):
     )
     survivors = get("dedup_exact_norm").build(spark, sf_dir)
     assert survivors.count() == n_unique
+
+
+def test_dedup_clusters_are_transitive_and_canonical(spark, sf_dir, exact_pairs):
+    """Connected-components invariants: both ends of every duplicate
+    pair land in one cluster; each cluster's id is its minimum member;
+    cluster_size matches the membership count."""
+    rows = get("dedup_clusters").build(spark, sf_dir).collect()
+    cid = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for a, b in exact_pairs:
+        assert cid[a] == cid[b], (a, b)
+    from collections import Counter
+
+    members = Counter(r["cluster_id"] for r in rows)
+    for r in rows:
+        assert r["cluster_size"] == members[r["cluster_id"]]
+        assert r["cluster_id"] <= r["doc_id"]
+    assert set(members) == {c for d, c in cid.items() if c == d}  # id = min member
