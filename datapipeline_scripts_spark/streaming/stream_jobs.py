@@ -86,3 +86,52 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copy out of the memory sink so the result outlives the query
     result = spark.table(sink)
     return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+@query(
+    "events_stream_enriched",
+    oracle="""
+    SELECT CAST(user_id % 3 AS BIGINT) AS segment,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (user → segment) before aggregating per segment.
+
+    The static side is a plain batch DataFrame — Spark re-plans it per
+    micro-batch and broadcasts it under the join (the standard
+    enrichment topology: stream facts, broadcast dims). State is only
+    the aggregation's; the join itself is stateless. Must hash-match
+    the batch oracle."""
+    segments = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 3).alias("segment"))
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(segments, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("segment", "event_type", "n", "sum_value")
+    )
+    sink = f"stream_enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
