@@ -180,3 +180,23 @@ def test_kafka_decode_frames_on_synthetic_batch(spark):
     assert g["event_time"] == datetime(2026, 1, 2, 3, 4, 5)
     b = rows[43]
     assert b["user_id"] is None and b["event_time"] is None  # corrupt → NULLs, row kept
+
+
+def test_foreach_batch_sink_is_exactly_once(spark, sf_dir, tmp_path):
+    """First drain commits every batch; a second drain against the same
+    checkpoint commits zero (source offsets) ; re-running a batch write
+    overwrites rather than duplicates (idempotent batch_id dirs)."""
+    from datapipeline_scripts_spark.streaming.foreach_sink import run_idempotent_append
+    from datapipeline_scripts_spark.streaming.stream_jobs import _events_stream
+
+    out = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = run_idempotent_append(spark, _events_stream(spark, sf_dir), out, ckpt)
+    assert n1 >= 1
+    landed = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert landed.count() == n_events
+    # replay with the same checkpoint: nothing new to commit
+    n2 = run_idempotent_append(spark, _events_stream(spark, sf_dir), out, ckpt)
+    assert n2 == 0
+    assert spark.read.option("basePath", out).parquet(f"{out}/batch_id=*").count() == n_events
