@@ -67,3 +67,49 @@ def test_retry_sleep_schedule_is_exponential(fail_times, attempts, base):
     assert succeeded == (fail_times < attempts)
     expected_sleeps = min(fail_times, attempts - 1)
     assert sleeps == [base * (2.0**i) for i in range(expected_sleeps)]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_int8_quantization_matches_python_model(spark, vecs):
+    """The knn_int8 quantization expression vs a pure-Python model:
+    codes = floor(v/scale + 0.5) with scale = max|v|/127 — every code
+    must land in [-127, 127] and equal the model exactly."""
+    import math
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sc = (
+        F.greatest(
+            F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0)
+    )
+    qz = df.select("vec_id", "embedding", sc.alias("sc")).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") / F.col("sc") + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    got = {r["vec_id"]: r["qv"] for r in qz.collect()}
+    for i, v in enumerate(vecs):
+        # float32 storage first — Spark reads array<float>
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        s = max(max(abs(x) for x in v32), 1e-30) / 127.0
+        model = [math.floor(x / s + 0.5) for x in v32]
+        assert got[i] == model, (v32, got[i], model)
+        assert all(-127 <= c <= 127 for c in got[i])
