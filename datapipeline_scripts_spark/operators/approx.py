@@ -50,3 +50,19 @@ def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_sampled"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
+
+
+@query("sample_stratified", oracle=None, tier="ext")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample (`sampleBy`): per-stratum Bernoulli fractions —
+    keep 50% of URGENT orders but 5% of the rest, the shape used to
+    rebalance a skewed training corpus (over-sample the rare class,
+    down-sample the common one). Seeded but engine-specific → rows-only;
+    the per-stratum rate honoring is asserted in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"1-URGENT": 0.5, "2-HIGH": 0.05, "3-MEDIUM": 0.05, "4-NOT SPECIFIED": 0.05, "5-LOW": 0.05}
+    return (
+        o.sampleBy("o_orderpriority", fractions, seed=42)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_sampled"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )

@@ -164,3 +164,23 @@ def test_dedup_clusters_are_transitive_and_canonical(spark, sf_dir, exact_pairs)
         assert r["cluster_size"] == members[r["cluster_id"]]
         assert r["cluster_id"] <= r["doc_id"]
     assert set(members) == {c for d, c in cid.items() if c == d}  # id = min member
+
+
+def test_stratified_sample_honors_per_stratum_rates(spark, sf_dir):
+    """sampleBy must keep ~50% of the urgent stratum and ~5% of the
+    others (binomial tolerance at fixture sizes)."""
+    totals = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sampled = {
+        r["o_orderpriority"]: r["n_sampled"]
+        for r in get("sample_stratified").build(spark, sf_dir).collect()
+    }
+    for prio, n in totals.items():
+        rate = sampled.get(prio, 0) / n
+        want = 0.5 if prio == "1-URGENT" else 0.05
+        assert abs(rate - want) <= 4 * (want * (1 - want) / n) ** 0.5 + 0.02, (prio, rate, want)
