@@ -136,3 +136,49 @@ def test_cbo_stats_reach_the_optimizer(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join handling — the automatic complement to
+    the manual salting in join_skew_salted: with one hot key and
+    thresholds lowered to fixture scale, the post-execution plan must
+    mark the sort-merge join's skewed side as split (skew=true)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        from pyspark.sql import functions as SF
+
+        # 100k rows on ONE key vs 100 spread keys; right side small but
+        # not broadcast (disabled above)
+        left = spark.range(100_000).select(
+            SF.when(SF.col("id") % 100 < 99, SF.lit(0)).otherwise(SF.col("id") % 100).alias("k"),
+            SF.col("id").alias("v"),
+        )
+        right = spark.range(100).select(SF.col("id").alias("k"), SF.lit("x").alias("tag"))
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's QueryExecution (count() would build a
+        # new one and leave this plan un-finalized)
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
