@@ -133,3 +133,57 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("record.lang").alias("lang"), F.size("record.embedding").alias("dim"))
     )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+_FRAME_SIZE = 256  # bytes per fake frame
+_SAMPLE_EVERY = 2  # keep every 2nd frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker, 1→N: each binary payload expands to one row
+    per *sampled* frame (UDTF shape). A real video path replaces the
+    fixed-size chunking with container parsing (ffmpeg) and the
+    checksum with a decoded-frame feature; offsets/indices/batching
+    stay identical."""
+    if _real_decode_available():  # pragma: no cover
+        raise NotImplementedError("real frame decode not wired in this container")
+    for pdf in batches:
+        out: dict[str, list] = {k.name: [] for k in _FRAME_SCHEMA}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            p = payload if payload is not None else b""
+            n_frames = max(1, (len(p) + _FRAME_SIZE - 1) // _FRAME_SIZE)
+            for idx in range(0, n_frames, _SAMPLE_EVERY):
+                chunk = p[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["byte_offset"].append(idx * _FRAME_SIZE)
+                out["frame_bytes"].append(len(chunk))
+                out["frame_checksum"].append(int(sum(chunk[:16])))
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_frames", oracle=None, tier="ext")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload — the 1→N
+    (UDTF-shaped) multimodal operator: every input row yields one row
+    per sampled fixed-size chunk ('frame'), with stable indices and
+    offsets. Deterministic fake frames (brief: stub the codec, make
+    the plumbing real) → stable rows-only check + a Python-model test.
+
+    Scale: output cardinality is rows × frames/sample-rate — the
+    explode happens inside Arrow batches, never on the driver; cap
+    `maxRecordsPerFile`/partition bytes downstream because frame rows
+    dominate storage."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)

@@ -184,3 +184,33 @@ def test_stratified_sample_honors_per_stratum_rates(spark, sf_dir):
         rate = sampled.get(prio, 0) / n
         want = 0.5 if prio == "1-URGENT" else 0.05
         assert abs(rate - want) <= 4 * (want * (1 - want) / n) ** 0.5 + 0.02, (prio, rate, want)
+
+
+def test_multimodal_frames_match_python_model(spark, sf_dir):
+    """The 1→N frame sampler vs a pure-Python model on a doc sample:
+    same frame indices, offsets, sizes, and checksums."""
+    rows = (
+        get("multimodal_frames")
+        .build(spark, sf_dir)
+        .filter(F.col("doc_id") < 10)
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .collect()
+    }
+    got = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    want_keys = set()
+    for doc_id, text in docs.items():
+        p = text.encode("utf-8")
+        n_frames = max(1, (len(p) + 255) // 256)
+        for idx in range(0, n_frames, 2):
+            want_keys.add((doc_id, idx))
+            chunk = p[idx * 256 : (idx + 1) * 256]
+            r = got[(doc_id, idx)]
+            assert r["byte_offset"] == idx * 256
+            assert r["frame_bytes"] == len(chunk)
+            assert r["frame_checksum"] == sum(chunk[:16])
+    assert set(got) == want_keys
