@@ -17,10 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """`merge_schema` reconciles files written under an evolved schema
+    (added nullable columns) into one superset schema — a footer-level
+    merge at planning time. Leave it off on stable tables: merging
+    reads every file's footer up front, which at 100 TB of small files
+    is a real listing cost."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     return reader.parquet(path)
 
 
@@ -162,11 +174,15 @@ def write_parquet(
     mode: str = "error",
     partition_by: tuple[str, ...] = (),
     max_records_per_file: int | None = None,
+    compression: str | None = None,
 ) -> None:
     """Parquet sink; `partition_by` gives downstream partition pruning,
     `maxRecordsPerFile` bounds file sizes so a skewed partition can't
-    produce a multi-GB file."""
+    produce a multi-GB file, `compression` trades write CPU for scan
+    bytes (zstd ≈ gzip ratio at ~3× the speed; snappy when CPU-bound)."""
     writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file:

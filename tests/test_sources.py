@@ -127,3 +127,34 @@ def test_binary_file_reader_reads_whole_files(spark, sf_dir):
 def test_avro_reader_is_gated_without_connector(spark, sf_dir):
     with pytest.raises(NotImplementedError, match="spark-avro"):
         readers.read(spark, "avro", f"{sf_dir}/nation.parquet")
+
+
+def test_merge_schema_reconciles_evolved_files(spark, tmp_path):
+    """Schema evolution: files written before/after a column addition
+    read back as one superset schema with NULLs for the old files."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(f"{base}/p=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double").write.parquet(
+        f"{base}/p=2"
+    )
+    merged = readers.read_parquet(spark, base, merge_schema=True)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    # without mergeSchema, one file's footer wins and may drop the column
+    plain = readers.read_parquet(spark, base)
+    assert set(plain.columns) <= set(merged.columns)
+
+
+def test_write_parquet_compression_codec(spark, sf_dir, tmp_path):
+    import duckdb
+
+    out = str(tmp_path / "zstd_out")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    readers.write_parquet(nation, out, compression="zstd")
+    files = [f for f in __import__("os").listdir(out) if f.endswith(".parquet")]
+    assert files
+    meta = duckdb.connect().execute(
+        f"SELECT DISTINCT compression FROM parquet_metadata('{out}/*.parquet')"
+    ).fetchall()
+    assert ("ZSTD",) in meta, meta
