@@ -2,16 +2,18 @@
 its timestamp for the same user (events.user_id ↔ orders.o_custkey).
 
 The DuckDB oracle uses its native ASOF LEFT JOIN; Spark has no as-of
-operator, so the engine composes one from built-ins:
+operator, so the engine composes one from built-ins with the
+union-sort carry-forward:
 
-  equi+range join (user key + orderdate ≤ ts)  →  per-event
-  row_number() pick-latest  →  left join back to keep matchless events.
+  tag orders/events → union → window per user ordered by time
+  (orders first on ties) → last(order cols, ignorenulls) carried
+  onto each event row.
 
-Scale: the equality on the user key makes the first join hash/sort-merge
-partitioned — never cartesian; the pick-latest window shuffles on
-event_id only. For sorted-bucket layouts, `applyInPandas` +
-`pandas.merge_asof` per key-partition is the zero-extra-shuffle
-alternative (see `asof_join_pandas`).
+Scale: one shuffle on the user key, one sort, |events|+|orders| rows
+total — no intermediate (event × earlier-order) pair blow-up. For
+sorted-bucket layouts, `applyInPandas` + `pandas.merge_asof` per
+key-partition is the zero-extra-shuffle alternative (see
+`asof_join_pandas`).
 
 Determinism: orders are first deduped to one row per (custkey,
 orderdate) — max orderkey wins — because the as-of tie between two
@@ -54,8 +56,18 @@ _DEDUP_ORDERS_SQL = """
     """,
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (nearest-before) join, composed from equi+range join +
-    pick-latest window + left join back."""
+    """As-of (nearest-before) join via the union-sort carry-forward:
+    tag both sides, union, partition by the user key, sort by time with
+    orders before events on ties, and carry the latest order's columns
+    onto each event with last(ignorenulls) over an unbounded-preceding
+    frame.
+
+    This replaced an equi+range join + pick-latest window: that plan
+    materializes every (event, earlier-order) pair before discarding
+    all but one — row volume Σ_user |events_u|·|orders_u|, quadratic
+    per hot user at 100 TB. The union-sort form is one shuffle on the
+    user key + one sort, output exactly |events| + |orders| rows, and
+    the carry-forward runs in whole-stage codegen."""
     e = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
     wdedup = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
@@ -64,19 +76,42 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
     )
-    matched = e.join(o1, (e.user_id == o1.o_custkey) & (e.ts >= o1.o_orderdate), "inner")
-    wpick = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc())
-    best = (
-        matched.withColumn("pick", F.row_number().over(wpick))
-        .filter(F.col("pick") == 1)
-        .select("event_id", "o_orderkey", "o_totalprice")
+    o_tag = o1.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
     )
-    return e.join(best, "event_id", "left").select(
+    e_tag = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    # orders sort before events at the same timestamp (ts >= orderdate
+    # means an order dated exactly at ts matches the event)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_order").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        o_tag.unionByName(e_tag)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_totalprice", F.last("o_totalprice", ignorenulls=True).over(w))
+    )
+    return carried.filter(F.col("is_order") == 0).select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("asof_orderkey").alias("o_orderkey"),
+        F.round("asof_totalprice", 2).alias("totalprice"),
     )
 
 
