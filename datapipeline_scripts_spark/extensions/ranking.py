@@ -1,0 +1,164 @@
+"""E3 extension — corpus ranking: TF-IDF term weighting and BM25
+retrieval scoring over `documents`.
+
+These are the scoring primitives a training-data pipeline uses to
+select in-domain documents against a seed query set (quality-targeted
+sampling). Both are pure Catalyst expressions — tokenize/explode/
+aggregate/join — so the hot path is whole-stage-codegen'd and the only
+shuffles are keyed aggregations:
+
+- the doc×term table shuffles once on (doc_id, term) for TF, and the
+  (much smaller) vocabulary aggregates once on term for DF;
+- corpus-level scalars (N, avgdl) ride in via a broadcast cross join
+  of a 1-row aggregate, never a driver collect;
+- the DF-side join back onto doc×term is vocabulary-sized — orders of
+  magnitude under the corpus — and AQE picks broadcast when it fits
+  (at 100 TB corpus scale the vocabulary is still ~1e8 rows max, a
+  shuffle join on term with heavy partial aggregation before it).
+
+The reference has no ranking surface; this extends its delegated
+full-SQL capability (SURVEY §2.C — PostgreSQL ts_rank is the closest
+delegated analogue, /root/reference/backup.sh:210 drives full psql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+# BM25 free parameters (the Robertson/Walker defaults used by Lucene).
+_K1 = 1.2
+_B = 0.75
+# Fixed retrieval query for the declared BM25 query key — terms chosen
+# from the fixture vocabulary so every SF has matches.
+_BM25_QUERY = ("spark", "vector", "hash")
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE length(term) >= 4
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tf.tf DESC, df.df ASC, tf.doc_id, tf.term
+    LIMIT 20
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (doc, term) pairs by TF-IDF weight.
+
+    Ordering is on the integer (tf DESC, df ASC) pair — never on the
+    float score — so the top-k frontier is bit-identical across
+    engines regardless of ln()/division ULP drift."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        tok.filter(F.length("term") >= 4)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4).alias("tfidf"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), "doc_id", "term")
+        .limit(20)
+    )
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok
+      WHERE term IN ('{_BM25_QUERY[0]}', '{_BM25_QUERY[1]}', '{_BM25_QUERY[2]}')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT count(*) AS n,
+             avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      FROM documents
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_K1} + 1.0)
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * doclen.dl / stats.avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed 3-term
+    query (Lucene idf variant: ln((N-df+0.5)/(df+0.5)+1)), top-20.
+
+    The term filter lands BEFORE the TF aggregation, so the doc×term
+    explode is pruned to query-term rows immediately — at corpus scale
+    the shuffled TF table is |hits|, not |tokens|. N and avgdl are a
+    broadcast 1-row aggregate; df is per-query-term (≤3 rows,
+    broadcast)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    doclen = d.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(toks).cast("double")).alias("avgdl"),
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -7,6 +7,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     aggregates,
     approx,
     arrays,
+    cdc,
     dates,
     joins,
     json_ops,

@@ -299,3 +299,46 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_csv"),
         )
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2) AS sum_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM agg
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag metric columns → long
+    (flag, metric, value) rows — the reshape feeding metric stores and
+    long-format report sinks.
+
+    Uses the native `DataFrame.unpivot` (Expand node): each input row
+    fans out JVM-side to one row per metric with NO shuffle and no
+    UDF; the only exchange is the upstream aggregation's. The melt
+    happens on the already-aggregated (tiny) table — at 100 TB the
+    wide→long fan-out multiplies rows, so always aggregate first when
+    the downstream only needs grouped metrics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -1,0 +1,106 @@
+"""CDC / incremental-load operators: MERGE (upsert + delete) semantics
+expressed as a full-outer join — the Delta/Iceberg `MERGE INTO` shape
+built from first principles on plain DataFrames.
+
+This is the engine-layer form of the reference's incremental pipeline
+surface: its snapshot jobs move whole databases every run
+(/root/reference/backup.sh:210 — full `pg_dump` each schedule); a
+change-data-capture merge is what replaces that full re-extract at
+100 TB, where re-shipping the base table nightly is not an option.
+
+Scale notes: the merge is one shuffle join on the merge key. The
+changeset side is typically ≪ base (a day of changes vs years of
+data), so AQE broadcasts it when it fits; with a bucketed/partitioned
+base table the join co-locates and only the changeset moves. No
+driver-side state, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             'U' AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS o_totalprice,
+             (o_orderkey % 10 = 0) AS is_delete
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                  WHEN c.o_orderkey IS NULL THEN 'keep'
+                  WHEN c.is_delete THEN 'delete'
+                  ELSE 'update' END AS action,
+             coalesce(c.o_orderstatus, b.o_orderstatus) AS status,
+             coalesce(c.o_totalprice, b.o_totalprice) AS price,
+             coalesce(c.is_delete, FALSE) AS is_delete
+      FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+    )
+    SELECT action, status,
+           count(*) AS n_rows,
+           CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+    FROM merged
+    WHERE NOT (is_delete AND action IN ('delete', 'insert'))
+    GROUP BY action, status
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over a full-outer join: matched rows
+    update, unmatched-source rows insert, matched rows flagged
+    `is_delete` drop, and flagged non-matches are never inserted.
+    Result is the per-action/status audit the merge job would emit.
+
+    The base is orders minus every 3rd key (a stale snapshot); the
+    changeset is every 2nd key re-priced +10%, with every 10th key a
+    tombstone — so all five MERGE branches (update/insert/keep/delete/
+    suppressed-insert) are exercised and oracle-checked."""
+    o = load_table(spark, sf_dir, "orders")
+    # All price math stays in DECIMAL end-to-end: double×1.1 followed
+    # by round() is not cross-engine-stable per row, and a double sum's
+    # partial-agg order flips round() at .005 boundaries. Decimal
+    # multiply/add are exact, so both engines agree bit-for-bit.
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("b_price"),
+        F.lit(True).alias("in_base"),
+    )
+    changes = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("c_status"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(2,1)")).alias("c_price"),
+        (F.col("o_orderkey") % 10 == 0).alias("is_delete"),
+    )
+    action = (
+        F.when(F.col("in_base").isNull(), "insert")
+        .when(F.col("c_status").isNull(), "keep")
+        .when(F.col("is_delete"), "delete")
+        .otherwise("update")
+    )
+    merged = (
+        base.join(changes, "o_orderkey", "full_outer")
+        .select(
+            action.alias("action"),
+            F.coalesce("c_status", "b_status").alias("status"),
+            F.coalesce("c_price", "b_price").alias("price"),
+            F.coalesce("is_delete", F.lit(False)).alias("is_delete"),
+        )
+        .filter(~(F.col("is_delete") & F.col("action").isin("delete", "insert")))
+    )
+    return merged.groupBy("action", "status").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+    )

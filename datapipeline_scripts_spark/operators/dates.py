@@ -71,3 +71,74 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd HH:mm:ss").alias("due_ts"),
         F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
     )
+
+
+@query(
+    "time_resample",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1
+    )
+    SELECT strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(h.n_events, 0) AS n_events,
+           coalesce(h.sum_value, 0.0) AS sum_value,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_ffill
+    FROM grid g LEFT JOIN hourly h USING (bucket)
+    """,
+)
+def time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: hourly buckets over the
+    full [min, max] event range via `sequence` + explode, left-joined
+    to the per-hour aggregate; missing hours zero-fill the count and
+    forward-fill the (pre-rounded) hourly sum.
+
+    The hourly sum accumulates in DECIMAL(18,6): decimal addition is
+    exact and therefore order-independent, so both engines round the
+    same value — a double sum's partial-aggregation order differs
+    between engines and flips round() at .005 boundaries (observed at
+    sf0.001).
+
+    Scale: the data-sized work is the one keyed aggregation (partial
+    agg collapses each partition to ~#hours rows before the exchange).
+    The grid is #hours rows — generated from a 1-row bounds aggregate,
+    never driver-side — and the gap-fill window sorts only that tiny
+    grid, not the events table. Rounding happens BEFORE the forward
+    fill so carried values are representation-exact across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+    )
+    from pyspark.sql import Window as W
+
+    ffill = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(hourly, "bucket", "left")
+        .withColumn("sum_value_ffill", F.last("sum_value", ignorenulls=True).over(ffill))
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            "sum_value_ffill",
+        )
+    )

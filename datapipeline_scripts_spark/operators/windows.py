@@ -134,3 +134,34 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile deciles of order value within each priority class (the
+    quality-score percentile cut a curation pipeline uses to keep the
+    top X% of documents).
+
+    The ORDER BY carries o_orderkey as tie-break so rank positions are
+    engine-independent; one shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
