@@ -342,3 +342,69 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "stats_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 3) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) >= 2.5
+    """,
+)
+def stats_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: events whose value is
+    ≥ 2.5σ from their event-type mean — the numeric-column anomaly
+    gate of a data-quality pipeline.
+
+    Two-pass shape instead of a window over everything: the stats
+    table is one partial-aggregated groupBy (|event_types| rows,
+    broadcast back onto the fact), so the fact table streams through
+    map-side only — a window equivalent would shuffle and sort the
+    full log per key."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 2.5)
+        .select("event_id", "event_type", F.round(z, 3).alias("z"))
+    )
+
+
+@query(
+    "stats_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 60000) + 1 AS INTEGER) AS bin,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS bin_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket over [0, 600k) × 10 bins.
+    Fixed literal bounds (not data-derived min/max) keep the binning
+    one map-side expression — no extra pass, no scalar subquery — and
+    bin totals accumulate in exact decimal so both engines round the
+    same value. DuckDB has no width_bucket, so the oracle uses the
+    equivalent floor(x/width)+1 (identical for in-range values)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(10)).cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("bin_total"),
+        )
+    )

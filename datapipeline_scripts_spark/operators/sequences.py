@@ -87,3 +87,55 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_hour")
     )
+
+
+@query(
+    "events_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS island
+      FROM events
+    )
+    SELECT user_id, event_type,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+           count(*) AS n_events
+    FROM seq
+    GROUP BY user_id, event_type, island
+    """,
+)
+def events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive same-type
+    event runs into validity intervals (run_start, run_end, n) — the
+    row-number-difference trick that also builds SCD2 history tables
+    from ordered change logs.
+
+    Both row_numbers sort within the same user_id partition, so
+    Catalyst plans ONE exchange on user_id and evaluates the second
+    window on the already-sorted partition; (ts, event_id) tie-break
+    makes run boundaries engine-independent. The grouped interval
+    aggregation reuses the same partitioning — no second data-sized
+    shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("island")
+    )
