@@ -232,7 +232,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log n) for the star-shaped clusters dedup produces; capped at
     {_CC_MAX_ITERS}. The oracle is a recursive-CTE transitive closure
     over the same pair graph."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # checkpoint the pair list BEFORE symmetrizing: a union of two
+    # selects over the un-materialized pair generator evaluates the
+    # whole shingle-join subtree twice (ReusedExchange does not cover
+    # both branches) — measured ~2× the pair-gen cost at sf0.1
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = fwd.union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     edges = edges.repartition(spark.sparkContext.defaultParallelism, "b").localCheckpoint()
