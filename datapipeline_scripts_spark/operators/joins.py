@@ -116,9 +116,16 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style 5-way star join, revenue per Asian nation.
 
-    customer/nation/region are broadcast; lineitem⋈orders is the only
-    shuffle join (both sides huge at scale — sort-merge on orderkey; AQE
-    may convert to shuffled-hash). lineitem is scanned once."""
+    Join order is chosen for early reduction: the tiny nation⋈region
+    (ASIA) closure broadcasts into customer first, shrinking customers
+    ~5× map-side; orders (date-filtered) then joins that reduced dim,
+    so the selective region/date predicates prune BEFORE lineitem —
+    the fact table — ever shuffles. Joining lineitem⋈orders first
+    (the naive order) ships 4/5 dead rows through the big exchange at
+    scale. customer is deliberately NOT hint-broadcast: it is
+    mid-sized at warehouse scale; AQE broadcasts the reduced
+    orders-side at small SF and falls back to shuffle join when it
+    outgrows the threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
@@ -126,11 +133,14 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    o_red = o.join(dim, o.o_custkey == dim.c_custkey).select("o_orderkey", "n_name")
+    return (
+        li.join(o_red, li.l_orderkey == o_red.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
