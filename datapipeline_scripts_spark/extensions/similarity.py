@@ -227,3 +227,41 @@ def knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, dim,
+           count(*) AS n_vecs,
+           round(avg(v), 4) AS mean_v
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space in long format
+    (label, dim, mean) — the class-prototype computation behind
+    IVF coarse quantizers, k-means init, and per-cluster drift
+    monitoring.
+
+    posexplode turns each vector into 64 (dim, value) rows that feed
+    straight into partial aggregation: the exchange carries
+    |labels|×|dims| partial sums per map partition, NOT the vector
+    data, so the pattern holds at any corpus size. Long format avoids
+    re-assembling arrays (engines disagree on aggregate array order);
+    the DuckDB twin zips unnest with generate_subscripts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"),
+        )
+    )

@@ -297,3 +297,27 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("_mean_bal"))
         .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT n_name, r_name, concat(n_name, '-', r_name) AS pair
+    FROM nation CROSS JOIN region
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two BOUNDED dimension tables
+    (nation × region) — the one shape where a cross join is legitimate
+    at scale: |n|×|r| is constant-sized regardless of fact volume, and
+    Spark plans a BroadcastNestedLoopJoin with the smaller side
+    broadcast. Every data-sized join in the catalog is keyed; the
+    no-cartesian plan audits (test_plans.py) enforce that this stays
+    the exception."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        F.concat_ws("-", "n_name", "r_name").alias("pair"),
+    )
