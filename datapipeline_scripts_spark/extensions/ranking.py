@@ -162,3 +162,59 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH big AS (
+      SELECT doc_id,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(n2 * 1.0 / n1)), 3) AS lm_score
+    FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: mean
+    ln P(w2|w1) under the MLE bigram model of the corpus itself — the
+    cheap in-domain perplexity filter a curation pipeline applies
+    before an expensive neural scorer (low score = atypical word
+    sequences).
+
+    Shape: the bigram explode (slice + arrays_zip, all codegen'd)
+    shuffles once for each count table — both partial-aggregated, the
+    bigram-count table bounded by observed-vocabulary², far under
+    |tokens|. The count joins key on (w1[,w2]); at corpus scale AQE
+    chooses broadcast vs shuffle per side, and no smoothing keeps
+    every observed bigram's probability well-defined."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    big = (
+        d.select(
+            "doc_id",
+            F.slice(toks, 1, n - 1).alias("w1s"),
+            F.slice(toks, 2, n - 1).alias("w2s"),
+        )
+        .select("doc_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("b"))
+        .select("doc_id", F.col("b.w1s").alias("w1"), F.col("b.w2s").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("n2") * 1.0 / F.col("n1"))), 3).alias("lm_score"),
+        )
+    )

@@ -135,3 +135,64 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     result = spark.table(sink)
     return spark.createDataFrame(result.collect(), schema=result.schema)
+
+@query(
+    "events_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to same-user purchases
+    within the following hour, run as a REAL streaming join (two
+    readStream sources, watermarks on both sides, event-time range
+    condition, append mode) and replayed to completion with
+    availableNow. Must hash-match the batch self-join oracle.
+
+    Scale/state notes: the watermark + time-range pair is what bounds
+    the join state — each side buffers only rows younger than
+    (watermark - range), so state is O(rate × 3 h) per side here, not
+    O(stream). Without the time condition Spark rejects the plan
+    (unbounded state) — the engine enforces the 100 TB discipline."""
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    views = (
+        s1.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        s2.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_ts"),
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
