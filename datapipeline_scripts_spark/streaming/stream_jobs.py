@@ -196,3 +196,42 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     result = spark.table(sink)
     return spark.createDataFrame(result.collect(), schema=result.schema)
+
+@query(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the event stream unioned with a
+    second replay of itself (every event delivered twice — the
+    at-least-once failure mode), then dropDuplicatesWithinWatermark on
+    event_id. Per-type counts of the deduped sink must equal the
+    batch counts of the ORIGINAL table — i.e., the dedup removed
+    exactly the redelivered copies.
+
+    Scale/state notes: dropDuplicatesWithinWatermark keeps one state
+    row per key only until the watermark passes its event time, so
+    state is O(rate × watermark), not O(stream) — the unbounded-state
+    plain dropDuplicates is the thing you must NOT deploy on an
+    infinite stream. The final count runs batch-side on the sink."""
+    doubled = _events_stream(spark, sf_dir).unionAll(_events_stream(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.select("event_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    result = spark.table(sink).groupBy("event_type").agg(F.count("*").alias("n"))
+    return spark.createDataFrame(result.collect(), schema=result.schema)
