@@ -15,6 +15,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     scans,
     sequences,
     sorting,
+    sql_api,
     strings,
     tpch_shapes,
     udfs,
