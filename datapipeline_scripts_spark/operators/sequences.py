@@ -139,3 +139,79 @@ def events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    SELECT user_id,
+           round(list_reduce(
+             list_prepend(0.0, list(value ORDER BY ts, event_id)),
+             (acc, x) -> 0.9 * acc + 0.1 * x
+           ), 4) AS ewma
+    FROM events
+    WHERE user_id % 5 = 0
+    GROUP BY user_id
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (α = 0.1) — the sequential-fold operator class (EWMA, compound
+    interest, stateful scores) that has no order-independent
+    aggregate form.
+
+    Determinism: both engines fold the SAME (ts, event_id)-sorted
+    sequence with the SAME IEEE ops, so results are bit-identical —
+    no rounding tricks needed beyond the final display round. Scale:
+    collect_list state is bounded by events-per-user (the same bound
+    the stateful sessionizer carries); the fold itself is per-group,
+    embarrassingly parallel. The HOF lambda evaluates interpreted,
+    which is acceptable off the hot path — a codegen'd running
+    product over a window is the alternative for very long series."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        ordered.getField("value"),
+        F.lit(0.0),
+        lambda acc, x: 0.9 * acc + 0.1 * x,
+    )
+    return ev.groupBy("user_id").agg(F.round(fold, 4).alias("ewma"))
+
+
+@query(
+    "events_new_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS first_day
+      FROM events
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day, count(*) AS new_users
+      FROM first_seen
+      GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d %H:%M:%S') AS hour,
+           new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def events_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user and cumulative-user growth per first-seen hour: one
+    partial-aggregated reduction per user, hourly counts, then a
+    running sum over the tiny per-hour frame — the standard growth
+    curve, with the window sorting #days rows, never the event log."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.date_trunc("hour", "ts")).alias("first_day"))
+    daily = first_seen.groupBy("first_day").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
