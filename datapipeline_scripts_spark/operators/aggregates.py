@@ -408,3 +408,81 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("bin_total"),
         )
     )
+
+
+@query(
+    "agg_share",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, revenue,
+           round(revenue / sum(revenue) OVER (), 4) AS revenue_share
+    FROM per
+    """,
+)
+def agg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each priority's revenue
+    share of the whole. The window total runs over the ALREADY
+    AGGREGATED #groups-row frame — a single-partition window is fine
+    there because the frame is group-cardinality-sized, never the
+    fact table. Sums accumulate in decimal so both engines divide the
+    same doubles."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("revenue"),
+    )
+    w = W.partitionBy()
+    return per.select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias("revenue_share"),
+    )
+
+
+@query(
+    "stats_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(any_value(m.med), 4) AS med,
+           round(median(abs(e.value - m.med)), 4) AS mad,
+           count(*) AS n
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    dispersion measure an outlier gate uses when the value
+    distribution has heavy tails (MAD ignores what stddev is blown
+    up by).
+
+    Two-pass shape like stats_zscore: the per-type median table is
+    tiny and broadcasts back onto the fact; exact interpolated
+    percentile keeps both engines on the identical sorted sequence.
+    At 100 TB swap the exact median for approx_percentile —
+    the declared approx_quantiles key shows that path."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4).alias("mad"),
+            F.count("*").alias("n"),
+        )
+    )
