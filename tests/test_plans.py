@@ -182,3 +182,38 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_events_islands_single_exchange(spark, sf_dir):
+    # both row_number windows partition by user_id, so Catalyst must
+    # plan ONE shuffle for the windows; the grouped interval agg adds
+    # at most one more exchange on the (user_id, ...) grouping
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("events_islands").build(spark, sf_dir)
+    plan = simple_plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
+    # the two windows must NOT each get their own exchange + sort pair
+    assert plan.count("Window") == 2, plan
+
+
+def test_merge_upsert_is_single_keyed_join(spark, sf_dir):
+    df = get("merge_upsert").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+
+
+def test_stats_zscore_broadcasts_stats(spark, sf_dir):
+    df = get("stats_zscore").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
+
+
+def test_text_bm25_no_cartesian_on_data(spark, sf_dir):
+    # the 1-row stats frame rides in via broadcast nested loop (fine);
+    # there must be no cartesian between data-sized frames
+    df = get("text_bm25").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins
