@@ -405,3 +405,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = sum(F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(_SIMHASH_BITS))
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(floor(n_chars / 50) AS INTEGER) AS band,
+             left(text, 80) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 20
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection, blocked to stay sub-quadratic:
+    candidates must share (source, 50-char length band) — near-identical
+    docs can't differ much in length — and only candidates pay the
+    O(len²) levenshtein on an 80-char prefix. On the fixtures true
+    near-dups score ≤ 20 while unrelated same-band pairs sit ≥ 46, so
+    the threshold separates cleanly.
+
+    Scale: the self-join keys on (source, band) — an equi shuffle join
+    whose block sizes are bounded by the length histogram, never a
+    cartesian; the exact-distance step is a codegen'd expression on
+    the joined rows. Both engines compute the identical integer, so
+    the query is fully oracle-checked (unlike hash-based candidate
+    generators)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.floor(F.col("n_chars") / 50).cast("int").alias("band"),
+        F.substring("text", 1, 80).alias("pfx"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
