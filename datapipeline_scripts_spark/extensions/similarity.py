@@ -265,3 +265,91 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"),
         )
     )
+
+
+@query(
+    "embedding_pipeline",
+    oracle="""
+    WITH longf AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, list(mv ORDER BY dim) AS ce
+      FROM (SELECT label, dim,
+                   round(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mv
+            FROM longf GROUP BY label, dim)
+      GROUP BY label
+    ),
+    vecs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    sims AS (
+      SELECT vec_id, label, clabel,
+             round(list_dot_product(ve, ce) /
+                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))),
+                   4) AS cos_sim
+      FROM vecs CROSS JOIN cent
+    ),
+    best AS (
+      SELECT vec_id, label, clabel, cos_sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, clabel) AS rn
+      FROM sims
+    )
+    SELECT label, clabel AS assigned, count(*) AS n,
+           CAST(sum(CAST(cos_sim AS DECIMAL(14,4))) AS DOUBLE) AS sum_cos
+    FROM best WHERE rn = 1
+    GROUP BY label, assigned
+    """,
+)
+def embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship embedding composite: centroid build → nearest-centroid
+    assignment → per-class quality report, all in one Catalyst plan —
+    the IVF coarse-assignment / cluster-drift-monitoring pipeline.
+
+    Stage shapes: (1) centroids via posexplode + partial-aggregated
+    (label, dim) means — the exchange carries partial sums, not
+    vectors (decimal-exact sums so the 6dp-rounded prototypes are
+    bit-identical across engines); (2) every
+    vector scores against the |labels| centroids via a broadcast
+    cross join (the centroid table is labels-sized — tiny at any
+    corpus scale) with the cosine folded JVM-side in codegen order
+    matching DuckDB's list_dot_product; (3) argmin by (cos DESC,
+    label) rank, then confusion counts + the decimal-exact cosine
+    mass per cell (a SUM, deliberately: a mean of k-dp-rounded values
+    can land exactly on the next round boundary, where JVM
+    shortest-repr rounding and DuckDB true-binary rounding disagree —
+    the sum is exact in DECIMAL and casts deterministically).
+    At 100 TB only stage 2 touches the corpus, map-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    longf = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v0")
+    ).select("label", "dim", F.col("v0").cast("double").alias("v"))
+    cent_long = longf.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("mv")
+    )
+    cent = cent_long.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s.getField("mv"),
+        ).alias("ce")
+    )
+    vecs = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    sims = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine(F.col("ve"), F.col("ce")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "clabel")
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("label", F.col("clabel").alias("assigned")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cos_sim").cast("decimal(14,4)")).cast("double").alias("sum_cos"),
+    )
