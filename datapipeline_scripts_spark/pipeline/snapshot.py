@@ -86,6 +86,7 @@ def snapshot(
     snapshot_ts: str | None = None,
     partition_cols: dict[str, list[str]] | None = None,
     base_manifest: str | None = None,
+    max_workers: int = 1,
 ) -> str:
     """Snapshot every configured table; return the snapshot directory.
 
@@ -97,7 +98,15 @@ def snapshot(
     manifest path) and tables whose distributed content hash equals the
     base are NOT rewritten — their manifest entry points at the base
     snapshot (`based_on`). At 100 TB this turns the nightly job from a
-    full 100 TB write into hash scans + changed-table writes."""
+    full 100 TB write into hash scans + changed-table writes.
+
+    `max_workers > 1` submits per-table extract jobs from a driver
+    thread pool: Spark's scheduler interleaves their stages, so the
+    cluster stays busy through each table's scan→write→verify gaps
+    instead of draining between tables (the reference has no such
+    overlap — tables serialize through one pg_dump). Job submission
+    is thread-safe; results are collected in table order and any
+    table's failure fails the snapshot (A2 fail-fast)."""
     cfg = cfg or JobConfig()
     snapshot_ts = snapshot_ts or time.strftime("%Y_%m_%d_%H%M%S", time.gmtime())
     tables = [
@@ -113,8 +122,8 @@ def snapshot(
         with open(base_manifest) as fh:
             base = json.load(fh)
     try:
-        table_entries: dict[str, dict] = {}
-        for name in tables:
+
+        def _snap_table(name: str) -> tuple[str, dict]:
             df = catalog.load_table(spark, sf_dir, name)
             src_hash = content_hash(df.select(sorted(df.columns)))
             base_entry = (base or {}).get("tables", {}).get(name)
@@ -124,11 +133,10 @@ def snapshot(
                 # base entry is itself a pointer (chained incrementals),
                 # keep ITS target — the pointer must always name the
                 # snapshot that physically holds the data.
-                table_entries[name] = {
+                return name, {
                     **base_entry,
                     "based_on": base_entry.get("based_on", base["snapshot_ts"]),
                 }
-                continue
             target = os.path.join(snap_dir, name)
             writer = df.write.mode("error")
             for col in (partition_cols or {}).get(name, []):
@@ -138,11 +146,26 @@ def snapshot(
             n = restored.count()
             if n == 0 and df.limit(1).count() > 0:  # A18 non-empty validation
                 raise RuntimeError(f"snapshot of {name} is empty")
-            table_entries[name] = {
+            return name, {
                 "n_rows": n,
                 "content_hash": content_hash(restored.select(sorted(restored.columns))),
                 "schema": restored.schema.json(),
             }
+
+        table_entries: dict[str, dict] = {}
+        if max_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                # pool.map preserves table order and re-raises the first
+                # failure — fail-fast with the lock still released in
+                # the enclosing finally
+                for name, entry in pool.map(_snap_table, tables):
+                    table_entries[name] = entry
+        else:
+            for name in tables:
+                name, entry = _snap_table(name)
+                table_entries[name] = entry
         manifest = {
             "service": cfg.clamped_service,
             "env": cfg.env_name,

@@ -196,3 +196,17 @@ def test_config_env_defaults(monkeypatch):
     cfg = JobConfig()
     assert cfg.attempts == 3
     assert cfg.service_name == "svc-from-env"
+
+
+def test_snapshot_parallel_matches_sequential(spark, sf_dir, snap_dir, tmp_path):
+    # driver-side thread pool must yield the same manifest content as
+    # the sequential path (same hashes/rows/schemas), just faster
+    root = str(tmp_path / "psnap")
+    pdir = snapshot(
+        spark, sf_dir, root, cfg=_cfg(), snapshot_ts="2026_01_02_000000", max_workers=3
+    )
+    with open(os.path.join(pdir, MANIFEST_NAME)) as fh:
+        par = json.load(fh)["tables"]
+    with open(os.path.join(snap_dir, MANIFEST_NAME)) as fh:
+        seq = json.load(fh)["tables"]
+    assert par == seq
