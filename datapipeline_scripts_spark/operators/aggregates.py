@@ -486,3 +486,46 @@ def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "stats_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(c) AS t FROM counts GROUP BY user_id)
+    SELECT counts.user_id,
+           CAST(count(*) AS INTEGER) AS n_types,
+           round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 4) AS entropy
+    FROM counts JOIN tot USING (user_id)
+    WHERE counts.user_id % 10 = 0
+    GROUP BY counts.user_id
+    """,
+)
+def stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity / skew diagnostic (low entropy = bot-like
+    single-action users; the same expression measures partition-key
+    skew before choosing a salting strategy).
+
+    Shape: one (user, type) count aggregation, a per-user total join
+    (user-sized, co-partitioned on the same key — no new shuffle
+    key), and the -Σ p·ln p fold as a second partial-aggregated
+    groupBy. Entropy sums ≤ 5 terms per user, so float drift cannot
+    reach the 4dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("t"))
+    p = F.col("c") * 1.0 / F.col("t")
+    return (
+        counts.join(tot, "user_id")
+        .filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("int").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )

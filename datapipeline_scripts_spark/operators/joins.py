@@ -321,3 +321,39 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         F.concat_ws("-", "n_name", "r_name").alias("pair"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS prio,
+             coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'UNSET') AS prio_name
+      FROM orders
+    )
+    SELECT o1.o_orderkey, dim.prio_name
+    FROM o1 JOIN dim ON o1.prio IS NOT DISTINCT FROM dim.prio
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the semantics
+    a dimension join needs when the key is legitimately absent
+    ("unset" bucket). A plain equi-join loses every NULL-keyed row;
+    eqNullSafe keeps them AND still plans as a hash join (the
+    null-safe comparison is an equi key to Catalyst, not a theta
+    condition)."""
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    o1 = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey", prio.alias("prio"))
+    dim = (
+        o.select(prio.alias("prio"), F.coalesce(prio, F.lit("UNSET")).alias("prio_name"))
+        .distinct()
+    )
+    return o1.join(F.broadcast(dim), o1.prio.eqNullSafe(dim.prio)).select(
+        "o_orderkey", "prio_name"
+    )
