@@ -297,3 +297,256 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 'local supplier volume': revenue per nation where the customer
+    and supplier share the nation, restricted to one region and year.
+    Plan: region→nation→supplier collapse into one broadcast; customer
+    broadcasts too, so lineitem⋈orders is the only shuffle and the
+    c_nationkey = s_nationkey 'local' predicate is a post-broadcast
+    filter. Money math in DECIMAL end-to-end (exact, summation-order
+    independent), rounded then cast to double on both sides."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "tpch_q6_shape",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 'forecasting revenue change': pure scan→filter→global agg, no
+    join — the canonical predicate-pushdown probe. All three filters
+    reach the parquet scan (PushedFilters); the aggregate is a single
+    partial+final pair over a one-row-per-partition exchange."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(4,2)")
+    return li.agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q10_shape",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_rev
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name,
+           CAST(round(sum_rev, 2) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM rev
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    ORDER BY sum_rev DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 'returned item reporting': top-20 customers by revenue lost
+    to returns in one quarter. Revenue is aggregated per custkey BEFORE
+    joining customer/nation context (aggregate-below-join: the detail
+    join output never carries customer attributes), and the top-k
+    orders by the EXACT decimal sum with a custkey tie-break — ordering
+    by a rounded double would make the frontier ULP-sensitive."""
+    lo = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("sum_rev"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.col("sum_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("sum_rev", 2).cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@query(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 'shipping modes and order priority': conditional two-way
+    counts after a fact⋈fact join (the fixture lacks l_shipmode, so
+    l_linestatus stands in for the mode grouping — same shape: join,
+    CASE-split counts, tiny output). The year filter pushes to the
+    lineitem scan and prunes the orders side through the join."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14_shape",
+    oracle="""
+    WITH sums AS (
+      SELECT sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    )
+    SELECT CAST(round(100.0 * CAST(promo_rev AS DOUBLE)
+                      / CAST(total_rev AS DOUBLE), 4) AS DOUBLE)
+             AS promo_revenue_pct,
+           CAST(round(promo_rev, 2) AS DOUBLE) AS promo_rev,
+           CAST(round(total_rev, 2) AS DOUBLE) AS total_rev
+    FROM sums
+    """,
+)
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 'promotion effect': share of one month's revenue from promo
+    parts. Both numerator and denominator accumulate as EXACT decimals
+    in one pass (conditional sum, no second scan); the ratio is then a
+    single double division — deterministic across engines, unlike a
+    ratio of independently-rounded double sums."""
+    lo = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    sums = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.sum(promo).alias("promo_rev"), F.sum(rev).alias("total_rev"))
+    )
+    pct = F.round(
+        F.lit(100.0) * F.col("promo_rev").cast("double") / F.col("total_rev").cast("double"), 4
+    )
+    return sums.select(
+        pct.cast("double").alias("promo_revenue_pct"),
+        F.round("promo_rev", 2).cast("double").alias("promo_rev"),
+        F.round("total_rev", 2).cast("double").alias("total_rev"),
+    )
