@@ -529,3 +529,164 @@ def stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
         )
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority, max(o_totalprice) AS max_price,
+             min(o_orderdate) AS min_date
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT o.o_orderpriority, max(o.o_orderkey) AS top_orderkey
+      FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+                          AND o.o_totalprice = m.max_price
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT o.o_orderpriority, min(o.o_orderkey) AS first_orderkey
+      FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+                          AND o.o_orderdate = m.min_date
+      GROUP BY 1
+    )
+    SELECT m.o_orderpriority, m.max_price, t.top_orderkey, f.first_orderkey
+    FROM m
+    JOIN t ON m.o_orderpriority = t.o_orderpriority
+    JOIN f ON m.o_orderpriority = f.o_orderpriority
+    ORDER BY m.o_orderpriority
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin in ONE pass: `max_by`/`min_by` keyed on a
+    (value, key) struct so ties break deterministically (largest key at
+    the max price, smallest key at the earliest date). DuckDB's
+    arg_max can't take a struct ordering, so the oracle is the
+    equivalent two-phase max-then-filter — the Spark side stays a
+    single partial-aggregable pass, no self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max("o_totalprice").alias("max_price"),
+            F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("top_orderkey"),
+            F.min_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("first_orderkey"),
+        )
+        .select("o_orderpriority", "max_price", "top_orderkey", "first_orderkey")
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      FILTER (WHERE l_discount >= 0.05), 2) AS DOUBLE)
+             AS discounted_rev,
+           round(avg(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4)
+             AS avg_open_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates (the declarative twin of
+    CASE-WHEN conditional aggregation — see `agg_pivot_case`): several
+    differently-filtered aggregates in one scan + one shuffle. The
+    quantity average is exact (integer-valued doubles sum exactly);
+    the money sum accumulates in DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_filtered")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          FILTER (WHERE l_discount >= 0.05), 2) AS DOUBLE)
+                 AS discounted_rev,
+               round(avg(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4)
+                 AS avg_open_qty,
+               count(*) AS n
+        FROM lineitem_filtered
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT p_brand, p_size, count(*) AS cnt
+      FROM part GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT c.p_brand, min(c.p_size) AS mode_size
+      FROM counts c
+      JOIN (SELECT p_brand, max(cnt) AS max_cnt FROM counts GROUP BY 1) m
+        ON c.p_brand = m.p_brand AND c.cnt = m.max_cnt
+      GROUP BY 1
+    ),
+    med AS (
+      SELECT p_brand, round(median(p_retailprice), 4) AS median_price,
+             count(*) AS n
+      FROM part GROUP BY 1
+    )
+    SELECT med.p_brand, best.mode_size, med.median_price, med.n
+    FROM med JOIN best ON med.p_brand = best.p_brand
+    ORDER BY med.p_brand
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + median per group. The mode is computed via count-then-
+    max_by with an explicit (count, -size) ordering because the
+    built-in mode() is tie-nondeterministic in BOTH engines — ties
+    break to the smallest value here, reproducibly. Median uses the
+    built-in exact interpolated median; rounding at 4 dp is a no-op
+    for the ≤3-decimal midpoints so both engines agree bit-for-bit."""
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand", "p_size").agg(F.count("*").alias("cnt"))
+    best = counts.groupBy("p_brand").agg(
+        F.max_by("p_size", F.struct(F.col("cnt"), (-F.col("p_size")).alias("neg_size"))).alias("mode_size")
+    )
+    med = p.groupBy("p_brand").agg(
+        F.round(F.median("p_retailprice"), 4).alias("median_price"),
+        F.count("*").alias("n"),
+    )
+    return (
+        med.join(best, "p_brand")
+        .select("p_brand", "mode_size", "median_price", "n")
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "stats_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregates (slope/intercept/R²/avgx/count of
+    price on quantity per flag) — single-pass streaming-moment
+    aggregates, partial-aggregable like corr/covar in `agg_stats`, so
+    the shuffle carries one moment-state row per (group, partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 4).alias("avg_qty"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+    )

@@ -16,7 +16,7 @@ arrays.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table
@@ -214,4 +214,104 @@ def events_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_day", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN c ON e.user_id = c.user_id
+    WHERE date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) <= 14
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    (distinct) at each day offset ≤ 14. The cohort table is a per-user
+    MIN aggregate (partial-aggregable); the join back is an equi-join
+    on user_id — at scale both sides are already partitioned by
+    user_id from the first aggregation, so the exchange is reused.
+    Distinct counts are exact (the scale path would swap in
+    approx_count_distinct per the `approx_distinct` query)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    offset = F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long")
+    return (
+        e.join(c, "user_id")
+        .withColumn("day_offset", offset)
+        .filter(F.col("day_offset") <= 14)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS n_prior
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value,
+           round((value - mu) / sd, 3) AS z
+    FROM w
+    WHERE n_prior >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+    ORDER BY user_id, event_id
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: each event scored against the
+    trailing 10 events of the SAME user (frame excludes the current
+    row — no self-contamination); flagged when |z| > 2.5 with ≥ 5
+    priors. One window over the (user_id, ts) sort serves all three
+    frame aggregates — single exchange + sort, no self-join. The
+    z threshold compares continuous values, so the ULP drift between
+    the engines' frame-sum orders can't flip row membership."""
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.avg("value").over(win).alias("mu"),
+            F.stddev_samp("value").over(win).alias("sd"),
+            F.count("*").over(win).alias("n_prior"),
+        )
+        .filter((F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "value",
+            F.round(z, 3).alias("z"),
+        )
+        .orderBy("user_id", "event_id")
     )
