@@ -142,3 +142,52 @@ def time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_ffill",
         )
     )
+
+
+@query(
+    "time_rollup_hierarchy",
+    oracle="""
+    SELECT coalesce(CAST(CAST(y AS INTEGER) AS VARCHAR), 'ALL') AS year,
+           coalesce(CAST(CAST(m AS INTEGER) AS VARCHAR), 'ALL') AS month,
+           coalesce(CAST(CAST(d AS INTEGER) AS VARCHAR), 'ALL') AS day,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_value
+    FROM (
+      SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, value
+      FROM events
+    )
+    GROUP BY ROLLUP (y, m, d)
+    ORDER BY 1, 2, 3
+    """,
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style calendar rollup: one pass over the event log
+    produces day, month, year, and grand-total aggregates via
+    GROUP BY ROLLUP on the (year, month, day) hierarchy — the
+    continuous-aggregate pattern time-series stores precompute,
+    expressed as a single expanded shuffle. Values accumulate in
+    DECIMAL so every rollup level is summation-order independent."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        "value",
+    )
+    return (
+        e.rollup("y", "m", "d")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("year"),
+            F.coalesce(F.col("m").cast("string"), F.lit("ALL")).alias("month"),
+            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("year", "month", "day")
+    )

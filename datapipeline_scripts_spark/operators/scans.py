@@ -54,3 +54,76 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & F.col("l_linestatus").like("F%")
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(o_orderpriority), count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice),
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(o_orderdate), count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column non-null count, exact distinct
+    count, and min/max — the pre-flight data-quality report a curation
+    pipeline runs before training ingestion. All columns profile in ONE
+    aggregation (Catalyst expands the multi-distinct into a single
+    Expand + two-stage aggregate, not five scans; the oracle's UNION
+    ALL of per-column passes is the naive equivalent). Doubles are
+    rendered through DECIMAL, timestamps through a fixed format, so the
+    string report is engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = o.agg(
+        F.count("o_orderkey").alias("k_n"),
+        F.count_distinct("o_orderkey").alias("k_d"),
+        F.min("o_orderkey").cast("string").alias("k_min"),
+        F.max("o_orderkey").cast("string").alias("k_max"),
+        F.count("o_orderstatus").alias("s_n"),
+        F.count_distinct("o_orderstatus").alias("s_d"),
+        F.min("o_orderstatus").alias("s_min"),
+        F.max("o_orderstatus").alias("s_max"),
+        F.count("o_orderpriority").alias("p_n"),
+        F.count_distinct("o_orderpriority").alias("p_d"),
+        F.min("o_orderpriority").alias("p_min"),
+        F.max("o_orderpriority").alias("p_max"),
+        F.count("o_totalprice").alias("t_n"),
+        F.count_distinct("o_totalprice").alias("t_d"),
+        F.min(price).cast("string").alias("t_min"),
+        F.max(price).cast("string").alias("t_max"),
+        F.count("o_orderdate").alias("d_n"),
+        F.count_distinct("o_orderdate").alias("d_d"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("d_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("d_max"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+            'o_orderkey',      k_n, k_d, k_min, k_max,
+            'o_orderstatus',   s_n, s_d, s_min, s_max,
+            'o_orderpriority', p_n, p_d, p_min, p_max,
+            'o_totalprice',    t_n, t_d, t_min, t_max,
+            'o_orderdate',     d_n, d_d, d_min, d_max
+        ) AS (col, n_nonnull, n_distinct, min_val, max_val)"""
+    ).orderBy("col")

@@ -1,0 +1,88 @@
+"""Driver-visible source-format queries: round-trip a table through
+CSV / JSON-lines on local disk, read it back with an explicit schema,
+and aggregate — proving the text-format readers/writers preserve
+values (the reference's pipelines move dumps through flat files the
+same way: plain-text dump → restore, /root/reference/backup.sh:264-375).
+
+The oracle aggregates the original parquet directly, so a hash match
+certifies the round-trip is lossless. Doubles survive because Spark
+writes shortest-round-trip representations; money is still re-cast to
+DECIMAL before summing (summation-order independence, SURVEY §7.0).
+
+Scale shape: the write is a distributed `df.write` (one file per
+partition, no driver collect); the read-back is a parallel scan with a
+user-supplied schema — schema inference is disabled on the hot path
+(inference is an extra full scan at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+_ORACLE = """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{fmt}_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    writer = src.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(out)
+        back = spark.read.schema(_SCHEMA).option("header", "true").csv(out)
+    else:
+        writer.json(out)
+        back = spark.read.schema(_SCHEMA).json(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("csv_roundtrip", oracle=_ORACLE)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → headered CSV on disk → schema'd read-back → aggregate;
+    hash-matches the direct-parquet oracle iff the CSV codec is
+    value-preserving."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("jsonl_roundtrip", oracle=_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines on disk → schema'd read-back → aggregate
+    (same oracle as `csv_roundtrip`)."""
+    return _roundtrip(spark, sf_dir, "json")
