@@ -690,3 +690,41 @@ def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 4).alias("avg_qty"),
         F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
     )
+
+
+@query(
+    "stats_minmax_scale",
+    oracle="""
+    WITH st AS (
+      SELECT c_mktsegment, min(c_acctbal) AS mn, max(c_acctbal) AS mx
+      FROM customer GROUP BY 1
+    )
+    SELECT c_custkey, c.c_mktsegment,
+           CAST(floor((c_acctbal - mn) * 10000 / (mx - mn)) AS BIGINT)
+             AS scaled_bp
+    FROM customer c JOIN st ON c.c_mktsegment = st.c_mktsegment
+    WHERE mx > mn
+    ORDER BY c_custkey
+    """,
+)
+def stats_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling per segment, reported in integer basis
+    points (0..10000). Two-pass like `stats_zscore`: the per-segment
+    min/max aggregate (segments-sized) broadcasts back onto the fact —
+    the customer table itself never shuffles. Integer output via floor
+    of identical double arithmetic on both engines — no round() on a
+    value that can sit exactly on a decimal boundary (cents ratios
+    can)."""
+    c = load_table(spark, sf_dir, "customer")
+    st = c.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    scaled = F.floor(
+        (F.col("c_acctbal") - F.col("mn")) * 10000 / (F.col("mx") - F.col("mn"))
+    ).cast("long")
+    return (
+        c.join(F.broadcast(st), "c_mktsegment")
+        .filter(F.col("mx") > F.col("mn"))
+        .select("c_custkey", "c_mktsegment", scaled.alias("scaled_bp"))
+        .orderBy("c_custkey")
+    )

@@ -315,3 +315,68 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN struct_pack(cts := ts, ceid := event_id) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS lc
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id AS purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           lc['ceid'] AS click_id,
+           (epoch_us(ts) - epoch_us(lc['cts'])) // 1000000 AS latency_s
+    FROM s
+    WHERE event_type = 'purchase' AND lc IS NOT NULL
+      AND (epoch_us(ts) - epoch_us(lc['cts'])) // 1000000 <= 604800
+    ORDER BY user_id, purchase_id
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click at-or-before it, within a 7-day window. One window
+    over a single (user_id, ts) sort carries the (ts, id) of the last
+    click forward — no self-join, no pair explosion (the same
+    carry-forward discipline as the as-of join rewrite). Latency is
+    exact integer seconds from microsecond arithmetic — never a
+    rounded double (micro-precision values sit exactly on rounding
+    boundaries)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lc = F.last(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("ceid")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    latency = (F.unix_micros("ts") - F.unix_micros("lc.cts")) / F.lit(1_000_000)
+    lat_s = F.floor(latency).cast("long")
+    return (
+        e.withColumn("lc", lc)
+        .filter((F.col("event_type") == "purchase") & F.col("lc").isNotNull())
+        .withColumn("latency_s", lat_s)
+        .filter(F.col("latency_s") <= 604800)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("lc.ceid").alias("click_id"),
+            "latency_s",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
