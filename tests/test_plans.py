@@ -217,3 +217,85 @@ def test_text_bm25_no_cartesian_on_data(spark, sf_dir):
     df = get("text_bm25").build(spark, sf_dir)
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins
+
+
+def test_tpch_q5_single_fact_shuffle(spark, sf_dir):
+    # dims (region→nation→supplier, customer) must broadcast: the only
+    # shuffle joins are lineitem⋈orders
+    df = get("tpch_q5_shape").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 2, joins
+    assert "CartesianProduct" not in joins
+
+
+def test_tpch_q6_pushes_all_filters(spark, sf_dir):
+    df = get("tpch_q6_shape").build(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    # projection pruned: returnflag/linestatus never read
+    cols = read_schemas(df)[0]
+    assert "l_returnflag" not in cols, cols
+
+
+def test_tpch_q10_aggregates_below_customer_join(spark, sf_dir):
+    # customer/nation attach via broadcast AFTER the per-custkey
+    # reduction — no data-sized shuffle carries customer attributes
+    df = get("tpch_q10_shape").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 2, joins
+
+
+def test_tpch_q16_plans_anti_join(spark, sf_dir):
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("tpch_q16_shape").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_anomaly_single_sort(spark, sf_dir):
+    # all three frame aggregates share one (user_id, ts) window — one
+    # exchange, one Window operator
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("events_anomaly").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_events_attribution_single_sort(spark, sf_dir):
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("events_attribution").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_profile_table_is_one_expand_pass(spark, sf_dir):
+    # one scan + Expand feeds every per-column metric; no UNION of
+    # five per-column scans like the naive oracle
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("profile_table").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_text_contamination_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark gram set broadcasts into a LeftSemi — the corpus
+    # gram table must not shuffle for the membership test
+    df = get("text_contamination").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
+    assert "CartesianProduct" not in joins
+
+
+def test_stats_minmax_scale_broadcasts_stats(spark, sf_dir):
+    df = get("stats_minmax_scale").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
