@@ -728,3 +728,69 @@ def stats_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", scaled.alias("scaled_bp"))
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "stats_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(19,6)) END) AS s1,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS q1,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(19,6)) END) AS s2,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS q2
+      FROM events
+    )
+    SELECT n1, n2,
+           round(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2, 6) AS mean_diff,
+           round(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(
+                 ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)) / n1
+               + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)) / n2
+             ), 4) AS t_stat
+    FROM s
+    """,
+)
+def stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (purchase vs click event values) from
+    sufficient statistics: ONE pass accumulates n/Σx/Σx² per arm as
+    EXACT decimals (conditional aggregation — no second scan, no
+    per-arm subqueries), then the t statistic is a fixed sequence of
+    double ops on identical inputs — deterministic across engines,
+    where streaming-variance aggregates would drift by partial-agg
+    order. The experimentation-analytics primitive at any scale: the
+    shuffle carries six numbers."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(19,6)")
+    purchase = F.col("event_type") == "purchase"
+    click = F.col("event_type") == "click"
+    s = e.agg(
+        F.count(F.when(purchase, 1)).alias("n1"),
+        F.sum(F.when(purchase, v)).alias("s1"),
+        F.sum(F.when(purchase, v * v)).alias("q1"),
+        F.count(F.when(click, 1)).alias("n2"),
+        F.sum(F.when(click, v)).alias("s2"),
+        F.sum(F.when(click, v * v)).alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    var1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    t = (m1 - m2) / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    return s.select(
+        "n1",
+        "n2",
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+    )

@@ -380,3 +380,60 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+@query(
+    "events_path",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    tri AS (
+      SELECT unnest(types[1:len(types)-2]) AS a,
+             unnest(types[2:len(types)-1]) AS b,
+             unnest(types[3:len(types)]) AS c
+      FROM seq WHERE len(types) >= 3
+    )
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+    FROM tri
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: top 3-step event-type sequences across
+    all users. Per-user ordering is forced deterministic by sorting a
+    (ts, event_id, type) struct array — a bare collect_list order is
+    partition-dependent and would flip counts. The top-k orders by
+    (count DESC, path) — integer-then-string, never a float frontier.
+    Scale shape: per-user sequences are bounded by user activity (the
+    one inherently per-entity materialization path analysis needs);
+    the triple counts partial-aggregate before the final exchange."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    seq = seq.select(types.alias("types")).filter(F.size("types") >= 3)
+
+    def tri(i):
+        return F.concat_ws(
+            ">",
+            F.element_at(F.col("types"), (i + 1).cast("int")),
+            F.element_at(F.col("types"), (i + 2).cast("int")),
+            F.element_at(F.col("types"), (i + 3).cast("int")),
+        )
+
+    paths = seq.select(
+        F.explode(F.transform(F.sequence(F.lit(0), F.size("types") - 3), tri)).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+    )
