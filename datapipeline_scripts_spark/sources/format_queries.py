@@ -58,6 +58,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if fmt == "csv":
         writer.option("header", "true").csv(out)
         back = spark.read.schema(_SCHEMA).option("header", "true").csv(out)
+    elif fmt == "orc":
+        writer.orc(out)
+        back = spark.read.schema(_SCHEMA).orc(out)
     else:
         writer.json(out)
         back = spark.read.schema(_SCHEMA).json(out)
@@ -86,3 +89,11 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → JSON-lines on disk → schema'd read-back → aggregate
     (same oracle as `csv_roundtrip`)."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@query("orc_roundtrip", oracle=_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC on disk → schema'd read-back → aggregate (same
+    oracle as `csv_roundtrip`); exercises the columnar non-parquet
+    path, which keeps pushdown + pruning unlike the text formats."""
+    return _roundtrip(spark, sf_dir, "orc")
