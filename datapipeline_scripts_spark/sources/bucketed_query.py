@@ -13,6 +13,7 @@ metastore read, exchange-free join, aggregate.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +42,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement left is the bucket-pairwise read."""
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     o_tbl, li_tbl = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    for tbl in (o_tbl, li_tbl):
+        # a fresh session's metastore may not know the table even though
+        # its warehouse dir survives from a previous process — saveAsTable
+        # then fails with LOCATION_ALREADY_EXISTS; drop both layers
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
+        )
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     write_bucketed(
         load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
         o_tbl,
