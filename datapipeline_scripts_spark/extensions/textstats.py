@@ -247,3 +247,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("source", fingerprint_md5(F.col("text")).alias("fp")).groupBy("source").agg(
         F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_unique")
     )
+
+
+@query(
+    "text_redact",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+             AS n_digit_runs,
+           CAST(sum(length(text) - length(regexp_replace(text, '[0-9]+', '', 'g'))) AS BIGINT)
+             AS n_digit_chars,
+           CAST(count(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 END) AS BIGINT)
+             AS n_docs_with_digits,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrub audit (digit runs standing in for the usual
+    email/phone/ID patterns): per source, how many numeric spans and
+    characters a redaction pass would rewrite, and how many documents
+    it touches. All counts are exact integers off one scan — the same
+    regexp_replace drives the actual scrub stage, so this report IS
+    the redaction plan's cost estimate. Regex stays in codegen
+    (JVM-side), never a Python UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.regexp_count("text", F.lit(r"[0-9]+"))).cast("long").alias("n_digit_runs"),
+            F.sum(
+                F.length("text") - F.length(F.regexp_replace("text", r"[0-9]+", ""))
+            )
+            .cast("long")
+            .alias("n_digit_chars"),
+            F.count(F.when(F.col("text").rlike("[0-9]"), 1)).cast("long").alias("n_docs_with_digits"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )

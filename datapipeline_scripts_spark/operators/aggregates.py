@@ -794,3 +794,52 @@ def stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m1 - m2, 6).alias("mean_diff"),
         F.round(t, 4).alias("t_stat"),
     )
+
+
+@query(
+    "stats_chi2",
+    oracle="""
+    WITH ct AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS n
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS total FROM ct),
+    r AS (SELECT seg, sum(n) AS rn FROM ct GROUP BY 1),
+    c AS (SELECT pri, sum(n) AS cn FROM ct GROUP BY 1)
+    SELECT round(sum(
+             (ct.n - rn * cn * 1.0 / total) * (ct.n - rn * cn * 1.0 / total)
+             / (rn * cn * 1.0 / total)), 4) AS chi2,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM ct JOIN r USING (seg) JOIN c USING (pri) CROSS JOIN tot
+    """,
+)
+def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (market segment × order priority)
+    from one contingency-table pass: the observed counts aggregate
+    once, the row/column marginals and grand total derive from that
+    tiny table (segments × priorities cells), and the statistic is
+    plain double arithmetic over exact integer counts. The fact join
+    shuffles once; everything after runs on ~25 rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    ct = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    r = ct.groupBy("seg").agg(F.sum("n").alias("rn"))
+    c = ct.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = ct.agg(F.sum("n").alias("total"))
+    e = F.col("rn") * F.col("cn") * F.lit(1.0) / F.col("total")
+    cell = (F.col("n") - e) * (F.col("n") - e) / e
+    return (
+        ct.join(F.broadcast(r), "seg")
+        .join(F.broadcast(c), "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(cell), 4).alias("chi2"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+    )
