@@ -97,3 +97,44 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as `csv_roundtrip`); exercises the columnar non-parquet
     path, which keeps pushdown + pruning unlike the text formats."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "partitioned_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by o_orderstatus → read back with a
+    partition filter → aggregate. The filter prunes at the DIRECTORY
+    level (PartitionFilters in the scan, not a data filter) — at
+    100 TB this is the difference between scanning one status's files
+    and scanning everything; the hash match against unpartitioned
+    parquet certifies the layout loses nothing."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_part_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

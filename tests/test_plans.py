@@ -299,3 +299,17 @@ def test_stats_minmax_scale_broadcasts_stats(spark, sf_dir):
     df = get("stats_minmax_scale").build(spark, sf_dir)
     joins = join_strategies(df)
     assert "BroadcastHashJoin" in joins, joins
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
+    # the status filter must hit PartitionFilters (directory pruning),
+    # not survive as a post-scan data filter
+    from datapipeline_scripts_spark.plans.audit import formatted_plan
+
+    df = get("partitioned_roundtrip").build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
