@@ -29,12 +29,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_group(spark, "/root/testdata/sf0.001")
 
 
+# Round 1's CORRECTNESS file covered exactly the first 50 registry keys, so
+# a checked-set budget exists.  Order the catalog so the driver's window
+# lands on the keys with the least prior driver evidence: first the four
+# rows that were red in round 1 (now property-encoded with real oracles),
+# then the SURVEY §2 core keys that had no round-1 driver row (windows,
+# set ops, TPC-H shapes, dedup/text/knn/events/asof), then the remaining
+# unproven keys, and only then the 46 keys already hash-proven in
+# CORRECTNESS_r01.json.
+_PRIORITY = [
+    # round-1 red rows, rewritten with property-encoded oracles
+    "approx_distinct", "approx_quantiles", "sample", "sample_stratified",
+    # core scans / filters / sorts
+    "scan_project", "filter_pred", "topk", "dedup_exact", "profile_table",
+    # windows
+    "window_rank", "window_running", "window_navigation",
+    "window_time_range", "window_distribution",
+    # set operations
+    "set_union", "set_intersect", "set_intersect_all", "set_except", "set_except_all",
+    # strings / raw SQL entry
+    "string_regex", "string_funcs", "sql_entrypoint",
+    # UDF surface
+    "udf_vectorized", "udf_grouped",
+    # TPC-H shapes
+    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q7_shape", "tpch_q10_shape", "tpch_q12_shape", "tpch_q13_shape",
+    "tpch_q14_shape", "tpch_q16_shape", "tpch_q18_shape", "tpch_q19_shape",
+    # dedup family (oracle-checked members)
+    "dedup_exact_norm", "dedup_ngram_jaccard_capped", "dedup_clusters",
+    "dedup_levenshtein", "dedup_embedding",
+    # text analysis
+    "text_tokens", "text_term_freq", "text_tfidf",
+    # similarity search + flagship composites
+    "knn_brute", "embedding_pipeline",
+    # event-time + as-of
+    "events_tumbling", "events_session", "asof_join",
+    "curation_pipeline",
+]
+
+
+def _ordered_keys() -> list[str]:
+    specs = all_queries()
+    proven_r01 = {
+        "agg_group", "agg_global", "agg_rollup", "agg_cube", "agg_stats",
+        "agg_percentile", "agg_grouping_sets", "agg_pivot", "agg_pivot_case",
+        "agg_string_agg", "unpivot_metrics", "stats_zscore", "stats_histogram",
+        "agg_share", "stats_mad", "stats_entropy", "agg_argmax", "agg_filtered",
+        "agg_mode", "stats_regression", "stats_minmax_scale", "stats_ttest",
+        "stats_chi2", "array_ops", "array_explode", "map_ops", "merge_upsert",
+        "date_funcs", "date_arith", "time_resample", "time_rollup_hierarchy",
+        "join_inner", "join_outer", "join_semi", "join_anti", "join_star",
+        "join_range", "join_band", "join_skew_salted", "subquery_exists",
+        "subquery_scalar", "join_cross", "join_null_safe", "json_extract",
+        "json_struct", "math_case",
+    }
+    head = [k for k in _PRIORITY if k in specs]
+    seen = set(head)
+    mid = [k for k in specs if k not in seen and k not in proven_r01]
+    tail = [k for k in specs if k not in seen and k in proven_r01]
+    return head + mid + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {key: spec.build for key, spec in all_queries().items()}
+    specs = all_queries()
+    return {key: specs[key].build for key in _ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each hash-checked query; rows-only
     operators (no SQL twin) are omitted."""
-    return {key: spec.oracle for key, spec in all_queries().items() if spec.oracle is not None}
+    specs = all_queries()
+    return {key: specs[key].oracle for key in _ordered_keys() if specs[key].oracle is not None}
