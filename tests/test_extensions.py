@@ -214,3 +214,22 @@ def test_multimodal_frames_match_python_model(spark, sf_dir):
             assert r["frame_bytes"] == len(chunk)
             assert r["frame_checksum"] == sum(chunk[:16])
     assert set(got) == want_keys
+
+
+def test_dedup_embedding_bucketed_recall_vs_exact(spark, sf_dir):
+    """Single-probe sign-bucket blocking is lossy by design; quantify it:
+    every reported pair must be a true pair (precision 1.0 — the cosine
+    threshold is applied exactly after blocking), and recall on the
+    tightest pairs (cos >= 0.8, the near-dup band that matters for
+    dedup) must be >= 0.5 at fixture scale."""
+    from datapipeline_scripts_spark.extensions.dedup import dedup_embedding_exact
+
+    exact = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in dedup_embedding_exact(spark, sf_dir).collect()}
+    got = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in get("dedup_embedding").build(spark, sf_dir).collect()}
+    assert set(got) <= set(exact), "bucketed form invented a pair"
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9
+    tight = {k for k, v in exact.items() if v >= 0.8}
+    if tight:
+        recall = len(tight & set(got)) / len(tight)
+        assert recall >= 0.5, f"tight-pair recall {recall:.2f} over {len(tight)}"
