@@ -115,12 +115,14 @@ def snapshot(
         if t not in set(cfg.exclude_tables)  # A9's `-N apgcc` exclusion
     ]
     snap_root = os.path.join(out_root, cfg.snapshot_prefix())
-    lock_path = _acquire_lock(snap_root, snapshot_ts)
-    snap_dir = os.path.join(snap_root, snapshot_ts)
+    # read the base manifest BEFORE taking the lock: a missing/corrupt
+    # manifest must not leave a stale _LOCK behind (ADVICE r01)
     base: dict | None = None
     if base_manifest is not None:
         with open(base_manifest) as fh:
             base = json.load(fh)
+    lock_path = _acquire_lock(snap_root, snapshot_ts)
+    snap_dir = os.path.join(snap_root, snapshot_ts)
     try:
 
         def _snap_table(name: str) -> tuple[str, dict]:

@@ -76,8 +76,12 @@ def verify_snapshot(
             dropped = 0
             if drop_line_pattern and name in drop_line_pattern:
                 col, pattern = drop_line_pattern[name]
-                dropped = src.filter(F.col(col).rlike(pattern)).count()
-                src = src.filter(~F.col(col).rlike(pattern))
+                # NULLs must be KEPT (and not counted as dropped): a bare
+                # ~rlike filters NULL rows out silently, which made the
+                # rows == expect - dropped check spuriously fail (ADVICE r01)
+                matches = F.col(col).isNotNull() & F.col(col).rlike(pattern)
+                dropped = src.filter(matches).count()
+                src = src.filter(~matches)
             target = os.path.join(scratch_dir, name)
             src.write.mode("error").parquet(target)  # abort-on-first-error
             restored = spark.read.parquet(target)

@@ -40,7 +40,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the order key, per-bucket sorted): the join plans as a
     SortMergeJoin with no Exchange — at warehouse scale the only data
     movement left is the bucket-pairwise read."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # per-session table/location suffix: concurrent sessions sharing one
+    # warehouse dir must not race on DROP TABLE/rmtree (ADVICE r01)
+    app = "".join(c if c.isalnum() else "_" for c in spark.sparkContext.applicationId)
+    tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{app}"
     o_tbl, li_tbl = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     for tbl in (o_tbl, li_tbl):
         # a fresh session's metastore may not know the table even though

@@ -50,9 +50,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    # per-session path component: concurrent sessions on one machine must
+    # not race on a shared overwrite location (ADVICE r01)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_{fmt}_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_{fmt}_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     writer = src.write.mode("overwrite")
     if fmt == "csv":
@@ -122,9 +125,12 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
+    # per-session path component: concurrent sessions on one machine must
+    # not race on overwrite/rmtree of a shared location (ADVICE r01)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_part_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_part_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")

@@ -69,6 +69,37 @@ def test_verify_drop_line_pattern(spark, snap_dir, tmp_path):
     assert result.ok
 
 
+def test_verify_drop_line_pattern_keeps_nulls(spark, tmp_path):
+    # ADVICE r01: NULLs in the filter column must be KEPT, not silently
+    # excluded (a bare ~rlike drops them and desyncs the count check)
+    from datapipeline_scripts_spark.pipeline.snapshot import snapshot
+    from datapipeline_scripts_spark.pipeline.config import JobConfig
+    import datapipeline_scripts_spark.pipeline.snapshot as snap_mod
+    import datapipeline_scripts_spark.catalog as catalog
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta"), (4, None), (5, "axe")],
+        "id INT, name STRING",
+    )
+    src_dir = str(tmp_path / "src")
+    df.write.parquet(src_dir + "/weird")
+    orig = catalog.load_table
+    catalog.load_table = lambda sp, d, n: sp.read.parquet(src_dir + "/weird")
+    snap_mod.catalog.load_table = catalog.load_table
+    try:
+        sdir = snapshot(spark, src_dir, str(tmp_path / "out"), JobConfig(tables=["weird"]))
+    finally:
+        catalog.load_table = orig
+        snap_mod.catalog.load_table = orig
+    result = verify_snapshot(
+        spark,
+        sdir,
+        str(tmp_path / "scratch"),
+        drop_line_pattern={"weird": ("name", "^a")},  # drops alpha, axe; keeps NULLs
+    )
+    assert result.ok, result.issues
+
+
 def test_verify_detects_tampering(spark, snap_dir, tmp_path):
     with open(os.path.join(snap_dir, MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
