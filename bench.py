@@ -42,6 +42,15 @@ BENCH_KEYS = (
     "udf_vectorized",
     "tpch_q3_shape",
     "curation_pipeline",
+    # round-2 widening (VERDICT r01 item 5): heavy composites whose
+    # round-over-round regressions must stay visible
+    "tpch_q5_shape",
+    "tpch_q10_shape",
+    "tpch_q18_shape",
+    "merge_upsert",
+    "text_bm25",
+    "embedding_pipeline",
+    "events_retention",
 )
 
 

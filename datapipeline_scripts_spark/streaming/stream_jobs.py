@@ -3,24 +3,68 @@
 `events_stream_tumbling` is registered as a declared query with the
 SAME oracle as the batch `events_tumbling` — the stream replays the
 parquet fixture with `availableNow` and lands the windowed aggregate in
-a memory sink, which must equal the batch result (streaming/batch
+a parquet sink, which must equal the batch result (streaming/batch
 unification is the point of Structured Streaming).
 
+Sink topology (VERDICT r01 item 4): results land in a parquet
+directory — executor-side writes, never a driver-bound memory sink or
+`collect()` bridge. Append-mode queries use the real file sink;
+complete-mode aggregations use `foreachBatch` overwriting the same
+directory each micro-batch (the last batch leaves the complete
+result). The read-back is `localCheckpoint`ed so the scratch dir can
+be removed immediately.
+
 Scale notes: in production the source is kafka/files with
-`withWatermark` bounding state; `availableNow` + complete mode here
-keeps the fixture replay deterministic. State-store sizing = #open
-windows × #event types — both tiny.
+`withWatermark` bounding state; `availableNow` here keeps the fixture
+replay deterministic. State-store sizing = #open windows × #event
+types — both tiny.
 """
 
 from __future__ import annotations
 
-import uuid
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table, table_path
 from datapipeline_scripts_spark.registry import query
+
+
+def _replay_to_parquet(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    scratch parquet sink and return the materialized result.
+
+    `mode="append"` uses Spark's transactional file sink directly;
+    `mode="complete"` (aggregations) uses foreachBatch with
+    mode-overwrite so the final micro-batch leaves the complete result.
+    Both paths write from executors; the only driver involvement is the
+    read-back plan. The result is localCheckpoint-ed (cluster-side
+    materialization) so the scratch directory is deletable on return."""
+    base = tempfile.mkdtemp(prefix="spark_stream_sink_")
+    data, ckpt = f"{base}/data", f"{base}/ckpt"
+    try:
+        if mode == "append":
+            writer = sdf.writeStream.format("parquet").option("path", data)
+        else:
+
+            def _overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+                batch_df.write.mode("overwrite").parquet(data)
+
+            writer = sdf.writeStream.foreachBatch(_overwrite).outputMode("complete")
+        q = writer.option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        try:
+            return spark.read.parquet(data).localCheckpoint(eager=True)
+        except Exception:
+            # zero-row stream → file sink wrote no data files
+            return spark.createDataFrame([], sdf.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,24 +112,9 @@ def tumbling_agg(df: DataFrame) -> DataFrame:
 )
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling window as a real stream (availableNow replay →
-    memory sink, complete mode), return the materialized result. Must
-    hash-match the batch oracle exactly."""
-    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_agg(_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout=300)
-    finally:
-        q.stop()
-    # copy out of the memory sink so the result outlives the query
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    foreachBatch parquet sink, complete mode), return the materialized
+    result. Must hash-match the batch oracle exactly."""
+    return _replay_to_parquet(spark, tumbling_agg(_events_stream(spark, sf_dir)), "complete")
 
 
 @query(
@@ -121,20 +150,7 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select("segment", "event_type", "n", "sum_value")
     )
-    sink = f"stream_enriched_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout=300)
-    finally:
-        q.stop()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    return _replay_to_parquet(spark, enriched, "complete")
 
 @query(
     "events_stream_join",
@@ -182,20 +198,7 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_ts"),
     )
-    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout=300)
-    finally:
-        q.stop()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    return _replay_to_parquet(spark, joined, "append")
 
 @query(
     "events_stream_dedup",
@@ -220,18 +223,5 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     infinite stream. The final count runs batch-side on the sink."""
     doubled = _events_stream(spark, sf_dir).unionAll(_events_stream(spark, sf_dir))
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.select("event_id", "event_type")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout=300)
-    finally:
-        q.stop()
-    result = spark.table(sink).groupBy("event_type").agg(F.count("*").alias("n"))
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    landed = _replay_to_parquet(spark, deduped.select("event_id", "event_type"), "append")
+    return landed.groupBy("event_type").agg(F.count("*").alias("n"))
