@@ -24,6 +24,30 @@ from datapipeline_scripts_spark.registry import query
 
 _CONVERT_S = 3600  # "fast conversion" threshold
 
+# Hot-user guard for the per-entity sequence materializers (events_ewma,
+# events_path): a pathological user with millions of events must not
+# OOM an executor's collect_list buffer at 100×.  The guard keeps each
+# user's LAST N events via a row_number window BEFORE the collect — the
+# window sort spills to disk (ExternalSorter), and the post-filter
+# aggregation buffer is bounded by N, so no stage holds unbounded
+# per-key state.  N is far above any fixture user (max 99 events/user
+# at sf0.1), so declared-query results and oracle hashes are unchanged;
+# at 100× a truncated user's EWMA differs by ≤ 0.9^4096 (≈ 0) and a
+# truncated path contributes only its most recent steps — both
+# documented, bounded behaviors.  Asserted by
+# tests/test_extensions.py::test_sequence_folds_bound_hot_users.
+MAX_EVENTS_PER_USER = 4096
+
+
+def _cap_per_user(df: DataFrame, order_cols: list) -> DataFrame:
+    """Keep each user's last MAX_EVENTS_PER_USER events (by event time)."""
+    w = Window.partitionBy("user_id").orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= MAX_EVENTS_PER_USER)
+        .drop("_rn")
+    )
+
 
 @query(
     "events_funnel",
@@ -164,11 +188,15 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence with the SAME IEEE ops, so results are bit-identical —
     no rounding tricks needed beyond the final display round. Scale:
     collect_list state is bounded by events-per-user (the same bound
-    the stateful sessionizer carries); the fold itself is per-group,
-    embarrassingly parallel. The HOF lambda evaluates interpreted,
-    which is acceptable off the hot path — a codegen'd running
-    product over a window is the alternative for very long series."""
+    the stateful sessionizer carries) AND hard-capped to the last
+    MAX_EVENTS_PER_USER events per user (hot-user guard — see
+    `_cap_per_user`; truncation error ≤ 0.9^4096 ≈ 0); the fold
+    itself is per-group, embarrassingly parallel. The HOF lambda
+    evaluates interpreted, which is acceptable off the hot path — a
+    codegen'd running product over a window is the alternative for
+    very long series."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    ev = _cap_per_user(ev.select("user_id", "ts", "event_id", "value"), ["ts", "event_id"])
     ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
     fold = F.aggregate(
         ordered.getField("value"),
@@ -408,10 +436,13 @@ def events_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id, type) struct array — a bare collect_list order is
     partition-dependent and would flip counts. The top-k orders by
     (count DESC, path) — integer-then-string, never a float frontier.
-    Scale shape: per-user sequences are bounded by user activity (the
-    one inherently per-entity materialization path analysis needs);
-    the triple counts partial-aggregate before the final exchange."""
+    Scale shape: per-user sequences are bounded by user activity AND
+    hard-capped to the last MAX_EVENTS_PER_USER events per user (the
+    hot-user guard `_cap_per_user` — the one inherently per-entity
+    materialization path analysis needs stays executor-safe); the
+    triple counts partial-aggregate before the final exchange."""
     e = load_table(spark, sf_dir, "events")
+    e = _cap_per_user(e.select("user_id", "ts", "event_id", "event_type"), ["ts", "event_id"])
     seq = e.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("ts", "event_id", "event_type"))

@@ -233,3 +233,41 @@ def test_dedup_embedding_bucketed_recall_vs_exact(spark, sf_dir):
     if tight:
         recall = len(tight & set(got)) / len(tight)
         assert recall >= 0.5, f"tight-pair recall {recall:.2f} over {len(tight)}"
+
+
+def test_sequence_folds_bound_hot_users(spark, tmp_path):
+    """Hot-user guard (VERDICT r01 item 7): a user with more than
+    MAX_EVENTS_PER_USER events must contribute only the LAST cap events
+    to the sequence folds — the collect_list buffer is bounded by the
+    pre-aggregation row_number filter, never by luck."""
+    import datetime
+
+    from datapipeline_scripts_spark.operators.sequences import (
+        MAX_EVENTS_PER_USER,
+        events_ewma,
+        events_path,
+    )
+
+    cap = MAX_EVENTS_PER_USER
+    n = cap + 500
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 0, "view" if i % 2 else "click", float(i % 7), "{}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    )
+    sf_dir = str(tmp_path / "hotsf")
+    df.coalesce(1).write.parquet(sf_dir + "/events.parquet")
+
+    # EWMA must equal the pandas fold over ONLY the last `cap` values
+    got = {r["user_id"]: r["ewma"] for r in events_ewma(spark, sf_dir).collect()}
+    acc = 0.0
+    for i in range(n - cap, n):
+        acc = 0.9 * acc + 0.1 * float(i % 7)
+    assert got == {0: round(acc, 4)}
+
+    # path triples must count cap-2 windows, not n-2
+    total = sum(r["n"] for r in events_path(spark, sf_dir).collect())
+    assert total == cap - 2
