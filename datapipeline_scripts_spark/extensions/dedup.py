@@ -14,9 +14,10 @@ them:
    seeded xxhash64, banded 4×4; candidate pairs = docs colliding in a
    band bucket. Pure DataFrame ops (no UDF, no spark.ml): at scale the
    band-bucket join touches only colliding docs. Rows-only (xxhash64
-   has no DuckDB twin).
+   has no DuckDB twin; recall proven in tests).
 4. SimHash (`dedup_simhash`): 48-bit sign-aggregated token-hash
-   fingerprint; near-dups differ in few bits. Rows-only.
+   fingerprint; near-dups differ in few bits. Oracle-checked since
+   round 2 (md5-derived token hash, computable in both engines).
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table
-from datapipeline_scripts_spark.functions.text import fingerprint_md5, normalize_text, shingles, tokens
+from datapipeline_scripts_spark.functions.text import fingerprint_md5, md5_48, md5_48_sql, normalize_text, shingles, tokens
 from datapipeline_scripts_spark.registry import query
 
 _NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -341,14 +342,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMBED_BUCKET_DIMS = 8
+from datapipeline_scripts_spark.functions.vectors import sign_bucket_sql
 
-# DuckDB twin of functions.vectors.sign_bucket(embedding, 8): sign bits of
-# the first 8 coordinates folded into an integer bucket id.
-_EMBED_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN v[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << (_EMBED_BUCKET_DIMS - 1 - i)}"
-    for i in range(_EMBED_BUCKET_DIMS)
-)
+_EMBED_BUCKET_DIMS = 8
+_EMBED_BUCKET_SQL = sign_bucket_sql("v", _EMBED_BUCKET_DIMS)
 
 
 @query(
@@ -422,10 +419,38 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 48
 
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {md5_48_sql("tok")} AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes
+GROUP BY doc_id
+"""
 
-@query("dedup_simhash", oracle=None, tier="ext")
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tier="ext")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash per document from distinct-token xxhash64 bits.
+    """48-bit SimHash per document from distinct-token md5 bits.
+
+    Fully hash-checked since round 2: the token hash is the first 48
+    bits of md5(token) — computable bit-identically in DuckDB (hex
+    parsed digit-by-digit) — so the fingerprints themselves are
+    oracle-proven, not just row-counted. md5 is marginally slower than
+    xxhash64 per token but runs JVM-side in codegen and hashes only
+    DISTINCT tokens per doc.
 
     Shape: explode distinct tokens → hash once → 48 conditional-sum
     votes per doc → fingerprint BIGINT. The explode looks expensive but
@@ -438,7 +463,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 4×12-bit keys (same LSH idea as MinHash)."""
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
-    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = tok.select("doc_id", md5_48(F.col("tok")).alias("h"))
     votes = h.groupBy("doc_id").agg(
         *[
             F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")

@@ -98,14 +98,48 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-@query("multimodal_features", oracle=None, tier="ext")
+def _byte_sql(pos_expr: str) -> str:
+    """DuckDB: value of the 0-based `pos_expr`-th byte of the blob whose
+    UPPERCASE hex dump is column `hx` (DuckDB blobs have no direct byte
+    indexing, so bytes are parsed from the hex dump pairwise)."""
+    p = f"(2 * ({pos_expr}) + 1)"
+    hexpos = "strpos('0123456789ABCDEF', substr(hx, {}, 1)) - 1"
+    return f"(({hexpos.format(p)}) * 16 + ({hexpos.format(p + ' + 1')}))"
+
+
+_FEATURES_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INTEGER) AS nb
+  FROM documents
+),
+chk AS (
+  SELECT doc_id, sum({_byte_sql("i")}) AS cs
+  FROM b CROSS JOIN (SELECT unnest(range(32)) AS i) r
+  WHERE i < nb
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       nb AS n_bytes,
+       CAST(CASE WHEN nb = 0 THEN -1 ELSE {_byte_sql("0")} END AS INTEGER) AS first_byte,
+       CAST(CASE WHEN nb = 0 THEN 0 ELSE 64 + ({_byte_sql("0")} % 64) END AS INTEGER) AS width,
+       CAST(CASE WHEN nb = 0 THEN 0 ELSE 64 + ({_byte_sql("nb - 1")} % 64) END AS INTEGER) AS height,
+       CAST(coalesce(chk.cs, 0) AS BIGINT) AS checksum
+FROM b LEFT JOIN chk USING (doc_id)
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE, tier="ext")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode / feature-extraction plumbing demo.
 
     The fixture set has no binary table, so the payload is synthesized
     (utf-8 bytes of the text column) — the pipeline shape (opaque
     `binary` column + typed metadata out) is exactly what an
-    image/audio table needs. Deterministic → stable rows-only check.
+    image/audio table needs. Fully oracle-checked since round 2: the
+    fake-decode features are pure byte functions of the payload, and
+    DuckDB reaches the same bytes via hex(encode(text)) parsed
+    pairwise — the Arrow plumbing is proven byte-for-byte.
 
     Scale: mapInPandas streams Arrow batches; cap partition bytes
     (`spark.sql.files.maxPartitionBytes`) so a partition of blobs fits
@@ -115,7 +149,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
 
 
-@query("multimodal_struct", oracle=None, tier="ext")
+_STRUCT_ORACLE = """
+SELECT doc_id, lang, CAST(len(embedding) AS INTEGER) AS dim
+FROM documents JOIN embeddings ON doc_id = vec_id
+"""
+
+
+@query("multimodal_struct", oracle=_STRUCT_ORACLE, tier="ext")
 def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested multimodal record: struct(text-meta, vector) per doc —
     the columnar layout a downstream trainer reads (parquet keeps the
@@ -172,13 +212,46 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@query("multimodal_frames", oracle=None, tier="ext")
+_FRAMES_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INTEGER) AS nb
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, hx, nb,
+         CAST(idx AS INTEGER) AS frame_idx,
+         CAST(idx * {_FRAME_SIZE} AS INTEGER) AS byte_offset,
+         CAST(greatest(least({_FRAME_SIZE}, nb - idx * {_FRAME_SIZE}), 0) AS INTEGER)
+           AS frame_bytes
+  FROM (
+    SELECT doc_id, hx, nb,
+           unnest(range(0, greatest(CAST(ceil(nb / {_FRAME_SIZE}.0) AS BIGINT), 1),
+                        {_SAMPLE_EVERY})) AS idx
+    FROM b
+  )
+),
+chk AS (
+  SELECT doc_id, frame_idx, sum({_byte_sql("byte_offset + j")}) AS cs
+  FROM fr CROSS JOIN (SELECT unnest(range(16)) AS j) r
+  WHERE j < frame_bytes
+  GROUP BY doc_id, frame_idx
+)
+SELECT fr.doc_id, fr.frame_idx, fr.byte_offset, fr.frame_bytes,
+       CAST(coalesce(chk.cs, 0) AS BIGINT) AS frame_checksum
+FROM fr LEFT JOIN chk USING (doc_id, frame_idx)
+"""
+
+
+@query("multimodal_frames", oracle=_FRAMES_ORACLE, tier="ext")
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over an opaque media payload — the 1→N
     (UDTF-shaped) multimodal operator: every input row yields one row
     per sampled fixed-size chunk ('frame'), with stable indices and
     offsets. Deterministic fake frames (brief: stub the codec, make
-    the plumbing real) → stable rows-only check + a Python-model test.
+    the plumbing real) → fully oracle-checked since round 2 (frame
+    offsets, sizes, and checksums recomputed byte-for-byte in DuckDB
+    from hex(encode(text))), plus a Python-model test.
 
     Scale: output cardinality is rows × frames/sample-rate — the
     explode happens inside Arrow batches, never on the driver; cap

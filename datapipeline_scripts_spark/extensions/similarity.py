@@ -207,13 +207,45 @@ def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
-@query("knn_bucketed", oracle=None, tier="ext")
+def _knn_bucketed_oracle() -> str:
+    from datapipeline_scripts_spark.functions.vectors import sign_bucket_sql
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, v, {sign_bucket_sql("v", 8)} AS bucket
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS qid, v AS qe, bucket FROM e WHERE vec_id < 50),
+    c AS (SELECT vec_id AS cid, v AS ce, bucket FROM e),
+    sims AS (
+      SELECT qid, cid,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   4) AS cos_sim
+      FROM q JOIN c USING (bucket)
+      WHERE qid <> cid
+    ),
+    ranked AS (
+      SELECT qid, cid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM sims
+    )
+    SELECT qid, cid, cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    """
+
+
+@query("knn_bucketed", oracle=_knn_bucketed_oracle(), tier="ext")
 def knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 within 8-hyperplane LSH buckets.
 
     Same-bucket equi-join: each query scores only ~N/256 candidates.
     Production tuning = multi-probe (flip lowest-margin bits) to trade
-    recall vs cost; single-probe here."""
+    recall vs cost; single-probe here. Fully hash-checked since round
+    2: the DuckDB oracle computes the identical sign bucket
+    (`sign_bucket_sql`), so even the approximate path is
+    oracle-proven — approximation lives in the (deterministic) bucket
+    assignment, not in nondeterminism."""
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select("vec_id", "embedding", sign_bucket(F.col("embedding"), 8).alias("bucket"))
     q = b.filter(F.col("vec_id") < 50).select(

@@ -194,26 +194,60 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") % 7 == 0).select("doc_id", rhash.alias("rhash"))
 
 
-@query("text_winnow", oracle=None, tier="ext")
+def _winnow_oracle() -> str:
+    from datapipeline_scripts_spark.functions.text import md5_48_sql
+
+    norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, toks FROM
+        (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             concat(toks[pos + 1], ' ', toks[pos + 2], ' ', toks[pos + 3]) AS sh
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS pos FROM tok)
+    ),
+    hashed AS (SELECT doc_id, pos, {md5_48_sql("sh")} AS h FROM sh),
+    winnowed AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM hashed
+      )
+      WHERE pos <= greatest(n - 4, 0)
+    )
+    SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+    FROM winnowed
+    GROUP BY doc_id
+    """
+
+
+@query("text_winnow", oracle=_winnow_oracle(), tier="ext")
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash every
     word 3-gram, slide a window of 4 consecutive hashes, keep each
     window's minimum, dedupe → the document's fingerprint set. Guarantees
     any shared run of ≥ 6 tokens between two docs shares a fingerprint.
 
-    Shape: posexplode shingles → xxhash64 → min over a bounded following
+    Shape: posexplode shingles → md5_48 → min over a bounded following
     window (codegen'd window function, one shuffle on doc_id) →
-    distinct. Rows-only (no xxhash64 in DuckDB); the winnowing coverage
-    guarantee is asserted in tests/test_extensions.py."""
+    distinct. Fully oracle-checked since round 2: the shingle hash is
+    the cross-engine md5_48, so the fingerprint VALUES are proven, not
+    just counted; the winnowing coverage guarantee is additionally
+    asserted in tests/test_extensions.py."""
     from pyspark.sql import Window as W
 
-    from datapipeline_scripts_spark.functions.text import shingles, tokens
+    from datapipeline_scripts_spark.functions.text import md5_48, shingles, tokens
 
     window = 4
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
     sh = tok.select("doc_id", F.posexplode(shingles(F.col("toks"), 3)).alias("pos", "sh"))
-    hashed = sh.select("doc_id", "pos", F.xxhash64("sh").alias("h"))
+    hashed = sh.select("doc_id", "pos", md5_48(F.col("sh")).alias("h"))
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     wcount = W.partitionBy("doc_id")
     # only full windows (plus the single short window for docs with < w

@@ -35,6 +35,25 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
+def md5_48(col: Column) -> Column:
+    """First 48 bits of md5 as a BIGINT — the cross-engine token hash.
+
+    Unlike xxhash64 (Spark-only), md5 exists in DuckDB too, so every
+    fingerprint built on this is oracle-checkable bit-for-bit; 48 bits
+    keeps the value positive and exact in BIGINT/DOUBLE on both sides."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def md5_48_sql(expr: str) -> str:
+    """DuckDB twin of `md5_48` over a VARCHAR SQL expression. DuckDB has
+    no hex→int builtin, so the 12 hex digits are parsed positionally."""
+    hx = f"substr(md5({expr}), 1, 12)"
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (for MinHash / Jaccard).
 

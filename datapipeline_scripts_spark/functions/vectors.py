@@ -34,6 +34,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def sign_bucket_sql(list_expr: str, dims: int = 8) -> str:
+    """DuckDB twin of `sign_bucket`: the identical bucket id computed in
+    SQL over a DOUBLE[] expression, so LSH-bucketed queries stay fully
+    hash-checkable (dedup_embedding, knn_bucketed)."""
+    return " + ".join(
+        f"(CASE WHEN {list_expr}[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << (dims - 1 - i)}"
+        for i in range(dims)
+    )
+
+
 def sign_bucket(a: Column, dims: int = 8) -> Column:
     """Cheap LSH bucket id: sign bits of the first `dims` coordinates.
 

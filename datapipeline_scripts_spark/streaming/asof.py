@@ -132,7 +132,12 @@ def _merge_asof_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             .reset_index(drop=True)
         )
         orders = (
-            pdf[pdf["side"] == "o"][["o_orderkey", "ts"]].sort_values("ts").reset_index(drop=True)
+            pdf[pdf["side"] == "o"][["o_orderkey", "ts"]]
+            # same-ts tie-break as asof_join/_DEDUP_ORDERS_SQL: max
+            # orderkey wins, so the merge is engine-deterministic
+            .sort_values(["ts", "o_orderkey"])
+            .drop_duplicates(subset="ts", keep="last")
+            .reset_index(drop=True)
         )
         if events.empty:
             continue
@@ -140,15 +145,27 @@ def _merge_asof_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield merged[["event_id", "user_id", "o_orderkey"]]
 
 
-@query("asof_join_pandas", oracle=None, tier="ext")
+@query(
+    "asof_join_pandas",
+    oracle=f"""
+    WITH o AS ({_DEDUP_ORDERS_SQL})
+    SELECT e.event_id, e.user_id, o.o_orderkey
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tier="ext",
+)
 def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics via union → repartition by user →
     within-partition sort → Arrow-batched `pandas.merge_asof`.
 
     This is the single-shuffle scale path: both tables shuffle once on
     the key, and the merge is a linear scan per partition — no
-    candidate-pair blowup for users with many orders. Rows-only (the
-    oracle-checked twin is `asof_join`)."""
+    candidate-pair blowup for users with many orders. Fully
+    oracle-checked since round 2: the per-user pandas merge dedupes
+    same-timestamp orders to the max orderkey (identical tie-break to
+    `asof_join`'s oracle), making the output engine-deterministic."""
     e = load_table(spark, sf_dir, "events").select(
         F.lit("e").alias("side"), "event_id", "user_id", "ts", F.lit(None).cast("long").alias("o_orderkey")
     )

@@ -126,10 +126,10 @@ def test_winnowing_coverage_guarantee(spark, sf_dir):
         r["doc_id"]: r
         for r in get("text_winnow").build(spark, sf_dir).filter(SF.col("doc_id") < 20).collect()
     }
-    from datapipeline_scripts_spark.functions.text import shingles, tokens
+    from datapipeline_scripts_spark.functions.text import md5_48, shingles, tokens
 
     hashed = d.select(
-        "doc_id", F.transform(shingles(tokens(F.col("text")), 3), lambda s: F.xxhash64(s)).alias("hs")
+        "doc_id", F.transform(shingles(tokens(F.col("text")), 3), lambda s: md5_48(s)).alias("hs")
     ).collect()
     # recompute the fingerprint set in python and check window coverage
     for row in hashed:
