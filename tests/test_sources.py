@@ -158,3 +158,56 @@ def test_write_parquet_compression_codec(spark, sf_dir, tmp_path):
         f"SELECT DISTINCT compression FROM parquet_metadata('{out}/*.parquet')"
     ).fetchall()
     assert ("ZSTD",) in meta, meta
+
+
+def test_compaction_reduces_file_count_and_preserves_content(spark, sf_dir):
+    """Compaction must hit the computed size-targeted file count and
+    lose nothing: fragmented dir has 64 files, compacted dir has
+    ceil(bytes/target) files (far fewer), and row counts agree."""
+    import glob
+    import math
+    import os
+    import tempfile
+
+    from datapipeline_scripts_spark.sources.compaction import compact, parquet_bytes
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    base = tempfile.mkdtemp(prefix="compaction_test_")
+    frag, comp = os.path.join(base, "frag"), os.path.join(base, "comp")
+    li.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+    target = 1 << 20
+    n = compact(spark, frag, comp, target_file_bytes=target)
+    files = glob.glob(f"{comp}/*.parquet")
+    assert len(files) == n == max(1, math.ceil(parquet_bytes(frag) / target))
+    assert n < 64
+    assert spark.read.parquet(comp).count() == li.count()
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir):
+    """The clustered layout's pruning power comes from disjoint per-file
+    key ranges — assert them from the REAL parquet footer statistics,
+    and assert the 1000-2000 probe range overlaps at most 2 files."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_extendedprice")
+    out = os.path.join(tempfile.mkdtemp(prefix="clustered_test_"), "data")
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey").write.parquet(out)
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_orderkey"]
+        stats = [md.row_group(g).column(col).statistics for g in range(md.num_row_groups)]
+        if stats and all(s is not None for s in stats):
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+    touched = sum(1 for lo, hi in ranges if not (hi < 1000 or lo > 2000))
+    # a ~1/6-keyspace probe over >=4 disjoint files must skip most files
+    assert touched <= 3 and touched < len(ranges), f"probe touches {touched}/{len(ranges)}"
