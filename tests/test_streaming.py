@@ -200,3 +200,37 @@ def test_foreach_batch_sink_is_exactly_once(spark, sf_dir, tmp_path):
     n2 = run_idempotent_append(spark, _events_stream(spark, sf_dir), out, ckpt)
     assert n2 == 0
     assert spark.read.option("basePath", out).parquet(f"{out}/batch_id=*").count() == n_events
+
+
+def test_cdc_merge_is_batch_split_invariant(spark, sf_dir, tmp_path):
+    """Latest-wins merging is associative, so the CDC result must be
+    IDENTICAL whether the stream arrives as one micro-batch or many.
+    Replay the same rows as 3 single-file micro-batches and compare to
+    the registered single-batch query."""
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.streaming.cdc_stream import merge_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    chunked = str(tmp_path / "chunks")
+    # 3 deterministic slices written as 3 files -> 3 micro-batches
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(chunked)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked)
+    )
+    multi = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in merge_stream(spark, src).collect()
+    }
+    single = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in merge_stream(
+            spark,
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(chunked),
+        ).collect()
+    }
+    assert multi == single and len(multi) > 0
