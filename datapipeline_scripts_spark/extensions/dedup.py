@@ -10,11 +10,11 @@ them:
 2. exact n-gram Jaccard (`dedup_ngram_jaccard`): shingle-inverted-index
    self-join — exact pairwise similarity without a cross join (pairs
    only materialize for docs sharing a shingle). Oracle-checked.
-3. MinHash + LSH banding (`dedup_minhash`): 16 hash permutations via
-   seeded xxhash64, banded 4×4; candidate pairs = docs colliding in a
-   band bucket. Pure DataFrame ops (no UDF, no spark.ml): at scale the
-   band-bucket join touches only colliding docs. Rows-only (xxhash64
-   has no DuckDB twin; recall proven in tests).
+3. MinHash + LSH banding (`dedup_minhash`): 16 hash functions (four
+   md5 digests of the salted shingle, sliced 4×32-bit), banded 4×4;
+   candidate pairs = docs colliding in a band bucket. Pure DataFrame
+   ops (no UDF, no spark.ml): at scale the band-bucket join touches
+   only colliding docs. Fully oracle-checked since round 2.
 4. SimHash (`dedup_simhash`): 48-bit sign-aggregated token-hash
    fingerprint; near-dups differ in few bits. Oracle-checked since
    round 2 (md5-derived token hash, computable in both engines).
@@ -274,17 +274,72 @@ _N_HASHES = 16
 _BANDS = 4  # 4 bands × 4 rows
 
 
-@query("dedup_minhash", oracle=None, tier="ext")
+def _minhash_hex32_sql(md5_expr: str, k: int) -> str:
+    """DuckDB: 32-bit int from hex chars [8k+1, 8k+8] of `md5_expr`."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {8 * k + i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _minhash_oracle() -> str:
+    # 16 hash functions = 4 md5 digests (shingle salted with '0'..'3'),
+    # each sliced into 4×32-bit ints — bit-identical to the Spark side.
+    h_defs = ",\n         ".join(
+        "min({expr}) AS h{i}".format(expr=_minhash_hex32_sql("md5(sh || '%d')" % j, k), i=4 * j + k)
+        for j in range(4)
+        for k in range(4)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws(',', h{4 * b}, h{4 * b + 1}, h{4 * b + 2}, h{4 * b + 3}) AS bucket FROM sig"
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES))
+    return f"""
+    WITH shs AS ({_SHINGLE_SQL}),
+    s AS (SELECT doc_id, unnest(shset) AS sh FROM shs),
+    sig AS (
+      SELECT doc_id,
+         {h_defs}
+      FROM s GROUP BY doc_id
+    ),
+    bands AS (
+{band_rows}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT doc_a, doc_b, ({matches}) / 16.0 AS e
+      FROM pairs
+      JOIN sig a ON doc_a = a.doc_id
+      JOIN sig b ON doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, round(e, 4) AS est_jaccard
+    FROM est WHERE e >= 0.5
+    """
+
+
+@query("dedup_minhash", oracle=_minhash_oracle(), tier="ext")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) candidate pairs with estimated Jaccard.
 
     Pipeline: shingle → per-doc signature → band hash → self-join on
     (band, bucket) → estimate = matching signature fraction.
 
-    The signature explodes distinct shingles and takes 16 seeded
-    xxhash64 minimums in one codegen'd aggregation. Partial aggregation
-    collapses each map partition to |docs|×16 longs before the
-    exchange, so the explode costs no extra shuffle volume; the
+    Fully oracle-checked since round 2: the 16 hash functions are four
+    md5 digests of the salted shingle sliced into 4×32-bit ints —
+    bit-identical in DuckDB (hex parsed positionally) — so the
+    signatures, band buckets, candidate set, AND estimates are all
+    hash-proven. (Every k/16 estimate is an exact 4-decimal binary
+    fraction, so the rounded filter can't flip cross-engine.)
+
+    The signature explodes distinct shingles and takes 16 minimums of
+    codegen'd md5-slice expressions in one aggregation. Partial
+    aggregation collapses each map partition to |docs|×16 longs before
+    the exchange, so the explode costs no extra shuffle volume; the
     tempting higher-order `array_min(transform(...))` formulation is
     ~3× slower because HOF lambdas evaluate interpreted, outside
     whole-stage codegen.
@@ -301,9 +356,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
     sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
+    # 4 md5 digests projected once; Catalyst reuses them across the 4
+    # slices each, so the per-row hash cost is 4 md5s, not 16
+    md5s = sh.select(
+        "doc_id", *[F.md5(F.concat(F.col("sh"), F.lit(str(j)))).alias(f"m{j}") for j in range(4)]
+    )
     sig = (
-        sh.groupBy("doc_id")
-        .agg(*[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(_N_HASHES)])
+        md5s.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.conv(F.substring(F.col(f"m{i // 4}"), 8 * (i % 4) + 1, 8), 16, 10).cast("long")).alias(
+                    f"h{i}"
+                )
+                for i in range(_N_HASHES)
+            ]
+        )
         .withColumn("sig", F.array(*[f"h{i}" for i in range(_N_HASHES)]))
     )
     rows_per_band = _N_HASHES // _BANDS
@@ -311,7 +378,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+                F.concat_ws(",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "bucket"
+                ),
             )
             for b in range(_BANDS)
         ]
