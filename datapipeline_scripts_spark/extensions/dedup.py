@@ -274,21 +274,21 @@ _N_HASHES = 16
 _BANDS = 4  # 4 bands × 4 rows
 
 
-def _minhash_hex32_sql(md5_expr: str, k: int) -> str:
-    """DuckDB: 32-bit int from hex chars [8k+1, 8k+8] of `md5_expr`."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({md5_expr}, {8 * k + i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+def _minhash_hex32_sql(hex_expr: str, start: int) -> str:
+    """DuckDB: 32-bit int from 8 hex chars of `hex_expr` at `start`."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
         for i in range(8)
-    )
+    ) + ")"
 
 
 def _minhash_oracle() -> str:
-    # 16 hash functions = 4 md5 digests (shingle salted with '0'..'3'),
-    # each sliced into 4×32-bit ints — bit-identical to the Spark side.
+    # 16 hash functions from ONE md5 per shingle via Kirsch-Mitzenmacher
+    # double hashing: h_i = (h1 + i*h2) mod 2^32, with h1/h2 the two
+    # 32-bit halves of md5's first 64 bits — bit-identical in DuckDB
+    # (hex parsed positionally).
     h_defs = ",\n         ".join(
-        "min({expr}) AS h{i}".format(expr=_minhash_hex32_sql("md5(sh || '%d')" % j, k), i=4 * j + k)
-        for j in range(4)
-        for k in range(4)
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(_N_HASHES)
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, concat_ws(',', h{4 * b}, h{4 * b + 1}, h{4 * b + 2}, h{4 * b + 3}) AS bucket FROM sig"
@@ -298,10 +298,16 @@ def _minhash_oracle() -> str:
     return f"""
     WITH shs AS ({_SHINGLE_SQL}),
     s AS (SELECT doc_id, unnest(shset) AS sh FROM shs),
+    hh AS (
+      SELECT doc_id,
+             {_minhash_hex32_sql("md5(sh)", 1)} AS h1,
+             {_minhash_hex32_sql("md5(sh)", 9)} AS h2
+      FROM s
+    ),
     sig AS (
       SELECT doc_id,
          {h_defs}
-      FROM s GROUP BY doc_id
+      FROM hh GROUP BY doc_id
     ),
     bands AS (
 {band_rows}
@@ -329,12 +335,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle → per-doc signature → band hash → self-join on
     (band, bucket) → estimate = matching signature fraction.
 
-    Fully oracle-checked since round 2: the 16 hash functions are four
-    md5 digests of the salted shingle sliced into 4×32-bit ints —
-    bit-identical in DuckDB (hex parsed positionally) — so the
+    Fully oracle-checked since round 2: the 16 hash functions are
+    Kirsch-Mitzenmacher double hashes (h1 + i*h2 mod 2^32) of the first
+    64 md5 bits of each shingle — ONE md5 per shingle, reproduced
+    bit-identically in DuckDB (hex parsed positionally) — so the
     signatures, band buckets, candidate set, AND estimates are all
-    hash-proven. (Every k/16 estimate is an exact 4-decimal binary
-    fraction, so the rounded filter can't flip cross-engine.)
+    hash-proven. Every k/16 estimate is an exact 4-decimal binary
+    fraction, so the rounded filter can't flip cross-engine.
 
     The signature explodes distinct shingles and takes 16 minimums of
     codegen'd md5-slice expressions in one aggregation. Partial
@@ -356,18 +363,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
     sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
-    # 4 md5 digests projected once; Catalyst reuses them across the 4
-    # slices each, so the per-row hash cost is 4 md5s, not 16
-    md5s = sh.select(
-        "doc_id", *[F.md5(F.concat(F.col("sh"), F.lit(str(j)))).alias(f"m{j}") for j in range(4)]
+    # ONE md5 per shingle; the 16 functions are Kirsch-Mitzenmacher
+    # double hashes (h1 + i*h2 mod 2^32) of its first two 32-bit words
+    hh = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("sh"), 9, 8), 16, 10).cast("long").alias("h2"),
     )
+    two32 = F.lit(4294967296)
     sig = (
-        md5s.groupBy("doc_id")
+        hh.groupBy("doc_id")
         .agg(
             *[
-                F.min(F.conv(F.substring(F.col(f"m{i // 4}"), 8 * (i % 4) + 1, 8), 16, 10).cast("long")).alias(
-                    f"h{i}"
-                )
+                F.min((F.col("h1") + F.lit(i) * F.col("h2")) % two32).alias(f"h{i}")
                 for i in range(_N_HASHES)
             ]
         )
