@@ -51,6 +51,10 @@ BENCH_KEYS = (
     "text_bm25",
     "embedding_pipeline",
     "events_retention",
+    # round-2 additions: table maintenance + streaming CDC
+    "compaction_roundtrip",
+    "clustered_write_roundtrip",
+    "cdc_stream_merge",
 )
 
 
