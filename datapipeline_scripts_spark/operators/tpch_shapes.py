@@ -593,3 +593,406 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """
     )
+
+
+@query(
+    "tpch_q2_shape",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name, unit_cost
+      FROM cost
+      JOIN part ON p_partkey = partkey
+      JOIN eur  ON s_suppkey = suppkey
+      WHERE p_size = 15 AND p_type = 'PROMO'
+    ),
+    best AS (SELECT p_partkey, min(unit_cost) AS best_cost FROM cand GROUP BY 1)
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey,
+           round(c.unit_cost, 2) AS unit_cost
+    FROM cand c JOIN best b
+      ON c.p_partkey = b.p_partkey AND c.unit_cost = b.best_cost
+    ORDER BY c.s_acctbal DESC, c.s_suppkey, c.p_partkey
+    LIMIT 20
+    """,
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 'minimum cost supplier': for each qualifying part, the
+    EUROPE suppliers achieving the per-part minimum unit cost — the
+    correlated-min-subquery shape. The fixture has no partsupp, so
+    supply cost is derived as min(l_extendedprice/l_quantity) per
+    (part, supplier) — IEEE division is bit-deterministic, so the
+    equality join against the per-part min selects the identical row
+    set in both engines.
+
+    Plan: one lineitem aggregation (partial before exchange), dims
+    broadcast, per-part min re-joined by equality — no correlated
+    re-execution per row, which is the entire point of decorrelating
+    Q2 on a distributed engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    p = load_table(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        cost.join(F.broadcast(p), cost.partkey == p.p_partkey)
+        .join(eur, cost.suppkey == eur.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    best = cand.groupBy("p_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cand.join(best, "p_partkey")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", F.round("unit_cost", 2).alias("unit_cost"),
+            "s_suppkey",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey", "p_partkey")
+        .limit(20)
+        .drop("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q8_shape",
+    oracle="""
+    SELECT l_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cr.r_name = 'EUROPE'
+        AND o_orderdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+                            AND TIMESTAMP '1999-12-31 00:00:00'
+    )
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 'national market share': NATION_3 suppliers' share of EUROPE
+    customers' order volume per year — the conditional-share-of-total
+    aggregate over a 6-way star. All dims broadcast; the only shuffle
+    is the final per-year aggregate, and both the numerator and
+    denominator come out of ONE pass (conditional sum), not two scans."""
+    lo = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1999-12-31 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").between(lo, hi))
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("l_year"), vol.alias("volume"), "supp_nation")
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
+    return (
+        df.groupBy("l_year")
+        .agg(F.round(num / F.sum("volume"), 4).alias("mkt_share"))
+        .orderBy("l_year")
+    )
+
+
+@query(
+    "tpch_q9_shape",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT sn.n_name AS nation,
+             year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'PROMO'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 'product type profit': revenue minus derived supply cost
+    (0.6 × retail price × quantity stands in for ps_supplycost — the
+    fixture has no partsupp) per supplier nation per year. The part
+    filter prunes the fact scan through the join; nation broadcast;
+    one aggregate exchange on (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_shape",
+    oracle="""
+    WITH asia AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    val AS (
+      SELECT l_partkey AS p_key, sum(l_extendedprice) AS value
+      FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+      GROUP BY 1
+    )
+    SELECT p_key AS p_partkey, round(value, 2) AS value
+    FROM val
+    WHERE value * 1000 > (SELECT sum(value) FROM val)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 'important stock': parts whose ASIA-supplied value exceeds
+    0.1% of the total — the group-HAVING-against-global-scalar shape.
+    The per-part aggregate is computed ONCE and reused for both the
+    rows and the scalar total (no second scan); the scalar side
+    broadcasts into the filter."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(asia), li.l_suppkey == asia.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select(F.col("p_key").alias("p_partkey"), F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q15_shape",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 'top supplier': supplier(s) achieving the maximum quarterly
+    revenue — the aggregate-view + scalar-max shape. The revenue view
+    is computed once; the max broadcasts back as a filter; supplier is
+    a broadcast dim. Equality against the max is within-engine exact
+    (both sides come from the same aggregation output)."""
+    lo = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1999-04-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_shape",
+    oracle="""
+    WITH stats AS (
+      SELECT l_partkey AS p_key,
+             sum(l_quantity) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part  ON l_partkey = p_partkey
+    JOIN stats ON l_partkey = p_key
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity * cnt * 5 < sum_qty
+    """,
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 'small-quantity-order revenue': lines of one brand whose
+    quantity is below 20% of the part's average — the correlated-AVG
+    subquery decorrelated into one per-part aggregate re-joined to the
+    fact. The avg comparison is algebraically rearranged to
+    `5 * qty * cnt < sum_qty`: quantities are integral, so both sides
+    are exact in doubles and the row set cannot flip on engine-specific
+    division rounding. One lineitem aggregation + one broadcast part
+    dim; no per-row subquery re-execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    stats = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(stats, li.l_partkey == stats.p_key)
+        .filter(F.col("l_quantity") * F.col("cnt") * 5 < F.col("sum_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q20_shape",
+    oracle="""
+    WITH promo_parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    heavy AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN promo_parts ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1999
+      GROUP BY 1
+      HAVING sum(l_quantity) > 50
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+      AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 'potential part promotion': AFRICA suppliers who shipped a
+    meaningful volume of promo parts this year — the nested-semi-join
+    chain (part filter semi-joins lineitem, the HAVING aggregate
+    semi-joins supplier). Quantity sums are integral-exact; every join
+    is an equi-join with the small sides broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1999)
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q22_shape",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_nationkey % 5 AS cohort, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    )
+    SELECT cohort, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM rich
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 'global sales opportunity': above-average-balance customers
+    with no RECENT orders (none since 2000), grouped into cohorts —
+    scalar-subquery filter +
+    anti join + aggregate in one plan. The anti join shuffles on the
+    customer key (or broadcasts the distinct order keys); the scalar
+    avg broadcasts into the predicate."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cohort"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cohort")
+    )
