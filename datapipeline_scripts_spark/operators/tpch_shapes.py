@@ -657,6 +657,7 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         cost.join(F.broadcast(p), cost.partkey == p.p_partkey)
         .join(eur, cost.suppkey == eur.s_suppkey)
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+        .localCheckpoint()  # shared by the per-part min and the equality probe
     )
     best = cand.groupBy("p_partkey").agg(F.min("unit_cost").alias("best_cost"))
     return (
@@ -819,6 +820,10 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(asia), li.l_suppkey == asia.s_suppkey)
         .groupBy(F.col("l_partkey").alias("p_key"))
         .agg(F.sum("l_extendedprice").alias("value"))
+        # materialize: both the row set and the scalar total read this
+        # table; without it Catalyst re-executes the whole join+agg
+        # subtree (and re-scans lineitem) for each consumer
+        .localCheckpoint()
     )
     total = val.agg(F.sum("value").alias("total"))
     return (
@@ -860,6 +865,7 @@ def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .localCheckpoint()  # shared by the row set and the scalar max
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")

@@ -323,3 +323,36 @@ def test_dedup_embedding_is_bucketed_equi_join(spark, sf_dir):
     assert joins, "no join found"
     assert "CartesianProduct" not in joins, joins
     assert "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_tpch_q2_no_cartesian_and_broadcast_dims(spark, sf_dir):
+    # the final probe (min-cost equality) must be an equi join; the
+    # upstream dim joins live behind the cand localCheckpoint, so only
+    # the equality probe is visible in this plan
+    df = get("tpch_q2_shape").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+    assert joins, joins
+
+
+def test_tpch_q11_scalar_total_broadcasts(spark, sf_dir):
+    # the scalar total must reach the filter via a broadcast of the
+    # 1-row aggregate (single-row BNLJ is the expected scalar plan),
+    # never a per-row subquery re-execution
+    from datapipeline_scripts_spark.plans.audit import formatted_plan
+
+    df = get("tpch_q11_shape").build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    # the per-part aggregate appears once as the row source; the global
+    # total aggregates on top of it rather than re-scanning lineitem
+    assert plan.count("Scan parquet") <= 5, plan
+
+
+def test_tpch_q17_rearranged_predicate_is_equi_join(spark, sf_dir):
+    # the correlated-avg decorrelation must be a plain equi join on
+    # l_partkey with the comparison as a post-join filter
+    df = get("tpch_q17_shape").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
