@@ -144,3 +144,95 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("dumpline_roundtrip", oracle=_ORACLE)
+def dumpline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → pipe-delimited dump lines (the reference's pg_dump COPY
+    text format, backup.sh:210) → `spark.read.text` → split/parse →
+    aggregate. The numeric columns round-trip losslessly because the
+    line carries Spark's canonical double/long rendering (shortest
+    round-trip repr), so cast-back is bit-exact — the same property a
+    restore drill depends on.
+
+    Scale: text lines are splittable input (no footer), so a 100 TB
+    dump directory parallelizes by line ranges; the parse is
+    codegen'd split/cast, no Python."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dumpline_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    lines = src.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    parts = F.split(F.col("value"), r"\|")
+    back = raw.select(
+        F.element_at(parts, 1).cast("long").alias("o_orderkey"),
+        F.element_at(parts, 2).alias("o_orderstatus"),
+        F.element_at(parts, 3).cast("double").alias("o_totalprice"),
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("fixedwidth_roundtrip", oracle=_ORACLE)
+def fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → fixed-width text records (mainframe/EDI ingest shape) →
+    `spark.read.text` → substring-sliced parse → aggregate. Columns are
+    space-padded to fixed offsets; values stay lossless because each
+    field carries the canonical string rendering, only padded.
+
+    Scale: fixed-width slicing is pure codegen substring math — the
+    cheapest possible parse — and the writer pads with format_string,
+    so neither side leaves the JVM."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_fixedwidth_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    lines = src.select(
+        F.concat(
+            F.format_string("%-20s", F.col("o_orderkey").cast("string")),
+            F.format_string("%-4s", F.col("o_orderstatus")),
+            F.format_string("%-24s", F.col("o_totalprice").cast("string")),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    back = raw.select(
+        F.trim(F.substring("value", 1, 20)).cast("long").alias("o_orderkey"),
+        F.trim(F.substring("value", 21, 4)).alias("o_orderstatus"),
+        F.trim(F.substring("value", 25, 24)).cast("double").alias("o_totalprice"),
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
