@@ -180,6 +180,45 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 20
 
 
+def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over a (doc_a, doc_b) pair DataFrame →
+    (doc_id, cluster_id, cluster_size). Shared by the exact-Jaccard and
+    MinHash clustering queries; see dedup_clusters' docstring for the
+    convergence/scale analysis. `pairs` must already be materialized
+    (localCheckpoint) — symmetrizing an un-materialized generator
+    executes its subtree once per union branch."""
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    edges = edges.repartition(spark.sparkContext.defaultParallelism, "b").localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        merged = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("new_lbl"),
+                "lbl",
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = merged.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    membership = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    sizes = membership.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return membership.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -238,36 +277,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole shingle-join subtree twice (ReusedExchange does not cover
     # both branches) — measured ~2× the pair-gen cost at sf0.1
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = fwd.union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-    edges = edges.repartition(spark.sparkContext.defaultParallelism, "b").localCheckpoint()
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
-    )
-    for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        merged = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("new_lbl"),
-                "lbl",
-            )
-        ).localCheckpoint()
-        changed = merged.filter(F.col("new_lbl") < F.col("lbl")).count()
-        labels = merged.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
-    membership = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-    sizes = membership.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return membership.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    return connected_components(spark, pairs)
 
 
 _N_HASHES = 16
@@ -420,6 +430,47 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from datapipeline_scripts_spark.functions.vectors import sign_bucket_sql
+
+def _minhash_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    membership AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT m.doc_id, m.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+    FROM membership m
+    JOIN (SELECT cluster_id, count(*) AS n FROM membership GROUP BY 1) c
+      USING (cluster_id)
+    """
+
+
+@query("dedup_minhash_clusters", oracle=_minhash_clusters_oracle(), tier="ext")
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs
+    (est ≥ 0.5) → connected components → (doc, cluster, size) — the
+    full production dedup pipeline in one declared query, and fully
+    hash-proven: the md5-based minhash pairs are engine-deterministic
+    and the oracle runs a recursive-CTE transitive closure over the
+    IDENTICAL pair set.
+
+    Scale: the only new cost over `dedup_minhash` is the CC loop,
+    which runs on the |docs-in-pairs| frame (≪ corpus) for
+    graph-diameter rounds."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    return connected_components(spark, pairs)
+
 
 _EMBED_BUCKET_DIMS = 8
 _EMBED_BUCKET_SQL = sign_bucket_sql("v", _EMBED_BUCKET_DIMS)
