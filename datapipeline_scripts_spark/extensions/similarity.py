@@ -71,52 +71,62 @@ _IVF_K = 16  # coarse centroids
 _IVF_NPROBE = 2  # lists probed per query
 
 
-@query("knn_ivf", oracle=None, tier="ext")
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-5: k-means coarse quantizer →
-    per-list inverted index → probe the NPROBE nearest lists only.
-
-    All DataFrame ops: seed centroids = first K vectors; one Lloyd
-    iteration (assign via broadcast-centroid cosine rank, re-center via
-    posexplode + per-dimension mean); then assignment defines the
-    inverted lists. A query scores ~N·NPROBE/K candidates instead of N.
-
-    At 100 TB the centroid set stays broadcast-sized (K ≤ 2^16) and the
-    lists are hash-partitioned by centroid id — the probe is an
-    equi-join on cid, never a cross product. The fixture's vectors are
-    uniform random, so recall is data-limited; the returned scores are
-    exact cosines (verified against brute force in tests)."""
-    e = load_table(spark, sf_dir, "embeddings")
-
-    def centroid_frame(cent: DataFrame) -> DataFrame:
-        """Assign every vector to its nearest centroid (broadcast)."""
-        sims = (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("cvec")).alias("sim"))
-        )
-        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-        return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "sim")
-
-    seeds = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < 16),
+    asg AS (
+      SELECT vec_id, ccid AS list_id, v FROM (
+        SELECT e.vec_id, c.ccid, e.v,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, list_id, qe FROM (
+        SELECT a.vec_id AS qid, c.ccid AS list_id, a.v AS qe,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        FROM asg a CROSS JOIN cent c
+        WHERE a.vec_id < 50
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id AS cid,
+             round(list_dot_product(p.qe, a.v) / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.v, a.v))), 4) AS cos_sim
+      FROM probe p JOIN asg a USING (list_id)
+      WHERE a.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, cid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM cand
     )
-    assigned0 = centroid_frame(seeds)
-    # Lloyd re-centering: per-dimension mean of each list's members
-    recentered = (
-        assigned0.select("cid", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cid", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cid", F.transform("pm", lambda s: s.getField("m").cast("float")).alias("cvec"))
-    )
-    lists = centroid_frame(recentered).select("vec_id", F.col("cid").alias("list_id"), "embedding")
+    SELECT qid, cid, cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    """
 
+
+def _centroid_frame(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (broadcast)."""
+    sims = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("cvec")).alias("sim"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "sim")
+
+
+def _ivf_from_centroids(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF probe over a given coarse-centroid set: build the inverted
+    lists, probe the NPROBE nearest lists per query, score candidates
+    with exact cosine, return top-5 (qid, cid, cos_sim, rn)."""
+    lists = _centroid_frame(e, cent).select("vec_id", F.col("cid").alias("list_id"), "embedding")
     q = lists.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     qprobe = (
-        q.crossJoin(F.broadcast(recentered))
+        q.crossJoin(F.broadcast(cent))
         .select("qid", "qe", "cid", cosine(F.col("qe"), F.col("cvec")).alias("sim"))
         .withColumn("rn", F.row_number().over(W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))))
         .filter(F.col("rn") <= _IVF_NPROBE)
@@ -133,6 +143,55 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query("knn_ivf", oracle=_IVF_ORACLE, tier="ext")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: coarse quantizer →
+    per-list inverted index → probe the NPROBE nearest lists only.
+    A query scores ~N·NPROBE/K candidates instead of N.
+
+    Fully oracle-checked since round 2: the coarse centroids are the
+    first K data vectors (deterministic sampling — production trains
+    them offline with k-means, see `knn_ivf_lloyd`), so assignment,
+    probing, and scores are all reproducible in DuckDB. Cross-engine
+    raw-cosine ordering is safe because both engines compute the same
+    sequential-fold dot product bit-for-bit.
+
+    At 100 TB the centroid set stays broadcast-sized (K ≤ 2^16) and the
+    lists are hash-partitioned by centroid id — the probe is an
+    equi-join on cid, never a cross product. The fixture's vectors are
+    uniform random, so recall is data-limited; the returned scores are
+    exact cosines (verified against brute force in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return _ivf_from_centroids(e, seeds)
+
+
+def knn_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Lloyd-iteration variant (assign → per-dimension mean
+    re-center → rebuild lists): the offline centroid-training step a
+    production IVF runs. NOT registered as a declared query — float
+    mean re-centering is partial-agg-order sensitive, so the trained
+    centroids (and thus list membership near boundaries) are not
+    bit-reproducible across engines; fidelity is asserted in tests
+    instead."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned0 = _centroid_frame(e, seeds)
+    recentered = (
+        assigned0.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s.getField("m").cast("float")).alias("cvec"))
+    )
+    return _ivf_from_centroids(e, recentered)
 
 
 @query(

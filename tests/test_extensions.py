@@ -270,3 +270,23 @@ def test_sequence_folds_bound_hot_users(spark, tmp_path):
     # path triples must count cap-2 windows, not n-2
     total = sum(r["n"] for r in events_path(spark, sf_dir).collect())
     assert total == cap - 2
+
+
+def test_ivf_lloyd_scores_are_exact_cosines(spark, sf_dir):
+    """The offline-training (one-Lloyd-iteration) IVF variant must also
+    only ever return true cosines, and k=5 per query."""
+    from collections import Counter
+
+    from datapipeline_scripts_spark.extensions.similarity import knn_ivf_lloyd
+
+    brute = {
+        (r["qid"], r["cid"]): r["cos_sim"] for r in get("knn_brute").build(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["qid"], r["cid"]): r["cos_sim"]
+        for r in knn_ivf_lloyd(spark, sf_dir).filter(F.col("qid") < 5).collect()
+    }
+    for k in set(ivf) & set(brute):
+        assert abs(ivf[k] - brute[k]) < 1e-9
+    per_q = Counter(q for q, _ in ivf)
+    assert all(n == 5 for n in per_q.values())
