@@ -1,18 +1,25 @@
 """E2 — vector similarity search over `embeddings` (64-dim float).
 
-Two paths, mirroring a production ANN stack:
+Paths mirroring a production ANN stack, ALL fully oracle-checked since
+round 2:
 
 - `knn_brute`: exact cosine top-k. The query set is broadcast; the
   candidate table streams through a single scan with the dot product in
-  codegen. O(|Q|·N) — correct baseline and the oracle-checked one.
+  codegen. O(|Q|·N) — the correct baseline.
 - `knn_bucketed`: LSH (sign-of-coordinate hyperplanes) bucketing; only
   same-bucket candidates are scored. The 100 TB path: the join on
-  bucket id replaces the cross product; recall < 1 by design →
-  rows-only.
+  bucket id replaces the cross product; the bucket is mirrored in the
+  DuckDB oracle so even the approximate row set is hash-proven.
+- `knn_ivf`: inverted-file probe over deterministic sampled coarse
+  centroids; `knn_ivf_lloyd` (unregistered) adds the offline k-means
+  training step.
+- `knn_int8`: symmetric int8 quantization — the shuffle-bandwidth lever.
 
-Numeric parity: both engines cast float→double *before* any arithmetic
-and rank on the 4-dp-rounded cosine with a deterministic id tie-break
-(functions/vectors.py).
+Numeric parity: both engines cast float→double *before* any arithmetic;
+raw-cosine comparisons are cross-engine bit-stable because the
+sequential `aggregate` fold evaluates in the same order as DuckDB's
+list_dot_product; displayed scores rank on the 4-dp-rounded cosine with
+a deterministic id tie-break (functions/vectors.py).
 """
 
 from __future__ import annotations
