@@ -53,6 +53,10 @@ def ensure_session_conf(spark: SparkSession) -> None:
     # Spark 4 validates the passed default, so probing first can throw
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # fixture timestamps are parquet isAdjustedToUTC=false (NTZ) but hold
+    # UTC wall-clock values; read them as plain TIMESTAMP so event-time
+    # ops (unix_micros, watermarks) type-check and DuckDB hashes agree
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -64,6 +68,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(col) == "bigint":
             # integer div: double division would lose precision at 1e18 ns
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    # defensive: if the scan still surfaced NTZ (session created before
+    # ensure_session_conf, cached relation, …), cast to TIMESTAMP — under
+    # the UTC session zone this is the identity on the wall-clock value
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -41,6 +41,10 @@ def get_spark(app_name: str = "datapipeline_scripts_spark", **extra_conf: str) -
         # type for; read it as a ns-since-epoch long, converted to a µs
         # TimestampType in catalog.load_table (matches DuckDB's ns→µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture timestamps are parquet NTZ holding UTC wall-clock values;
+        # surface them as plain TIMESTAMP (event-time ops need it, and the
+        # UTC session zone keeps DuckDB-oracle hashes identical)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
