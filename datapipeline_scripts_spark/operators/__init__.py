@@ -14,6 +14,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     scalars,
     scans,
     sequences,
+    sketches,
     sorting,
     sql_api,
     strings,

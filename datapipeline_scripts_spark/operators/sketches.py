@@ -1,0 +1,202 @@
+"""Mergeable-sketch operators (Apache DataSketches surface, Spark 4).
+
+The defining property of HLL / theta / KLL sketches is *mergeability*:
+per-partition (or per-day) sketches combine into exact-shape rollups
+without re-reading the raw data. At 100 TB this is the difference
+between a nightly full distinct-count scan and merging a few KB of
+state per partition — sketches ARE the scale path for cardinality,
+set-overlap, and quantile questions.
+
+Oracle strategy (same property-encoding as operators/approx.py): DuckDB
+has no DataSketches, so each query anchors its hash on *exact* values
+the oracle recomputes (distinct counts, group sizes) plus boolean
+columns asserting the sketch's error bound. The booleans are stable
+across runs and partitionings:
+
+- theta / HLL merges are order-insensitive (theta union keeps the k
+  smallest hashes — a set property; HLL register merge is pointwise
+  max), so the estimate is a pure function of the data. Verified by
+  repartition probes; the asserted band (10% + absolute slack) is
+  ~6σ wide vs the lgK=12 default's 1.6% RSE.
+- KLL compaction is randomized, so instead of pinning the estimate we
+  assert the *realized rank* of the returned quantile: the sketch
+  guarantees |rank(q̂) − φ| ≤ ε with k=200 → ε ≈ 1.65% at 99%
+  confidence; the asserted 5% band is ~10σ. The realized rank is
+  computed exactly in-plan by re-joining q̂ against the data.
+
+Reference analogue: the reference delegates all query power to its
+engines (SURVEY §2.C); sketch rollups are the 100 TB-native form of
+its sampled verification counts (/root/reference/backup.sh:264-375).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+_THETA_ORACLE = """
+SELECT count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END) AS exact_r,
+       count(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_partkey END) AS exact_a,
+       count(DISTINCT CASE WHEN l_returnflag IN ('R','A') THEN l_partkey END) AS exact_union,
+       (SELECT count(*) FROM (
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+          INTERSECT
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')) AS exact_intersect,
+       (SELECT count(*) FROM (
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+          EXCEPT
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')) AS exact_diff,
+       true AS r_ok, true AS a_ok, true AS union_ok,
+       true AS intersect_ok, true AS diff_ok
+FROM lineitem
+"""
+
+
+@query("sketch_theta_setops", oracle=_THETA_ORACLE, tier="ext")
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct-count arithmetic: |R|, |A|, |R∪A|, |R∩A|,
+    |R\\A| over the parts shipped per return-flag segment — one scan
+    builds both sketches (filtered agg), set algebra happens on the
+    KB-sized sketches, never the data.
+
+    Scale: at sf0.1 the ~20k distinct parts exceed the sketch's k=4096
+    retained hashes, so this exercises true sampling-mode estimation,
+    not the exact small-set path. The asserted band is 10% relative
+    with an absolute slack of 64 for the near-empty difference set
+    (6σ+ vs the 1.6% RSE at lgK=12).
+
+    The whole pipeline is one partial-aggregatable plan: map-side theta
+    merge, single exchange, no second scan for the exact anchors (they
+    ride the same aggregate as count_distinct expands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = lambda v: F.when(F.col("l_returnflag") == v, F.col("l_partkey"))  # noqa: E731
+    sk = li.agg(
+        F.theta_sketch_agg(flag("R")).alias("sk_r"),
+        F.theta_sketch_agg(flag("A")).alias("sk_a"),
+        F.count_distinct(flag("R")).alias("exact_r"),
+        F.count_distinct(flag("A")).alias("exact_a"),
+        F.count_distinct(F.when(F.col("l_returnflag").isin("R", "A"), F.col("l_partkey"))).alias("exact_union"),
+    )
+    # exact intersect/diff anchors: |A∩B| = |A|+|B|−|A∪B| (set identity —
+    # no second scan), |A\B| = |A∪B|−|B|
+    est = sk.select(
+        "exact_r",
+        "exact_a",
+        "exact_union",
+        (F.col("exact_r") + F.col("exact_a") - F.col("exact_union")).alias("exact_intersect"),
+        (F.col("exact_union") - F.col("exact_a")).alias("exact_diff"),
+        F.theta_sketch_estimate("sk_r").alias("est_r"),
+        F.theta_sketch_estimate("sk_a").alias("est_a"),
+        F.theta_sketch_estimate(F.theta_union("sk_r", "sk_a")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_r", "sk_a")).alias("est_intersect"),
+        F.theta_sketch_estimate(F.theta_difference("sk_r", "sk_a")).alias("est_diff"),
+    )
+    ok = lambda e, x: (F.abs(F.col(e) - F.col(x)) <= F.greatest(F.col(x) / 10, F.lit(64))).alias(  # noqa: E731
+        x.replace("exact_", "") + "_ok"
+    )
+    return est.select(
+        "exact_r",
+        "exact_a",
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        ok("est_r", "exact_r"),
+        ok("est_a", "exact_a"),
+        ok("est_union", "exact_union"),
+        ok("est_intersect", "exact_intersect"),
+        ok("est_diff", "exact_diff"),
+    )
+
+
+_HLL_ORACLE = """
+SELECT event_type,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       true AS est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("sketch_hll_rollup", oracle=_HLL_ORACLE, tier="ext")
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-rollup pattern: per-(event_type, day) HLL sketches
+    merged up to per-event_type distinct users via `hll_union_agg` —
+    the pre-aggregated-cube shape where daily partitions each persist a
+    KB sketch and any coarser rollup merges them without touching raw
+    events. Exact distincts anchor the hash; the boolean asserts the
+    merged estimate is within 10% (lgK=12 → 1.6% RSE, so ~6σ).
+
+    At 100 TB: the per-day layer is what you'd materialize; re-scanning
+    raw events for every rollup query is exactly what this avoids."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("day_users"),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    # exact per-type distincts need the raw grain (day distincts don't
+    # sum); one more pass over the same scan, joined on the 5-row key
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (F.abs(F.col("est_users") - F.col("exact_users")) <= F.greatest(F.col("exact_users") / 10, F.lit(16))).alias(
+                "est_ok"
+            ),
+        )
+    )
+
+
+_KLL_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       true AS r50_ok,
+       true AS r90_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("sketch_kll_quantiles", oracle=_KLL_ORACLE, tier="ext")
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch per return flag over l_extendedprice, with
+    the sketch's own guarantee asserted in-plan: the *realized rank* of
+    the returned q̂₅₀/q̂₉₀ (exact count of values ≤ q̂, re-joined
+    against the data) must sit within ±5% of the target rank — KLL's
+    k=200 bound is ε≈1.65% at 99% confidence, so the band is ~10σ and
+    stable across the sketch's internal randomization.
+
+    Plan: one grouped sketch pass (3 groups), broadcast the 3-row
+    quantile table back onto the scan, one conditional-count pass.
+    The sketch state is O(k log n) per group — at 100 TB the quantile
+    table is still 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    qs = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_get_quantile_double(F.kll_sketch_agg_double("l_extendedprice"), F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double(F.kll_sketch_agg_double("l_extendedprice"), F.lit(0.9)).alias("q90"),
+    )
+    joined = li.join(F.broadcast(qs), "l_returnflag")
+    ranked = joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("q50"), 1).otherwise(0)).alias("le_q50"),
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("q90"), 1).otherwise(0)).alias("le_q90"),
+    )
+    rank_ok = lambda le, phi: (  # noqa: E731
+        F.abs(F.col(le) / F.col("n") - F.lit(phi)) <= F.lit(0.05)
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        rank_ok("le_q50", 0.5).alias("r50_ok"),
+        rank_ok("le_q90", 0.9).alias("r90_ok"),
+    )
