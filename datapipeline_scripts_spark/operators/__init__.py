@@ -11,6 +11,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     dates,
     joins,
     json_ops,
+    quality,
     scalars,
     scans,
     sequences,

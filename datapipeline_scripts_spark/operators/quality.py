@@ -1,0 +1,143 @@
+"""Data-quality constraint audit (expectation-suite shape).
+
+The reference's whole raison d'être is *trust in the data* — every
+backup is verified by restoring it and checking row counts
+(/root/reference/backup.sh:264-375). This operator generalizes that
+into the declarative constraint audit a warehouse runs before
+publishing a dataset: primary-key uniqueness, referential integrity,
+domain membership, range and null checks — one row per constraint with
+the exact violation count, so the report is identical across engines
+and trivially hash-checkable (no property encoding needed).
+
+Scale design: all per-table scalar constraints for one table collapse
+into ONE aggregate pass over that table (conditional sums — no
+re-scan per rule); referential checks are broadcast anti-joins against
+the dimension side. Total cost at 100 TB: one scan per audited fact
+table + one per FK edge, each with its filters/projections pushed to
+parquet. The constraint list is data, not code — add a row, not a job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+_QUALITY_ORACLE = """
+WITH checks(constraint_name, violations) AS (
+  SELECT 'orders_nonempty',
+         CASE WHEN (SELECT count(*) FROM orders) = 0 THEN 1 ELSE 0 END
+  UNION ALL SELECT 'orders_pk_unique',
+         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL SELECT 'orders_status_domain',
+         (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)
+  UNION ALL SELECT 'orders_totalprice_positive',
+         (SELECT count(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+  UNION ALL SELECT 'orders_fk_customer',
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL SELECT 'lineitem_qty_range',
+         (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+  UNION ALL SELECT 'lineitem_discount_range',
+         (SELECT count(*) FROM lineitem WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1)
+  UNION ALL SELECT 'lineitem_price_positive',
+         (SELECT count(*) FROM lineitem WHERE l_extendedprice IS NULL OR l_extendedprice <= 0)
+  UNION ALL SELECT 'lineitem_fk_orders',
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL SELECT 'lineitem_fk_part',
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL SELECT 'lineitem_fk_supplier',
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL SELECT 'events_ts_not_null',
+         (SELECT count(*) FROM events WHERE ts IS NULL)
+  UNION ALL SELECT 'events_type_domain',
+         (SELECT count(*) FROM events WHERE event_type NOT IN
+            ('click','view','purchase','signup','error') OR event_type IS NULL)
+  UNION ALL SELECT 'documents_text_nonempty',
+         (SELECT count(*) FROM documents WHERE text IS NULL OR length(text) = 0)
+)
+SELECT constraint_name, CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM checks
+"""
+
+
+@query("quality_audit", oracle=_QUALITY_ORACLE, tier="ext")
+def quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-constraint expectation suite over four tables: PK uniqueness,
+    FK integrity (anti-join counts), domain membership, range and
+    null-rate checks. Exact violation counts — fully hash-checked.
+
+    Plan shape: one conditional-sum aggregate per audited table (all of
+    that table's scalar rules share the single scan) + one broadcast
+    anti-join per FK edge; the per-constraint rows are unioned from
+    1-row aggregates, so the whole audit is a handful of parallel
+    stages with pushed-down projections."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+
+    # all scalar rules for a table ride ONE aggregate over its scan
+    orders_scalar = orders.agg(
+        (F.when(F.count("*") == 0, 1).otherwise(0)).cast("long").alias("orders_nonempty"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("orders_pk_unique"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P") | F.col("o_orderstatus").isNull()).alias(
+            "orders_status_domain"
+        ),
+        cnt(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias("orders_totalprice_positive"),
+    )
+    lineitem_scalar = lineitem.agg(
+        cnt(F.col("l_quantity").isNull() | (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "lineitem_qty_range"
+        ),
+        cnt(F.col("l_discount").isNull() | (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "lineitem_discount_range"
+        ),
+        cnt(F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") <= 0)).alias("lineitem_price_positive"),
+    )
+    events_scalar = events.agg(
+        cnt(F.col("ts").isNull()).alias("events_ts_not_null"),
+        cnt(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+            | F.col("event_type").isNull()
+        ).alias("events_type_domain"),
+    )
+    docs_scalar = documents.agg(
+        cnt(F.col("text").isNull() | (F.length("text") == 0)).alias("documents_text_nonempty"),
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = [p for c in df.columns for p in (F.lit(c), F.col(c).cast("long"))]
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("constraint_name", "violations")
+        )
+
+    def fk_violations(name: str, fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], "left_anti")
+            .agg(F.count("*").alias("violations"))
+            .select(F.lit(name).alias("constraint_name"), F.col("violations").cast("long"))
+        )
+
+    report = (
+        melt(orders_scalar)
+        .unionByName(melt(lineitem_scalar))
+        .unionByName(melt(events_scalar))
+        .unionByName(melt(docs_scalar))
+        .unionByName(fk_violations("orders_fk_customer", orders, "o_custkey", customer, "c_custkey"))
+        .unionByName(fk_violations("lineitem_fk_orders", lineitem, "l_orderkey", orders.select("o_orderkey"), "o_orderkey"))
+        .unionByName(fk_violations("lineitem_fk_part", lineitem, "l_partkey", part, "p_partkey"))
+        .unionByName(fk_violations("lineitem_fk_supplier", lineitem, "l_suppkey", supplier, "s_suppkey"))
+    )
+    return report.select("constraint_name", "violations", (F.col("violations") == 0).alias("passed"))

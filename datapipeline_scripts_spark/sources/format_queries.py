@@ -236,3 +236,60 @@ def fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT l_linenumber > 3 AS has_discount,
+           count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(round(coalesce(sum(CASE WHEN l_linenumber > 3
+                       THEN CAST(l_discount AS DECIMAL(18,4)) END), 0), 4) AS DOUBLE)
+             AS sum_disc
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: batch 1 writes the v1 schema (orderkey, qty),
+    batch 2 appends the v2 schema with a new `l_discount` column; the
+    read-back uses `mergeSchema=true` and must surface the union schema
+    with NULL-filled v1 rows. The aggregate splits on column presence,
+    so the hash match against raw lineitem certifies both the merge and
+    the null-fill are lossless.
+
+    Scale: schema merge reads only parquet FOOTERS (one tiny task per
+    file), not data; the v1/v2 batches stay separately scannable. This
+    is the additive-column evolution every long-lived 100 TB dataset
+    goes through — no rewrite of historical files."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_schevo_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    v1 = li.filter(F.col("l_linenumber") <= 3).select("l_orderkey", "l_linenumber", "l_quantity")
+    v2 = li.filter(F.col("l_linenumber") > 3).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch=1"), os.path.join(out, "batch=2")
+    )
+    return (
+        back.groupBy(F.col("l_discount").isNotNull().alias("has_discount"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).cast("double").alias("sum_qty"),
+            F.round(
+                F.coalesce(F.sum(F.col("l_discount").cast("decimal(18,4)")), F.lit(0).cast("decimal(18,4)")), 4
+            )
+            .cast("double")
+            .alias("sum_disc"),
+        )
+        .orderBy("has_discount")
+    )
