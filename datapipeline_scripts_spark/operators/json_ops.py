@@ -59,3 +59,35 @@ def json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_p", F.from_json("props", schema))
         .select("event_id", F.col("_p.k").alias("k"))
     )
+
+
+@query(
+    "json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): `parse_json` once into
+    an open-schema VARIANT column, then typed `variant_get` extraction
+    — the shredded-JSON idiom for data whose schema drifts too fast for
+    `from_json` structs. The parse cost is paid once per row; every
+    downstream extraction is a binary-encoded field probe, not a
+    re-parse (contrast json_extract's per-path get_json_object).
+
+    At 100 TB: VARIANT is what you store when producers add fields
+    weekly; the bucket aggregate shows typed math on extracted values
+    stays JVM-side (no Python round trip)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("cast(variant_get(v, '$.k', 'int') as int)")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k div 10").alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("sum_k"))
+    )

@@ -293,3 +293,31 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("has_discount")
     )
+
+
+@query("xml_roundtrip", oracle=_ORACLE)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → XML on disk → schema'd read-back → aggregate (same
+    oracle as `csv_roundtrip`). Spark 4 ships the XML source natively
+    (the former spark-xml package) — rowTag framing, distributed write,
+    schema'd parallel read with inference disabled on the hot path."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_xml_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    src.write.mode("overwrite").option("rootTag", "orders").option("rowTag", "order").format("xml").save(out)
+    back = spark.read.schema(_SCHEMA).option("rowTag", "order").format("xml").load(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

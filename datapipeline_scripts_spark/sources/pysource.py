@@ -1,0 +1,125 @@
+"""Custom Python DataSource (Spark 4 DataSource API).
+
+The reference's engine dispatch (A6, backup.sh:100) promises "a reader
+per source system". Spark 4's Python DataSource API is the modern
+extension point for sources Spark has no built-in reader for —
+internal wire formats, service APIs, bespoke simulators — without
+touching the JVM: implement `DataSource`/`DataSourceReader` in Python,
+register once, and `spark.read.format("logsynth")` plans it like any
+other source, with real partition-parallel reads.
+
+This module ships a deterministic synthetic log-line source as the
+demonstrator: each of the N input partitions generates its own seq
+range independently on its executor (no driver materialization), so
+the source scales horizontally exactly like a file scan. The row
+formula is pure integer arithmetic on `seq`, which is what makes the
+query below fully hash-checkable: a DuckDB `generate_series` oracle
+reproduces every row.
+
+Scale notes: rows-per-partition is the knob (a real feed would map
+partitions to shards/offset ranges, the same shape Kafka's source
+uses); Python-side generation pays the serialization toll, fine for a
+connector whose upstream is the bottleneck — columnar/Arrow batch
+reads are the optimization lever when the source itself is fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.registry import query
+
+try:  # the Python DataSource API landed in Spark 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    _HAVE_DS_API = True
+except ImportError:  # pragma: no cover - present on every supported runtime
+    _HAVE_DS_API = False
+
+
+_N_ROWS = 10_000
+_N_PARTS = 8
+_LEVELS = ("DEBUG", "INFO", "WARN", "ERROR", "FATAL")
+
+
+if _HAVE_DS_API:
+
+    class _SeqPartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class LogSynthReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.n_rows = int(options.get("rows", _N_ROWS))
+            self.n_parts = int(options.get("partitions", _N_PARTS))
+
+        def partitions(self):  # executor-parallel seq ranges
+            step = (self.n_rows + self.n_parts - 1) // self.n_parts
+            return [
+                _SeqPartition(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ]
+
+        def read(self, partition: _SeqPartition):
+            for seq in range(partition.start, partition.end):
+                yield (
+                    seq,
+                    f"host-{seq % 7}",
+                    _LEVELS[(seq // 7) % 5],
+                    (seq * seq) % 997,
+                )
+
+    class LogSynthDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "logsynth"
+
+        def schema(self) -> str:
+            return "seq bigint, host string, level string, latency_ms bigint"
+
+        def reader(self, schema) -> LogSynthReader:
+            return LogSynthReader(self.options)
+
+
+def register_logsynth(spark: SparkSession) -> None:
+    """Idempotently register the source with this session."""
+    if not _HAVE_DS_API:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires Spark >= 4.0")
+    try:
+        spark.dataSource.register(LogSynthDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+_PYSOURCE_ORACLE = f"""
+SELECT host, level,
+       count(*) AS n,
+       CAST(sum(latency_ms) AS BIGINT) AS total_latency,
+       CAST(max(latency_ms) AS BIGINT) AS max_latency
+FROM (
+  SELECT seq,
+         'host-' || (seq % 7) AS host,
+         (ARRAY{list(_LEVELS)})[(seq // 7) % 5 + 1] AS level,
+         (seq * seq) % 997 AS latency_ms
+  FROM generate_series(0, {_N_ROWS - 1}) t(seq)
+)
+GROUP BY host, level
+"""
+
+
+@query("pysource_scan", oracle=_PYSOURCE_ORACLE, tier="ext")
+def pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom Python DataSource and aggregate per (host,
+    level). The source's partitions() fan out across executors; the
+    groupBy is a normal partial-agg shuffle on top — proving a
+    Python-defined connector composes with the relational engine
+    end-to-end. Hash-proven against a generate_series oracle that
+    replays the generator's integer row formula."""
+    register_logsynth(spark)
+    df = spark.read.format("logsynth").option("rows", _N_ROWS).option("partitions", _N_PARTS).load()
+    return df.groupBy("host", "level").agg(
+        F.count("*").alias("n"),
+        F.sum("latency_ms").alias("total_latency"),
+        F.max("latency_ms").alias("max_latency"),
+    )
