@@ -55,6 +55,10 @@ BENCH_KEYS = (
     "compaction_roundtrip",
     "clustered_write_roundtrip",
     "cdc_stream_merge",
+    # round-2 continuation: iterative graph, sketches, quality audit
+    "graph_pagerank",
+    "sketch_theta_setops",
+    "quality_audit",
 )
 
 

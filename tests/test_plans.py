@@ -356,3 +356,37 @@ def test_tpch_q17_rearranged_predicate_is_equi_join(spark, sf_dir):
     df = get("tpch_q17_shape").build(spark, sf_dir)
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, joins
+
+
+def test_quality_audit_fk_checks_are_broadcast_anti_joins(spark, sf_dir):
+    df = get("quality_audit").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins
+    # 4 FK edges -> 4 anti joins, each hash-broadcast on the dim side
+    assert joins.count("BroadcastHashJoin") >= 4, joins
+
+
+def test_graph_pagerank_edge_build_is_hash_joined(spark, sf_dir):
+    # the fact-table edge build must be hash joins; the only nested-loop
+    # joins allowed are the 1-row node-count broadcasts each iteration
+    df = get("graph_pagerank").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert joins.count("BroadcastHashJoin") >= 4, joins
+
+
+def test_sketch_theta_single_aggregate_pass(spark, sf_dir):
+    # both sketches + all exact anchors ride ONE scan of lineitem:
+    # no join in the plan at all, just expand/partial/final aggregate
+    df = get("sketch_theta_setops").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert not any(j for j in joins if "Join" in j), joins
+    cols = read_schemas(df)[0]
+    assert sorted(cols) == ["l_partkey", "l_returnflag"]
+
+
+def test_sketch_kll_broadcasts_quantile_table(spark, sf_dir):
+    df = get("sketch_kll_quantiles").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins
+    assert "SortMergeJoin" not in joins
