@@ -61,3 +61,72 @@ def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(_SQL)
+
+
+# BFS over the nation trade graph: identical SQL text runs on BOTH
+# engines (only the view suffix differs) — Spark 4's recursive CTE and
+# DuckDB's agree on UNION ALL + bounded-depth semantics, and hop counts
+# are exact integers, so the hash match is a pure SQL-parity proof.
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem{sfx} l
+  JOIN orders{sfx} o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer{sfx} c ON o.o_custkey = c.c_custkey
+  JOIN supplier{sfx} s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+reach(dst, hops) AS (
+  SELECT dst, 1 AS hops FROM edges WHERE src = 0
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE r.hops < 3 AND e.dst <> 0
+)
+SELECT n.n_name AS nation, CAST(min(r.hops) AS INT) AS min_hops
+FROM reach r JOIN nation{sfx} n ON r.dst = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("sql_recursive_reach", oracle=_RECURSIVE_SQL.format(sfx=""), tier="ext")
+def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): breadth-first reachability from nation
+    0 over the trade graph, bounded at 3 hops, reporting min hops per
+    reachable nation. The recursion's per-round dataflow is the same
+    join+filter round PageRank unrolls by hand (extensions/graph.py) —
+    here the ENGINE drives the fixed-point, proving the SQL front door
+    covers iterative queries too.
+
+    Scale: each round joins the frontier (≤|V| rows) to the edge list;
+    the depth bound caps total work at 3 edge-list scans. The same
+    text runs on DuckDB — a literal cross-engine SQL-parity check."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_r")
+    return spark.sql(_RECURSIVE_SQL.format(sfx="_r"))
+
+
+_LATERAL_SQL = """
+SELECT seg.segment, top.o_orderkey, top.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer{sfx}) seg,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders{sfx} o JOIN customer{sfx} c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = seg.segment
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) top
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL.format(sfx=""), tier="ext")
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per market segment,
+    deterministic tie-break on orderkey — the same SQL text runs on
+    both engines. Catalyst decorrelates the LATERAL into a ranked
+    window over one join (DomainJoin rewrite), so the declarative
+    correlated form costs the same as the hand-written window idiom
+    (window_rank) at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(_LATERAL_SQL.format(sfx="_lat"))

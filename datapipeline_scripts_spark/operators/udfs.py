@@ -82,3 +82,54 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return o.select("o_orderstatus", "o_totalprice").groupBy("o_orderstatus").applyInPandas(spread, schema)
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT d.source,
+           count(DISTINCT d.doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           count(DISTINCT u.word) AS n_distinct,
+           CAST(sum(CASE WHEN length(u.word) >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long
+    FROM documents d, unnest(string_split(d.text, ' ')) AS u(word)
+    GROUP BY d.source
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4, §2.F): a user-defined TABLE function — one
+    input row expands to N output rows — invoked through SQL's LATERAL
+    correlation, the 1→N shape `multimodal_frames` builds via
+    mapInPandas but here as a first-class catalog function any SQL user
+    can call. The tokenizer splits on single spaces so DuckDB's
+    string_split/unnest oracle replays it exactly.
+
+    Scale: UDTFs run partition-parallel like any projection; the
+    explosion factor (~tokens per doc) is the memory knob, and the
+    downstream aggregate partial-reduces before the shuffle. For hot
+    paths prefer JVM-side split+explode (text_tokens) — this query's
+    value is proving the extension surface, and the oracle proves the
+    Python row expansion is faithful."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, source: string, word: string")
+    class _Tokenize:
+        def eval(self, doc_id: int, source: str, text: str):
+            for w in (text or "").split(" "):
+                yield doc_id, source, w
+
+    spark.udtf.register("tokenize_udtf", _Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT t.source,
+               count(DISTINCT t.doc_id) AS n_docs,
+               count(*) AS n_tokens,
+               count(DISTINCT t.word) AS n_distinct,
+               sum(CASE WHEN length(t.word) >= 5 THEN 1 ELSE 0 END) AS n_long
+        FROM documents_udtf d,
+        LATERAL tokenize_udtf(d.doc_id, d.source, d.text) t
+        GROUP BY t.source
+        """
+    )
