@@ -1,0 +1,122 @@
+"""Training-corpus assembly operators: deterministic splits and
+mixture reweighting.
+
+Two ops every large-scale training-data pipeline runs after curation
+(quality → dedup → THIS) and that must be *reproducible across
+engines and re-runs*:
+
+- `split_assign`: train/val/test assignment by hashing a stable key —
+  never `rand()` (re-run drift, no cross-engine twin) and never
+  row-order (shuffles reorder). md5 is the cross-engine hash family
+  (functions/text.py): assignment is a pure function of doc_id, so any
+  engine, any partitioning, any day reproduces the same split.
+- `corpus_mixture`: per-source sampling weights that rebalance the
+  observed token distribution toward a target mixture (uniform here) —
+  the up/down-sampling factor table a sampler consumes. Exact decimal
+  ratios (basis points) so the report is hash-identical cross-engine.
+
+Scale: both are one aggregate over the corpus (split stats reuse the
+assignment expression inside the same scan; mixture is a groupBy over
+sources joined to a 1-row total) — nothing materializes per-row state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.text import md5_48_sql
+from datapipeline_scripts_spark.registry import query
+
+# split by md5(doc_id) mod 100: 80 / 10 / 10
+_TRAIN_PCT, _VAL_PCT = 80, 10
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT source,
+         n_chars,
+         CASE WHEN ({md5_48_sql("CAST(doc_id AS VARCHAR)")}) % 100 < {_TRAIN_PCT} THEN 'train'
+              WHEN ({md5_48_sql("CAST(doc_id AS VARCHAR)")}) % 100 < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM assigned
+GROUP BY split, source
+"""
+
+
+@query("split_assign", oracle=_SPLIT_ORACLE, tier="ext")
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) mod
+    100 — assignment is a pure function of the key (reproducible under
+    reshuffling, appends, and engine changes; a doc never migrates
+    between splits when the corpus grows). Reports per-(split, source)
+    doc and char counts; the DuckDB oracle replays the identical hash
+    arithmetic, so the split itself — not just the counts — is proven
+    equivalent.
+
+    Scale: the assignment is a codegen'd expression inside the single
+    aggregate scan; no shuffle beyond the (3×sources)-group agg."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long") % 100
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_chars) AS total_chars, count(*) AS n_sources FROM per_source)
+SELECT s.source,
+       s.n_docs,
+       s.n_chars,
+       CAST((s.n_chars * 10000) // (SELECT total_chars FROM tot) AS BIGINT)
+         AS share_bp,
+       CAST(((SELECT total_chars FROM tot) * 10000)
+            // ((SELECT n_sources FROM tot) * s.n_chars) AS BIGINT)
+         AS weight_bp
+FROM per_source s
+"""
+
+
+@query("corpus_mixture", oracle=_MIXTURE_ORACLE, tier="ext")
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting table: each source's observed char share
+    (basis points) and the sampling weight that moves it to a uniform
+    target mixture — weight > 10000 means upsample, < 10000 downsample.
+    Integer basis-point arithmetic (floor division on both engines)
+    keeps the table hash-exact; a sampler multiplies per-doc inclusion
+    probability by weight_bp/10000.
+
+    Scale: one groupBy(source) over the corpus + a broadcast 1-row
+    total — the weight table stays |sources| rows at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per_source.agg(
+        F.sum("n_chars").alias("total_chars"), F.count("*").alias("n_sources")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr("n_chars * 10000 div total_chars").alias("share_bp"),
+        F.expr("(total_chars * 10000) div (n_sources * n_chars)").alias("weight_bp"),
+    )
