@@ -843,3 +843,54 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_cells"),
         )
     )
+
+
+@query(
+    "stats_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+             round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l.l_extendedprice < c.lo OR l.l_extendedprice > c.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           round(avg(CASE WHEN l.l_extendedprice < c.lo THEN c.lo
+                          WHEN l.l_extendedprice > c.hi THEN c.hi
+                          ELSE l.l_extendedprice END), 2) AS winsorized_mean,
+           round(avg(l.l_extendedprice), 2) AS raw_mean
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean: clamp each group's values at its exact
+    p05/p95 (cut points rounded to cents — the same determinism
+    contract `agg_percentile` proves) and report the clamped vs raw
+    mean plus how many rows the clamp touched. The outlier-resistant
+    location estimate feeding quality dashboards where a single fat
+    tail would drag the raw mean.
+
+    Plan: one grouped percentile pass (3 groups) broadcast back onto
+    the scan; clamp + conditional aggregates in a single second pass —
+    two scans total, no sort, no window."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 2).alias("lo"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("hi"),
+    )
+    v = F.col("l_extendedprice")
+    clamped = F.when(v < F.col("lo"), F.col("lo")).when(v > F.col("hi"), F.col("hi")).otherwise(v)
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0)).alias("n_clamped"),
+            F.round(F.avg(clamped), 2).alias("winsorized_mean"),
+            F.round(F.avg(v), 2).alias("raw_mean"),
+        )
+    )

@@ -71,3 +71,45 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("c_name", "#").getItem(0).alias("name_word"),
         F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("seg_trim"),
     )
+
+
+@query(
+    "column_masking",
+    oracle="""
+    WITH masked AS (
+      SELECT c_mktsegment,
+             regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_name
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n,
+           count(DISTINCT masked_name) AS n_patterns,
+           min(masked_name) AS sample_pattern
+    FROM masked
+    GROUP BY c_mktsegment
+    """,
+)
+def column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level PII masking with the built-in `mask()` (upper→X,
+    lower→x, digit→n, punctuation preserved) — the display-layer
+    counterpart to `text_redact`'s rewrite audit. The per-segment
+    pattern census proves the masked column still supports structural
+    analytics (format validation, cardinality) while carrying zero
+    identifying characters. The DuckDB oracle replays mask() as three
+    character-class regex passes — proving the masked VALUES match,
+    not just the counts.
+
+    Scale: mask() is a codegen'd JVM expression in the scan projection;
+    no UDF, no second pass."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_mktsegment", F.mask("c_name").alias("masked_name"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("masked_name").alias("n_patterns"),
+            F.min("masked_name").alias("sample_pattern"),
+        )
+    )
