@@ -68,25 +68,42 @@ _PRIORITY = [
 ]
 
 
+def _driver_proven_keys() -> set[str]:
+    """Keys with a fully-green row in ANY prior round's driver
+    CORRECTNESS file. Parsing the files (instead of hard-coding round
+    1's outcome) makes the checked-set rotation automatic: each round
+    the 50-key window lands on the keys with the least driver
+    evidence, and over rounds the whole catalog gets driver-proven."""
+    import glob
+    import json
+
+    proven: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+            for key, row in rows.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                ):
+                    proven.add(key)
+        except Exception:
+            continue  # a malformed file must never break the contract
+    return proven
+
+
 def _ordered_keys() -> list[str]:
     specs = all_queries()
-    proven_r01 = {
-        "agg_group", "agg_global", "agg_rollup", "agg_cube", "agg_stats",
-        "agg_percentile", "agg_grouping_sets", "agg_pivot", "agg_pivot_case",
-        "agg_string_agg", "unpivot_metrics", "stats_zscore", "stats_histogram",
-        "agg_share", "stats_mad", "stats_entropy", "agg_argmax", "agg_filtered",
-        "agg_mode", "stats_regression", "stats_minmax_scale", "stats_ttest",
-        "stats_chi2", "array_ops", "array_explode", "map_ops", "merge_upsert",
-        "date_funcs", "date_arith", "time_resample", "time_rollup_hierarchy",
-        "join_inner", "join_outer", "join_semi", "join_anti", "join_star",
-        "join_range", "join_band", "join_skew_salted", "subquery_exists",
-        "subquery_scalar", "join_cross", "join_null_safe", "json_extract",
-        "json_struct", "math_case",
-    }
-    head = [k for k in _PRIORITY if k in specs]
+    proven = _driver_proven_keys()
+    head = [k for k in _PRIORITY if k in specs and k not in proven]
     seen = set(head)
-    mid = [k for k in specs if k not in seen and k not in proven_r01]
-    tail = [k for k in specs if k not in seen and k in proven_r01]
+    mid = [k for k in specs if k not in seen and k not in proven]
+    tail = [k for k in specs if k not in seen and k in proven]
     return head + mid + tail
 
 
