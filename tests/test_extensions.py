@@ -290,3 +290,48 @@ def test_ivf_lloyd_scores_are_exact_cosines(spark, sf_dir):
         assert abs(ivf[k] - brute[k]) < 1e-9
     per_q = Counter(q for q, _ in ivf)
     assert all(n == 5 for n in per_q.values())
+
+
+def test_split_assign_fractions_and_determinism(spark, sf_dir):
+    rows = get("split_assign").build(spark, sf_dir).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    assert set(by_split) == {"train", "val", "test"}
+    # md5 buckets approximate 80/10/10; generous band for small fixtures
+    assert 0.70 <= by_split["train"] / total <= 0.90, by_split
+    # pure function of doc_id: a second build is row-identical
+    again = get("split_assign").build(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pagerank_mass_conservation_and_determinism(spark, sf_dir):
+    rows = get("graph_pagerank").build(spark, sf_dir).collect()
+    assert rows and all(r["rank_micro"] > 0 for r in rows)
+    total = sum(r["rank_micro"] for r in rows)
+    # floor division and dangling nodes only ever LOSE mass vs SCALE;
+    # with the dense fixture graph the loss stays small
+    assert total <= 1_000_000_000_000
+    assert total >= 0.90 * 1_000_000_000_000, total
+    again = get("graph_pagerank").build(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_mixture_weights_rebalance(spark, sf_dir):
+    rows = get("corpus_mixture").build(spark, sf_dir).collect()
+    shares = sum(r["share_bp"] for r in rows)
+    # floor division: shares sum to ≤ 10000, within |sources| ulps
+    assert 10000 - len(rows) <= shares <= 10000, shares
+    for r in rows:
+        # weight moves share toward uniform: share × weight ≈ 10000/n
+        scaled = r["share_bp"] * r["weight_bp"] / 10000
+        target = 10000 / len(rows)
+        assert abs(scaled - target) <= 0.05 * target + 2, (r, scaled, target)
+
+
+def test_sketch_bounds_hold(spark, sf_dir):
+    theta = get("sketch_theta_setops").build(spark, sf_dir).collect()[0]
+    assert all(theta[c] for c in ("r_ok", "a_ok", "union_ok", "intersect_ok", "diff_ok"))
+    for r in get("sketch_kll_quantiles").build(spark, sf_dir).collect():
+        assert r["r50_ok"] and r["r90_ok"], r
