@@ -47,3 +47,44 @@ def math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 1.07 + 100.0, 2).alias("adj_bal"),
         F.floor(F.col("c_acctbal") / 1000.0).alias("k_bal"),
     )
+
+
+@query(
+    "try_functions",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_prio,
+           CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+           CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS div_by_zero,
+           round(sum(CASE WHEN o_orderkey % 5 = 0 THEN 0
+                          ELSE o_totalprice / (o_orderkey % 5) END), 2)
+             AS sum_safe_div
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ingest scalars: `try_cast` (NULL on unparseable
+    instead of job abort) and `try_divide` (NULL on ÷0) — the ANSI-mode
+    escape hatches a production loader uses so one malformed record
+    quarantines itself instead of killing a 100 TB job. The audit
+    counts each failure class and aggregates the safely-computed
+    values; the oracle mirrors with TRY_CAST and guarded division.
+
+    Contrast: A2's fail-fast abort is the CONTROL-plane posture; try_*
+    is the DATA-plane posture (row-level quarantine, job survives)."""
+    o = load_table(spark, sf_dir, "orders")
+    prio_num = F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9"))
+    status_num = F.expr("try_cast(o_orderstatus AS int)")
+    safe_div = F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5)
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(prio_num.isNull(), 1).otherwise(0)).alias("bad_prio"),
+        F.sum(F.when(status_num.isNull(), 1).otherwise(0)).alias("bad_status"),
+        F.sum(F.when(safe_div.isNull(), 1).otherwise(0)).alias("div_by_zero"),
+        F.round(F.sum(F.coalesce(safe_div, F.lit(0.0))), 2).alias("sum_safe_div"),
+    )
