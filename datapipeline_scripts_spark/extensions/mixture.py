@@ -62,14 +62,17 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the assignment is a codegen'd expression inside the single
     aggregate scan; no shuffle beyond the (3×sources)-group agg."""
     d = load_table(spark, sf_dir, "documents")
+    # materialize the hash bucket once: codegen does not CSE the md5
+    # across the two WHEN branches (same finding as dedup_minhash)
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long") % 100
     split = (
-        F.when(bucket < _TRAIN_PCT, "train")
-        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        F.when(F.col("b") < _TRAIN_PCT, "train")
+        .when(F.col("b") < _TRAIN_PCT + _VAL_PCT, "val")
         .otherwise("test")
     )
     return (
-        d.select(split.alias("split"), "source", "n_chars")
+        d.select(bucket.alias("b"), "source", "n_chars")
+        .select(split.alias("split"), "source", "n_chars")
         .groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
     )
