@@ -225,3 +225,79 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
     landed = _replay_to_parquet(spark, deduped.select("event_id", "event_type"), "append")
     return landed.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "events_stream_outer_join",
+    oracle="""
+    WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+    b AS (SELECT user_id AS b_user, ts AS buy_ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 2 HOUR AS w
+    ),
+    matched AS (
+      SELECT v.user_id,
+             strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             strftime(b.buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+      FROM v JOIN b ON v.user_id = b.b_user
+       AND b.buy_ts >= v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+      SELECT v.user_id,
+             strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             'NO_MATCH' AS buy_ts
+      FROM v
+      WHERE NOT EXISTS (
+              SELECT 1 FROM b WHERE v.user_id = b.b_user
+               AND b.buy_ts >= v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 1 HOUR)
+        AND v.view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tier="ext",
+)
+def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like `events_stream_join` but
+    views with no purchase inside their hour emit a null-padded row —
+    only once the global watermark proves no future match can arrive.
+
+    The oracle encodes the exact emission rule: matches emit
+    unconditionally; a null-padded row emits iff the view's join
+    window closed below the terminal watermark (min of both sides'
+    max event time, minus the 2 h delay). Views whose window was
+    still open when the replay ended are withheld — deterministic
+    for a static input, and precisely the at-most-once-then-timeout
+    semantics an outer stream join contracts to provide.
+
+    Scale/state notes: same bounded state as the inner form (each side
+    buffers ~3 h of rows); the extra cost of OUTER is keeping the
+    unmatched left rows until eviction — still O(rate × window)."""
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    views = (
+        s1.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        s2.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        # NULL-safe marker: string NULLs break tuple-sorting
+        # canonicalizers (driver and local), so the no-match case is an
+        # explicit value on both sides
+        F.coalesce(F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("NO_MATCH")).alias("buy_ts"),
+    )
+    return _replay_to_parquet(spark, joined, "append")
