@@ -301,3 +301,62 @@ def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("NO_MATCH")).alias("buy_ts"),
     )
     return _replay_to_parquet(spark, joined, "append")
+
+
+@query(
+    "events_stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events, session_value
+    FROM agg
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+    tier="ext",
+)
+def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-streaming sessionization with `F.session_window` (30-min
+    gap), append mode: a session row is emitted exactly once, when the
+    watermark passes its end (last event + gap) — before that the
+    session could still be extended by a late event. The batch oracle
+    computes ALL sessions (the same gaps-and-islands SQL as
+    `events_session`) and keeps those whose end cleared the terminal
+    watermark — so the emission contract itself is hash-proven, the
+    same technique as `events_stream_outer_join`.
+
+    Scale/state notes: session state is one open window per active
+    user, merged on arrival and evicted at watermark — O(active
+    users), the engine-managed version of stateful.py's hand-rolled
+    sessionizer."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _replay_to_parquet(spark, sess, "append")
