@@ -735,7 +735,8 @@ def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q9_shape",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT sn.n_name AS nation,
              year(o_orderdate) AS o_year,
@@ -776,7 +777,11 @@ def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        # per-row decimal quantization before the sum: the double amount
+        # is bit-identical per row across engines, but a double SUM is
+        # summation-order sensitive (1-cent drift seen at sf0.1);
+        # decimal accumulation is exact, so the hash can't drift
+        .agg(F.round(F.sum(F.col("amount").cast("decimal(18,4)")), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
