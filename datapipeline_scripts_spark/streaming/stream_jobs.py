@@ -360,3 +360,38 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _replay_to_parquet(spark, sess, "append")
+
+
+@query(
+    "events_stream_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS ws,
+             value
+      FROM events
+    )
+    GROUP BY 1
+    """,
+    tier="ext",
+)
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-streaming sliding window (2 h length, 1 h slide): each
+    event feeds two window states; the replay's complete-mode sink must
+    hash-match the SAME oracle as the batch `events_sliding` — batch ≡
+    streaming equivalence for overlapping windows, completing the
+    stream family (tumbling / sliding / session / joins / dedup / CDC).
+
+    Scale/state notes: state is one row per open window (2 per slide
+    interval here), evicted at watermark; the overlap multiplies state
+    by length/slide, not by the event rate."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    slid = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n", "sum_value")
+    )
+    return _replay_to_parquet(spark, slid, "complete")
