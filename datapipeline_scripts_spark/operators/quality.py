@@ -11,8 +11,9 @@ and trivially hash-checkable (no property encoding needed).
 
 Scale design: all per-table scalar constraints for one table collapse
 into ONE aggregate pass over that table (conditional sums — no
-re-scan per rule); referential checks are broadcast anti-joins against
-the dimension side. Total cost at 100 TB: one scan per audited fact
+re-scan per rule); referential checks are anti-joins — broadcast for
+true dimensions, AQE-chosen for fact-fact edges. Total cost at
+100 TB: one scan per audited fact
 table + one per FK edge, each with its filters/projections pushed to
 parquet. The constraint list is data, not code — add a row, not a job.
 """
@@ -123,9 +124,16 @@ def quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.create_map(*pairs)).alias("constraint_name", "violations")
         )
 
-    def fk_violations(name: str, fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str) -> DataFrame:
+    def fk_violations(
+        name: str, fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, broadcast_dim: bool = True
+    ) -> DataFrame:
+        # true dimensions broadcast; a fact-fact FK edge (lineitem →
+        # orders) must NOT be hinted — at 100 TB the referenced side is
+        # itself huge, so leave the strategy to AQE (shuffled hash /
+        # SMJ anti with the key column pruned to a semi-join reduction)
+        dim_side = F.broadcast(dim) if broadcast_dim else dim
         return (
-            fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], "left_anti")
+            fact.join(dim_side, fact[fact_key] == dim[dim_key], "left_anti")
             .agg(F.count("*").alias("violations"))
             .select(F.lit(name).alias("constraint_name"), F.col("violations").cast("long"))
         )
@@ -136,7 +144,7 @@ def quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(melt(events_scalar))
         .unionByName(melt(docs_scalar))
         .unionByName(fk_violations("orders_fk_customer", orders, "o_custkey", customer, "c_custkey"))
-        .unionByName(fk_violations("lineitem_fk_orders", lineitem, "l_orderkey", orders.select("o_orderkey"), "o_orderkey"))
+        .unionByName(fk_violations("lineitem_fk_orders", lineitem, "l_orderkey", orders.select("o_orderkey"), "o_orderkey", broadcast_dim=False))
         .unionByName(fk_violations("lineitem_fk_part", lineitem, "l_partkey", part, "p_partkey"))
         .unionByName(fk_violations("lineitem_fk_supplier", lineitem, "l_suppkey", supplier, "s_suppkey"))
     )
