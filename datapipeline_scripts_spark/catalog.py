@@ -12,6 +12,8 @@ pushdown reach the scan. Never materialize here.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +47,47 @@ def table_path(sf_dir: str, name: str) -> str:
 _NS_TIMESTAMP_COLS = {"events": ("ts",)}
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python workers.
+
+    Workers deserialize pandas UDFs / applyInPandas functions / Python
+    DataSource classes BY REFERENCE (cloudpickle pickles module-level
+    objects as `module.name`), so the package must be on the WORKER's
+    sys.path. That holds for free when the driver process runs with
+    cwd=/root/repo (local-mode workers inherit the cwd), but an
+    externally-launched driver may run anywhere — so ship a zip of the
+    package via addPyFile once per SparkContext (SparkFiles paths are
+    prepended to worker sys.path per task)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"dps_spark_pkg_{sc.applicationId.replace(':', '_')}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "datapipeline_scripts_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect without addPyFile — cwd fallback applies
+    _SHIPPED_CONTEXTS.add(id(sc))
+
+
 def ensure_session_conf(spark: SparkSession) -> None:
     """Defensive session settings for externally-created SparkSessions
     (e.g. the verify driver's): UTC rendering for oracle parity and the
@@ -53,6 +96,7 @@ def ensure_session_conf(spark: SparkSession) -> None:
     # Spark 4 validates the passed default, so probing first can throw
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     # fixture timestamps are parquet isAdjustedToUTC=false (NTZ) but hold
     # UTC wall-clock values; read them as plain TIMESTAMP so event-time
     # ops (unix_micros, watermarks) type-check and DuckDB hashes agree

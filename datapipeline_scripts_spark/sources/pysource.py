@@ -16,6 +16,12 @@ formula is pure integer arithmetic on `seq`, which is what makes the
 query below fully hash-checkable: a DuckDB `generate_series` oracle
 reproduces every row.
 
+Pickling note: the DataSource classes are defined INSIDE
+`register_logsynth`, so cloudpickle serializes them by value — the
+special data-source worker that instantiates them does not need this
+package on its sys.path (it may not have it; see
+catalog._ship_package for the general worker-side import story).
+
 Scale notes: rows-per-partition is the knob (a real feed would map
 partitions to shards/offset ranges, the same shape Kafka's source
 uses); Python-side generation pays the serialization toll, fine for a
@@ -30,43 +36,43 @@ from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.registry import query
 
-try:  # the Python DataSource API landed in Spark 4.0
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
-    _HAVE_DS_API = True
-except ImportError:  # pragma: no cover - present on every supported runtime
-    _HAVE_DS_API = False
-
-
 _N_ROWS = 10_000
 _N_PARTS = 8
 _LEVELS = ("DEBUG", "INFO", "WARN", "ERROR", "FATAL")
 
 
-if _HAVE_DS_API:
+def register_logsynth(spark: SparkSession) -> None:
+    """Idempotently register the source with this session. The classes
+    are locals so they pickle by value (self-contained on workers)."""
+    try:
+        from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    except ImportError as exc:  # pragma: no cover - Spark >= 4.0 everywhere here
+        raise NotImplementedError("Python DataSource API requires Spark >= 4.0") from exc
 
-    class _SeqPartition(InputPartition):
+    levels = _LEVELS  # close over plain tuples/ints only
+
+    class SeqPartition(InputPartition):
         def __init__(self, start: int, end: int) -> None:
             self.start, self.end = start, end
 
     class LogSynthReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
-            self.n_rows = int(options.get("rows", _N_ROWS))
-            self.n_parts = int(options.get("partitions", _N_PARTS))
+            self.n_rows = int(options.get("rows", 10_000))
+            self.n_parts = int(options.get("partitions", 8))
 
         def partitions(self):  # executor-parallel seq ranges
             step = (self.n_rows + self.n_parts - 1) // self.n_parts
             return [
-                _SeqPartition(lo, min(lo + step, self.n_rows))
+                SeqPartition(lo, min(lo + step, self.n_rows))
                 for lo in range(0, self.n_rows, step)
             ]
 
-        def read(self, partition: _SeqPartition):
+        def read(self, partition: SeqPartition):
             for seq in range(partition.start, partition.end):
                 yield (
                     seq,
                     f"host-{seq % 7}",
-                    _LEVELS[(seq // 7) % 5],
+                    levels[(seq // 7) % 5],
                     (seq * seq) % 997,
                 )
 
@@ -81,11 +87,6 @@ if _HAVE_DS_API:
         def reader(self, schema) -> LogSynthReader:
             return LogSynthReader(self.options)
 
-
-def register_logsynth(spark: SparkSession) -> None:
-    """Idempotently register the source with this session."""
-    if not _HAVE_DS_API:  # pragma: no cover
-        raise NotImplementedError("Python DataSource API requires Spark >= 4.0")
     try:
         spark.dataSource.register(LogSynthDataSource)
     except Exception:
