@@ -72,9 +72,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for key in BENCH_KEYS:
         # best-of-N: the VM scheduler adds multi-second jitter randomly
-        # across queries; the min is the faithful cost of the plan
+        # across queries (+-30% run-to-run observed); the min is the
+        # faithful cost of the plan — N=5 tightens it vs the old N=3
         best, n = float("inf"), 0
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))):
             t0 = time.perf_counter()
             df = specs[key].build(spark, sf_dir)
             n = df.count()
