@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table
-from datapipeline_scripts_spark.functions.text import fingerprint_md5, stopword_hits
+from datapipeline_scripts_spark.functions.text import fingerprint_md5, shingles, stopword_hits, tokens
 from datapipeline_scripts_spark.registry import query
 
 _STOP_EN = ("the", "a", "of")
@@ -321,4 +321,66 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH tokd AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             len(toks) - 2 AS n_shingles,
+             len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS n_distinct
+      FROM tokd
+      WHERE len(toks) >= 3
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(sum(n_shingles - n_distinct) AS BIGINT) AS repeated_shingles,
+           CAST(sum((n_shingles - n_distinct) * 10000 // n_shingles) AS BIGINT)
+             AS sum_rep_bp,
+           CAST(sum(CASE WHEN (n_shingles - n_distinct) * 10000 // n_shingles
+                              > 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition ratio — the Gopher-style boilerplate signal: a
+    document whose 3-gram stream is mostly duplicates (nav bars,
+    templated spam, lyrics refrains) is cut before training. Per doc:
+    duplicate-shingle fraction in integer basis points; per source: doc
+    counts, total/repeated shingles, and how many docs cross the 30%
+    boilerplate line.
+
+    Scale: shingle explosion → one (doc_id) aggregate — same shuffle
+    shape as dedup's signature build, count state only (no shingle list
+    survives the partial agg). Integer bp arithmetic keeps the report
+    hash-exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = tok.select(
+        "doc_id", "source", F.explode(shingles(F.col("toks"), 3)).alias("shingle")
+    )
+    per_doc = sh.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_shingles"),
+        F.count_distinct("shingle").alias("n_distinct"),
+    )
+    rep = F.col("n_shingles") - F.col("n_distinct")
+    rep_bp = F.expr("(n_shingles - n_distinct) * 10000 div n_shingles")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_shingles").alias("total_shingles"),
+        F.sum(rep).alias("repeated_shingles"),
+        F.sum(rep_bp).alias("sum_rep_bp"),
+        F.sum(F.when(rep_bp > 3000, 1).otherwise(0)).alias("n_boilerplate"),
     )
