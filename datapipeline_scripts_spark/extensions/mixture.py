@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datapipeline_scripts_spark.catalog import load_table
 from datapipeline_scripts_spark.functions.text import md5_48_sql
@@ -122,4 +123,58 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.expr("n_chars * 10000 div total_chars").alias("share_bp"),
         F.expr("(total_chars * 10000) div (n_sources * n_chars)").alias("weight_bp"),
+    )
+
+
+_PACK_BUDGET = 8192  # chars per training shard (token-proxy budget)
+
+_PACK_ORACLE = f"""
+WITH ordered AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cum_before
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, source, n_chars,
+         CAST(coalesce(cum_before, 0) // {_PACK_BUDGET} AS BIGINT) AS shard_id
+  FROM ordered
+)
+SELECT shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+       CAST(sum(n_chars) * 10000 // {_PACK_BUDGET} AS BIGINT) AS fill_bp
+FROM binned
+GROUP BY shard_id
+"""
+
+
+@query("corpus_pack", oracle=_PACK_ORACLE, tier="ext")
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign docs (in stable doc_id
+    order) to fixed-budget training shards by exclusive running char
+    count — the packing step that turns a curated corpus into
+    uniform training sequences. Reports per-shard doc count, size, and
+    fill ratio (basis points; >10000 = the shard-crossing doc
+    overflows into it, the standard greedy-pack behavior).
+
+    Scale: ONE global window sort is the honest cost of strict global
+    packing — at 100 TB you'd pack per partition instead (one window
+    per date/source partition, embarrassingly parallel, same code with
+    a partitionBy) and accept shard-boundary waste at partition edges.
+    The global form here is the oracle-checkable reference semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    binned = d.select(
+        "doc_id",
+        "n_chars",
+        (F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(_PACK_BUDGET))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return binned.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+        F.expr(f"sum(n_chars) * 10000 div {_PACK_BUDGET}").alias("fill_bp"),
     )
