@@ -200,3 +200,70 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("le_q50", 0.5).alias("r50_ok"),
         rank_ok("le_q90", 0.9).alias("r90_ok"),
     )
+
+
+_CMS_ORACLE = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS exact_n
+  FROM lineitem GROUP BY l_suppkey
+),
+top10 AS (
+  SELECT l_suppkey, exact_n FROM counts
+  ORDER BY exact_n DESC, l_suppkey LIMIT 10
+)
+SELECT l_suppkey, exact_n,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS total_rows,
+       true AS lower_ok,
+       true AS upper_ok
+FROM top10
+"""
+
+
+@query("sketch_cms_heavyhitters", oracle=_CMS_ORACLE, tier="ext")
+def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation for the heavy-hitter keys:
+    build the CMS distributed (`count_min_sketch` agg — counter-matrix
+    merge is a commutative sum, so the sketch is a pure function of the
+    data), pull the KB-sized binary to the driver, and read it back
+    through Spark's own `CountMinSketch.readFrom` to estimate the
+    exact top-10 suppliers' frequencies. Booleans assert the CMS
+    contract: estimate ≥ true count (always), and ≤ true + ε·N
+    (ε=0.005 here, a ~3000-row slack at sf0.1 — astronomically wide
+    for per-supplier counts).
+
+    This completes the sketch family: distinct/set-algebra (theta),
+    reaggregatable cardinality (HLL), quantiles (KLL), frequency (CMS).
+
+    Scale: the whole point — frequency state is depth×width counters
+    (~11 KB) regardless of stream size; the only driver transfer is
+    that sketch, not data. The exact counts ride a normal aggregate
+    and exist only as the oracle anchor."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    eps, conf, seed = 0.005, 0.99, 42
+    sk_row = li.agg(
+        F.count_min_sketch("l_suppkey", F.lit(eps), F.lit(conf), F.lit(seed)).alias("sk"),
+        F.count("*").alias("total_rows"),
+    ).collect()[0]
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "l_suppkey")
+        .limit(10)
+        .collect()
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk_row["sk"]))
+    slack = int(eps * sk_row["total_rows"]) + 1
+    rows = [
+        (
+            r["l_suppkey"],
+            r["exact_n"],
+            sk_row["total_rows"],
+            cms.estimateCount(r["l_suppkey"]) >= r["exact_n"],
+            cms.estimateCount(r["l_suppkey"]) <= r["exact_n"] + slack,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "l_suppkey bigint, exact_n bigint, total_rows bigint, lower_ok boolean, upper_ok boolean"
+    )
