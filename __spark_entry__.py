@@ -29,14 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_group(spark, "/root/testdata/sf0.001")
 
 
-# Round 1's CORRECTNESS file covered exactly the first 50 registry keys, so
-# a checked-set budget exists.  Order the catalog so the driver's window
-# lands on the keys with the least prior driver evidence: first the four
-# rows that were red in round 1 (now property-encoded with real oracles),
-# then the SURVEY §2 core keys that had no round-1 driver row (windows,
-# set ops, TPC-H shapes, dedup/text/knn/events/asof), then the remaining
-# unproven keys, and only then the 46 keys already hash-proven in
-# CORRECTNESS_r01.json.
+# The driver checks the first ~50 registry keys per round. The catalog
+# is ordered so that window always lands on the keys with the least
+# driver evidence: _PRIORITY core keys not yet proven, then other
+# unproven keys, then keys already green in some CORRECTNESS_r*.json
+# (parsed at import by _driver_proven_keys, so the rotation is
+# automatic round over round).
 _PRIORITY = [
     # round-1 red rows, rewritten with property-encoded oracles
     "approx_distinct", "approx_quantiles", "sample", "sample_stratified",
