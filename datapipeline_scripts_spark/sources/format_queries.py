@@ -321,3 +321,66 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "jsonl_corrupt_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_good,
+           7 AS n_bad,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    """,
+)
+def jsonl_corrupt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine: a JSONL dataset with 7 injected
+    garbage lines, read in PERMISSIVE mode with a corrupt-record
+    column — bad lines land in `_corrupt` instead of failing the job
+    (the data-plane posture `try_functions` provides for scalars,
+    applied to the source itself). The report proves the good rows
+    survive bit-exact AND the bad-row count is exactly the injected 7.
+
+    At 100 TB: PERMISSIVE + corrupt-column (plus a quarantine sink for
+    the bad rows) is the only sane way to ingest third-party feeds;
+    FAILFAST turns one upstream typo into a dead pipeline."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_corrupt_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    src.write.mode("overwrite").json(out)
+    bad = spark.createDataFrame(
+        [(f"{{not json at all #{i}",) for i in range(7)], "value string"
+    )
+    bad.coalesce(1).write.mode("append").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    # Spark disallows queries referencing ONLY the corrupt-record
+    # column; one conditional aggregate over all columns sidesteps the
+    # restriction and is a single pass anyway
+    ok = F.col("_corrupt").isNull()
+    return back.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("int").alias("n_bad"),
+        F.round(
+            F.sum(F.when(ok, F.col("o_totalprice").cast("decimal(18,2)"))), 2
+        )
+        .cast("double")
+        .alias("sum_price"),
+    )
