@@ -104,3 +104,56 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum("price"), 2).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the base
+    aggregate (orders before the cutoff) is MATERIALIZED to parquet —
+    partial-state columns (count, decimal sum), not finished metrics —
+    then refreshed by merging the delta batch's partial aggregate,
+    WITHOUT rescanning base rows. The hash must equal the full
+    recompute over all orders: sum/count state merges associatively,
+    so incremental == full.
+
+    At 100 TB this is THE nightly-rollup pattern: yesterday's
+    aggregate + today's partition, cost O(delta) not O(history). The
+    mergeable-state discipline (keep count+sum, derive avg at read)
+    is the same one the sketch rollups apply to non-algebraic
+    metrics."""
+    import os
+    import tempfile as _tf
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+    state = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_state"),
+    )
+    out = os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_incragg_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    state(o.filter(F.col("o_orderdate") < cutoff)).write.mode("overwrite").parquet(out)
+    base = spark.read.parquet(out)  # materialized: base rows never rescanned
+    delta = state(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.round(F.sum("sum_state"), 2).cast("double").alias("sum_price"),
+        )
+    )
+    return merged
