@@ -59,6 +59,9 @@ BENCH_KEYS = (
     "graph_pagerank",
     "sketch_theta_setops",
     "quality_audit",
+    "text_repetition",
+    "zorder_write_roundtrip",
+    "events_stream_session",
 )
 
 

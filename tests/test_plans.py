@@ -390,3 +390,24 @@ def test_sketch_kll_broadcasts_quantile_table(spark, sf_dir):
     joins = join_strategies(df)
     assert "BroadcastHashJoin" in joins
     assert "SortMergeJoin" not in joins
+
+
+def test_zorder_write_reads_back_pruned(spark, sf_dir):
+    # the 2-D predicate must reach the parquet scan of the z-ordered copy
+    df = get("zorder_write_roundtrip").build(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_partkey" in pushed and "l_suppkey" in pushed
+
+
+def test_incremental_refresh_never_rescans_base_rows(spark, sf_dir):
+    # the refreshed plan reads the materialized state file + the delta
+    # slice of orders — exactly two parquet scans, no third
+    df = get("incremental_agg_refresh").build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_corpus_pack_single_window_sort(spark, sf_dir):
+    df = get("corpus_pack").build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
