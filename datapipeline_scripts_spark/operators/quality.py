@@ -149,3 +149,55 @@ def quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk_violations("lineitem_fk_supplier", lineitem, "l_suppkey", supplier, "s_suppkey"))
     )
     return report.select("constraint_name", "violations", (F.col("violations") == 0).alias("passed"))
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+           AS leading_digit
+  FROM orders
+  WHERE o_totalprice >= 1
+)
+SELECT leading_digit,
+       count(*) AS n,
+       CAST(count(*) * 10000 // (SELECT count(*) FROM digits) AS BIGINT)
+         AS observed_bp,
+       CAST(round(log10(1.0 + 1.0 / leading_digit) * 10000) AS BIGINT)
+         AS benford_bp
+FROM digits
+GROUP BY leading_digit
+"""
+
+
+@query("stats_benford", oracle=_BENFORD_ORACLE, tier="ext")
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit analysis of order totals: observed leading-
+    digit share vs the Benford expectation (basis points) — the
+    classic anomaly/fraud screen for invented numeric data; a synthetic
+    uniform-ish price column like this fixture's visibly DEVIATES from
+    Benford, which is exactly what the report surfaces.
+
+    Explicit floor() before the integer cast on BOTH sides (DuckDB's
+    double→bigint cast rounds, Spark's truncates — caught by the
+    oracle). Integer share arithmetic keeps the hash exact; the Benford
+    expectation is a per-digit constant (round(log10(1+1/d)·10⁴) —
+    identical in both engines' double math on these 9 clean values).
+
+    Scale: one conditional scan + 9-group aggregate; the global count
+    rides the same aggregate as a broadcast scalar."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("leading_digit")
+    )
+    counts = d.groupBy("leading_digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "leading_digit",
+        "n",
+        F.expr("n * 10000 div total").alias("observed_bp"),
+        F.round(F.log10(1.0 + 1.0 / F.col("leading_digit")) * 10000)
+        .cast("long")
+        .alias("benford_bp"),
+    )
