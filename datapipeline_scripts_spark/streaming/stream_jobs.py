@@ -395,3 +395,41 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n", "sum_value")
     )
     return _replay_to_parquet(spark, slid, "complete")
+
+
+@query(
+    "events_stream_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n, sum_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                                       ORDER BY n DESC, event_type) AS rn
+          FROM agg)
+    WHERE rn = 1
+    """,
+    tier="ext",
+)
+def events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending item over a live stream: the windowed aggregation runs
+    IN the stream (complete mode — ranking is not stream-expressible
+    in append mode because a late row can demote the current leader),
+    then the per-window row_number ranks the LANDED aggregate
+    batch-side. This split — streaming holds the mergeable aggregate,
+    batch post-processing does the non-incremental ranking on the
+    thousand-row result — is the standard production topology for
+    top-k dashboards; same oracle as the batch `events_topk_per_window`.
+
+    State: one row per (window, type); the post-rank touches window
+    counts, never raw events."""
+    landed = _replay_to_parquet(spark, tumbling_agg(_events_stream(spark, sf_dir)), "complete")
+    agg = landed.groupBy("win_start", "event_type").agg(
+        F.sum("n").alias("n"), F.round(F.sum("sum_value"), 2).alias("sum_value")
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
