@@ -201,3 +201,60 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("benford_bp"),
     )
+
+
+_DRIFT_ORACLE = """
+WITH a AS (
+  SELECT o_orderpriority, count(*) AS n_a
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1
+),
+b AS (
+  SELECT o_orderpriority, count(*) AS n_b
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1
+),
+tot AS (SELECT (SELECT sum(n_a) FROM a) AS ta, (SELECT sum(n_b) FROM b) AS tb)
+SELECT coalesce(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+       CAST(coalesce(n_a, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(n_b, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(n_a, 0) * 10000 // (SELECT ta FROM tot) AS BIGINT) AS share_before_bp,
+       CAST(coalesce(n_b, 0) * 10000 // (SELECT tb FROM tot) AS BIGINT) AS share_after_bp,
+       CAST(coalesce(n_b, 0) * 10000 // (SELECT tb FROM tot)
+            - coalesce(n_a, 0) * 10000 // (SELECT ta FROM tot) AS BIGINT) AS delta_bp
+FROM a FULL OUTER JOIN b USING (o_orderpriority)
+"""
+
+
+@query("quality_drift", oracle=_DRIFT_ORACLE, tier="ext")
+def quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two dataset snapshots (orders
+    before vs after a cutoff): per-category counts, shares, and share
+    deltas in integer basis points — the PSI-style check a pipeline
+    runs before publishing a refreshed dataset, with per-category terms
+    (not a lossy summed index) so the drifting category is named.
+
+    Scale: two filtered aggregates over one scan pattern + a
+    category-sized full-outer join; shares are exact integer math, so
+    the report is hash-identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+    a = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_b"))
+    )
+    tot = a.agg(F.sum("n_a").alias("ta")).crossJoin(b.agg(F.sum("n_b").alias("tb")))
+    joined = a.join(b, "o_orderpriority", "full_outer").crossJoin(F.broadcast(tot))
+    na, nb = F.coalesce("n_a", F.lit(0)), F.coalesce("n_b", F.lit(0))
+    return joined.select(
+        "o_orderpriority",
+        na.alias("n_before"),
+        nb.alias("n_after"),
+        F.expr("coalesce(n_a, 0) * 10000 div ta").alias("share_before_bp"),
+        F.expr("coalesce(n_b, 0) * 10000 div tb").alias("share_after_bp"),
+        F.expr("coalesce(n_b, 0) * 10000 div tb - coalesce(n_a, 0) * 10000 div ta").alias("delta_bp"),
+    )
