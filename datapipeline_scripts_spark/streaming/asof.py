@@ -187,3 +187,71 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema=_ASOF_SCHEMA,
         )
     )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH buys AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT b.event_id, b.user_id,
+             strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             c.click_id,
+             abs(epoch_us(b.ts) - epoch_us(c.click_ts)) AS dist_us,
+             row_number() OVER (
+               PARTITION BY b.event_id
+               ORDER BY abs(epoch_us(b.ts) - epoch_us(c.click_ts)), c.click_id) AS rn
+      FROM buys b
+      JOIN clicks c ON b.user_id = c.user_id
+       AND c.click_ts BETWEEN b.ts - INTERVAL 2 HOUR AND b.ts + INTERVAL 2 HOUR
+    )
+    SELECT event_id, user_id, ts_s, click_id,
+           CAST(dist_us // 1000000 AS BIGINT) AS dist_s
+    FROM cand WHERE rn = 1
+    """,
+    tier="ext",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-neighbor as-of: each purchase matched to
+    the CLOSEST click in time (either direction) by the same user
+    within a ±2 h tolerance — the `merge_asof(direction='nearest')`
+    semantics plain backward as-of can't express. Deterministic
+    tie-break: smallest |Δt|, then min click_id (two clicks
+    equidistant on opposite sides must resolve identically
+    cross-engine).
+
+    Plan: equi-join on the user key with the tolerance as a range
+    residual (no pair explosion beyond the window), then one
+    per-purchase row_number — the band-join + rank composition,
+    bounded by clicks-per-user-per-4-hours. At 100× the tolerance is
+    the state bound, exactly like the stream-stream join's watermark
+    range."""
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    cand = buys.join(
+        clicks,
+        (buys.user_id == clicks.c_user)
+        & (clicks.click_ts >= buys.ts - F.expr("INTERVAL 2 HOUR"))
+        & (clicks.click_ts <= buys.ts + F.expr("INTERVAL 2 HOUR")),
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "click_id",
+        F.abs(F.unix_micros("ts") - F.unix_micros("click_ts")).alias("dist_us"),
+    )
+    wnear = W.partitionBy("event_id").orderBy("dist_us", "click_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(wnear))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts_s", "click_id", F.expr("dist_us div 1000000").alias("dist_s"))
+    )
