@@ -165,3 +165,48 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    WITH fr AS (
+      SELECT event_id, user_id,
+             round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS med5,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE user_id % 10 = 0
+    )
+    SELECT event_id, user_id, med5 FROM fr WHERE rn >= 5
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a trailing 5-event frame per user — the
+    robust rolling statistic (`events_anomaly`'s mean/stddev version
+    breaks on one fat-tailed spike; the median doesn't). Spark's exact
+    `percentile` runs as a window aggregate directly; the frame holds
+    ≤5 values so the per-row sort is O(1) — at 100× the frame size,
+    not the partition size, is the cost knob.
+
+    Cross-engine exactness: output restricted to FULL 5-row frames
+    (row_number ≥ 5), where the median is the exact middle ELEMENT —
+    engines interpolate even-sized frames differently in the last ulp
+    (caught at sf0.01: Spark a+(b−a)·φ vs DuckDB's variant landing on
+    opposite sides of a round-half-cent), but an odd full frame never
+    interpolates."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(-4, W.currentRow)
+    med = F.round(F.expr("percentile(value, 0.5)").over(w), 2)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            med.alias("med5"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter(F.col("rn") >= 5)
+        .drop("rn")
+    )
