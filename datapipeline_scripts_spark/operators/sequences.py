@@ -468,3 +468,87 @@ def events_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path"))
         .limit(20)
     )
+
+
+_CONCURRENCY_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+intervals AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, sid
+),
+boundaries AS (
+  SELECT s_start AS ts, 1 AS delta, user_id FROM intervals
+  UNION ALL
+  SELECT s_end AS ts, -1 AS delta, user_id FROM intervals
+),
+swept AS (
+  SELECT ts,
+         sum(delta) OVER (ORDER BY ts, delta, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrency
+  FROM boundaries
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(max(concurrency) AS BIGINT) AS peak_concurrency,
+       count(*) AS n_boundaries
+FROM swept
+GROUP BY 1
+"""
+
+
+@query("events_concurrency", oracle=_CONCURRENCY_ORACLE, tier="ext")
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour via the sweep-line algorithm:
+    sessionize (30-min gap), explode each session interval into
+    (+1 at start, −1 at end) boundary events, and take a single
+    global running sum ordered by (ts, delta, user) — ends processed
+    before starts at the same instant (exclusive-end semantics), and
+    the tie order is total so both engines sweep identically.
+
+    Scale: the sweep's global ORDER BY is the honest cost (the same
+    one any time-ordered concurrency metric pays); boundaries are
+    2×sessions rows — tiny next to events. At 100× shard the sweep by
+    coarse time range (day) with per-shard offsets from a prefix
+    aggregate — the standard distributed scan-line split."""
+    e = load_table(spark, sf_dir, "events")
+    W = Window
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    boundaries = intervals.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        intervals.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    sweep = W.orderBy("ts", "delta", "user_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    swept = boundaries.withColumn("concurrency", F.sum("delta").over(sweep))
+    return swept.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start")
+    ).agg(
+        F.max("concurrency").cast("long").alias("peak_concurrency"),
+        F.count("*").alias("n_boundaries"),
+    )
