@@ -894,3 +894,72 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(v), 2).alias("raw_mean"),
         )
     )
+
+
+_GINI_ORACLE = """
+WITH cents AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderstatus, cents,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cents, o_orderstatus) AS i
+  FROM (SELECT o_orderstatus, cents FROM cents)
+),
+g AS (
+  SELECT o_orderstatus,
+         count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(i * cents) AS BIGINT) AS weighted
+  FROM ranked GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n, total_cents,
+       CAST((CAST(20000 AS HUGEINT) * weighted) // (CAST(n AS HUGEINT) * total_cents)
+            - ((n + 1) * 10000) // n AS BIGINT) AS gini_bp
+FROM g
+"""
+
+
+@query("stats_gini", oracle=_GINI_ORACLE, tier="ext")
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient per order status, in exact
+    integer arithmetic: prices quantized to cents (bigint), ranked
+    ascending with a deterministic tie order, then
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n evaluated entirely in bigint basis
+    points — no float summation anywhere, so the hash can't drift.
+
+    The concentration audit for data sources: a corpus (or revenue)
+    with gini_bp → 10000 is dominated by a few heavy keys — the same
+    skew that breaks shuffle partitioning, measured before it does.
+
+    Plan: one per-group rank window + one aggregate — the window and
+    the groupBy share the o_orderstatus exchange."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wr = W.partitionBy("o_orderstatus").orderBy("cents", "o_orderstatus")
+    ranked = cents.withColumn("i", F.row_number().over(wr))
+    g = ranked.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "n",
+        "total_cents",
+        # 128-bit integral math: 2·weighted·10⁴ overflows INT64 at sf0.1+
+        # (DuckDB errors, Spark would wrap) — DECIMAL(38,0)/HUGEINT on
+        # both sides keeps the division exact at any scale
+        F.expr(
+            "cast((cast(20000 as decimal(38,0)) * weighted)"
+            " div (cast(n as decimal(38,0)) * total_cents) as bigint)"
+            " - ((n + 1) * 10000) div n"
+        ).alias("gini_bp"),
+    )
