@@ -384,3 +384,47 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rep_bp).alias("sum_rep_bp"),
         F.sum(F.when(rep_bp > 3000, 1).otherwise(0)).alias("n_boilerplate"),
     )
+
+
+@query(
+    "text_zipf",
+    oracle="""
+    WITH freq AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, f,
+             row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq
+    )
+    SELECT r, tok, f, CAST(r * f AS BIGINT) AS rf
+    FROM ranked
+    WHERE r <= 20
+    """,
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency check: for the top-20 terms, rank·frequency
+    should be roughly constant in natural-language text — a corpus
+    whose r·f collapses (one token dominates) or explodes (uniform
+    synthetic noise) fails the distribution-health screen before
+    training. All-integer output (rank, frequency, product) with a
+    total tie order, so the report is hash-exact.
+
+    Plan: token explode → partial-agg count → one 20-row rank window
+    (TakeOrdered feeds it; no global sort of the vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    r = F.row_number().over(W.orderBy(F.col("f").desc(), "tok"))
+    return (
+        freq.withColumn("r", r)
+        .filter(F.col("r") <= 20)
+        .select("r", "tok", "f", (F.col("r") * F.col("f")).cast("long").alias("rf"))
+    )

@@ -357,3 +357,115 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o1.join(F.broadcast(dim), o1.prio.eqNullSafe(dim.prio)).select(
         "o_orderkey", "prio_name"
     )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+intervals AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+  FROM sess GROUP BY user_id, sid
+),
+peak AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS h_us, count(*) AS n
+  FROM events GROUP BY 1 HAVING count(*) >= 5
+),
+expanded AS (
+  SELECT user_id, s_us, e_us,
+         unnest(list_transform(
+           generate_series(0, CAST((e_us // 3600000000) - (s_us // 3600000000) AS INTEGER)),
+           k -> (s_us // 3600000000 + k) * 3600000000)) AS h_us
+  FROM intervals
+),
+ov AS (
+  SELECT e.user_id,
+         greatest(0, least(e.e_us, e.h_us + 3600000000) - greatest(e.s_us, e.h_us))
+           AS ov_us
+  FROM expanded e JOIN peak p ON e.h_us = p.h_us
+)
+SELECT user_id,
+       count(*) AS n_overlaps,
+       CAST(sum(ov_us) // 1000000 AS BIGINT) AS peak_seconds
+FROM ov
+GROUP BY user_id
+HAVING sum(ov_us) > 0
+"""
+
+
+@query("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE, tier="ext")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True interval×interval overlap join: per-user session intervals
+    against global peak hours (hours with ≥5 events), reporting each
+    user's seconds inside peak load. The range join (`join_range`) is
+    point-in-interval; this is the interval-pair form — implemented
+    scalably by EXPLODING each session to the hour grid it touches
+    (`sequence`, bounded by session length) and equi-joining on the
+    hour — never interval×interval cross.
+
+    Overlap arithmetic is exact µs integers (greatest/least of epoch
+    micros), so the per-user sums are hash-exact.
+
+    At 100×: the hour-grid explode keeps the join equi on a dense key;
+    skewed hot hours fall to AQE. The same bucketize-by-grid trick
+    powers every calendar-overlap billing/SLA query."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_s"),
+        )
+        .withColumn("sid", F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.unix_micros(F.min("ts")).alias("s_us"), F.unix_micros(F.max("ts")).alias("e_us"))
+    )
+    hour_us = 3_600_000_000
+    peak = (
+        e.groupBy(F.unix_micros(F.date_trunc("hour", "ts")).alias("h_us"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    expanded = sess.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(e_us div {hour_us} - s_us div {hour_us} as int)),"
+                f" k -> (s_us div {hour_us} + k) * {hour_us})"
+            )
+        ).alias("h_us"),
+    )
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("e_us"), F.col("h_us") + hour_us) - F.greatest(F.col("s_us"), F.col("h_us")),
+    )
+    return (
+        expanded.join(peak, "h_us")
+        .select("user_id", ov.alias("ov_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum("ov_us").alias("sum_us"),
+        )
+        .filter(F.col("sum_us") > 0)
+        .select("user_id", "n_overlaps", F.expr("sum_us div 1000000").alias("peak_seconds"))
+    )
