@@ -963,3 +963,43 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - ((n + 1) * 10000) div n"
         ).alias("gini_bp"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(sum(cents * qty) // sum(qty) AS BIGINT) AS wavg_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+    FROM q
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag in exact integer
+    cents — the weighted-mean shape (Σwᵢxᵢ/Σwᵢ) every pricing/metrics
+    rollup needs, computed without a single float: prices quantized to
+    cents, quantities are whole-valued, products and sums stay in
+    bigint, one floor division at the end. The unweighted mean rides
+    the same pass for comparison.
+
+    Plan: one scan, one partial-aggregatable groupBy — the weighted
+    sum is map-side combinable exactly like a plain sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return q.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("total_qty"),
+        F.expr("sum(cents * qty) div sum(qty)").alias("wavg_cents"),
+        F.expr("sum(cents) div count(*)").alias("avg_cents"),
+    )
