@@ -1003,3 +1003,32 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(cents * qty) div sum(qty)").alias("wavg_cents"),
         F.expr("sum(cents) div count(*)").alias("avg_cents"),
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT)
+             AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 END) AS BIGINT) AS n_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate surface: `count_if`, `bool_and`/`every`,
+    `bool_or`/`any` — the assertion-style aggregates quality gates and
+    alert rules are written in (bool_and over a predicate IS a table
+    constraint; quality_audit's violation counts are its inverse).
+    Everything rides one partial-aggregatable pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).alias("n_priority"),
+    )

@@ -552,3 +552,51 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrency").cast("long").alias("peak_concurrency"),
         F.count("*").alias("n_boundaries"),
     )
+
+
+_GAP_STATS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       CAST(min(gap_us) // 1000000 AS BIGINT) AS min_gap_s,
+       CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s,
+       CAST(sum(gap_us) // count(*) // 1000000 AS BIGINT) AS mean_gap_s
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= 5
+"""
+
+
+@query("events_gap_stats", oracle=_GAP_STATS_ORACLE, tier="ext")
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per user (min/max/mean seconds,
+    exact integer µs arithmetic) — the heartbeat-health metric behind
+    dead-man's-switch monitoring (reference analogue: the check-in
+    cadence A23 watches, /root/reference/backup.sh:379) and the input
+    to session-gap threshold tuning (30 min here = where this
+    distribution's tail starts).
+
+    One user_id window + one aggregate; integer floor division on both
+    engines keeps the means exact."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)).alias("gap_us")
+    gaps = e.select("user_id", gap).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("min(gap_us) div 1000000").alias("min_gap_s"),
+            F.expr("max(gap_us) div 1000000").alias("max_gap_s"),
+            F.expr("sum(gap_us) div count(*) div 1000000").alias("mean_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
