@@ -47,7 +47,11 @@ def table_path(sf_dir: str, name: str) -> str:
 _NS_TIMESTAMP_COLS = {"events": ("ts",)}
 
 
-_SHIPPED_CONTEXTS: set[int] = set()
+# Keyed by sc.applicationId, not id(sc): a garbage-collected context's
+# id() can be reused by a fresh context, which would silently skip the
+# addPyFile re-ship (ADVICE r02, catalog.py:88). applicationId is unique
+# per context lifetime.
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -62,7 +66,7 @@ def _ship_package(spark: SparkSession) -> None:
     package via addPyFile once per SparkContext (SparkFiles paths are
     prepended to worker sys.path per task)."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_CONTEXTS:
+    if sc.applicationId in _SHIPPED_CONTEXTS:
         return
     import tempfile
     import zipfile
@@ -83,9 +87,15 @@ def _ship_package(spark: SparkSession) -> None:
                         zf.write(full, rel)
     try:
         sc.addPyFile(zip_path)
-    except Exception:
-        pass  # e.g. Spark Connect without addPyFile — cwd fallback applies
-    _SHIPPED_CONTEXTS.add(id(sc))
+    except Exception as exc:  # e.g. Spark Connect without addPyFile
+        # cwd fallback applies, but a silent swallow would mask worker
+        # ImportErrors under a foreign-cwd driver — log it (ADVICE r02)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "addPyFile(%s) failed (%s); workers rely on cwd fallback", zip_path, exc
+        )
+    _SHIPPED_CONTEXTS.add(sc.applicationId)
 
 
 def ensure_session_conf(spark: SparkSession) -> None:

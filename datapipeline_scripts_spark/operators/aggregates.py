@@ -848,51 +848,96 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_winsorize",
     oracle="""
-    WITH cuts AS (
+    WITH cents AS (
       SELECT l_returnflag,
-             round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
-             round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
-      FROM lineitem GROUP BY l_returnflag
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, cents,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n_grp
+      FROM cents
+    ),
+    cuts AS (
+      SELECT l_returnflag,
+             max(CASE WHEN rn = (5 * n_grp + 99) // 100 THEN cents END) AS lo,
+             max(CASE WHEN rn = (95 * n_grp + 99) // 100 THEN cents END) AS hi
+      FROM ranked GROUP BY l_returnflag
     )
-    SELECT l.l_returnflag,
+    SELECT c.l_returnflag,
            count(*) AS n,
-           CAST(sum(CASE WHEN l.l_extendedprice < c.lo OR l.l_extendedprice > c.hi
+           CAST(sum(CASE WHEN c.cents < t.lo OR c.cents > t.hi
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
-           round(avg(CASE WHEN l.l_extendedprice < c.lo THEN c.lo
-                          WHEN l.l_extendedprice > c.hi THEN c.hi
-                          ELSE l.l_extendedprice END), 2) AS winsorized_mean,
-           round(avg(l.l_extendedprice), 2) AS raw_mean
-    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
-    GROUP BY l.l_returnflag
+           CAST((CAST(100 AS HUGEINT)
+                 * sum(CASE WHEN c.cents < t.lo THEN t.lo
+                            WHEN c.cents > t.hi THEN t.hi
+                            ELSE c.cents END)) // count(*) AS BIGINT)
+             AS winsorized_mean_cc,
+           CAST((CAST(100 AS HUGEINT) * sum(c.cents)) // count(*) AS BIGINT)
+             AS raw_mean_cc
+    FROM cents c JOIN cuts t ON c.l_returnflag = t.l_returnflag
+    GROUP BY c.l_returnflag
     """,
 )
 def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized robust mean: clamp each group's values at its exact
-    p05/p95 (cut points rounded to cents — the same determinism
-    contract `agg_percentile` proves) and report the clamped vs raw
-    mean plus how many rows the clamp touched. The outlier-resistant
-    location estimate feeding quality dashboards where a single fat
-    tail would drag the raw mean.
+    """Winsorized robust mean in EXACT integer arithmetic: prices
+    quantized to bigint cents, cut points taken as the exact order
+    statistics at rank ceil(0.05·n)/ceil(0.95·n) (pure-integer rank
+    formula (5n+99) div 100 — no float percentile interpolation, no
+    double summation, so the hash cannot drift run-to-run; ADVICE r02
+    finding on avg(double) order sensitivity). Means are reported in
+    centicents ((100·Σcents) div n, i.e. 4 decimal digits of price)
+    via DECIMAL(38,0)/HUGEINT so the product can't overflow INT64 at
+    any scale. The outlier-resistant location estimate for quality
+    dashboards where one fat tail drags the raw mean.
 
-    Plan: one grouped percentile pass (3 groups) broadcast back onto
-    the scan; clamp + conditional aggregates in a single second pass —
-    two scans total, no sort, no window."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    cuts = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 2).alias("lo"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("hi"),
+    Plan: one per-group rank window (the exact-percentile sort) feeds
+    a 3-row cut aggregate, broadcast back onto the cents scan; clamp +
+    conditional aggregates in a single second pass. At 100 TB the
+    window sort per group is the cost of EXACT cuts — swap in
+    approx_percentile for the sketch-grade variant."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    v = F.col("l_extendedprice")
-    clamped = F.when(v < F.col("lo"), F.col("lo")).when(v > F.col("hi"), F.col("hi")).otherwise(v)
-    return (
+    wr = W.partitionBy("l_returnflag").orderBy("cents")
+    wp = W.partitionBy("l_returnflag")
+    ranked = li.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_grp", F.count("*").over(wp)
+    )
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == F.expr("(5 * n_grp + 99) div 100"), F.col("cents"))).alias(
+            "lo"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(95 * n_grp + 99) div 100"), F.col("cents"))).alias(
+            "hi"
+        ),
+    )
+    c = F.col("cents")
+    clamped = F.when(c < F.col("lo"), F.col("lo")).when(c > F.col("hi"), F.col("hi")).otherwise(c)
+    agg = (
         li.join(F.broadcast(cuts), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0)).alias("n_clamped"),
-            F.round(F.avg(clamped), 2).alias("winsorized_mean"),
-            F.round(F.avg(v), 2).alias("raw_mean"),
+            F.sum(F.when((c < F.col("lo")) | (c > F.col("hi")), 1).otherwise(0)).alias(
+                "n_clamped"
+            ),
+            F.sum(clamped).alias("_wsum"),
+            F.sum(c).alias("_rsum"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "n_clamped",
+        F.expr("cast((cast(100 as decimal(38,0)) * _wsum) div n as bigint)").alias(
+            "winsorized_mean_cc"
+        ),
+        F.expr("cast((cast(100 as decimal(38,0)) * _rsum) div n as bigint)").alias("raw_mean_cc"),
     )
 
 

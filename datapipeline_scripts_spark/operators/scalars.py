@@ -60,9 +60,10 @@ def math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
            CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS div_by_zero,
-           round(sum(CASE WHEN o_orderkey % 5 = 0 THEN 0
-                          ELSE o_totalprice / (o_orderkey % 5) END), 2)
-             AS sum_safe_div
+           CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 0
+                         ELSE CAST(floor(o_totalprice / (o_orderkey % 5) * 100)
+                                   AS BIGINT) END) AS BIGINT)
+             AS sum_safe_div_cents
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -86,5 +87,11 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(prio_num.isNull(), 1).otherwise(0)).alias("bad_prio"),
         F.sum(F.when(status_num.isNull(), 1).otherwise(0)).alias("bad_status"),
         F.sum(F.when(safe_div.isNull(), 1).otherwise(0)).alias("div_by_zero"),
-        F.round(F.sum(F.coalesce(safe_div, F.lit(0.0))), 2).alias("sum_safe_div"),
+        # per-row floor-to-cents BEFORE summing: bigint summation is
+        # order-independent, unlike round(sum(double)) whose shuffle-merge
+        # order could flip a half-cent boundary (ADVICE r02); floor (not
+        # cast) because DuckDB double→bigint rounds while Spark truncates
+        F.sum(F.when(safe_div.isNull(), F.lit(0)).otherwise(F.floor(safe_div * 100))).alias(
+            "sum_safe_div_cents"
+        ),
     )

@@ -235,30 +235,50 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaggregatable cardinality (HLL), quantiles (KLL), frequency (CMS).
 
     Scale: the whole point — frequency state is depth×width counters
-    (~11 KB) regardless of stream size; the only driver transfer is
-    that sketch, not data. The exact counts ride a normal aggregate
-    and exist only as the oracle anchor."""
+    (~11 KB, bound ASSERTED below) regardless of stream size; the only
+    driver transfer is that sketch plus 10 top rows, not data. The
+    exact counts ride a normal aggregate and exist only as the oracle
+    anchor. The single scan is computed once (sketch + exact counts in
+    one cached pass) so the two collects don't re-read the source.
+
+    Classic-PySpark only (ADVICE r02): the readback uses
+    `sparkContext._jvm`, unavailable under Spark Connect — a Connect
+    port would probe the broadcast sketch in a pandas UDF instead.
+    Keep this terminal (not composed into pipelines): plan
+    construction is eager by design here."""
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
     eps, conf, seed = 0.005, 0.99, 42
-    sk_row = li.agg(
-        F.count_min_sketch("l_suppkey", F.lit(eps), F.lit(conf), F.lit(seed)).alias("sk"),
-        F.count("*").alias("total_rows"),
-    ).collect()[0]
-    top = (
-        li.groupBy("l_suppkey")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), "l_suppkey")
-        .limit(10)
-        .collect()
-    )
+    # persist the projected scan so the sketch pass and the exact-count
+    # pass share ONE parquet read (ADVICE r02: the two collects used to
+    # execute the scan twice)
+    li.persist()
+    try:
+        sk_row = li.agg(
+            F.count_min_sketch("l_suppkey", F.lit(eps), F.lit(conf), F.lit(seed)).alias("sk"),
+            F.count("*").alias("total_rows"),
+        ).collect()[0]
+        total_rows = int(sk_row["total_rows"])
+        sk_bytes = bytes(sk_row["sk"])
+        top = (
+            li.groupBy("l_suppkey")
+            .agg(F.count("*").alias("exact_n"))
+            .orderBy(F.col("exact_n").desc(), "l_suppkey")
+            .limit(10)
+            .collect()
+        )
+    finally:
+        li.unpersist()
+    # KB-bound contract: a CMS at eps=0.005/conf=0.99 is ~44 KB of
+    # counters; anything near the 64 KB line means the params changed
+    assert len(sk_bytes) < 64 * 1024, f"CMS sketch unexpectedly large: {len(sk_bytes)} B"
     jvm = spark.sparkContext._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk_row["sk"]))
-    slack = int(eps * sk_row["total_rows"]) + 1
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(sk_bytes)
+    slack = int(eps * total_rows) + 1
     rows = [
         (
             r["l_suppkey"],
             r["exact_n"],
-            sk_row["total_rows"],
+            total_rows,
             cms.estimateCount(r["l_suppkey"]) >= r["exact_n"],
             cms.estimateCount(r["l_suppkey"]) <= r["exact_n"] + slack,
         )

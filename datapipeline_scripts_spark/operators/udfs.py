@@ -116,7 +116,12 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: bigint, source: string, word: string")
     class _Tokenize:
         def eval(self, doc_id: int, source: str, text: str):
-            for w in (text or "").split(" "):
+            # NULL text yields no rows — mirrors the oracle's
+            # unnest(string_split(NULL)) row elimination (ADVICE r02);
+            # (text or '') would instead fabricate one empty token
+            if text is None:
+                return
+            for w in text.split(" "):
                 yield doc_id, source, w
 
     spark.udtf.register("tokenize_udtf", _Tokenize)
