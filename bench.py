@@ -88,18 +88,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        ),
-        flush=True,
+    out = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    out.update(_shared_set_vs_previous(timings))
+    print(json.dumps(out), flush=True)
+
+
+def _shared_set_vs_previous(timings: dict[str, float]) -> dict:
+    """Round-over-round comparability (VERDICT r02 item 5): raw totals
+    are not comparable when the key set grows, so self-report the total
+    over the keys shared with the most recent BENCH_r*.json and the
+    ratio against that round's same-key total. Best-effort: silent
+    no-op if no prior bench file exists (e.g. a fresh checkout)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
+    if not prior:
+        return {}
+    try:
+        with open(prior[-1]) as fh:
+            prev = json.load(fh)
+        # the driver wraps our JSON line under "parsed" in BENCH_r*.json
+        prev_q = prev.get("parsed", prev).get("queries", {})
+        shared = sorted(set(prev_q) & set(timings))
+        if not shared:
+            return {}
+        cur_total = round(sum(timings[k] for k in shared), 3)
+        prev_total = round(sum(prev_q[k] for k in shared), 3)
+        return {
+            "shared_set_baseline": os.path.basename(prior[-1]),
+            "shared_set_keys": len(shared),
+            "shared_set_total": cur_total,
+            "shared_set_prev_total": prev_total,
+            "shared_set_ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        }
+    except Exception:
+        return {}
 
 
 if __name__ == "__main__":

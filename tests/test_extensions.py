@@ -335,3 +335,15 @@ def test_sketch_bounds_hold(spark, sf_dir):
     assert all(theta[c] for c in ("r_ok", "a_ok", "union_ok", "intersect_ok", "diff_ok"))
     for r in get("sketch_kll_quantiles").build(spark, sf_dir).collect():
         assert r["r50_ok"] and r["r90_ok"], r
+
+
+def test_pagerank_deep_iteration_checkpoints(spark, sf_dir):
+    # VERDICT r02 item 4: n_rounds is a parameter; past checkpoint_every
+    # the rank lineage is cut (localCheckpoint) so deep runs stay
+    # plannable. 7 rounds with cuts must still conserve mass and agree
+    # with the same depth computed without cuts.
+    deep = get("graph_pagerank").build(spark, sf_dir, n_rounds=7, checkpoint_every=3).collect()
+    nocut = get("graph_pagerank").build(spark, sf_dir, n_rounds=7, checkpoint_every=99).collect()
+    assert sorted(map(tuple, deep)) == sorted(map(tuple, nocut))
+    total = sum(r["rank_micro"] for r in deep)
+    assert 0.90 * 1_000_000_000_000 <= total <= 1_000_000_000_000
