@@ -1007,3 +1007,153 @@ def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cohort")
     )
+
+
+@query(
+    "tpch_q1_shape",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_base_price_c4,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_c4,
+           CAST((100 * CAST(sum(l_quantity) AS BIGINT)) // count(*) AS BIGINT)
+             AS avg_qty_c,
+           CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) // count(*) AS BIGINT)
+             AS avg_disc_bp,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 'pricing summary report' — THE canonical scan-heavy
+    aggregate: one pass over lineitem below a ship-date cutoff, six
+    aggregates per (returnflag, linestatus). Completes the repo's
+    TPC-H sweep (q1-q22 all declared).
+
+    Determinism contract (memory of the q9 1-cent drift): money sums
+    are per-row round(expr·10⁴)→bigint — the double expr is
+    bit-identical across engines, round() agrees everywhere including
+    exact halves (Java HALF_UP ≡ C++ half-away for same-sign), and
+    bigint addition is order-independent, so shuffle-merge order can't
+    flip a cent. (The DECIMAL(18,4)-cast route q9 uses was observed to
+    diverge half-a-cent here on the 3-factor product — engine decimal
+    casts round the double differently in the last place.) Averages
+    are integer fixed-point (qty hundredths, discount basis points).
+
+    Plan: filter pushed to parquet, partial agg (map-side combine)
+    before one 6-group exchange — the textbook 100 TB shape; the sort
+    is on 6 rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long")).alias(
+                "sum_base_price_c4"
+            ),
+            F.sum(F.round(disc_price * 10000).cast("long")).alias("sum_disc_price_c4"),
+            F.sum(F.round(charge * 10000).cast("long")).alias("sum_charge_c4"),
+            F.count("*").alias("count_order"),
+            F.sum(F.round(F.col("l_discount") * 10000).cast("long")).alias("_disc_bp_sum"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price_c4",
+            "sum_disc_price_c4",
+            "sum_charge_c4",
+            F.expr("(100 * sum_qty) div count_order").alias("avg_qty_c"),
+            F.expr("_disc_bp_sum div count_order").alias("avg_disc_bp"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q21_shape",
+    oracle="""
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 'suppliers who kept orders waiting' — the hardest TPC-H
+    shape: one fact table correlated three ways (base + EXISTS +
+    NOT EXISTS) on the same key with inequality side-conditions. The
+    fixture has no commit/receipt dates, so 'late' is shipdate more
+    than 90 days after the order date — same plan shape, checkable
+    data.
+
+    A supplier 'kept an order waiting' if it shipped late on a
+    finished multi-supplier order where EVERY OTHER supplier shipped
+    on time: semi-join (another supplier exists) + anti-join (no other
+    late supplier), both on l_orderkey with a l_suppkey<> residual.
+
+    Plan: the late set is computed once; Spark plans both correlations
+    as shuffled semi/anti hash joins on l_orderkey (no cartesian —
+    the <> is a post-join residual, asserted in test_plans), then a
+    broadcast supplier lookup and a 10-row TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late90 = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > late90)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"), "l_shipdate"
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )

@@ -427,3 +427,14 @@ def test_corpus_pack_partitioned_has_no_global_funnel(spark, sf_dir):
     # keeping both proves the pair is a deliberate semantics/scale trade
     gplan = simple_plan(get("corpus_pack").build(spark, sf_dir))
     assert "SinglePartition" in gplan, gplan
+
+
+def test_tpch_q21_semi_anti_not_cartesian(spark, sf_dir):
+    # both correlations (EXISTS / NOT EXISTS with a suppkey<> residual)
+    # must plan as keyed semi/anti hash joins on l_orderkey, never a
+    # nested-loop over the fact table
+    df = get("tpch_q21_shape").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
