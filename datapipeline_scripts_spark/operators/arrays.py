@@ -105,3 +105,57 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("lang_counts", F.lit("en")), F.lit(0)).cast("long").alias("en_docs"),
         F.size(F.map_filter("lang_counts", lambda k, v: v >= 10)).alias("n_langs_10plus"),
     )
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+                AS INTEGER) AS n_pos,
+           CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 2)) > 0
+                AS BOOLEAN) AS any_large,
+           CAST(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+                p -> CAST(round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                                * 1000000) AS BIGINT))) AS BIGINT)
+             AS selfdot_rev_micro,
+           CAST(list_sum(list_reverse_sort(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))[1:3])
+                AS BIGINT) AS top3_milli
+    FROM embeddings
+    WHERE vec_id % 7 = 0
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full higher-order-function surface on one query: lambda
+    `filter` (positive-element count), `exists` (any |x|>2),
+    `zip_with` (element-wise product with the reversed vector),
+    `transform` + `aggregate` (integer fold), and `sort_array`+`slice`
+    (top-3 sum). All lambdas run inside whole-stage codegen — zero
+    Python, zero serialization boundary.
+
+    Determinism: every float product/element is quantized to integers
+    PER-TERM (round(x·10⁶)) before any sum, so fold order — which
+    differs between Spark's sequential aggregate and DuckDB's
+    list_sum — cannot change the result. The pattern to copy for any
+    cross-engine float reduction.
+
+    Scale: per-row array work, embarrassingly parallel, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    d = lambda c: c.cast("double")  # noqa: E731
+    prod_rev = F.zip_with("embedding", F.reverse("embedding"), lambda a, b: d(a) * d(b))
+    as_micro = F.transform(prod_rev, lambda t: F.round(t * 1000000).cast("long"))
+    milli = F.transform("embedding", lambda x: F.round(d(x) * 1000).cast("long"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: d(x) > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: F.abs(d(x)) > 2).alias("any_large"),
+        F.aggregate(as_micro, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "selfdot_rev_micro"
+        ),
+        F.aggregate(
+            F.slice(F.sort_array(milli, asc=False), 1, 3),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("top3_milli"),
+    )

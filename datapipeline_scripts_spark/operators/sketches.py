@@ -287,3 +287,49 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_suppkey bigint, exact_n bigint, total_rows bigint, lower_ok boolean, upper_ok boolean"
     )
+
+
+@query(
+    "bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_or_agg / bitmap_count): keys map to (bucket, bit) and each
+    group aggregates fixed-size 4 KB bitmaps instead of holding the key
+    set — the scale path BETWEEN count_distinct (exact, key-set-sized
+    state) and HLL (bounded state, approximate). Bitmap state is
+    bounded per bucket AND mergeable, so the two-level plan (per-bucket
+    construct → OR-merge → popcount-sum) reaggregates like a sketch
+    while staying exact — the oracle is plain count(DISTINCT).
+
+    Scale: state per (group, bucket) is 32768 bits regardless of key
+    density; the bucket level adds a second keyed aggregate but removes
+    the distinct-expand. For 10⁹ sparse keys prefer HLL
+    (sketch_hll_rollup); for dense int keys this is exact at sketch
+    cost."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.bitmap_bucket_number("o_custkey").alias("bkt"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bkt")
+        .agg(
+            F.bitmap_construct_agg("pos").alias("bm"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_customers"),
+        F.sum("n_rows").alias("n_orders"),
+    )

@@ -130,3 +130,89 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
     return spark.sql(_LATERAL_SQL.format(sfx="_lat"))
+
+
+@query(
+    "sql_udf",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n,
+           CAST(sum((CAST(round(c_acctbal * 100) AS BIGINT) * 107) // 100)
+                AS BIGINT) AS adj_cents
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`):
+    named scalar functions defined IN SQL, resolved by Catalyst like
+    macros — the body inlines into the calling plan, so unlike Python
+    UDFs they cost nothing (stay inside whole-stage codegen, no
+    serialization boundary). The catalog surface a SQL-first team uses
+    to share business logic (here: a banding rule and an integer-cents
+    7% adjustment) without shipping Python.
+
+    The oracle replays the expanded expressions — proving the UDF is
+    pure sugar over the same semantics. Integer-cents arithmetic keeps
+    the sum order-independent (house determinism contract)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bal_band(x DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN x < 0 THEN 'neg' WHEN x < 5000 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION adj_cents(x DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(round(x * 100) AS BIGINT) * 107 div 100"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_udf_v")
+    return spark.sql(
+        """
+        SELECT bal_band(c_acctbal) AS band,
+               count(*) AS n,
+               sum(adj_cents(c_acctbal)) AS adj_cents
+        FROM customer_udf_v
+        GROUP BY bal_band(c_acctbal)
+        """
+    )
+
+
+@query(
+    "sql_pipe",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the linear
+    FROM → WHERE → EXTEND → AGGREGATE → ORDER BY form that reads in
+    execution order instead of inside-out — the modern SQL surface
+    Spark 4 added (same feature family as BigQuery pipe SQL). Catalyst
+    compiles pipes to the identical plan as the nested form, so every
+    pushdown/partial-agg property is unchanged — proven by the oracle
+    being the classic formulation of the same query.
+
+    Revenue is per-row cents-quantized before the sum (house
+    determinism contract: bigint accumulation, no double-sum drift)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe_v")
+    return spark.sql(
+        """
+        FROM lineitem_pipe_v
+        |> WHERE l_quantity >= 30
+        |> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS rev_cents
+        |> AGGREGATE count(*) AS n,
+                     sum(rev_cents) AS revenue_cents,
+                     max(CAST(l_quantity AS BIGINT)) AS max_qty
+             GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )

@@ -138,3 +138,70 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.source
         """
     )
+
+
+def _arrow_cents_filter(batches):
+    """mapInArrow worker: per-batch Arrow compute — quantity filter +
+    integer-cents revenue, zero pandas conversion. Module-level so
+    workers resolve it by reference (catalog._ship_package)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        qty = batch.column("l_quantity")
+        mask = pc.greater_equal(qty, pa.scalar(25.0))
+        kept = batch.filter(mask)
+        # round_mode matters: Arrow defaults to half-to-even, SQL round()
+        # is half-away-from-zero — the one numeric knob that differs
+        rev = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    kept.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), kept.column("l_discount")),
+                ),
+                pa.scalar(100.0),
+            ),
+            round_mode="half_towards_infinity",
+        )
+        yield pa.RecordBatch.from_arrays(
+            [kept.column("l_returnflag"), pc.cast(rev, pa.int64())],
+            names=["l_returnflag", "rev_cents"],
+        )
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` (Spark 4): the lowest-overhead Python escape hatch —
+    the worker receives raw Arrow RecordBatches and runs pyarrow.compute
+    kernels (vectorized C++), skipping even the pandas conversion that
+    pandas_udf/mapInPandas pay. The right tier for byte-level or
+    columnar-native logic (multimodal decode, tokenizers emitting
+    offsets) where pandas object-boxing dominates.
+
+    The batch fn filters and quantizes to integer cents (identical
+    float64 ops as the SQL oracle → bit-identical, order-independent
+    sums); Spark aggregates the batches JVM-side after.
+
+    Scale: per-batch streaming (maxRecordsPerBatch bounds memory),
+    partition-parallel, aggregation partial-reduces before the
+    3-group exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    mapped = li.mapInArrow(
+        _arrow_cents_filter, "l_returnflag string, rev_cents long"
+    )
+    return mapped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("rev_cents").alias("revenue_cents")
+    )
