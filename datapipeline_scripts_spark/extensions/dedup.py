@@ -659,3 +659,112 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_NORM_SQL} AS nt FROM documents),
+    ref AS (SELECT DISTINCT nt FROM d WHERE doc_id % 10 < 7),
+    batch AS (SELECT * FROM d WHERE doc_id % 10 >= 7),
+    flag AS (
+      SELECT b.source, b.doc_id,
+             EXISTS (SELECT 1 FROM ref r WHERE r.nt = b.nt) AS in_ref,
+             min(b.doc_id) OVER (PARTITION BY b.nt) AS keep_id
+      FROM batch b
+    )
+    SELECT source,
+           count(*) AS n_batch,
+           CAST(sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ref,
+           CAST(sum(CASE WHEN NOT in_ref AND doc_id > keep_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+           CAST(sum(CASE WHEN NOT in_ref AND doc_id = keep_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flag
+    GROUP BY source
+    """,
+    tier="ext",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup — the shape every continuous
+    crawl pipeline runs: a NEW batch of documents deduped against the
+    already-ingested REFERENCE corpus (here: doc_id mod 10 splits the
+    fixture into a 70% reference / 30% batch), then within itself.
+    Per source: batch size, dropped-against-reference,
+    dropped-within-batch (survivor = lowest doc_id), and kept.
+
+    Scale: the reference side reduces to DISTINCT fingerprints (32-byte
+    md5, not bodies) — at 100 TB that's the bloom/fingerprint store you
+    keep between runs; the batch joins against it keyed on fp (shuffle
+    moves hashes only), and the within-batch pass is one window over
+    the batch, not the corpus. Adding a day of crawl costs
+    O(batch + |ref fingerprints|), never a corpus rescan."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    ref = d.filter(F.col("doc_id") % 10 < 7).select("fp").distinct()
+    batch = d.filter(F.col("doc_id") % 10 >= 7)
+    from pyspark.sql import Window as W
+
+    flagged = (
+        batch.join(ref.withColumn("_in_ref", F.lit(True)), "fp", "left")
+        .withColumn("in_ref", F.coalesce("_in_ref", F.lit(False)))
+        .withColumn("keep_id", F.min("doc_id").over(W.partitionBy("fp")))
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.when(F.col("in_ref"), 1).otherwise(0)).alias("n_dup_ref"),
+        F.sum(
+            F.when(~F.col("in_ref") & (F.col("doc_id") > F.col("keep_id")), 1).otherwise(0)
+        ).alias("n_dup_within"),
+        F.sum(
+            F.when(~F.col("in_ref") & (F.col("doc_id") == F.col("keep_id")), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+
+
+@query(
+    "dedup_cross_source",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT DISTINCT
+        array_to_string(string_split({_NORM_SQL}, ' ')[1:8], ' ') AS nt,
+        source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM per_source a
+    JOIN per_source b ON a.nt = b.nt AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tier="ext",
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct content prefixes (first 8 normalized tokens — the
+    boilerplate-family blocking key) appear in BOTH — the audit that
+    tells you CommonCrawl already contains your curated wiki slice
+    (double-counting risk for mixture weights) before you train.
+
+    Scale: reduce to DISTINCT (fingerprint, source) first — corpus-size
+    → unique-content-size — then self-join keyed on the fingerprint:
+    pairs explode only within identical-content groups (bounded by
+    sources², not docs²). The same inverted-index discipline as
+    dedup_ngram_jaccard, one level coarser."""
+    # key = first-8-token prefix of the normalized text (a cheap
+    # near-dup blocking key: doc families sharing a boilerplate head),
+    # hashed to md5 so the shuffle carries 32 bytes, not text
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8))
+    ps = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(prefix).alias("fp"), "source")
+        .distinct()
+    )
+    a = ps.select(F.col("fp"), F.col("source").alias("source_a"))
+    b = ps.select(F.col("fp").alias("fp_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, (a.fp == b.fp_b) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -236,3 +236,76 @@ def corpus_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("shard_chars"),
         F.expr(f"sum(n_chars) * 10000 div {_PACK_BUDGET}").alias("fill_bp"),
     )
+
+
+_SAMPLE_W_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_chars) AS total_chars, count(*) AS n_sources FROM per_source),
+weights AS (
+  SELECT source,
+         CAST(((SELECT total_chars FROM tot) * 10000)
+              // ((SELECT n_sources FROM tot) * n_chars) AS BIGINT) AS weight_bp
+  FROM per_source
+),
+drawn AS (
+  SELECT d.source, d.n_chars,
+         w.weight_bp // 10000
+           + CASE WHEN ({md5_48_sql("CAST(d.doc_id AS VARCHAR)")}) % 10000
+                       < w.weight_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN weights w ON d.source = w.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_drawn,
+       CAST(sum(n_copies) AS BIGINT) AS total_copies,
+       CAST(sum(n_chars * n_copies) AS BIGINT) AS chars_out
+FROM drawn
+GROUP BY source
+"""
+
+
+@query("corpus_sample_weighted", oracle=_SAMPLE_W_ORACLE, tier="ext")
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the mixture loop: APPLY `corpus_mixture`'s weights as a
+    deterministic sampler. Each doc's copy count is
+    weight_bp div 10⁴ (guaranteed copies — upsampling) plus one more
+    iff md5(doc_id) mod 10⁴ < weight_bp mod 10⁴ (the fractional part as
+    a hash-Bernoulli draw — downsampling). Pure function of
+    (doc_id, weight): reproducible across engines, re-runs, and
+    repartitioning — never rand(). Reports per-source draw counts and
+    the char mass actually emitted, which converges on uniform
+    per-source mass as the corpus grows.
+
+    Scale: weight table is |sources| rows broadcast onto one corpus
+    scan; the draw is a codegen'd expression — no shuffle beyond the
+    final |sources|-group agg."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    tot = per_source.agg(
+        F.sum("src_chars").alias("total_chars"), F.count("*").alias("n_sources")
+    )
+    weights = (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr("(total_chars * 10000) div (n_sources * src_chars)").alias("weight_bp"),
+        )
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    ) % 10000
+    n_copies = F.expr("weight_bp div 10000") + F.when(
+        u < F.col("weight_bp") % 10000, 1
+    ).otherwise(0)
+    drawn = d.join(F.broadcast(weights), "source").select(
+        "source", "n_chars", n_copies.alias("n_copies")
+    )
+    return drawn.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 0, 1).otherwise(0)).alias("n_drawn"),
+        F.sum("n_copies").alias("total_copies"),
+        F.sum(F.col("n_chars") * F.col("n_copies")).alias("chars_out"),
+    )

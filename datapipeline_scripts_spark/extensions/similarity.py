@@ -451,3 +451,70 @@ def embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("cos_sim").cast("decimal(14,4)")).cast("double").alias("sum_cos"),
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH per_vec AS (
+      SELECT label,
+             len(embedding) AS dim,
+             CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000)
+                            AS BIGINT))) AS BIGINT) AS l2sq_micro,
+             CAST(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                  AS BOOLEAN) AS has_nan,
+             CAST(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) = 0 AS BOOLEAN) AS is_zero
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n,
+           CAST(min(dim) AS INTEGER) AS min_dim,
+           CAST(max(dim) AS INTEGER) AS max_dim,
+           CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+           CAST(sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(min(l2sq_micro) AS BIGINT) AS min_l2sq_micro,
+           CAST(max(l2sq_micro) AS BIGINT) AS max_l2sq_micro,
+           CAST(sum(l2sq_micro) // count(*) AS BIGINT) AS avg_l2sq_micro
+    FROM per_vec
+    GROUP BY label
+    """,
+    tier="ext",
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health gate — run BEFORE any ANN/dedup consumer:
+    per label, dimension consistency (min=max or the index layout is
+    broken), NaN vectors (poison cosine — one NaN propagates through a
+    whole reduction), all-zero vectors (undefined direction; crash or
+    garbage in normalized distance), and the squared-norm range (wild
+    norms break inner-product ≈ cosine assumptions and IVF cell
+    balance).
+
+    Determinism: norms are per-TERM integer-quantized (round(x²·10⁶) →
+    bigint) before summation, the house pattern that makes float folds
+    order-independent; min/max/avg then ride exact integers.
+
+    Scale: pure per-row array math + one |labels|-group agg — no
+    shuffle of vector data, embarrassingly parallel, the audit costs
+    one scan regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = lambda c: c.cast("double")  # noqa: E731
+    sq_micro = F.transform("embedding", lambda x: F.round(d(x) * d(x) * 1000000).cast("long"))
+    per_vec = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.aggregate(sq_micro, F.lit(0).cast("long"), lambda a, x: a + x).alias("l2sq_micro"),
+        F.exists("embedding", lambda x: F.isnan(d(x))).alias("has_nan"),
+        (F.array_max(F.transform("embedding", lambda x: F.abs(d(x)))) == 0).alias("is_zero"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum(F.when(F.col("has_nan"), 1).otherwise(0)).alias("n_nan"),
+        F.sum(F.when(F.col("is_zero"), 1).otherwise(0)).alias("n_zero"),
+        F.min("l2sq_micro").alias("min_l2sq_micro"),
+        F.max("l2sq_micro").alias("max_l2sq_micro"),
+        F.expr("sum(l2sq_micro) div count(*)").alias("avg_l2sq_micro"),
+    )

@@ -1077,3 +1077,100 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.count_if(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).alias("n_priority"),
     )
+
+
+_CORR_ORACLE = """
+WITH q AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(round(l_discount * 10000) AS BIGINT) AS z
+  FROM lineitem
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(z) AS HUGEINT) AS sz,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+         CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+  FROM q
+)
+SELECT pair, n, corr_bp FROM (
+  SELECT 'qty_price' AS pair, n,
+         CAST(floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * 1.0)
+              / sqrt((n * syy - sy * sy) * 1.0) * 10000) AS BIGINT) AS corr_bp
+  FROM s
+  UNION ALL
+  SELECT 'qty_disc', n,
+         CAST(floor((n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * 1.0)
+              / sqrt((n * szz - sz * sz) * 1.0) * 10000) AS BIGINT)
+  FROM s
+  UNION ALL
+  SELECT 'price_disc', n,
+         CAST(floor((n * syz - sy * sz) / sqrt((n * syy - sy * sy) * 1.0)
+              / sqrt((n * szz - sz * sz) * 1.0) * 10000) AS BIGINT)
+  FROM s
+)
+"""
+
+
+@query("stats_corr_matrix", oracle=_CORR_ORACLE, tier="ext")
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (quantity × price ×
+    discount) from ONE aggregate pass: the 9 sufficient statistics
+    (Σx, Σx², Σxy per pair) accumulate as exact 128-bit integers over
+    integer-quantized inputs (qty units, price cents, discount bp), so
+    the aggregation is order-independent; the correlation itself is
+    evaluated once on the driver-sized 1-row result in float64 from
+    those exact sums — identical IEEE ops both engines, reported in
+    floor'd basis points.
+
+    The feature-correlation screen a curation pipeline runs before
+    regression/weighting; Spark's built-in corr() is a double
+    accumulator (order-sensitive last-ulp) — this is the
+    deterministic form.
+
+    Scale: one scan, one 1-row reduce, a 3-row projection after —
+    nothing else. Adding features grows the statistics quadratically
+    but they all ride the same pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("z"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("z")).alias("sz"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("z") * F.col("z")).alias("szz"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("z")).alias("sxz"),
+        F.sum(dec("y") * F.col("z")).alias("syz"),
+    )
+
+    def corr_bp(sab: str, sa: str, sb: str, saa: str, sbb: str) -> str:
+        # float64 from exact integer sums; floor to basis points
+        return (
+            f"cast(floor((cast(n as double) * cast({sab} as double)"
+            f" - cast({sa} as double) * cast({sb} as double))"
+            f" / sqrt(cast(n as double) * cast({saa} as double)"
+            f" - cast({sa} as double) * cast({sa} as double))"
+            f" / sqrt(cast(n as double) * cast({sbb} as double)"
+            f" - cast({sb} as double) * cast({sb} as double))"
+            f" * 10000) as bigint)"
+        )
+
+    return s.selectExpr(
+        "stack(3, "
+        f"'qty_price', n, {corr_bp('sxy', 'sx', 'sy', 'sxx', 'syy')}, "
+        f"'qty_disc', n, {corr_bp('sxz', 'sx', 'sz', 'sxx', 'szz')}, "
+        f"'price_disc', n, {corr_bp('syz', 'sy', 'sz', 'syy', 'szz')}"
+        ") as (pair, n, corr_bp)"
+    )
