@@ -95,14 +95,27 @@ def _driver_proven_keys() -> set[str]:
     return proven
 
 
+# Queries added in round 3: rotate these AFTER the round-1/2 catalog's
+# never-proven keys so the driver's 50-row window finishes proving the
+# older backlog first (VERDICT r02 item 1: cumulative >=146/190 of the
+# r2 catalog by r3); the new keys then fill the following rounds.
+_ADDED_R3 = {
+    "tpch_q1_shape", "tpch_q21_shape", "sql_udf", "sql_pipe", "udf_arrow",
+    "bitmap_distinct", "array_higher_order", "dedup_incremental",
+    "dedup_cross_source", "corpus_sample_weighted", "embedding_norm_audit",
+    "stats_corr_matrix", "corpus_pack_partitioned",
+}
+
+
 def _ordered_keys() -> list[str]:
     specs = all_queries()
     proven = _driver_proven_keys()
     head = [k for k in _PRIORITY if k in specs and k not in proven]
     seen = set(head)
-    mid = [k for k in specs if k not in seen and k not in proven]
+    mid = [k for k in specs if k not in seen and k not in proven and k not in _ADDED_R3]
+    new = [k for k in specs if k not in seen and k not in proven and k in _ADDED_R3]
     tail = [k for k in specs if k not in seen and k in proven]
-    return head + mid + tail
+    return head + mid + new + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -258,3 +258,45 @@ def quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("coalesce(n_b, 0) * 10000 div tb").alias("share_after_bp"),
         F.expr("coalesce(n_b, 0) * 10000 div tb - coalesce(n_a, 0) * 10000 div ta").alias("delta_bp"),
     )
+
+
+@query(
+    "observe_metrics",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe()` — audit metrics that ride the SAME job as the
+    query (CollectMetrics operator): row count, null count, and
+    filtered-out count accumulate executor-side while the main
+    aggregation runs, with ZERO extra scan. The production pattern for
+    ingest accounting — a 100 TB load shouldn't pay a second pass just
+    to know how many rows it dropped; tests/test_quality.py reads the
+    metrics through a QueryExecutionListener-backed Observation and
+    asserts they reconcile with the result.
+
+    The returned result is an ordinary cents-exact aggregate the
+    oracle replays; the observation is invisible to the result hash —
+    the point is that observability costs nothing."""
+    o = load_table(spark, sf_dir, "orders")
+    observed = o.observe(
+        "ingest_audit",
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(F.col("o_totalprice") <= 1000, 1).otherwise(0)).alias("rows_dropped"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkeys"),
+    )
+    return (
+        observed.filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
