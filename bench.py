@@ -62,6 +62,16 @@ BENCH_KEYS = (
     "text_repetition",
     "zorder_write_roundtrip",
     "events_stream_session",
+    # round-3 widening: new flagship shapes (scan-heavy q1, hardest-shape
+    # q21, arrow escape hatch, bitmap exact-distinct, incremental dedup,
+    # partitioned packing, one-pass correlation matrix)
+    "tpch_q1_shape",
+    "tpch_q21_shape",
+    "udf_arrow",
+    "bitmap_distinct",
+    "dedup_incremental",
+    "corpus_pack_partitioned",
+    "stats_corr_matrix",
 )
 
 
