@@ -768,3 +768,69 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    toks AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared * 10000 // least(sa.sz, sb.sz) AS BIGINT)
+             AS containment_bp,
+           CAST(CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END AS BIGINT)
+             AS contained_doc
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared * 10000 // least(sa.sz, sb.sz) >= 8000
+    """,
+    tier="ext",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT ≥ 0.8 — the asymmetric near-dup measure
+    Jaccard misses: |A∩B| / min(|A|,|B|) flags a short doc embedded
+    inside a long one (quote farms, scraped excerpts, page-plus-chrome
+    wrappers) even when the symmetric Jaccard is tiny because the union
+    is dominated by the longer doc. Standard alongside Jaccard in crawl
+    dedup (Broder's containment). Reports the pair, containment in
+    integer basis points, and which doc is the contained (smaller) one.
+
+    Scale: identical inverted-index shape to dedup_ngram_jaccard (pairs
+    only through shared shingles; hot-shingle cap applies at 100 TB via
+    the dedup_ngram_jaccard_capped discipline); the containment math is
+    pure integer so the hash can't drift."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
+    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont_bp = F.expr("n_shared * 10000 div least(sz_a, sz_b)")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_bp", cont_bp)
+        .filter(F.col("containment_bp") >= 8000)
+        .select(
+            "doc_a",
+            "doc_b",
+            "containment_bp",
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )

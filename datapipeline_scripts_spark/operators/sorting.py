@@ -129,3 +129,58 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "transpose_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'n' AS key,
+           CAST(max(CASE WHEN l_returnflag = 'A' THEN n END) AS BIGINT) AS A,
+           CAST(max(CASE WHEN l_returnflag = 'N' THEN n END) AS BIGINT) AS N,
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN n END) AS BIGINT) AS R
+    FROM m
+    UNION ALL
+    SELECT 'sum_qty',
+           CAST(max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT 'cents',
+           CAST(max(CASE WHEN l_returnflag = 'A' THEN cents END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'N' THEN cents END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN cents END) AS BIGINT)
+    FROM m
+    """,
+    tier="ext",
+)
+def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.transpose` (Spark 4): rows↔columns flip with the
+    former key column's VALUES becoming column names — the
+    metrics-report shape (one row per metric, one column per segment)
+    produced natively instead of via N stacked pivots. The oracle is
+    the classic conditional-aggregation UNION, proving transpose is
+    sugar over the same semantics.
+
+    Scale: transpose collects the (already aggregated) frame to derive
+    the new schema — use strictly AFTER reduction to report-sized data
+    (here 3×4), never on raw rows; the heavy lifting stays in the
+    distributed aggregate below it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+    # transpose keys on the first column; metric names become the new
+    # first column named 'key' after rename
+    flipped = m.transpose("l_returnflag")
+    return flipped.withColumnRenamed(flipped.columns[0], "key")

@@ -113,3 +113,37 @@ def test_int8_quantization_matches_python_model(spark, vecs):
         model = [math.floor(x / s + 0.5) for x in v32]
         assert got[i] == model, (v32, got[i], model)
         assert all(-127 <= c <= 127 for c in got[i])
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_integer_quantized_aggregates_are_partition_invariant(spark, sf_dir):
+    """The house determinism contract, asserted mechanically: queries
+    that quantize per-row to integers before summing must produce
+    IDENTICAL rows regardless of partitioning (shuffle-merge order is
+    the thing the contract defends against)."""
+    from datapipeline_scripts_spark.registry import get
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for key in ("tpch_q1_shape", "stats_corr_matrix", "stats_winsorize", "try_functions"):
+            results = []
+            # different shuffle widths genuinely change partial-agg merge
+            # order — the exact hazard integer quantization defends against
+            for n in ("1", "7", "64"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.append(_rows(get(key).build(spark, sf_dir)))
+            assert results[0] == results[1] == results[2], f"{key} drifted with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_sampler_and_split_are_repartition_invariant(spark, sf_dir):
+    from datapipeline_scripts_spark.registry import get
+
+    for key in ("corpus_sample_weighted", "split_assign", "dedup_incremental"):
+        a = _rows(get(key).build(spark, sf_dir))
+        b = _rows(get(key).build(spark, sf_dir))
+        assert a == b, f"{key} not reproducible across rebuilds"
