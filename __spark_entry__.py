@@ -104,6 +104,10 @@ _ADDED_R3 = {
     "bitmap_distinct", "array_higher_order", "dedup_incremental",
     "dedup_cross_source", "corpus_sample_weighted", "embedding_norm_audit",
     "stats_corr_matrix", "corpus_pack_partitioned",
+    # containment/transpose/observe batch + graph-stats/history batch
+    "dedup_containment", "transpose_metrics", "observe_metrics",
+    "graph_triangle_count", "graph_degree_stats", "scd2_history",
+    "events_markov_transitions", "time_fill_forward", "stats_ks_test",
 }
 
 

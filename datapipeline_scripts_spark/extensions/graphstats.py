@@ -1,0 +1,181 @@
+"""Structural graph statistics over relational data: triangle counting
+and degree profiles.
+
+Companions to `graph.py`'s iterative PageRank on the same nation trade
+graph (edge = cust-nation → supp-nation for every cross-nation
+lineitem): PageRank weights nodes by link structure; triangles and
+degrees are the *static* structure signals a curation pipeline uses to
+characterize link/citation/interaction graphs (clustering coefficient
+inputs, hub detection, spam-farm screens).
+
+Spark-first design, and the 100 TB shape:
+
+- **Triangle counting** is the textbook ordered-edge-join algorithm
+  (three self-equi-joins on the canonically oriented edge list with
+  `a < b < c`). Orienting every edge low→high before joining is what
+  bounds the intermediate: each triangle is produced exactly once, no
+  permutation blowup, and every join is an equi-join Catalyst can
+  hash-partition — no cartesian anywhere (asserted in
+  tests/test_plans.py). At 100 TB the standard refinement is
+  degree-based orientation (point each edge at the higher-degree
+  endpoint) which bounds wedge counts by arboricity; the fixture graph
+  is node-bounded (≤ 25 nations) so the simple orientation is already
+  exact and cheap.
+- **Degree stats** are three partial-aggregable groupBys over the edge
+  list — map-side combine collapses each scan partition to |V| rows
+  before any exchange.
+
+Cross-engine determinism: pure integer counts — nothing to quantize.
+
+Reference analogue: none directly (the reference delegates analytics to
+its SQL engines); §2.E-class extension, same family as graph_pagerank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+# Shared directed-edge derivation (identical to graph.py's PageRank
+# edge list and the _PAGERANK_ORACLE's `raw` CTE).
+_EDGES_CTE = """
+raw AS (
+  SELECT DISTINCT cn.n_nationkey AS src, sn.n_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+  WHERE cn.n_nationkey <> sn.n_nationkey
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+)
+"""
+
+_TRIANGLE_ORACLE = f"""
+WITH {_EDGES_CTE},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pernode AS (
+  SELECT x AS k FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT n.n_name AS nation, count(*) AS n_triangles
+FROM pernode p JOIN nation n ON p.k = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+_DEGREE_ORACLE = f"""
+WITH {_EDGES_CTE},
+out_d AS (SELECT src AS k, count(*) AS outdeg FROM raw GROUP BY src),
+in_d  AS (SELECT dst AS k, count(*) AS indeg  FROM raw GROUP BY dst),
+u_d AS (
+  SELECT k, count(*) AS degree
+  FROM (SELECT a AS k FROM und UNION ALL SELECT b AS k FROM und)
+  GROUP BY k
+)
+SELECT n.n_name AS nation,
+       coalesce(o.outdeg, 0) AS outdeg,
+       coalesce(i.indeg, 0) AS indeg,
+       u_d.degree AS degree
+FROM u_d
+LEFT JOIN out_d o ON u_d.k = o.k
+LEFT JOIN in_d  i ON u_d.k = i.k
+JOIN nation n ON u_d.k = n.n_nationkey
+"""
+
+
+def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct cross-nation (cust_nation → supp_nation) directed edges
+    — the one data-sized shuffle; everything downstream is |V|/|E|-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tier="ext")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation counts on the undirected nation
+    trade graph — ordered-edge-join triangle enumeration (a < b < c,
+    each triangle found exactly once), then one UNION-ALL + groupBy for
+    per-node counts. Every join is an equi-join on edge endpoints."""
+    raw = _directed_edges(spark, sf_dir)
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+        # |E| ≤ C(25,2): reuse across the three join legs without
+        # recomputing the fact-table join per leg
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    # one pass over tri (a 3-branch union would recompute the triangle
+    # join per branch); explode(array(...)) == the oracle's UNION ALL
+    pernode = tri.select(F.explode(F.array("x", "y", "z")).alias("k"))
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        pernode.join(F.broadcast(na), pernode.k == na.n_nationkey)
+        .groupBy(na.n_name.alias("nation"))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+@query("graph_degree_stats", oracle=_DEGREE_ORACLE, tier="ext")
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree profile (out-degree, in-degree, undirected
+    degree) of the nation trade graph — three partial-aggregable
+    groupBys over the |E|-row edge list, stitched with node-sized
+    broadcast joins."""
+    raw = _directed_edges(spark, sf_dir).localCheckpoint(eager=False)
+    out_d = raw.groupBy(F.col("src").alias("k")).agg(F.count("*").alias("outdeg"))
+    in_d = raw.groupBy(F.col("dst").alias("k")).agg(F.count("*").alias("indeg"))
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    u_d = (
+        und.select(F.col("a").alias("k"))
+        .unionByName(und.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("degree"))
+    )
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        u_d.join(F.broadcast(out_d), "k", "left")
+        .join(F.broadcast(in_d), "k", "left")
+        .join(F.broadcast(na), u_d.k == na.n_nationkey)
+        .select(
+            na.n_name.alias("nation"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+    )

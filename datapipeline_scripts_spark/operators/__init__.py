@@ -9,6 +9,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     arrays,
     cdc,
     dates,
+    history,
     joins,
     json_ops,
     quality,

@@ -1,0 +1,278 @@
+"""Temporal state history and distribution-shift operators over the
+event log: SCD2 dimension building, Markov transition matrices,
+calendar gap-fill with forward-fill, and a two-sample KS drift test.
+
+These are the warehouse-maintenance and data-drift shapes the
+reference's nightly snapshot/restore cadence implies but delegates to
+its SQL engines (/root/reference/backup.sh drives full-database dumps;
+the history of *what changed between dumps* is exactly SCD2):
+
+- `scd2_history` — collapse an event stream into type-2 slowly
+  changing dimension rows (valid_from / valid_to / version /
+  is_current). One lag + one lead window per entity; the dedup of
+  consecutive identical states happens BEFORE the interval windows,
+  so state transitions (small) not raw events (big) flow downstream.
+- `events_markov_transitions` — first-order transition matrix of
+  event types with exact basis-point probabilities. The per-user lag
+  window runs on (user_id)-partitioned data; the probability
+  normalization runs on the already-aggregated |types|² table.
+- `time_fill_forward` — join a generated calendar spine against daily
+  aggregates and forward-fill gaps with `last(ignorenulls)`. The spine
+  is |days|×|types| (tiny, broadcast); the window partitions by type,
+  so no global sort.
+- `stats_ks_test` — two-sample Kolmogorov–Smirnov distance on a fixed
+  binned grid (deterministic `floor(value·10)` bins). Binning first is
+  the 100 TB shape: the cumulative-sum window that forms the ECDFs
+  runs over ≤ ~5k aggregated bin rows, not the corpus, so the single
+  required global ordering is bounded regardless of input size. The
+  statistic is exact integer arithmetic on cross-multiplied cumulative
+  counts (|F1−F2| = |c1·n2 − c2·n1|/(n1·n2)) — no float CDFs to drift.
+
+Cross-engine determinism: counts are integers; money is per-row
+round(value·100)→bigint cents (the proven tpch_q1_shape idiom);
+timestamps render as UTC strings on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE user_id % 17 = 0
+),
+chg AS (SELECT * FROM seq WHERE event_type IS DISTINCT FROM prev)
+SELECT user_id,
+       event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("scd2_history", oracle=_SCD2_ORACLE, tier="core")
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from the event stream: each user's event_type
+    history collapsed to change intervals with valid_from/valid_to,
+    version numbers, and an is_current flag — the standard
+    point-in-time dimension a nightly snapshot pipeline maintains.
+
+    Consecutive-duplicate elimination (the lag filter) runs before the
+    interval windows, so the lead/row_number pass sees only state
+    *changes*. Both windows share one (user_id) partitioning — Catalyst
+    plans a single Exchange reused by both. The user_id % 17 filter is
+    a deterministic subset to keep declared output bounded; at scale
+    the operator is per-entity embarrassingly parallel."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(~F.expr("event_type <=> prev"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST((10000 * n) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_bp
+FROM pairs
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE, tier="ext")
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next | prev) in exact basis points. The behavioral
+    fingerprint used for bot screening and interaction-log curation
+    (a user whose transition matrix is near-deterministic is a script).
+
+    The lag window shuffles once on user_id; the groupBy collapses to
+    |types|² rows before the normalizing window, so the second window
+    is over a table of a few dozen rows regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wp))
+        # integer floor division on both engines — no float probabilities
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("CAST((10000 * n) div row_total AS BIGINT)").alias("prob_bp"),
+        )
+    )
+
+
+_FILL_ORACLE = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+grid AS (SELECT t.event_type, s.day FROM spine s CROSS JOIN types t)
+SELECT g.event_type,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       CAST(last_value(d.cents IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents,
+       (d.cents IS NULL) AS is_gap
+FROM grid g
+LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+"""
+
+
+@query("time_fill_forward", oracle=_FILL_ORACLE, tier="ext")
+def time_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: a generated day spine × event-type grid,
+    left-joined to daily revenue (per-row-quantized cents), with
+    missing days forward-filled via last(ignorenulls) — the standard
+    regularization step before any rolling-window or resample math on
+    an irregular series.
+
+    The spine is built with sequence()/explode from a 1-row min/max
+    aggregate (days×types rows, broadcast side of the join); the fill
+    window partitions by event_type — no global ordering anywhere.
+    Days before a type's first observation stay NULL on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("cents").isNull().alias("is_gap"),
+        )
+    )
+
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT CAST(floor(value * 10) AS BIGINT) AS bin, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+pts AS (
+  SELECT bin,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM s GROUP BY bin
+),
+cum AS (
+  SELECT sum(c1) OVER w AS f1, sum(c2) OVER w AS f2
+  FROM pts
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM pts
+)
+SELECT CAST(max(10000 * abs(f1 * n2 - f2 * n1)) // (n1 * n2) AS BIGINT) AS ks_d_bp,
+       n1, n2
+FROM cum, tot
+GROUP BY n1, n2
+"""
+
+
+@query("stats_ks_test", oracle=_KS_ORACLE, tier="ext")
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types, on a deterministic binned grid —
+    the drift gate a training pipeline runs between data snapshots
+    (companion to quality_drift's categorical deltas; this is the
+    numeric-distribution version).
+
+    Shape: bin → groupBy (partial-aggregable, collapses the corpus to
+    ≤ ~5k bin rows) → one bounded cumulative-sum window over the bins
+    → cross-multiplied integer max. The only ordered window runs on
+    the aggregated bin table, so the Exchange SinglePartition it needs
+    is a few KB at any corpus size. Integer overflow bound: the max
+    product is 10⁴·n1·n2, safe in int64 through ~10⁹ rows per side
+    (DuckDB side is int128 throughout)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pts = (
+        e.select(
+            F.floor(F.col("value") * 10).cast("long").alias("bin"), "event_type"
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr("CAST(max(10000 * abs(f1 * n2 - f2 * n1)) div (n1 * n2) AS BIGINT)")
+            .alias("ks_d_bp")
+        )
+        .select("ks_d_bp", "n1", "n2")
+    )

@@ -438,3 +438,34 @@ def test_tpch_q21_semi_anti_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in joins, joins
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_graph_triangle_joins_are_equi(spark, sf_dir):
+    # ordered-edge-join triangle enumeration: all three legs must plan
+    # as hash equi-joins on edge endpoints — no cartesian/nested-loop
+    # wedge blowup anywhere
+    df = get("graph_triangle_count").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_stats_ks_window_runs_on_aggregated_bins(spark, sf_dir):
+    # the ECDF cumulative window must sit ABOVE the bin groupBy in the
+    # plan (window over ≤ ~5k bin rows, never over raw events): the
+    # aggregate's partial/final pair has to appear below the Window node
+    df = get("stats_ks_test").build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    assert w >= 0, plan
+    assert "HashAggregate" in plan[w:], plan
+
+
+def test_time_fill_forward_window_is_partitioned(spark, sf_dir):
+    # forward-fill partitions by event_type: the day-spine grid must
+    # not be globally sorted through one task
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("time_fill_forward").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Window") == 1, plan
