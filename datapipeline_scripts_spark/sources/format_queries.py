@@ -384,3 +384,100 @@ def jsonl_corrupt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "textfile_roundtrip",
+    oracle=_ORACLE,
+)
+def textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → pipe-delimited lines via the `text` sink → `text`
+    source read-back → parse → aggregate (same oracle as
+    `csv_roundtrip`). Exercises the raw line-oriented source/sink the
+    reference's dump files flow through (one string column, no codec
+    in the way — /root/reference/backup.sh's plain-SQL dump analogue).
+
+    Doubles survive because CAST(double AS STRING) emits the
+    shortest-round-trip representation, and the read-back casts it
+    straight back; the write is distributed (one file per partition)
+    and the read is a parallel line scan — no schema inference pass."""
+    src = load_table(spark, sf_dir, "orders").select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_text_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    src.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), "\\|")
+    parsed = back.select(
+        parts.getItem(0).cast("long").alias("o_orderkey"),
+        parts.getItem(1).alias("o_orderstatus"),
+        parts.getItem(2).cast("double").alias("o_totalprice"),
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_BINARYFILE_ORACLE = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id % 199 = 0
+"""
+
+
+@query("binaryfile_roundtrip", oracle=_BINARYFILE_ORACLE)
+def binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest via the built-in `binaryFile` source — the
+    front door for multimodal corpora (multimodal.py's decode plumbing
+    assumes blobs already sit in a binary column; this query proves the
+    path that GETS them there from raw files: path, length, content).
+
+    Fixture materialization: a bounded subset of documents
+    (doc_id % 199, ≤ a few dozen rows at any fixture SF) is written as
+    one .bin file each — a driver-side loop, acceptable ONLY because it
+    creates the on-disk fixture this source query exists to read; at
+    100 TB the files already exist (that's the premise) and the
+    binaryFile scan itself is fully parallel with one task per file.
+    The report recomputes doc_id from the file path and hashes the
+    bytes; the oracle recomputes both from the table text (UTF-8), so
+    a hash match proves byte-exact ingest."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 199 == 0)
+        .select("doc_id", "text")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_binaryfile_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(out, exist_ok=True)
+    for row in docs.collect():  # bounded fixture write, see docstring
+        with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as fh:
+            fh.write(row["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
