@@ -1099,19 +1099,38 @@ s AS (
   FROM q
 )
 SELECT pair, n, corr_bp FROM (
+  -- each exact integer sum is cast to double BEFORE any arithmetic so
+  -- the IEEE operation order is identical to the Spark expression
+  -- (hugeint-exact numerators here vs double numerators there could
+  -- flip a floor'd basis point at the boundary — ADVICE r02 class)
   SELECT 'qty_price' AS pair, n,
-         CAST(floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * 1.0)
-              / sqrt((n * syy - sy * sy) * 1.0) * 10000) AS BIGINT) AS corr_bp
+         CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              * 10000) AS BIGINT) AS corr_bp
   FROM s
   UNION ALL
   SELECT 'qty_disc', n,
-         CAST(floor((n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * 1.0)
-              / sqrt((n * szz - sz * sz) * 1.0) * 10000) AS BIGINT)
+         CAST(floor((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+              / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                     - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+              * 10000) AS BIGINT)
   FROM s
   UNION ALL
   SELECT 'price_disc', n,
-         CAST(floor((n * syz - sy * sz) / sqrt((n * syy - sy * sy) * 1.0)
-              / sqrt((n * szz - sz * sz) * 1.0) * 10000) AS BIGINT)
+         CAST(floor((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+              / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                     - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+              * 10000) AS BIGINT)
   FROM s
 )
 """

@@ -276,3 +276,98 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ks_d_bp", "n1", "n2")
     )
+
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT y,
+         lag(y, 1) OVER w AS b1,
+         lag(y, 2) OVER w AS b2,
+         lag(y, 3) OVER w AS b3
+  FROM daily
+  WINDOW w AS (ORDER BY day)
+),
+s AS (
+  SELECT k, count(*) AS n,
+         CAST(sum(a) AS HUGEINT) AS sa, CAST(sum(b) AS HUGEINT) AS sb,
+         CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+         CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+         CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab
+  FROM (
+    SELECT 1 AS k, y AS a, b1 AS b FROM lagged WHERE b1 IS NOT NULL
+    UNION ALL SELECT 2, y, b2 FROM lagged WHERE b2 IS NOT NULL
+    UNION ALL SELECT 3, y, b3 FROM lagged WHERE b3 IS NOT NULL
+  )
+  GROUP BY k
+)
+SELECT k AS lag, n,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+            * 10000) AS BIGINT) AS autocorr_bp
+FROM s
+"""
+
+
+@query("stats_autocorr", oracle=_AUTOCORR_ORACLE, tier="ext")
+def stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the daily event-count series — the
+    seasonality probe behind ingestion-cadence monitoring (a crawl
+    whose daily volume autocorrelation collapses changed its source
+    mix) and the stationarity check before EWMA-style smoothing
+    (events_ewma).
+
+    Exactness: the series is integer counts; sufficient statistics
+    (Σa, Σb, Σa², Σb², Σab per lag) accumulate as exact decimal(38,0)
+    (int128 in the oracle), so aggregation is order-independent; the
+    Pearson ratio is then evaluated from those exact integers with an
+    IEEE operation order written identically in both engines (each sum
+    cast to double first — the same discipline stats_corr_matrix uses),
+    reported in floor'd basis points.
+
+    Scale: the corpus collapses to |days| rows in one partial-agg
+    pass; the lag window and everything after runs on that bounded
+    series (same bounded-window argument as stats_ks_test)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("b1"),
+        F.lag("y", 2).over(w).alias("b2"),
+        F.lag("y", 3).over(w).alias("b3"),
+    )
+    pairs = None
+    for k in (1, 2, 3):
+        p = lagged.filter(F.col(f"b{k}").isNotNull()).select(
+            F.lit(k).alias("k"), F.col("y").alias("a"), F.col(f"b{k}").alias("b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("a")).alias("sa"),
+        F.sum(dec("b")).alias("sb"),
+        F.sum(dec("a") * F.col("a")).alias("saa"),
+        F.sum(dec("b") * F.col("b")).alias("sbb"),
+        F.sum(dec("a") * F.col("b")).alias("sab"),
+    )
+    expr = (
+        "cast(floor((cast(n as double) * cast(sab as double)"
+        " - cast(sa as double) * cast(sb as double))"
+        " / sqrt(cast(n as double) * cast(saa as double)"
+        " - cast(sa as double) * cast(sa as double))"
+        " / sqrt(cast(n as double) * cast(sbb as double)"
+        " - cast(sb as double) * cast(sb as double))"
+        " * 10000) as bigint)"
+    )
+    return s.selectExpr("k as lag", "n", f"{expr} as autocorr_bp")
