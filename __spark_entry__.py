@@ -108,7 +108,7 @@ _ADDED_R3 = {
     "dedup_containment", "transpose_metrics", "observe_metrics",
     "graph_triangle_count", "graph_degree_stats", "scd2_history",
     "events_markov_transitions", "time_fill_forward", "stats_ks_test",
-    "textfile_roundtrip", "binaryfile_roundtrip", "stats_autocorr",
+    "textfile_roundtrip", "binaryfile_roundtrip", "stats_autocorr", "knn_pq",
 }
 
 

@@ -518,3 +518,167 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l2sq_micro").alias("max_l2sq_micro"),
         F.expr("sum(l2sq_micro) div count(*)").alias("avg_l2sq_micro"),
     )
+
+
+
+
+_PQ_M = 16       # subspaces (64-dim → 16 × 4)
+_PQ_SUB = 4      # dims per subspace
+_PQ_K = 16       # codes per subspace codebook
+_PQ_NQ = 30      # query vectors (vec_id < 30)
+_PQ_SHORTLIST = 100  # ADC candidates kept per query for exact rerank
+
+# per-subspace squared L2, quantized to exact integer micro-units so the
+# M-term ADC sum is order-independent (no float summation drift);
+# identical textual operation order in both engines: (aa - 2ab) + bb
+_PQ_D_SQL_DUCK = (
+    "CAST(floor((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def _pq_subs_cte() -> str:
+    legs = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        legs.append(f"SELECT vec_id, {m} AS m, v[{lo}:{hi}] AS s FROM e")
+    return " UNION ALL ".join(legs)
+
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS ({_pq_subs_cte()}),
+cb AS (SELECT vec_id AS j, m, s AS c FROM subs WHERE vec_id < {_PQ_K}),
+enc AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT s.vec_id, s.m, cb.j,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             {_PQ_D_SQL_DUCK.format(a="s.s", b="cb.c")}, cb.j) AS rn
+    FROM subs s JOIN cb USING (m)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS qid, q.m, cb.j,
+         {_PQ_D_SQL_DUCK.format(a="q.s", b="cb.c")} AS d
+  FROM subs q JOIN cb USING (m)
+  WHERE q.vec_id < {_PQ_NQ}
+),
+shortlist AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             ORDER BY adist_micro, cid) AS arn
+    FROM (
+      SELECT l.qid, enc.vec_id AS cid, CAST(sum(l.d) AS BIGINT) AS adist_micro
+      FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.j
+      WHERE enc.vec_id <> l.qid
+      GROUP BY l.qid, enc.vec_id
+    )
+  ) WHERE arn <= {_PQ_SHORTLIST}
+),
+reranked AS (
+  SELECT s.qid, s.cid,
+         {_PQ_D_SQL_DUCK.format(a="q.v", b="c.v")} AS l2sq_micro
+  FROM shortlist s
+  JOIN e q ON s.qid = q.vec_id
+  JOIN e c ON s.cid = c.vec_id
+)
+SELECT qid, cid, l2sq_micro, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT qid, cid, l2sq_micro,
+         row_number() OVER (PARTITION BY qid ORDER BY l2sq_micro, cid) AS rn
+  FROM reranked
+) WHERE rn <= 5
+"""
+
+
+def _pq_subspaces(e: DataFrame) -> DataFrame:
+    """(vec_id, m, s): the M subvector slices of every embedding."""
+    slices = F.array(
+        *[F.slice(F.col("embedding"), m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
+    return e.select("vec_id", F.posexplode(slices).alias("m", "s"))
+
+
+def _pq_dist_micro(a, b):
+    """Quantized squared L2 between two (sub)vectors — the Spark twin
+    of _PQ_D_SQL_DUCK (same IEEE op order: (aa - 2ab) + bb)."""
+    from datapipeline_scripts_spark.functions.vectors import dot
+
+    return F.floor(
+        (dot(a, a) - F.lit(2) * dot(a, b) + dot(b, b)) * 1000000 + F.lit(0.5)
+    ).cast("long")
+
+
+@query("knn_pq", oracle=_PQ_ORACLE, tier="ext")
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank — the standard
+    two-stage 100 TB retrieval shape (PQ-ADC scan → shortlist → exact
+    distance on the shortlist only):
+
+    1. Encode: every embedding becomes M=16 one-byte codes (4-dim
+       subspaces, K=16 codes each; codebook = the first K vectors'
+       slices, the same deterministic seeding knn_ivf uses). 32× less
+       candidate state than float64 — the scan stage is memory-bound,
+       so this compression IS the speedup at scale.
+    2. ADC shortlist: each query ranks all candidates by the sum of M
+       lookup-table entries (no dot products), keeps the top
+       _PQ_SHORTLIST.
+    3. Exact rerank: full-precision squared L2 on the shortlist only
+       (|Q|·shortlist rows), top-5.
+
+    Exactness discipline: per-subspace distances are floor-quantized
+    to integer micro-units before the ADC sum, so both ranking stages
+    are exact integer arithmetic and the DuckDB oracle (same codebook,
+    same quantization) matches hash-for-hash — approximation lives in
+    the deterministic quantizer, never in engine nondeterminism. The
+    fixture embeddings are near-uniform random (worst case for PQ), so
+    recall comes from the rerank stage; measured vs exact L2 in
+    tests/test_extensions.py::test_pq_rerank_recall_vs_exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    subs = _pq_subspaces(e)
+    cb = (
+        subs.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("j"), "m", F.col("s").alias("c"))
+    )
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", _pq_dist_micro(F.col("s"), F.col("c")).alias("d")
+    )
+    wenc = W.partitionBy("vec_id", "m").orderBy("d", "j")
+    enc = (
+        scored.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "j",
+            _pq_dist_micro(F.col("s"), F.col("c")).alias("d"),
+        )
+    )
+    wadc = W.partitionBy("qid").orderBy("adist_micro", "cid")
+    shortlist = (
+        enc.join(F.broadcast(lut), (enc.m == lut.m) & (enc.code == lut.j))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d").cast("long").alias("adist_micro"))
+        .withColumn("arn", F.row_number().over(wadc))
+        .filter(F.col("arn") <= _PQ_SHORTLIST)
+        .select("qid", "cid")
+    )
+    qv = ed.select(F.col("vec_id").alias("qid"), F.col("v").alias("qvec"))
+    cv = ed.select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    reranked = (
+        shortlist.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", _pq_dist_micro(F.col("qvec"), F.col("cvec")).alias("l2sq_micro"))
+    )
+    wr = W.partitionBy("qid").orderBy("l2sq_micro", "cid")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", "l2sq_micro", "rn")
+    )

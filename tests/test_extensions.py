@@ -347,3 +347,39 @@ def test_pagerank_deep_iteration_checkpoints(spark, sf_dir):
     assert sorted(map(tuple, deep)) == sorted(map(tuple, nocut))
     total = sum(r["rank_micro"] for r in deep)
     assert 0.90 * 1_000_000_000_000 <= total <= 1_000_000_000_000
+
+
+def test_pq_rerank_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC shortlist + exact rerank must recover most of the true
+    top-5: the fixture embeddings are near-uniform random (worst case
+    for a 16-code codebook), so per-query recall varies, but the
+    shortlist-100 rerank keeps mean recall high. PQ ranks by L2 (not
+    cosine), so the exact reference ranking is recomputed here from
+    the raw vectors rather than taken from knn_brute."""
+    import numpy as np
+
+    from datapipeline_scripts_spark.catalog import load_table
+
+    rows = get("knn_pq").build(spark, sf_dir).collect()
+    ptop: dict[int, set[int]] = {}
+    for r in rows:
+        ptop.setdefault(r["qid"], set()).add(r["cid"])
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    ids = sorted(emb)
+    V = np.stack([emb[i] for i in ids])
+    recalls = []
+    for qid, approx in ptop.items():
+        q = emb[qid]
+        d = ((V - q) ** 2).sum(1)
+        d[ids.index(qid)] = np.inf
+        exact = {ids[i] for i in np.argsort(d)[:5]}
+        recalls.append(len(exact & approx) / 5)
+    assert len(ptop) == 30
+    assert all(len(v) == 5 for v in ptop.values())
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.7, f"mean recall {mean_recall:.2f}"
