@@ -1193,3 +1193,34 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'price_disc', n, {corr_bp('syz', 'sy', 'sz', 'syy', 'szz')}"
         ") as (pair, n, corr_bp)"
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT …) over different columns in one
+    aggregate — the dashboard-cardinality shape. Catalyst plans this
+    with an Expand operator (one row replica per distinct set, null
+    elsewhere) followed by a two-level aggregate, so all three
+    cardinalities ride ONE scan and one shuffle instead of three
+    self-joined subqueries (plan-asserted in test_plans.py). At 100 TB
+    the Expand multiplies shuffle rows ×3 — when that bites, the
+    approx_distinct / sketch_hll_rollup family is the documented
+    trade; this is the exact form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )

@@ -481,3 +481,63 @@ def binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+_DPP_ORACLE = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y') = '1996'
+      AND CAST(strftime(l_shipdate, '%m') AS INTEGER) <= 3
+    GROUP BY l_returnflag
+"""
+
+
+@query("join_dpp_partitioned", oracle=_DPP_ORACLE)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by ship-month, the month dimension is filtered to
+    1996-Q1 at *runtime*, and Catalyst injects a dynamicpruning
+    subquery into the fact scan so only the three matching month
+    directories are read — the star-schema scan killer at 100 TB
+    (static pruning can't help because the quarter→month mapping
+    lives in the dim, not in the fact predicate). Plan-asserted in
+    test_plans.py: `dynamicpruningexpression` on the scan.
+
+    The hash match against the flat-oracle (plain date predicate on
+    unpartitioned lineitem) certifies the pruned read loses nothing."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dpp_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    fact = spark.read.parquet(out)
+    # month dim with the quarter attribute the fact table doesn't have
+    months = (
+        fact.select("ship_month")
+        .distinct()
+        .select(
+            "ship_month",
+            F.concat(
+                F.substring("ship_month", 1, 4),
+                F.lit("-Q"),
+                F.ceil(F.substring("ship_month", 6, 2).cast("int") / 3).cast("string"),
+            ).alias("quarter"),
+        )
+    )
+    dim = months.filter(F.col("quarter") == "1996-Q1")
+    return (
+        fact.join(F.broadcast(dim), "ship_month")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )

@@ -469,3 +469,23 @@ def test_time_fill_forward_window_is_partitioned(spark, sf_dir):
     df = get("time_fill_forward").build(spark, sf_dir)
     plan = simple_plan(df)
     assert plan.count("Window") == 1, plan
+
+
+def test_join_dpp_injects_pruning_subquery(spark, sf_dir):
+    # the runtime quarter filter on the month dim must reach the fact
+    # scan as a dynamic-pruning subquery (only matching month
+    # directories are read), not as a post-scan data filter
+    df = get("join_dpp_partitioned").build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_multi_distinct_plans_one_expand(spark, sf_dir):
+    # three COUNT(DISTINCT) over different columns must ride one scan
+    # via Expand, not three self-joined subqueries
+    df = get("agg_multi_distinct").build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    from datapipeline_scripts_spark.plans.audit import join_strategies
+
+    assert not join_strategies(df)
