@@ -216,3 +216,48 @@ def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_variables",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_totalprice >= 150000 AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tier="ext",
+)
+def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables + EXECUTE IMMEDIATE: thresholds
+    are DECLAREd once, SET per run, and consumed both by direct
+    reference (`WHERE col >= min_price`) and through a parameterized
+    EXECUTE IMMEDIATE with a `?` placeholder — the scripting surface a
+    SQL-first team uses instead of string-interpolating literals (and
+    the injection-safe form of it).
+
+    Catalyst folds the variable references to literals at analysis
+    time, so the plan is identical to the hard-coded query — the
+    oracle replays the expanded constants, proving the variable layer
+    is pure binding, not semantics. Integer-cents sum keeps the hash
+    order-independent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_var_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE want_priority STRING DEFAULT ''")
+    spark.sql("SET VAR min_price = 150000.0")
+    spark.sql("SET VAR want_priority = '1-URGENT'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus,
+                  count(*) AS n,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+           FROM orders_var_v
+           WHERE o_totalprice >= min_price AND o_orderpriority = ?
+           GROUP BY o_orderstatus'
+          USING want_priority
+        """
+    )
