@@ -147,3 +147,23 @@ def test_sampler_and_split_are_repartition_invariant(spark, sf_dir):
         a = _rows(get(key).build(spark, sf_dir))
         b = _rows(get(key).build(spark, sf_dir))
         assert a == b, f"{key} not reproducible across rebuilds"
+
+
+def test_round3_stats_are_partition_invariant(spark, sf_dir):
+    """Same contract for the round-3 statistics family: KS (integer
+    cross-multiplied CDFs), autocorrelation (int128 sufficient stats →
+    one float ratio), Markov probabilities (integer div), PQ-ANN (both
+    ranking stages integer micro-units) must not move with shuffle
+    width."""
+    from datapipeline_scripts_spark.registry import get
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for key in ("stats_ks_test", "stats_autocorr", "events_markov_transitions", "knn_pq"):
+            results = []
+            for n in ("1", "7", "64"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.append(_rows(get(key).build(spark, sf_dir)))
+            assert results[0] == results[1] == results[2], f"{key} drifted with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
