@@ -109,7 +109,7 @@ _ADDED_R3 = {
     "graph_triangle_count", "graph_degree_stats", "scd2_history",
     "events_markov_transitions", "time_fill_forward", "stats_ks_test",
     "textfile_roundtrip", "binaryfile_roundtrip", "stats_autocorr", "knn_pq",
-    "agg_multi_distinct", "join_dpp_partitioned", "sql_variables",
+    "agg_multi_distinct", "join_dpp_partitioned", "sql_variables", "stats_pca_power",
 }
 
 

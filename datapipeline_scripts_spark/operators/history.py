@@ -371,3 +371,138 @@ def stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 10000) as bigint)"
     )
     return s.selectExpr("k as lag", "n", f"{expr} as autocorr_bp")
+
+
+_PCA_ITERS = 6
+_PCA_VSCALE = 100_000  # eigenvector components in 1e-5 units
+
+
+def _pca_sql(table: str, big: str, div: str) -> str:
+    """Shared generator for the power-iteration SQL — one template,
+    two dialects (big: DECIMAL(38,0) on Spark / HUGEINT on DuckDB;
+    div: `div` on Spark / `//` on DuckDB — both truncate toward zero,
+    verified, so negative covariances divide identically)."""
+
+    def d(a: str, b: str) -> str:
+        return f"(({a}) {div} ({b}))"
+
+    cov = lambda sab, sa, sb: d(f"n * {sab} - {sa} * {sb}", "n * n")  # noqa: E731
+    iters = []
+    prev = "it0"
+    for i in range(1, _PCA_ITERS + 1):
+        iters.append(
+            f"""it{i} AS (
+  SELECT a.a11, a.a12, a.a13, a.a22, a.a23, a.a33,
+         {d(f'w1 * {_PCA_VSCALE}', 'mx')} AS v1,
+         {d(f'w2 * {_PCA_VSCALE}', 'mx')} AS v2,
+         {d(f'w3 * {_PCA_VSCALE}', 'mx')} AS v3
+  FROM (
+    SELECT a11, a12, a13, a22, a23, a33, w1, w2, w3,
+           greatest(abs(w1), abs(w2), abs(w3), 1) AS mx
+    FROM (
+      SELECT a11, a12, a13, a22, a23, a33,
+             a11 * v1 + a12 * v2 + a13 * v3 AS w1,
+             a12 * v1 + a22 * v2 + a23 * v3 AS w2,
+             a13 * v1 + a23 * v2 + a33 * v3 AS w3
+      FROM {prev}
+    )
+  ) a
+)"""
+        )
+        prev = f"it{i}"
+    iter_sql = ",\n".join(iters)
+    return f"""
+WITH q AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y,
+         CAST(round(l_discount * 10000) AS BIGINT) AS z
+  FROM {table}
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS {big}) AS sx, CAST(sum(y) AS {big}) AS sy,
+         CAST(sum(z) AS {big}) AS sz,
+         CAST(sum(CAST(x AS {big}) * x) AS {big}) AS sxx,
+         CAST(sum(CAST(y AS {big}) * y) AS {big}) AS syy,
+         CAST(sum(CAST(z AS {big}) * z) AS {big}) AS szz,
+         CAST(sum(CAST(x AS {big}) * y) AS {big}) AS sxy,
+         CAST(sum(CAST(x AS {big}) * z) AS {big}) AS sxz,
+         CAST(sum(CAST(y AS {big}) * z) AS {big}) AS syz
+  FROM q
+),
+mat AS (
+  SELECT {cov('sxx', 'sx', 'sx')} AS m11,
+         {cov('sxy', 'sx', 'sy')} AS m12,
+         {cov('sxz', 'sx', 'sz')} AS m13,
+         {cov('syy', 'sy', 'sy')} AS m22,
+         {cov('syz', 'sy', 'sz')} AS m23,
+         {cov('szz', 'sz', 'sz')} AS m33
+  FROM s
+),
+a AS (
+  SELECT CAST({d('m11', 'dd')} AS BIGINT) AS a11,
+         CAST({d('m12', 'dd')} AS BIGINT) AS a12,
+         CAST({d('m13', 'dd')} AS BIGINT) AS a13,
+         CAST({d('m22', 'dd')} AS BIGINT) AS a22,
+         CAST({d('m23', 'dd')} AS BIGINT) AS a23,
+         CAST({d('m33', 'dd')} AS BIGINT) AS a33
+  FROM (
+    SELECT m11, m12, m13, m22, m23, m33,
+           greatest({d('greatest(abs(m11), abs(m22), abs(m33), abs(m12), abs(m13), abs(m23))', '1000000')}, 1) AS dd
+    FROM mat
+  )
+),
+it0 AS (
+  SELECT a11, a12, a13, a22, a23, a33,
+         CAST({_PCA_VSCALE} AS BIGINT) AS v1,
+         CAST({_PCA_VSCALE} AS BIGINT) AS v2,
+         CAST({_PCA_VSCALE} AS BIGINT) AS v3
+  FROM a
+),
+{iter_sql},
+signed AS (
+  SELECT a11, a12, a13, a22, a23, a33,
+         sgn * v1 AS v1, sgn * v2 AS v2, sgn * v3 AS v3
+  FROM (
+    SELECT *,
+           CASE WHEN v1 < 0 OR (v1 = 0 AND v2 < 0)
+                     OR (v1 = 0 AND v2 = 0 AND v3 < 0)
+                THEN -1 ELSE 1 END AS sgn
+    FROM it{_PCA_ITERS}
+  )
+)
+SELECT CAST(v1 AS BIGINT) AS eig_x_e5,
+       CAST(v2 AS BIGINT) AS eig_y_e5,
+       CAST(v3 AS BIGINT) AS eig_z_e5,
+       CAST({d('v1 * (a11 * v1 + a12 * v2 + a13 * v3)'
+               ' + v2 * (a12 * v1 + a22 * v2 + a23 * v3)'
+               ' + v3 * (a13 * v1 + a23 * v2 + a33 * v3)',
+               'greatest(v1 * v1 + v2 * v2 + v3 * v3, 1)')} AS BIGINT)
+         AS rayleigh_scaled
+FROM signed
+"""
+
+
+@query("stats_pca_power", oracle=_pca_sql("lineitem", "HUGEINT", "//"), tier="ext")
+def stats_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (quantity, price-dollars,
+    discount-bp) covariance matrix by 6 unrolled power iterations —
+    iterative numeric linear algebra under the house exactness
+    contract (the float-free sibling of graph_pagerank's fixed-point).
+
+    Every step is exact integer arithmetic: covariance entries from
+    int128 sufficient statistics (truncating division by n² — both
+    engines truncate toward zero, verified), the matrix rescaled to
+    ≤1e6 units, each iteration a 3×3 integer mat-vec + renormalization
+    to 1e-5 units, deterministic sign fix, and an integer Rayleigh
+    quotient. The oracle runs the IDENTICAL generated SQL template in
+    DuckDB dialect, so the hash match proves 6 iterations of linear
+    algebra agree bit-for-bit.
+
+    Scale: the corpus collapses to one 10-number sufficient-statistics
+    row in a single partial-aggregable pass; the iterations run on
+    that 1-row table — O(1) regardless of input size. More features
+    grow the matrix quadratically but the pattern holds (PCA of the
+    feature-correlation screen before regression weighting)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pca_v")
+    return spark.sql(_pca_sql("lineitem_pca_v", "DECIMAL(38,0)", "div"))
