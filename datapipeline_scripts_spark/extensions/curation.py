@@ -129,3 +129,197 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("n_tokens_kept"),
         F.round(F.avg(F.col("n_words").cast("double")), 2).alias("avg_doc_tokens"),
     )
+
+
+_GRAM_N = 8   # decontamination gram width (matches text_contamination)
+_BENCH_MOD = 97  # doc_id % 97 == 0 → held-out benchmark member
+_TRAIN_PCT, _VAL_PCT = 80, 10
+
+_GRAMS_SQL = (
+    "unnest(list_distinct(list_transform(generate_series(1, len(t) - "
+    f"{_GRAM_N - 1}), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], "
+    "t[i+4], t[i+5], t[i+6], t[i+7]))))"
+)
+
+
+def _build_oracle() -> str:
+    from datapipeline_scripts_spark.functions.text import md5_48_sql
+
+    b = md5_48_sql("CAST(s.doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {_NORM_SQL} AS norm_text FROM documents
+),
+bench_grams AS (
+  SELECT DISTINCT {_GRAMS_SQL} AS g
+  FROM (SELECT string_split(norm_text, ' ') AS t
+        FROM base WHERE doc_id % {_BENCH_MOD} = 0)
+  WHERE len(t) >= {_GRAM_N}
+),
+sig AS (
+  SELECT doc_id, lang, norm_text,
+         len(string_split(norm_text, ' ')) AS n_words,
+         {_H_EN} AS h_en, {_H_ES} AS h_es, {_H_DE} AS h_de
+  FROM base
+  WHERE doc_id % {_BENCH_MOD} <> 0
+),
+keep AS (
+  SELECT doc_id, norm_text, n_words,
+         CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en > 0 THEN 'en'
+              WHEN h_es >= h_de AND h_es > 0 THEN 'es'
+              WHEN h_de > 0 THEN 'de'
+              ELSE 'und' END AS predicted
+  FROM sig
+  WHERE n_words >= {_MIN_WORDS} AND (h_en + h_es + h_de) > 0
+),
+surv AS (
+  SELECT doc_id, norm_text, n_words, predicted, n_copies FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY md5(norm_text)) AS n_copies
+    FROM keep WHERE predicted <> 'und'
+  ) WHERE rn = 1
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, {_GRAMS_SQL} AS g
+    FROM (SELECT doc_id, string_split(norm_text, ' ') AS t FROM surv)
+    WHERE len(t) >= {_GRAM_N}
+  ) sg
+  JOIN bench_grams USING (g)
+),
+assigned AS (
+  SELECT s.predicted, s.n_words, s.n_copies,
+         (c.doc_id IS NOT NULL) AS contaminated,
+         CASE WHEN ({b}) % 100 < {_TRAIN_PCT} THEN 'train'
+              WHEN ({b}) % 100 < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM surv s LEFT JOIN cont c ON s.doc_id = c.doc_id
+)
+SELECT predicted, split,
+       CAST(sum(CASE WHEN contaminated THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_dropped,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dupes_removed,
+       CAST(sum(CASE WHEN contaminated THEN 0 ELSE n_words END) AS BIGINT)
+         AS n_tokens_kept
+FROM assigned
+GROUP BY predicted, split
+"""
+
+
+@query("corpus_build_pipeline", oracle=_build_oracle(), tier="ext")
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build as ONE declared plan — the
+    engine's end-to-end flagship for the §2.E families, extending
+    `curation_pipeline` with the three remaining production stages:
+
+    1. benchmark carve-out: doc_id % 97 docs are the held-out eval
+       set; their distinct word 8-grams form the contamination index;
+    2. quality gate + language ID (same exprs as curation_pipeline);
+    3. exact dedup, survivor = lowest doc_id — via ONE window
+       partitioned by the md5 fingerprint (row_number + count share
+       the partitioning, so Catalyst plans a single Exchange carrying
+       32-byte fingerprints, never document bodies);
+    4. decontamination: survivors whose gram set hits the benchmark
+       index are dropped (counted per group — the audit trail);
+    5. deterministic 80/10/10 split by md5(doc_id) — a pure function
+       of the key, stable under corpus growth;
+    6. the build report per (language × split): kept docs, dropped
+       contaminated docs, dupes removed, kept token volume.
+
+    Every stage is deterministic Catalyst expressions, so the whole
+    six-stage chain has a DuckDB twin and the report is hash-proven.
+    Scale: per-row stages fuse into the scan projection; the two
+    data-sized shuffles carry fingerprints and 8-gram strings (both
+    bounded, never bodies); the benchmark gram index is ~1/97th of the
+    corpus and broadcast to the semi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    base = d.select("doc_id", "lang", norm.alias("norm_text"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+
+    toks = F.split(F.col("norm_text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - _GRAM_N)
+
+    def gram(i):
+        return F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(_GRAM_N)]
+        )
+
+    grams_col = F.when(
+        F.size(toks) >= _GRAM_N, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        base.filter(is_bench).select(F.explode(grams_col).alias("g")).distinct()
+    )
+
+    t = F.split(F.col("norm_text"), " ")
+    h_en = stopword_hits(t, ("the", "a", "of"))
+    h_es = stopword_hits(t, ("el", "la", "de"))
+    h_de = stopword_hits(t, ("der", "die", "das"))
+    predicted = (
+        F.when((h_en >= h_es) & (h_en >= h_de) & (h_en > 0), "en")
+        .when((h_es >= h_de) & (h_es > 0), "es")
+        .when(h_de > 0, "de")
+        .otherwise("und")
+    )
+    keep = (
+        base.filter(~is_bench)
+        .select(
+            "doc_id",
+            "norm_text",
+            F.size(t).alias("n_words"),
+            h_en.alias("h_en"),
+            h_es.alias("h_es"),
+            h_de.alias("h_de"),
+            predicted.alias("predicted"),
+        )
+        .filter(
+            (F.col("n_words") >= _MIN_WORDS)
+            & ((F.col("h_en") + F.col("h_es") + F.col("h_de")) > 0)
+            & (F.col("predicted") != "und")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wfp = W.partitionBy(F.md5(F.col("norm_text")))
+    surv = (
+        keep.withColumn("rn", F.row_number().over(wfp.orderBy("doc_id")))
+        .withColumn("n_copies", F.count("*").over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "norm_text", "n_words", "predicted", "n_copies")
+    )
+    cont = (
+        surv.select("doc_id", F.explode(grams_col).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    from datapipeline_scripts_spark.functions.text import md5_48
+
+    bucket = md5_48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = (
+        surv.join(cont, "doc_id", "left")
+        .select(
+            "predicted",
+            "n_words",
+            "n_copies",
+            F.col("hit").isNotNull().alias("contaminated"),
+            split.alias("split"),
+        )
+    )
+    c = F.col("contaminated")
+    return assigned.groupBy("predicted", "split").agg(
+        F.sum(F.when(c, 0).otherwise(1)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias("n_contaminated_dropped"),
+        (F.sum("n_copies") - F.count("*")).cast("long").alias("n_dupes_removed"),
+        F.sum(F.when(c, 0).otherwise(F.col("n_words"))).cast("long").alias("n_tokens_kept"),
+    )
