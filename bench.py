@@ -72,6 +72,9 @@ BENCH_KEYS = (
     "dedup_incremental",
     "corpus_pack_partitioned",
     "stats_corr_matrix",
+    # round-3 continuation: end-to-end corpus build + PQ-ANN retrieval
+    "corpus_build_pipeline",
+    "knn_pq",
 )
 
 

@@ -643,28 +643,51 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "j", _pq_dist_micro(F.col("s"), F.col("c")).alias("d")
     )
-    wenc = W.partitionBy("vec_id", "m").orderBy("d", "j")
-    enc = (
-        scored.withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("j").alias("code"))
+    # argmin over j as a partial-aggregable min(struct(d, j)) — same
+    # (d, then j) tie-break as the oracle's row_number, no window sort
+    enc = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "j")).getField("j").alias("code")
+    )
+    # the scale-shaped ADC: one M-entry code array per candidate row
+    # and one M·K-entry LUT array per query (broadcast), the distance
+    # sum an in-row fold of O(1) positional lookups — the exploded
+    # join+groupBy form materializes N·M·|Q| rows, this form N·|Q|.
+    # Arrays, not maps: Spark map element_at is a linear scan; a
+    # position-indexed array (sorted by key once at build) is O(1).
+    enc_map = enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda x: x["code"]
+        ).alias("codes")
     )
     lut = (
         subs.filter(F.col("vec_id") < _PQ_NQ)
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("qid"),
-            "m",
-            "j",
+            (F.col("m") * _PQ_K + F.col("j")).alias("k"),
             _pq_dist_micro(F.col("s"), F.col("c")).alias("d"),
         )
     )
+    lut_map = lut.groupBy("qid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "d"))), lambda x: x["d"]
+        ).alias("lut")
+    )
+    # unrolled (no higher-order fold): 16 positional lookups summed as
+    # plain codegen'd expressions
+    terms = [
+        F.element_at(
+            F.col("lut"),
+            (F.lit(m * _PQ_K) + F.element_at(F.col("codes"), m + 1) + 1).cast("int"),
+        )
+        for m in range(_PQ_M)
+    ]
+    adist = sum(terms[1:], terms[0])
     wadc = W.partitionBy("qid").orderBy("adist_micro", "cid")
     shortlist = (
-        enc.join(F.broadcast(lut), (enc.m == lut.m) & (enc.code == lut.j))
+        enc_map.crossJoin(F.broadcast(lut_map))
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", F.col("vec_id").alias("cid"))
-        .agg(F.sum("d").cast("long").alias("adist_micro"))
+        .select("qid", F.col("vec_id").alias("cid"), adist.alias("adist_micro"))
         .withColumn("arn", F.row_number().over(wadc))
         .filter(F.col("arn") <= _PQ_SHORTLIST)
         .select("qid", "cid")
