@@ -124,3 +124,122 @@ def pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("latency_ms").alias("total_latency"),
         F.max("latency_ms").alias("max_latency"),
     )
+
+
+_STREAM_ROWS = 3_000
+_STREAM_BATCH = 1_000  # rows surfaced per micro-batch offset step
+
+
+def register_logsynth_stream(spark: SparkSession) -> None:
+    """Idempotently register the STREAMING flavor: same deterministic
+    row formula, surfaced through the DataSourceStreamReader protocol
+    (initialOffset / latestOffset / partitions / read / commit) — the
+    extension point for streaming feeds Spark has no connector for
+    (service cursors, internal changelogs). Offsets are plain dicts
+    checkpointed by the engine, so a restarted query resumes at the
+    committed seq — the same exactly-once contract the file source
+    gets from its log."""
+    try:
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceStreamReader,
+            InputPartition,
+        )
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires Spark >= 4.0") from exc
+
+    levels = _LEVELS
+    total, step = _STREAM_ROWS, _STREAM_BATCH
+
+    class SeqPartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class LogSynthStreamReader(DataSourceStreamReader):
+        def initialOffset(self) -> dict:
+            return {"seq": 0}
+
+        def latestOffset(self) -> dict:
+            # the feed's current head; availableNow snapshots this once
+            # at query start and drains exactly [committed, head)
+            return {"seq": total}
+
+        def partitions(self, start: dict, end: dict):
+            # chunk the offset range so the batch reads partition-parallel
+            return [
+                SeqPartition(lo, min(lo + step, end["seq"]))
+                for lo in range(start["seq"], end["seq"], step)
+            ]
+
+        def read(self, partition: SeqPartition):
+            for seq in range(partition.start, partition.end):
+                yield (seq, f"host-{seq % 7}", levels[(seq // 7) % 5], (seq * seq) % 997)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in the engine's checkpoint log
+
+    class LogSynthStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "logsynth_stream"
+
+        def schema(self) -> str:
+            return "seq bigint, host string, level string, latency_ms bigint"
+
+        def streamReader(self, schema) -> LogSynthStreamReader:
+            return LogSynthStreamReader()
+
+    try:
+        spark.dataSource.register(LogSynthStreamSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+_PYSOURCE_STREAM_ORACLE = f"""
+SELECT host, level,
+       count(*) AS n,
+       CAST(sum(latency_ms) AS BIGINT) AS total_latency
+FROM (
+  SELECT seq,
+         'host-' || (seq % 7) AS host,
+         (ARRAY{list(_LEVELS)})[(seq // 7) % 5 + 1] AS level,
+         (seq * seq) % 997 AS latency_ms
+  FROM generate_series(0, {_STREAM_ROWS - 1}) t(seq)
+)
+GROUP BY host, level
+"""
+
+
+@query("pysource_stream", oracle=_PYSOURCE_STREAM_ORACLE, tier="ext")
+def pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom Python STREAMING source (availableNow; the
+    offset range fans out partition-parallel in 1000-row chunks)
+    through a parquet sink, then aggregate the landed rows — proving a
+    Python-defined streaming connector composes with checkpointed
+    exactly-once delivery end-to-end. Hash-proven against the same
+    generate_series oracle as the batch twin: the drain must surface
+    every seq exactly once or the totals break."""
+    import os
+    import tempfile
+
+    register_logsynth_stream(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pystream_{spark.sparkContext.applicationId}",
+    )
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = (
+        spark.readStream.format("logsynth_stream")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    landed = spark.read.schema("seq bigint, host string, level string, latency_ms bigint").parquet(out)
+    return landed.groupBy("host", "level").agg(
+        F.count("*").alias("n"),
+        F.sum("latency_ms").alias("total_latency"),
+    )
