@@ -261,3 +261,50 @@ def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING want_priority
         """
     )
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS total FROM orders),
+    cand AS (SELECT 50000 * g AS t FROM generate_series(1, 100) s(g)),
+    counts AS (
+      SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice > t) AS n
+      FROM cand
+    )
+    SELECT CAST(t AS BIGINT) AS threshold, n AS n_above, total AS n_total
+    FROM counts, tot
+    WHERE n * 10 <= total
+    ORDER BY t LIMIT 1
+    """,
+    tier="ext",
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 SQL scripting (BEGIN…END, DECLARE, WHILE, SET with
+    scalar-subquery assignment): a procedural threshold search — walk
+    price cutoffs in 50k steps until at most 10% of orders exceed the
+    cutoff — written entirely in SQL control flow, the stored-procedure
+    style the reference's bash drivers embed in psql/sqlcmd heredocs
+    (/root/reference/backup.sh's SQL blocks are exactly this shape).
+
+    Each loop iteration is a full Catalyst query; the script layer only
+    sequences them and carries scalar state. The DuckDB oracle replays
+    the search declaratively (generate_series of candidate cutoffs +
+    ORDER BY/LIMIT), proving the procedural and set-based forms agree."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 0;
+          DECLARE n BIGINT DEFAULT -1;
+          DECLARE total BIGINT DEFAULT 0;
+          SET total = (SELECT count(*) FROM orders_script_v);
+          WHILE n < 0 OR n * 10 > total DO
+            SET t = t + 50000;
+            SET n = (SELECT count(*) FROM orders_script_v WHERE o_totalprice > t);
+          END WHILE;
+          SELECT CAST(t AS BIGINT) AS threshold, n AS n_above, total AS n_total;
+        END
+        """
+    )
