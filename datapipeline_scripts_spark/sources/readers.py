@@ -149,6 +149,28 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None
         ) from exc
 
 
+def protobuf_decode(df: DataFrame, data_col: str, message_name: str, desc_path: str) -> DataFrame:
+    """Protobuf column decode, gated: `from_protobuf` lives in the
+    external spark-protobuf module, not baked into this container
+    (same classpath posture as the Avro reader above). Raises a clear
+    error locally; on a cluster submit with
+    `--packages org.apache.spark:spark-protobuf_2.13:<spark-version>`
+    and this code runs unchanged. The binaryFile source +
+    multimodal decode plumbing is the in-container path for opaque
+    binary columns in the meantime."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        return df.withColumn(
+            data_col, from_protobuf(df[data_col], message_name, descFilePath=desc_path)
+        )
+    except Exception as exc:
+        raise NotImplementedError(
+            "spark-protobuf not on the classpath; submit with "
+            "--packages org.apache.spark:spark-protobuf_2.13:<spark-version>"
+        ) from exc
+
+
 READERS: dict[str, Callable[..., DataFrame]] = {
     "parquet": read_parquet,
     "csv": read_csv,

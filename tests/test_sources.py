@@ -211,3 +211,9 @@ def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir):
     touched = sum(1 for lo, hi in ranges if not (hi < 1000 or lo > 2000))
     # a ~1/6-keyspace probe over >=4 disjoint files must skip most files
     assert touched <= 3 and touched < len(ranges), f"probe touches {touched}/{len(ranges)}"
+
+
+def test_protobuf_decode_is_gated_without_connector(spark, sf_dir):
+    df = spark.range(1).selectExpr("CAST('x' AS BINARY) AS payload")
+    with pytest.raises(NotImplementedError, match="spark-protobuf"):
+        readers.protobuf_decode(df, "payload", "M", "/nonexistent.desc")
