@@ -35,6 +35,29 @@ _H_EN = _HIT.format(norm="norm_text", pred="t = 'the' OR t = 'a' OR t = 'of'")
 _H_ES = _HIT.format(norm="norm_text", pred="t = 'el' OR t = 'la' OR t = 'de'")
 _H_DE = _HIT.format(norm="norm_text", pred="t = 'der' OR t = 'die' OR t = 'das'")
 
+# the langid argmax (fixed en>es>de precedence) — ONE definition per
+# dialect, shared by curation_pipeline and corpus_build_pipeline so the
+# two flagships cannot fork semantics
+_PREDICTED_SQL = """CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en > 0 THEN 'en'
+              WHEN h_es >= h_de AND h_es > 0 THEN 'es'
+              WHEN h_de > 0 THEN 'de'
+              ELSE 'und' END"""
+
+
+def _lang_columns(toks):
+    """Spark twin of (_H_EN/_H_ES/_H_DE, _PREDICTED_SQL): marker-hit
+    counts and the argmax'd language over a token-array column."""
+    h_en = stopword_hits(toks, ("the", "a", "of"))
+    h_es = stopword_hits(toks, ("el", "la", "de"))
+    h_de = stopword_hits(toks, ("der", "die", "das"))
+    predicted = (
+        F.when((h_en >= h_es) & (h_en >= h_de) & (h_en > 0), "en")
+        .when((h_es >= h_de) & (h_es > 0), "es")
+        .when(h_de > 0, "de")
+        .otherwise("und")
+    )
+    return h_en, h_es, h_de, predicted
+
 
 @query(
     "curation_pipeline",
@@ -50,10 +73,7 @@ _H_DE = _HIT.format(norm="norm_text", pred="t = 'der' OR t = 'die' OR t = 'das'"
     ),
     keep AS (
       SELECT doc_id, lang, norm_text, n_words,
-             CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en > 0 THEN 'en'
-                  WHEN h_es >= h_de AND h_es > 0 THEN 'es'
-                  WHEN h_de > 0 THEN 'de'
-                  ELSE 'und' END AS predicted
+             {_PREDICTED_SQL} AS predicted
       FROM sig
       WHERE n_words >= {_MIN_WORDS}
         AND (h_en + h_es + h_de) > 0
@@ -97,15 +117,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = normalize_text(F.col("text"))
     toks = F.split(norm, " ")
     n_words = F.size(toks)
-    h_en = stopword_hits(toks, ("the", "a", "of"))
-    h_es = stopword_hits(toks, ("el", "la", "de"))
-    h_de = stopword_hits(toks, ("der", "die", "das"))
-    predicted = (
-        F.when((h_en >= h_es) & (h_en >= h_de) & (h_en > 0), "en")
-        .when((h_es >= h_de) & (h_es > 0), "es")
-        .when(h_de > 0, "de")
-        .otherwise("und")
-    )
+    h_en, h_es, h_de, predicted = _lang_columns(toks)
     kept = (
         d.filter((n_words >= _MIN_WORDS) & ((h_en + h_es + h_de) > 0))
         .select(
@@ -165,10 +177,7 @@ sig AS (
 ),
 keep AS (
   SELECT doc_id, norm_text, n_words,
-         CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en > 0 THEN 'en'
-              WHEN h_es >= h_de AND h_es > 0 THEN 'es'
-              WHEN h_de > 0 THEN 'de'
-              ELSE 'und' END AS predicted
+         {_PREDICTED_SQL} AS predicted
   FROM sig
   WHERE n_words >= {_MIN_WORDS} AND (h_en + h_es + h_de) > 0
 ),
@@ -255,22 +264,13 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(is_bench).select(F.explode(grams_col).alias("g")).distinct()
     )
 
-    t = F.split(F.col("norm_text"), " ")
-    h_en = stopword_hits(t, ("the", "a", "of"))
-    h_es = stopword_hits(t, ("el", "la", "de"))
-    h_de = stopword_hits(t, ("der", "die", "das"))
-    predicted = (
-        F.when((h_en >= h_es) & (h_en >= h_de) & (h_en > 0), "en")
-        .when((h_es >= h_de) & (h_es > 0), "es")
-        .when(h_de > 0, "de")
-        .otherwise("und")
-    )
+    h_en, h_es, h_de, predicted = _lang_columns(toks)
     keep = (
         base.filter(~is_bench)
         .select(
             "doc_id",
             "norm_text",
-            F.size(t).alias("n_words"),
+            F.size(toks).alias("n_words"),
             h_en.alias("h_en"),
             h_es.alias("h_es"),
             h_de.alias("h_de"),

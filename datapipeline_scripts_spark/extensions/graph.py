@@ -37,8 +37,11 @@ _SCALE = 1_000_000_000_000  # ranks in trillionths: exact bigint math
 _ITERS = 3
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
-_PAGERANK_ORACLE = f"""
-WITH edges AS (
+# The nation trade graph's directed edge list — THE shared derivation
+# for every graph operator (PageRank here, triangle/degree stats in
+# graphstats.py). One definition on each side (DataFrame + SQL CTE) so
+# a change to the edge semantics cannot desynchronize the family.
+TRADE_EDGES_CTE = """
   SELECT DISTINCT cn.n_nationkey AS src, sn.n_nationkey AS dst
   FROM lineitem l
   JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -47,7 +50,28 @@ WITH edges AS (
   JOIN supplier s  ON l.l_suppkey = s.s_suppkey
   JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
   WHERE cn.n_nationkey <> sn.n_nationkey
-),
+"""
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct cross-nation (cust_nation → supp_nation) directed edges
+    — the one data-sized shuffle; everything downstream of any graph
+    operator is |V|/|E|-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS ({TRADE_EDGES_CTE}),
 nodes AS (
   SELECT src AS k FROM edges UNION SELECT dst FROM edges
 ),
@@ -112,20 +136,9 @@ def graph_pagerank(
     rank table is localCheckpoint'd every `checkpoint_every` rounds
     (docs/SCALE.md §iterative): correct at any depth, and the default
     3 rounds never triggers it, keeping the proven single-plan shape."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
 
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .select(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = trade_edges(spark, sf_dir)
     # |V| ≤ 25 and every downstream table is node-sized: localCheckpoint
     # cuts the re-computation of the fact-table join out of each of the
     # 3 unrolled rounds (at 100 TB you'd persist the edge list the same

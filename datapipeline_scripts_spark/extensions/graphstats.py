@@ -39,19 +39,12 @@ from pyspark.sql import functions as F
 from datapipeline_scripts_spark.catalog import load_table
 from datapipeline_scripts_spark.registry import query
 
-# Shared directed-edge derivation (identical to graph.py's PageRank
-# edge list and the _PAGERANK_ORACLE's `raw` CTE).
-_EDGES_CTE = """
-raw AS (
-  SELECT DISTINCT cn.n_nationkey AS src, sn.n_nationkey AS dst
-  FROM lineitem l
-  JOIN orders o    ON l.l_orderkey = o.o_orderkey
-  JOIN customer c  ON o.o_custkey = c.c_custkey
-  JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
-  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
-  JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
-  WHERE cn.n_nationkey <> sn.n_nationkey
-),
+from datapipeline_scripts_spark.extensions.graph import TRADE_EDGES_CTE, trade_edges
+
+# Shared directed-edge derivation — imported from graph.py so PageRank
+# and the structure stats can never desynchronize.
+_EDGES_CTE = f"""
+raw AS ({TRADE_EDGES_CTE}),
 und AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
 )
@@ -95,30 +88,13 @@ JOIN nation n ON u_d.k = n.n_nationkey
 """
 
 
-def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct cross-nation (cust_nation → supp_nation) directed edges
-    — the one data-sized shuffle; everything downstream is |V|/|E|-sized."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .select(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-
-
 @query("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tier="ext")
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation counts on the undirected nation
     trade graph — ordered-edge-join triangle enumeration (a < b < c,
     each triangle found exactly once), then one UNION-ALL + groupBy for
     per-node counts. Every join is an equi-join on edge endpoints."""
-    raw = _directed_edges(spark, sf_dir)
+    raw = trade_edges(spark, sf_dir)
     und = (
         raw.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -155,7 +131,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree) of the nation trade graph — three partial-aggregable
     groupBys over the |E|-row edge list, stitched with node-sized
     broadcast joins."""
-    raw = _directed_edges(spark, sf_dir).localCheckpoint(eager=False)
+    raw = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     out_d = raw.groupBy(F.col("src").alias("k")).agg(F.count("*").alias("outdeg"))
     in_d = raw.groupBy(F.col("dst").alias("k")).agg(F.count("*").alias("indeg"))
     und = raw.select(

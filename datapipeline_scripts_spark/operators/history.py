@@ -244,9 +244,10 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ ~5k bin rows) → one bounded cumulative-sum window over the bins
     → cross-multiplied integer max. The only ordered window runs on
     the aggregated bin table, so the Exchange SinglePartition it needs
-    is a few KB at any corpus size. Integer overflow bound: the max
-    product is 10⁴·n1·n2, safe in int64 through ~10⁹ rows per side
-    (DuckDB side is int128 throughout)."""
+    is a few KB at any corpus size. The cross-multiplied products are
+    accumulated as DECIMAL(38,0) on the Spark side (int128 in DuckDB),
+    so the 10⁴·n1·n2 intermediate stays exact past 10¹⁵ rows per
+    side — no int64 ceiling."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -271,8 +272,13 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            F.expr("CAST(max(10000 * abs(f1 * n2 - f2 * n1)) div (n1 * n2) AS BIGINT)")
-            .alias("ks_d_bp")
+            # DECIMAL(38,0) intermediates: 10^4·n1·n2 exceeds int64 at
+            # ~3e7 rows per side, well inside the 100 TB framing
+            F.expr(
+                "CAST(max(10000 * abs(CAST(f1 AS DECIMAL(38,0)) * n2"
+                " - CAST(f2 AS DECIMAL(38,0)) * n1))"
+                " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("ks_d_bp")
         )
         .select("ks_d_bp", "n1", "n2")
     )
@@ -346,12 +352,12 @@ def stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("y", 2).over(w).alias("b2"),
         F.lag("y", 3).over(w).alias("b3"),
     )
-    pairs = None
-    for k in (1, 2, 3):
-        p = lagged.filter(F.col(f"b{k}").isNotNull()).select(
-            F.lit(k).alias("k"), F.col("y").alias("a"), F.col(f"b{k}").alias("b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # one leg, not a 3-branch union: a union would re-run the scan +
+    # daily aggregate + window per lag (seen in the dumped plan);
+    # stack() unpivots the three lag columns from the single pass
+    pairs = lagged.selectExpr(
+        "stack(3, 1, y, b1, 2, y, b2, 3, y, b3) AS (k, a, b)"
+    ).filter(F.col("b").isNotNull())
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = pairs.groupBy("k").agg(
         F.count("*").alias("n"),
@@ -419,7 +425,7 @@ WITH q AS (
   FROM {table}
 ),
 s AS (
-  SELECT count(*) AS n,
+  SELECT CAST(count(*) AS {big}) AS n,
          CAST(sum(x) AS {big}) AS sx, CAST(sum(y) AS {big}) AS sy,
          CAST(sum(z) AS {big}) AS sz,
          CAST(sum(CAST(x AS {big}) * x) AS {big}) AS sxx,

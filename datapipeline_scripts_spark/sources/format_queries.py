@@ -469,6 +469,12 @@ def binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_binaryfile_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{spark.sparkContext.applicationId}",
     )
+    # fresh directory each run: a stale doc_*.bin from a prior run (other
+    # sf_dir with the same basename, regenerated fixtures) must not leak
+    # into the scan — same overwrite semantics as the sibling round trips
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for row in docs.collect():  # bounded fixture write, see docstring
         with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as fh:

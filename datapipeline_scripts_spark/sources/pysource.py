@@ -237,7 +237,12 @@ def pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError(
+            "logsynth_stream drain did not finish in 300 s — refusing to "
+            "aggregate a partially-landed output directory"
+        )
     landed = spark.read.schema("seq bigint, host string, level string, latency_ms bigint").parquet(out)
     return landed.groupBy("host", "level").agg(
         F.count("*").alias("n"),

@@ -53,6 +53,20 @@ def tws_available() -> bool:
         return False
 
 
+def _emit_pdf(user_id: int, start_us: int, last_us: int, n: int, value: float):
+    import pandas as pd  # local: keep the processor closure self-contained
+
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "session_value": [round(value, 2)],
+        }
+    )
+
+
 def _build_processor():
     """Deferred import: pyspark.sql.streaming.stateful_processor itself
     imports cleanly, but instantiating a query without protobuf crashes
@@ -67,6 +81,7 @@ def _build_processor():
         the typed-state API: one ValueState tuple per user."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
             self.session = handle.getValueState("session", _STATE_SCHEMA)
 
         def handleInputRows(
@@ -90,16 +105,25 @@ def _build_processor():
                 else:
                     last_us, n, value = ts_us, n + 1, value + float(v)
             self.session.update((start_us, last_us, n, value))
+            # flush-or-forget: if no event extends the open session
+            # within a gap, the timer fires and handleExpiredTimer
+            # emits it + clears state (bounds state by ACTIVE users —
+            # same contract as stateful.sessionize's setTimeoutDuration)
+            self.handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + SESSION_GAP_S * 1000
+            )
             for s_us, l_us, sn, sv in closed:
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user_id],
-                        "session_start": [pd.Timestamp(s_us, unit="us")],
-                        "session_end": [pd.Timestamp(l_us, unit="us")],
-                        "n_events": [sn],
-                        "session_value": [round(sv, 2)],
-                    }
-                )
+                yield _emit_pdf(user_id, s_us, l_us, sn, sv)
+
+        def handleExpiredTimer(
+            self, key: tuple, timer_values, expired_timer_info
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if self.session.exists():
+                start_us, last_us, n, value = self.session.get()
+                self.session.clear()
+                if start_us >= 0:
+                    yield _emit_pdf(user_id, start_us, last_us, n, value)
 
         def close(self) -> None:
             pass
