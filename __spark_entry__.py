@@ -110,7 +110,7 @@ _ADDED_R3 = {
     "events_markov_transitions", "time_fill_forward", "stats_ks_test",
     "textfile_roundtrip", "binaryfile_roundtrip", "stats_autocorr", "knn_pq",
     "agg_multi_distinct", "join_dpp_partitioned", "sql_variables", "stats_pca_power",
-    "corpus_build_pipeline", "pysource_stream", "sql_scripting",
+    "corpus_build_pipeline", "pysource_stream", "sql_scripting", "scd2_merge_incremental",
 }
 
 

@@ -512,3 +512,62 @@ def stats_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-correlation screen before regression weighting)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pca_v")
     return spark.sql(_pca_sql("lineitem_pca_v", "DECIMAL(38,0)", "div"))
+
+
+_SCD2_CUTOVER = "2024-01-25 00:00:00"  # ~80/20 split of the fixture event range
+
+
+@query("scd2_merge_incremental", oracle=_SCD2_ORACLE, tier="core")
+def scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: the nightly form of
+    `scd2_history`. The stored dimension (built from events before a
+    cutover timestamp) is merged with the new day's events — only
+    users PRESENT in the delta are recomputed, untouched users' rows
+    pass through — and the result must hash-equal the full rebuild
+    (the oracle IS scd2_history's full-history SQL, so the equality is
+    the correctness proof, the same contract incremental_agg_refresh
+    proves for rollups).
+
+    Why this is the 100 TB shape: the expensive lag/lead windows rerun
+    over (base change-points ∪ delta events) for delta users only —
+    cost ∝ churned users, not dimension size; the pass-through side is
+    a hash-partitioned anti-join on user_id. The merge is exact
+    because a user's pre-cutover change-points are a sufficient
+    statistic for their SCD2 history: replaying them with the new
+    events through the same consecutive-duplicate filter reproduces
+    the full-history intervals bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    cut = F.lit(_SCD2_CUTOVER).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def change_points(df: DataFrame) -> DataFrame:
+        """(user_id, state, ts, event_id) rows where state differs from
+        the previous row — the SCD2 sufficient statistic."""
+        return (
+            df.withColumn("prev", F.lag("event_type").over(w))
+            .filter(~F.expr("event_type <=> prev"))
+            .select("user_id", F.col("event_type"), "ts", "event_id")
+        )
+
+    base_points = change_points(e.filter(F.col("ts") < cut))
+    delta = e.filter(F.col("ts") >= cut).select("user_id", "event_type", "ts", "event_id")
+    churned = delta.select("user_id").distinct()
+
+    # replay = base change-points (for churned users) ∪ their new events,
+    # re-deduped across the cutover boundary by the same lag filter
+    replay = change_points(
+        base_points.join(churned, "user_id", "left_semi").unionByName(delta)
+    )
+    # untouched users: base change-points pass through untouched
+    untouched = base_points.join(churned, "user_id", "left_anti")
+
+    merged = replay.unionByName(untouched)
+    return merged.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
