@@ -1,6 +1,8 @@
 """Temporal state history and distribution-shift operators over the
-event log: SCD2 dimension building, Markov transition matrices,
-calendar gap-fill with forward-fill, and a two-sample KS drift test.
+event log: SCD2 dimension building (full + incremental merge),
+Markov transition matrices, calendar gap-fill with forward-fill, a
+two-sample KS drift test, lag-k autocorrelation, and an exact-integer
+power-iteration PCA.
 
 These are the warehouse-maintenance and data-drift shapes the
 reference's nightly snapshot/restore cadence implies but delegates to
