@@ -167,3 +167,19 @@ def test_round3_stats_are_partition_invariant(spark, sf_dir):
             assert results[0] == results[1] == results[2], f"{key} drifted with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_incremental_forms_match_their_full_rebuilds(spark, sf_dir):
+    """scd2_merge_incremental and graph_triangle_oriented share the
+    same proof pattern — an alternative (incremental / degree-ordered)
+    algorithm whose declared oracle IS the straightforward form's
+    result — so equality with the sibling query is also asserted
+    directly here, engine-side."""
+    from datapipeline_scripts_spark.registry import get
+
+    assert _rows(get("scd2_merge_incremental").build(spark, sf_dir)) == _rows(
+        get("scd2_history").build(spark, sf_dir)
+    )
+    assert _rows(get("graph_triangle_oriented").build(spark, sf_dir)) == _rows(
+        get("graph_triangle_count").build(spark, sf_dir)
+    )
