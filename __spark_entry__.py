@@ -111,7 +111,7 @@ _ADDED_R3 = {
     "textfile_roundtrip", "binaryfile_roundtrip", "stats_autocorr", "knn_pq",
     "agg_multi_distinct", "join_dpp_partitioned", "sql_variables", "stats_pca_power",
     "corpus_build_pipeline", "pysource_stream", "sql_scripting", "scd2_merge_incremental",
-    "graph_triangle_oriented",
+    "graph_triangle_oriented", "time_seasonal_decompose",
 }
 
 

@@ -573,3 +573,78 @@ def scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+tr AS (
+  SELECT day, y,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(y) OVER w7 // 7 AS BIGINT) END AS trend
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT day, y, trend, y - trend AS d,
+         isodow(day) - 1 AS dow
+  FROM tr
+),
+seas AS (
+  SELECT dow, CAST(sum(d) // nullif(count(d), 0) AS BIGINT) AS s
+  FROM det GROUP BY dow
+)
+SELECT strftime(det.day, '%Y-%m-%d') AS day,
+       det.y,
+       det.trend,
+       seas.s AS seasonal,
+       det.d - seas.s AS remainder
+FROM det JOIN seas ON det.dow = seas.dow
+"""
+
+
+@query("time_seasonal_decompose", oracle=_DECOMP_ORACLE, tier="ext")
+def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series
+    (classical moving-average form): trend = centered 7-day average
+    (full windows only), seasonal = per-day-of-week mean of the
+    detrended series, remainder = what neither explains — the
+    ingestion-cadence diagnostic that separates "crawler volume is
+    drifting" (trend) from "weekends are just quiet" (seasonal), the
+    companion to stats_autocorr's seasonality probe.
+
+    Exactness: counts are integers; trend and seasonal use truncating
+    integer division (identical toward-zero semantics both engines,
+    including on negative detrended values); day-of-week is Monday=0
+    on both (Spark weekday() ≡ DuckDB isodow()-1). The corpus
+    collapses to |days| rows in one partial-agg pass before any
+    window (same bounded-series argument as stats_ks_test)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "y",
+        F.when(
+            F.count("*").over(w7) == 7, F.expr("sum(y) over (order by day rows between 3 preceding and 3 following) div 7")
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day", "y", "trend",
+        (F.col("y") - F.col("trend")).alias("d"),
+        F.weekday("day").alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.expr("CAST(sum(d) div nullif(count(d), 0) AS BIGINT)").alias("s")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        "trend",
+        F.col("s").alias("seasonal"),
+        (F.col("d") - F.col("s")).alias("remainder"),
+    )
