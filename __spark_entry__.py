@@ -112,6 +112,8 @@ _ADDED_R3 = {
     "agg_multi_distinct", "join_dpp_partitioned", "sql_variables", "stats_pca_power",
     "corpus_build_pipeline", "pysource_stream", "sql_scripting", "scd2_merge_incremental",
     "graph_triangle_oriented", "time_seasonal_decompose",
+    "scd2_point_in_time", "time_ohlc_bars", "join_semi_reduction",
+    "feature_hashing",
 }
 
 

@@ -428,3 +428,42 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 20)
         .select("r", "tok", "f", (F.col("r") * F.col("f")).cast("long").alias("rf"))
     )
+
+
+def _feature_hashing_oracle() -> str:
+    from datapipeline_scripts_spark.functions.text import md5_48_sql
+
+    return f"""
+    SELECT doc_id,
+           CAST(({md5_48_sql('tok')}) % 1024 AS BIGINT) AS bucket,
+           count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, bucket
+    """
+
+
+@query("feature_hashing", oracle=_feature_hashing_oracle(), tier="ext")
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words vectorization: every token is hashed
+    into one of 1024 buckets (md5-derived 48-bit hash, the house
+    cross-engine hash family) and per-document bucket counts form the
+    sparse feature vector — the fixed-width, vocabulary-free text
+    featurization (a la scikit-learn's HashingVectorizer / Vowpal
+    Wabbit) that needs NO global vocabulary build, so there is no
+    dictionary shuffle and no driver-side state at any corpus size.
+
+    Shape: split → explode feeds straight into partial aggregation on
+    (doc_id, bucket) — one shuffle of the already-collapsed sparse
+    triples (≤1024 rows per doc), all JVM-side codegen, no UDF. The
+    long-format (doc_id, bucket, tf) output IS the sparse vector;
+    downstream consumers `groupBy(doc_id).agg(map_from_entries(...))`
+    it into a map column without re-shuffling (same partitioning)."""
+    from datapipeline_scripts_spark.functions.text import md5_48
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", (md5_48(F.col("tok")) % 1024).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )

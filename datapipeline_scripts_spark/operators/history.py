@@ -648,3 +648,171 @@ def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("seasonal"),
         (F.col("d") - F.col("s")).alias("remainder"),
     )
+
+
+_PIT_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0),
+b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS TIMESTAMP) AS t
+  FROM b
+),
+seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id % 17 = 0
+),
+chg AS (
+  SELECT user_id, ts AS t, event_id AS eid, 0 AS probe, event_type AS state
+  FROM seq WHERE event_type IS DISTINCT FROM prev
+),
+pr AS (
+  SELECT u.user_id, s.t, CAST(0 AS BIGINT) AS eid, 1 AS probe,
+         CAST(NULL AS VARCHAR) AS state
+  FROM u CROSS JOIN spine s
+),
+allr AS (SELECT * FROM chg UNION ALL SELECT * FROM pr)
+SELECT user_id,
+       strftime(t, '%Y-%m-%d') AS snap_day,
+       last_value(state IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY t, probe, eid
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_at
+FROM allr
+QUALIFY probe = 1
+"""
+
+
+@query("scd2_point_in_time", oracle=_PIT_ORACLE, tier="core")
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the feature-store primitive:
+    reconstruct each user's SCD2 state at a weekly snapshot spine
+    (state valid at instant T = last change with ts <= T), the exact
+    semantics a training pipeline needs to join label timestamps
+    against a mutable dimension WITHOUT future leakage.
+
+    Implemented with the union-spine trick rather than an interval
+    join: change-points (probe=0) and probe timestamps (probe=1) are
+    unioned into one per-user ordered stream and the state is carried
+    forward with last(ignorenulls). One (user_id) shuffle total —
+    no range join, no per-probe scan; at 100 TB cost is
+    O(changes + probes) per user, embarrassingly parallel across
+    users. Probes order AFTER a change at the identical timestamp
+    (probe flag is the second sort key), encoding the <= contract
+    identically on both engines; eid is coalesced to 0 on probe rows
+    so no NULL-ordering divergence (Spark: NULLS FIRST, DuckDB:
+    NULLS LAST) can enter the sort."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    users = e.select("user_id").distinct()
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("d0").cast("timestamp"),
+                F.col("d1").cast("timestamp"),
+                F.expr("INTERVAL 7 DAYS"),
+            )
+        ).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(~F.expr("event_type <=> prev"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+            F.lit(0).alias("probe"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    probes = users.crossJoin(F.broadcast(spine)).select(
+        "user_id",
+        "t",
+        F.lit(0).cast("long").alias("eid"),
+        F.lit(1).alias("probe"),
+        F.lit(None).cast("string").alias("state"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "probe", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chg.unionByName(probes)
+        .withColumn("state_at", F.last("state", ignorenulls=True).over(ws))
+        .filter(F.col("probe") == 1)
+        .select(
+            "user_id",
+            F.date_format("t", "yyyy-MM-dd").alias("snap_day"),
+            "state_at",
+        )
+    )
+
+
+# ordering key: microsecond timestamp * 1e10 + event_id, exact in
+# DECIMAL(38,0)/HUGEINT — a total order with a deterministic event_id
+# tie-break that both engines compute identically (no struct/row
+# comparators, which DuckDB's arg_min/arg_max don't accept)
+_OHLC_KEY_SPARK = "cast(unix_micros(ts) as decimal(38,0)) * 10000000000 + event_id"
+_OHLC_KEY_DUCK = "CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id"
+
+_OHLC_ORACLE = f"""
+SELECT event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(arg_min(CAST(round(value * 100) AS BIGINT), {_OHLC_KEY_DUCK}) AS BIGINT) AS open_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low_cents,
+       CAST(arg_max(CAST(round(value * 100) AS BIGINT), {_OHLC_KEY_DUCK}) AS BIGINT) AS close_cents,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+@query("time_ohlc_bars", oracle=_OHLC_ORACLE, tier="ext")
+def time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per event type — the
+    hypertable downsampling shape every time-series store ships
+    (candlestick rollup / `time_bucket` + first/last): one hash
+    aggregation with min_by/max_by picking the first and last value
+    of the day under an exact total order.
+
+    Exactness and scale: values are per-row quantized to integer
+    cents; the ordering key packs (microsecond ts, event_id) into one
+    DECIMAL(38,0)/HUGEINT so first/last are deterministic even with
+    duplicate timestamps; min_by/max_by are partial-aggregable, so
+    the corpus collapses map-side — one shuffle of |types|×|days|
+    rows, no window function and no per-day sort anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            cents.alias("cents"),
+            F.expr(_OHLC_KEY_SPARK).alias("k"),
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("min_by(cents, k)").cast("long").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.expr("max_by(cents, k)").cast("long").alias("close_cents"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "volume_cents",
+        )
+    )

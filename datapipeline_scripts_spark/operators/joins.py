@@ -469,3 +469,46 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_us") > 0)
         .select("user_id", "n_overlaps", F.expr("sum_us div 1000000").alias("peak_seconds"))
     )
+
+
+@query(
+    "join_semi_reduction",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def join_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction: when the payload join must be sort-merge
+    (dimension too wide/large to broadcast at 100 TB), the fact side
+    is first pruned by a BROADCAST LEFT SEMI join on just the distinct
+    join keys of the filtered dimension — kilobytes on the wire — so
+    the expensive shuffle exchanges only surviving fact rows. The
+    classic distributed-query rewrite (and what Spark's runtime
+    bloom-filter injection approximates probabilistically; this is
+    the exact form, expressible with no optimizer support).
+
+    Correctness is unconditional: the semi join removes only rows the
+    payload join would drop anyway, so the result equals the plain
+    join (the oracle IS the plain join). The `merge` hint pins the
+    payload join to SortMergeJoin, modeling the big-dimension regime
+    even though the fixture dimension would broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0)
+    )
+    keys = c.select("c_custkey").distinct()
+    pruned = o.join(F.broadcast(keys), o.o_custkey == keys.c_custkey, "left_semi")
+    return (
+        pruned.hint("merge")
+        .join(c.hint("merge"), pruned.o_custkey == c.c_custkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        )
+    )

@@ -383,3 +383,88 @@ def test_pq_rerank_recall_vs_exact(spark, sf_dir):
     assert all(len(v) == 5 for v in ptop.values())
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.7, f"mean recall {mean_recall:.2f}"
+
+
+def test_feature_hashing_preserves_token_mass(spark, sf_dir):
+    """Sum of hashed-bucket tf over a doc == that doc's token count
+    (hashing moves tokens between buckets, never loses them), and
+    every bucket id is inside the fixed 1024-wide space."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.registry import get
+
+    fh = get("feature_hashing").build(spark, sf_dir)
+    per_doc = fh.groupBy("doc_id").agg(F.sum("tf").alias("mass"))
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+    bad = per_doc.join(toks, "doc_id").filter(F.col("mass") != F.col("n_tok"))
+    assert bad.count() == 0
+    rng = fh.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")).first()
+    assert rng.lo >= 0 and rng.hi < 1024
+
+
+def test_time_ohlc_bars_internal_consistency(spark, sf_dir):
+    """high >= max(open, close), low <= min(open, close), and the
+    min_by/max_by picks agree with an independent window-based
+    first/last implementation on every bar."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.registry import get
+
+    bars = get("time_ohlc_bars").build(spark, sf_dir)
+    bad = bars.filter(
+        (F.col("high_cents") < F.greatest("open_cents", "close_cents"))
+        | (F.col("low_cents") > F.least("open_cents", "close_cents"))
+    )
+    assert bad.count() == 0
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    alt = (
+        e.withColumn("open_w", F.first("cents").over(wfull))
+        .withColumn("close_w", F.last("cents").over(wfull))
+        .select("event_type", "day", "open_w", "close_w")
+        .dropDuplicates(["event_type", "day"])
+    )
+    joined = bars.join(alt, ["event_type", "day"])
+    mism = joined.filter(
+        (F.col("open_cents") != F.col("open_w")) | (F.col("close_cents") != F.col("close_w"))
+    )
+    assert mism.count() == 0
+    assert joined.count() == bars.count()
+
+
+def test_scd2_point_in_time_matches_interval_lookup(spark, sf_dir):
+    """Every snapshot state must equal the state of the SCD2 interval
+    that contains the snapshot instant (valid_from <= t < valid_to) —
+    the union-spine trick reproduces the interval-join semantics."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.registry import get
+
+    pit = get("scd2_point_in_time").build(spark, sf_dir)
+    hist = get("scd2_history").build(spark, sf_dir)
+    h = hist.select(
+        "user_id",
+        F.col("state").alias("h_state"),
+        F.to_timestamp("valid_from").alias("vf"),
+        F.coalesce(F.to_timestamp("valid_to"), F.lit("9999-01-01").cast("timestamp")).alias("vt"),
+    )
+    p = pit.filter(F.col("state_at").isNotNull()).select(
+        "user_id", F.to_timestamp(F.col("snap_day")).alias("t"), "state_at"
+    )
+    j = p.join(h, ["user_id"]).filter((F.col("vf") <= F.col("t")) & (F.col("t") < F.col("vt")))
+    assert j.count() == p.count()  # exactly one covering interval each
+    assert j.filter(F.col("state_at") != F.col("h_state")).count() == 0

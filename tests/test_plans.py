@@ -489,3 +489,29 @@ def test_multi_distinct_plans_one_expand(spark, sf_dir):
     from datapipeline_scripts_spark.plans.audit import join_strategies
 
     assert not join_strategies(df)
+
+
+def test_join_semi_reduction_prunes_before_sort_merge(spark, sf_dir):
+    """The semi-join reduction must plan a broadcast LEFT SEMI prefilter
+    feeding a SortMergeJoin payload join — the fact rows that shuffle
+    are only the survivors of the kilobyte key-set broadcast."""
+    from datapipeline_scripts_spark.plans.audit import formatted_plan
+
+    df = get("join_semi_reduction").build(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "SortMergeJoin" in strategies, strategies
+    assert "BroadcastHashJoin" in strategies, strategies
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, "semi prefilter missing from the plan"
+    assert "CartesianProduct" not in strategies
+
+
+def test_scd2_point_in_time_single_user_shuffle(spark, sf_dir):
+    """The union-spine as-of lookup must not plan a range join or a
+    cartesian product on the data path: the only data-sized exchange
+    hashes on user_id (the probe spine is a broadcast of a 1-row
+    aggregate's explode, so its nested-loop join is key-bounded)."""
+    df = get("scd2_point_in_time").build(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
