@@ -113,7 +113,8 @@ _ADDED_R3 = {
     "corpus_build_pipeline", "pysource_stream", "sql_scripting", "scd2_merge_incremental",
     "graph_triangle_oriented", "time_seasonal_decompose",
     "scd2_point_in_time", "time_ohlc_bars", "join_semi_reduction",
-    "feature_hashing",
+    "feature_hashing", "events_rfm_segments", "orders_market_basket",
+    "sql_group_by_all",
 }
 
 

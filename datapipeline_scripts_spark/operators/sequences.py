@@ -600,3 +600,81 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 5)
     )
+
+
+_RFM_ORACLE = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+m AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)), (SELECT a FROM anchor)) AS rec_days,
+         count(*) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon_cents
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, rec_days, freq, mon_cents,
+       6 - ntile(5) OVER (ORDER BY rec_days ASC, user_id) AS r_score,
+       6 - ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+       6 - ntile(5) OVER (ORDER BY mon_cents DESC, user_id) AS m_score,
+       CAST(6 - ntile(5) OVER (ORDER BY rec_days ASC, user_id) AS VARCHAR)
+         || CAST(6 - ntile(5) OVER (ORDER BY freq DESC, user_id) AS VARCHAR)
+         || CAST(6 - ntile(5) OVER (ORDER BY mon_cents DESC, user_id) AS VARCHAR) AS segment
+FROM m
+"""
+
+
+@query("events_rfm_segments", oracle=_RFM_ORACLE, tier="ext")
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation: per-user
+    metrics quintiled into 1-5 scores (5 = most recent / most frequent
+    / highest spend) and concatenated into the classic 3-digit segment
+    label — the audience-slicing primitive behind churn models and
+    curation-by-engagement sampling.
+
+    Determinism: ntile is purely positional and each ORDER BY carries
+    a user_id tie-break, so bucket edges are identical cross-engine;
+    money is per-row integer cents.
+
+    Scale: the corpus collapses to one row per user in a single
+    partial-aggregable pass FIRST; the three ntile windows then rank
+    the |users| aggregate — the unavoidable global ordering runs on
+    the smallest possible table, and 5-quantile edges could be
+    replaced by approx-quantile cut points (stats_minmax_scale's
+    two-pass idiom) when even |users| exceeds one machine's sort."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("a"))
+    m = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("mon_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("a"), F.col("last_day")).alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+    wr = Window.orderBy(F.col("rec_days").asc(), F.col("user_id"))
+    wf = Window.orderBy(F.col("freq").desc(), F.col("user_id"))
+    wm = Window.orderBy(F.col("mon_cents").desc(), F.col("user_id"))
+    scored = m.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "mon_cents",
+        (F.lit(6) - F.ntile(5).over(wr)).alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(wf)).alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(wm)).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -308,3 +308,31 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+_GBALL_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem{sfx}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GBALL_SQL.format(sfx=""), tier="ext")
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4, DuckDB): the modern
+    analyst shorthand — every non-aggregate select item becomes a
+    grouping key, and the result orders by the full column list. The
+    same SQL text runs on both engines (literal dialect-parity check,
+    like sql_recursive_reach), proving the engine's SQL front door
+    tracks current ANSI-adjacent surface, not just classic SQL-92.
+
+    Plan-wise this is an ordinary partial-aggregable hash aggregate;
+    ORDER BY ALL adds one bounded sort over |flags|×|status|×|years|
+    aggregated rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(_GBALL_SQL.format(sfx="_gba"))

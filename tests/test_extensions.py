@@ -468,3 +468,51 @@ def test_scd2_point_in_time_matches_interval_lookup(spark, sf_dir):
     j = p.join(h, ["user_id"]).filter((F.col("vf") <= F.col("t")) & (F.col("t") < F.col("vt")))
     assert j.count() == p.count()  # exactly one covering interval each
     assert j.filter(F.col("state_at") != F.col("h_state")).count() == 0
+
+
+def test_events_rfm_segments_quintiles_balanced(spark, sf_dir):
+    """Every score is in 1..5 and ntile buckets differ in size by at
+    most one (the positional-quantile contract the oracle relies on)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.registry import get
+
+    rfm = get("events_rfm_segments").build(spark, sf_dir)
+    for c in ("r_score", "f_score", "m_score"):
+        sizes = [r.n for r in rfm.groupBy(c).agg(F.count("*").alias("n")).collect()]
+        assert len(sizes) == 5
+        assert max(sizes) - min(sizes) <= 1, (c, sizes)
+    bad = rfm.filter(
+        (F.col("r_score") < 1) | (F.col("r_score") > 5)
+        | (F.length("segment") != 3)
+    )
+    assert bad.count() == 0
+
+
+def test_orders_market_basket_support_bounds(spark, sf_dir):
+    """Pair co-occurrence can never exceed either marginal, pairs are
+    canonically oriented (brand_a < brand_b), and support/lift are
+    non-negative."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.registry import get
+
+    mb = get("orders_market_basket").build(spark, sf_dir)
+    rows = mb.collect()
+    assert 0 < len(rows) <= 25
+    assert all(r.brand_a < r.brand_b for r in rows)
+    assert all(r.support_bp >= 0 and r.lift_bp >= 0 for r in rows)
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bo = {
+        r.b: r.n
+        for r in li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(r.n_ab <= min(bo[r.brand_a], bo[r.brand_b]) for r in rows)
