@@ -260,3 +260,98 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
+# ---- perceptual-hash dedup -------------------------------------------------
+
+_PHASH_BITS = 12  # 4096 buckets: small enough to show real collisions at sf0.01
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.IntegerType()),
+    ]
+)
+
+
+def _phash_bytes(p: bytes) -> int:
+    """dHash-style gradient fingerprint of the decoded payload: bit i
+    is set iff byte[i] < byte[i+1] (bytes past the end read as 0) —
+    the exact structure of a difference hash over pixel rows, computed
+    here on the deterministic fake-decode bytes. Replace `p` with the
+    resampled grayscale pixels when a real codec is wired in."""
+    bits = 0
+    for i in range(_PHASH_BITS):
+        a = p[i] if i < len(p) else 0
+        b = p[i + 1] if i + 1 < len(p) else 0
+        if a < b:
+            bits |= 1 << i
+    return bits
+
+
+def _phash_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    if _real_decode_available():  # pragma: no cover
+        raise NotImplementedError("real image decode not wired in this container")
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": [
+                    _phash_bytes(p if p is not None else b"") for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+def _phash_oracle() -> str:
+    byte_at = lambda i: (  # noqa: E731
+        f"CASE WHEN {i} < nb THEN {_byte_sql(str(i))} ELSE 0 END"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN ({byte_at(i)}) < ({byte_at(i + 1)}) THEN {1 << i} ELSE 0 END)"
+        for i in range(_PHASH_BITS)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS INTEGER) AS nb
+      FROM documents
+    ),
+    h AS (SELECT doc_id, CAST({bits} AS INTEGER) AS phash FROM b)
+    SELECT doc_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+           (count(*) OVER (PARTITION BY phash)) > 1 AS is_dup
+    FROM h
+    """
+
+
+@query("multimodal_phash_dedup", oracle=_phash_oracle(), tier="ext")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary media: the
+    decode stage (Arrow-batched Python worker, stubbed deterministic
+    here) emits a dHash-style gradient fingerprint per payload, and a
+    relational stage clusters identical fingerprints — the standard
+    image-dedup topology (pHash → exact group) where visually-similar
+    inputs collide on the hash so near-dup detection reduces to
+    EXACT matching, i.e. a plain shuffle on a 12-bit key.
+
+    Oracle: DuckDB recomputes the identical fingerprint from
+    hex(encode(text)) parsed pairwise (the proven multimodal_features
+    byte path), so the Python worker's arithmetic is hash-proven
+    bit-for-bit.
+
+    Scale: the decode stage is embarrassingly parallel over payload
+    partitions; only (doc_id, phash) pairs — bytes per row — reach
+    the clustering shuffle, never the payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    hashed = payloads.mapInPandas(_phash_worker, schema=_PHASH_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(w).alias("n_same"),
+        (F.count("*").over(w) > 1).alias("is_dup"),
+    )

@@ -516,3 +516,21 @@ def test_orders_market_basket_support_bounds(spark, sf_dir):
         .collect()
     }
     assert all(r.n_ab <= min(bo[r.brand_a], bo[r.brand_b]) for r in rows)
+
+
+def test_multimodal_phash_collides_on_similar_payloads(spark, sf_dir):
+    """The gradient fingerprint is invariant to uniform brightness
+    shifts (the property that makes dHash a NEAR-dup key, not an exact
+    checksum): shifting every byte by a constant preserves every
+    pairwise < comparison, so shifted payloads land in the same
+    bucket. Verified through the actual worker function."""
+    import pandas as pd
+
+    from datapipeline_scripts_spark.extensions.multimodal import _phash_bytes
+
+    base = bytes([10, 40, 20, 90, 55, 13, 80, 70, 66, 91, 12, 44, 37])
+    shifted = bytes(b + 100 for b in base)
+    assert _phash_bytes(base) == _phash_bytes(shifted)
+    noisy = bytes([200] + list(base[1:]))  # break the first gradient
+    assert _phash_bytes(base) != _phash_bytes(noisy)
+    assert _phash_bytes(b"") == 0
