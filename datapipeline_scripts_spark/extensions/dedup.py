@@ -834,3 +834,89 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contained_doc"),
         )
     )
+
+
+_PARA_W = 10  # tokens per chunk ("paragraph" unit on the fixture word-stream)
+
+_PARA_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[(i * {_PARA_W} + 1):((i + 1) * {_PARA_W})], ' ') AS chunk
+  FROM tk, unnest(range(CAST(ceil(len(toks) / {_PARA_W}.0) AS BIGINT))) AS r(i)
+),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+  FROM ch
+),
+recon AS (
+  SELECT c.doc_id,
+         count(*) AS n_chunks,
+         count(*) FILTER (rn = 1) AS kept_chunks,
+         md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (rn = 1), '')) AS recon_fp
+  FROM ranked c
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, kept_chunks, recon_fp FROM recon
+"""
+
+
+@query("dedup_paragraphs", oracle=_PARA_ORACLE, tier="ext")
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup with document
+    reconstruction — the CCNet/RefinedWeb boilerplate-removal shape:
+    documents are chunked into fixed 10-token windows, each chunk
+    fingerprinted, the FIRST occurrence corpus-wide (lowest (doc_id,
+    pos)) survives, later copies are cut out, and every document is
+    reassembled from its surviving chunks in order. Doc-level dedup
+    (dedup_exact_norm) can't remove a repeated header shared by
+    otherwise-distinct pages; this does.
+
+    The output proves the reassembly bit-for-bit: recon_fp is the md5
+    of the reconstructed document, so the oracle match certifies
+    chunking, first-wins arbitration AND order-preserving reassembly.
+
+    Scale: the first-wins window partitions by the chunk fingerprint
+    (32-byte keys, bounded groups); reassembly groups by doc_id with
+    an in-group sort of that doc's own chunks only — both shuffles
+    carry chunk text at ~1× corpus size, and chunk text could be
+    dropped from the dedup shuffle entirely (carry only fingerprints,
+    re-join survivors) when bodies are wide."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    n_chunks_col = F.ceil(F.size(toks) / _PARA_W).cast("long")
+    chunked = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks_col - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(toks, (i * _PARA_W + 1).cast("int"), _PARA_W), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "chunk")
+    from pyspark.sql.window import Window as W
+
+    wfp = W.partitionBy(F.md5("chunk")).orderBy("doc_id", "pos")
+    ranked = chunked.withColumn("rn", F.row_number().over(wfp))
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+            )
+        ),
+        lambda s: s["chunk"],
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("kept_chunks"),
+            F.md5(F.array_join(kept_sorted, " ")).alias("recon_fp"),
+        )
+        .select("doc_id", "n_chunks", "kept_chunks", "recon_fp")
+    )

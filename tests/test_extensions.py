@@ -534,3 +534,38 @@ def test_multimodal_phash_collides_on_similar_payloads(spark, sf_dir):
     noisy = bytes([200] + list(base[1:]))  # break the first gradient
     assert _phash_bytes(base) != _phash_bytes(noisy)
     assert _phash_bytes(b"") == 0
+
+
+def test_dedup_paragraphs_reconstruction(spark, sf_dir):
+    """Total kept chunks equals corpus-wide distinct chunks (first-wins
+    keeps exactly one copy of each), and a document that lost nothing
+    reconstructs bit-exactly to its normalized text."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.functions.text import normalize_text
+    from datapipeline_scripts_spark.registry import get
+
+    out = get("dedup_paragraphs").build(spark, sf_dir)
+    assert out.filter(F.col("kept_chunks") > F.col("n_chunks")).count() == 0
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(toks) / 10).cast("long")
+    chunks = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.array_join(F.slice(toks, (i * 10 + 1).cast("int"), 10), " "),
+            )
+        ).alias("chunk")
+    )
+    n_distinct = chunks.distinct().count()
+    total_kept = out.agg(F.sum("kept_chunks")).first()[0]
+    assert total_kept == n_distinct
+
+    intact = out.filter(F.col("kept_chunks") == F.col("n_chunks"))
+    norm_fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    mism = intact.join(norm_fp, "doc_id").filter(F.col("recon_fp") != F.col("fp"))
+    assert mism.count() == 0
+    assert intact.count() > 0
