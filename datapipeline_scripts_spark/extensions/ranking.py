@@ -23,7 +23,7 @@ delegated analogue, /root/reference/backup.sh:210 drives full psql).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table
@@ -218,3 +218,166 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("n2") * 1.0 / F.col("n1"))), 3).alias("lm_score"),
         )
     )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_SCALE = 1_000_000_000  # contributions in exact integer 1e-9 units
+_RRF_DEPTH = 50  # per-leg candidate depth
+_RRF_QVEC = 0  # query vector id (embeddings.vec_id == documents.doc_id)
+
+_HYBRID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok
+  WHERE term IN ('{_BM25_QUERY[0]}', '{_BM25_QUERY[1]}', '{_BM25_QUERY[2]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+doclen AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+  FROM documents
+),
+lex AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_K1} + 1.0)
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * doclen.dl / stats.avgdl))
+         ), 4) AS bm25
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex
+  QUALIFY lex_rank <= {_RRF_DEPTH}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+sims AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(qe, ce) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+               4) AS cos_sim
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) c
+  CROSS JOIN q
+  WHERE vec_id <> {_RRF_QVEC}
+),
+vec_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+  FROM sims
+  QUALIFY vec_rank <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(coalesce(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+         CAST(
+           (CASE WHEN l.doc_id IS NULL THEN 0
+                 ELSE {_RRF_SCALE} // ({_RRF_K} + l.lex_rank) END)
+           + (CASE WHEN v.doc_id IS NULL THEN 0
+                   ELSE {_RRF_SCALE} // ({_RRF_K} + v.vec_rank) END)
+         AS BIGINT) AS rrf_e9
+  FROM lex_ranked l FULL JOIN vec_ranked v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_e9
+FROM fused
+ORDER BY rrf_e9 DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("hybrid_rrf_search", oracle=_HYBRID_ORACLE, tier="ext")
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical BM25
+    leg (same scoring as text_bm25) and a dense cosine leg (query
+    vector = embedding {0}) each produce a top-{50} ranking; the legs
+    are FULL-outer fused by RRF — score = Σ 1/(60+rank) over the legs
+    that retrieved the doc, computed in exact integer 1e-9 units so
+    the fusion arithmetic is order-independent and hash-provable.
+    This is the production RAG retrieval topology (sparse ∪ dense →
+    fuse → top-k) expressed as one Catalyst plan.
+
+    Scale: each leg ends in a TakeOrdered(depth) — only 2×{50} rows
+    reach the fusion join, which is trivially broadcast; legs reuse
+    the BM25 pruned-explode and broadcast-query-vector shapes whose
+    scale arguments live with text_bm25 / knn_brute."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    doclen = d.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(toks).cast("double")).alias("avgdl"),
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
+    )
+    # TakeOrdered(depth) FIRST, then rank the bounded result: the global
+    # row_number window never sees more than _RRF_DEPTH rows, so no
+    # corpus-sized Exchange SinglePartition exists in either leg
+    wl = W.orderBy(F.col("bm25").desc(), "doc_id")
+    lex_ranked = (
+        lex.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select("doc_id", "lex_rank")
+    )
+
+    from datapipeline_scripts_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(to_d("embedding").alias("qe"))
+    c = e.filter(F.col("vec_id") != _RRF_QVEC).select(
+        F.col("vec_id").alias("doc_id"), to_d("embedding").alias("ce")
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "doc_id", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos_sim")
+    )
+    wv = W.orderBy(F.col("cos_sim").desc(), "doc_id")
+    vec_ranked = (
+        sims.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .select(F.col("doc_id").alias("v_doc_id"), "vec_rank")
+    )
+
+    fused = lex_ranked.join(
+        vec_ranked, lex_ranked.doc_id == vec_ranked.v_doc_id, "full_outer"
+    ).select(
+        F.coalesce("doc_id", "v_doc_id").alias("doc_id"),
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        (
+            F.when(
+                F.col("lex_rank").isNull(), F.lit(0).cast("long")
+            ).otherwise(F.expr(f"cast({_RRF_SCALE} div ({_RRF_K} + lex_rank) as bigint)"))
+            + F.when(
+                F.col("vec_rank").isNull(), F.lit(0).cast("long")
+            ).otherwise(F.expr(f"cast({_RRF_SCALE} div ({_RRF_K} + vec_rank) as bigint)"))
+        ).alias("rrf_e9"),
+    )
+    return fused.orderBy(F.col("rrf_e9").desc(), "doc_id").limit(20)

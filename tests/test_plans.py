@@ -515,3 +515,15 @@ def test_scd2_point_in_time_single_user_shuffle(spark, sf_dir):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies, strategies
     assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_hybrid_rrf_search_no_corpus_sized_global_window(spark, sf_dir):
+    """Both retrieval legs must TakeOrdered before ranking: the plan's
+    Window nodes sit above GlobalLimit(depth), never above a raw
+    corpus-sized input, and the fusion join is broadcast."""
+    from datapipeline_scripts_spark.plans.audit import formatted_plan
+
+    df = get("hybrid_rrf_search").build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, "legs must top-k before ranking"
+    assert "CartesianProduct" not in plan
