@@ -816,3 +816,78 @@ def time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_cents",
         )
     )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(y) AS BIGINT) AS total FROM daily
+),
+dev AS (
+  SELECT day, y, y * n_days - total AS d, total
+  FROM daily CROSS JOIN tot
+),
+pref AS (
+  SELECT day, y, total,
+         sum(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix
+  FROM dev
+),
+pre AS (
+  SELECT day, y, total, prefix,
+         min(prefix) OVER w AS lo,
+         max(prefix) OVER w AS hi
+  FROM pref
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, y,
+       CAST(prefix - lo AS BIGINT) AS cusum_pos,
+       CAST(hi - prefix AS BIGINT) AS cusum_neg,
+       (prefix - lo > total OR hi - prefix > total) AS alarm
+FROM pre
+"""
+
+
+@query("stats_cusum_drift", oracle=_CUSUM_ORACLE, tier="ext")
+def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-count series:
+    the classic sequential drift alarm (Page's cumulative sum), in its
+    prefix-minimum closed form — CUSUM⁺_n = prefix_n − min_{k≤n}
+    prefix_k over the mean-centered series (and the mirrored CUSUM⁻) —
+    so the 'recursive' statistic becomes two plain running windows.
+    Alarm fires when cumulative excess volume exceeds one average
+    day's worth: the ingestion-monitoring sibling of stats_ks_test
+    (distribution drift) and time_seasonal_decompose (cadence).
+
+    Exactness: deviations are scaled by n_days (y·n − total) so
+    centering is integer, summation order-free, and thresholds exact.
+    Scale: the corpus collapses to |days| rows in one partial-agg
+    pass; the three nested windows all share the one bounded ordering
+    (same argument as stats_ks_test)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n_days"), F.sum("y").cast("long").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("prefix", F.sum(F.col("y") * F.col("n_days") - F.col("total")).over(w))
+        .withColumn("lo", F.min("prefix").over(w))
+        .withColumn("hi", F.max("prefix").over(w))
+    )
+    return pre.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        (F.col("prefix") - F.col("lo")).cast("long").alias("cusum_pos"),
+        (F.col("hi") - F.col("prefix")).cast("long").alias("cusum_neg"),
+        (
+            (F.col("prefix") - F.col("lo") > F.col("total"))
+            | (F.col("hi") - F.col("prefix") > F.col("total"))
+        ).alias("alarm"),
+    )

@@ -433,3 +433,56 @@ def events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = _W.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("event_type"))
     return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def _ohlc_oracle() -> str:
+    from datapipeline_scripts_spark.operators.history import _OHLC_ORACLE
+
+    return _OHLC_ORACLE
+
+
+@query("events_stream_ohlc", oracle=_ohlc_oracle(), tier="ext")
+def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars computed BY THE STREAMING ENGINE: the same
+    min_by/max_by aggregation as the batch `time_ohlc_bars`, run as a
+    structured stream (availableNow replay → foreachBatch parquet
+    sink, complete mode) — and it must hash-match the identical batch
+    oracle, proving min_by/max_by state merges correctly under
+    micro-batch execution (the candlestick dashboard topology: ticks
+    in, bars out, continuously updated).
+
+    Scale: state per (type, day) is one candidate row per extreme —
+    constant-size entries like any streaming min/max; at production a
+    watermark on day bounds the state to open bars only."""
+    from datapipeline_scripts_spark.operators.history import _OHLC_KEY_SPARK
+
+    sdf = _events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    bars = (
+        sdf.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            cents.alias("cents"),
+            F.expr(_OHLC_KEY_SPARK).alias("k"),
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("min_by(cents, k)").cast("long").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.expr("max_by(cents, k)").cast("long").alias("close_cents"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "volume_cents",
+        )
+    )
+    return _replay_to_parquet(spark, bars, "complete")

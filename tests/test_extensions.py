@@ -569,3 +569,17 @@ def test_dedup_paragraphs_reconstruction(spark, sf_dir):
     mism = intact.join(norm_fp, "doc_id").filter(F.col("recon_fp") != F.col("fp"))
     assert mism.count() == 0
     assert intact.count() > 0
+
+
+def test_stats_cusum_drift_invariants(spark, sf_dir):
+    """Both CUSUM branches are non-negative everywhere, and at least
+    one of them is exactly zero on the first day (prefix equals its
+    own running extreme)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.registry import get
+
+    out = get("stats_cusum_drift").build(spark, sf_dir)
+    assert out.filter((F.col("cusum_pos") < 0) | (F.col("cusum_neg") < 0)).count() == 0
+    first = out.orderBy("day").first()
+    assert first.cusum_pos == 0 and first.cusum_neg == 0

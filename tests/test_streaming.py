@@ -284,3 +284,16 @@ def test_foreach_batch_resumes_incrementally(spark, sf_dir, tmp_path):
     assert landed.count() == total
     # value-level equality with the batch view, not just counts
     assert landed.select(F.sum("event_id")).first()[0] == ev.select(F.sum("event_id")).first()[0]
+
+
+def test_events_stream_ohlc_equals_batch(spark, sf_dir):
+    """The streaming min_by/max_by aggregation must reproduce the batch
+    OHLC bars exactly (streaming/batch unification on stateful
+    extremes, not just sums)."""
+    from datapipeline_scripts_spark.registry import get
+
+    batch = get("time_ohlc_bars").build(spark, sf_dir)
+    stream = get("events_stream_ohlc").build(spark, sf_dir)
+    assert batch.count() == stream.count()
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
