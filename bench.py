@@ -75,6 +75,13 @@ BENCH_KEYS = (
     # round-3 continuation: end-to-end corpus build + PQ-ANN retrieval
     "corpus_build_pipeline",
     "knn_pq",
+    # round-3 late batch: sub-doc dedup, hybrid retrieval, hashed
+    # features, point-in-time lookup, streaming OHLC state
+    "dedup_paragraphs",
+    "hybrid_rrf_search",
+    "feature_hashing",
+    "scd2_point_in_time",
+    "events_stream_ohlc",
 )
 
 
