@@ -891,3 +891,63 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("hi") - F.col("prefix") > F.col("total"))
         ).alias("alarm"),
     )
+
+
+_POP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT day, cents,
+         lag(cents, 1) OVER w AS prev_day,
+         lag(cents, 7) OVER w AS prev_week
+  FROM daily
+  WINDOW w AS (ORDER BY day)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+       CAST(prev_day AS BIGINT) AS prev_day_cents,
+       CAST(prev_week AS BIGINT) AS prev_week_cents,
+       CAST(CASE WHEN prev_day IS NULL OR prev_day = 0 THEN NULL
+                 ELSE (10000 * (cents - prev_day)) // prev_day END AS BIGINT) AS dod_bp,
+       CAST(CASE WHEN prev_week IS NULL OR prev_week = 0 THEN NULL
+                 ELSE (10000 * (cents - prev_week)) // prev_week END AS BIGINT) AS wow_bp
+FROM lagged
+"""
+
+
+@query("time_period_over_period", oracle=_POP_ORACLE, tier="ext")
+def time_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: daily revenue with day-over-day
+    and week-over-week deltas in exact integer basis points (floor
+    division both engines; NULL before a prior period exists or on a
+    zero base) — the standard BI cadence sheet, and the simplest
+    drift readout next to stats_cusum_drift's sequential alarm.
+
+    Scale: one partial-agg pass collapses the corpus to |days| rows;
+    both lags share one bounded ordered window (stats_ks_test
+    argument). Negative deltas floor toward -inf identically on both
+    engines (verified: Spark `div` and DuckDB `//` agree on BIGINT)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 1).over(w).alias("prev_day"),
+        F.lag("cents", 7).over(w).alias("prev_week"),
+    )
+    bp = lambda cur, prev: F.when(  # noqa: E731
+        F.col(prev).isNull() | (F.col(prev) == 0), F.lit(None).cast("long")
+    ).otherwise(F.expr(f"CAST((10000 * (cents - {prev})) div {prev} AS BIGINT)"))
+    return lagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.col("prev_day").alias("prev_day_cents"),
+        F.col("prev_week").alias("prev_week_cents"),
+        bp("cents", "prev_day").alias("dod_bp"),
+        bp("cents", "prev_week").alias("wow_bp"),
+    )
