@@ -705,3 +705,52 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", "l2sq_micro", "rn")
     )
+
+
+_DIM_STATS_ORACLE = """
+WITH ex AS (
+  SELECT r.i AS dim,
+         CAST(round(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x_u
+  FROM embeddings e, unnest(range(len(e.embedding))) AS r(i)
+)
+SELECT dim,
+       count(*) AS n,
+       CAST(sum(x_u) AS BIGINT) AS sum_u,
+       CAST(sum(x_u) // count(*) AS BIGINT) AS mean_u,
+       CAST(min(x_u) AS BIGINT) AS min_u,
+       CAST(max(x_u) AS BIGINT) AS max_u,
+       CAST(sum(CASE WHEN x_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM ex
+GROUP BY dim
+"""
+
+
+@query("embedding_dim_stats", oracle=_DIM_STATS_ORACLE, tier="ext")
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution audit of the embedding space: n,
+    exact integer-microunit sum/mean/min/max and dead-dimension (zero)
+    counts per coordinate — the feature-drift monitor run between
+    model versions (a dimension whose mean shifts or dies signals an
+    encoder change; companion to embedding_norm_audit's per-vector
+    gate).
+
+    Exactness: each component is per-row quantized to 1e-6 units
+    before aggregation, so sums are order-independent bigints (the
+    cents idiom applied to float vectors). Scale: posexplode feeds
+    straight into partial aggregation — the shuffle carries |dims|
+    groups of integer partials, never vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("x_u"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x_u").alias("sum_u"),
+        F.expr("CAST(sum(x_u) div count(*) AS BIGINT)").alias("mean_u"),
+        F.min("x_u").alias("min_u"),
+        F.max("x_u").alias("max_u"),
+        F.sum(F.when(F.col("x_u") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
