@@ -512,3 +512,48 @@ def join_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "orders_duplicate_audit",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           l_partkey AS partkey,
+           count(*) AS n_lines,
+           CAST(min(l_linenumber) AS BIGINT) AS first_line,
+           CAST(max(l_linenumber) AS BIGINT) AS last_line,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey
+    HAVING count(*) > 1
+    """,
+)
+def orders_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line audit: (order, part) pairs billed on MORE THAN
+    ONE line of the same order — the double-entry screen a finance
+    pipeline runs before invoicing (55 real hits exist in the
+    fixture), with the line range and the doubled quantity/money
+    exposure per hit in exact integers.
+
+    Scale: one partial-aggregable groupBy on the natural key — the
+    HAVING count > 1 filter runs post-aggregation, so the shuffle
+    carries one partial row per (order, part), and no self-join or
+    window is needed at any corpus size (the degenerate-but-common
+    dedup shape: duplicates WITHIN a key, not across the corpus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("partkey")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("l_linenumber").cast("long").alias("first_line"),
+            F.max("l_linenumber").cast("long").alias("last_line"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .filter(F.col("n_lines") > 1)
+    )

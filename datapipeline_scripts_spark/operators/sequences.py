@@ -678,3 +678,77 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+sized AS (SELECT cohort_ym, count(*) AS cohort_users FROM cohort GROUP BY cohort_ym),
+cell AS (
+  SELECT c.cohort_ym, o.ym - c.cohort_ym AS age_months,
+         CAST(sum(o.cents) AS BIGINT) AS rev_cents
+  FROM o JOIN cohort c USING (o_custkey)
+  GROUP BY c.cohort_ym, o.ym - c.cohort_ym
+),
+curve AS (
+  SELECT cohort_ym, age_months, rev_cents,
+         CAST(sum(rev_cents) OVER (
+           PARTITION BY cohort_ym ORDER BY age_months
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM cell
+)
+SELECT cohort_ym, age_months, rev_cents, cum_cents,
+       CAST(cum_cents // cohort_users AS BIGINT) AS ltv_cents_per_user,
+       CAST(cohort_users AS BIGINT) AS cohort_users
+FROM curve JOIN sized USING (cohort_ym)
+"""
+
+
+@query("orders_ltv_cohorts", oracle=_LTV_ORACLE, tier="ext")
+def orders_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, each
+    cohort's revenue accumulated over account age in months, and the
+    per-customer lifetime value in exact integer cents (floor
+    division) — events_retention's count matrix with MONEY on a
+    (cohort × age) grid, over the 51 real acquisition months the
+    orders table spans.
+
+    Scale: two partial-aggregable passes (per-customer cohort, then
+    per-cell revenue); the cumulative window partitions by cohort over
+    the bounded |cohorts|×|ages| grid; cohort sizes broadcast."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sized = cohort.groupBy("cohort_ym").agg(F.count("*").alias("cohort_users"))
+    cell = (
+        o.join(cohort, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months"))
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.withColumn("cum_cents", F.sum("rev_cents").over(wc))
+        .join(F.broadcast(sized), "cohort_ym")
+        .select(
+            "cohort_ym",
+            "age_months",
+            "rev_cents",
+            "cum_cents",
+            F.expr("CAST(cum_cents div cohort_users AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+        )
+    )

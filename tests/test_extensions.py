@@ -583,3 +583,51 @@ def test_stats_cusum_drift_invariants(spark, sf_dir):
     assert out.filter((F.col("cusum_pos") < 0) | (F.col("cusum_neg") < 0)).count() == 0
     first = out.orderBy("day").first()
     assert first.cusum_pos == 0 and first.cusum_neg == 0
+
+
+def test_orders_ltv_cohorts_monotone_and_conserving(spark, sf_dir):
+    """Cumulative LTV is non-decreasing in age within every cohort, and
+    total revenue across all cells equals the orders table's total."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.registry import get
+
+    ltv = get("orders_ltv_cohorts").build(spark, sf_dir)
+    w = Window.partitionBy("cohort_ym").orderBy("age_months")
+    bad = ltv.withColumn("prev", F.lag("cum_cents").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("cum_cents") < F.col("prev"))
+    )
+    assert bad.count() == 0
+    total = ltv.agg(F.sum("rev_cents")).first()[0]
+    expect = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+        .first()[0]
+    )
+    assert total == expect
+
+
+def test_orders_duplicate_audit_finds_real_dups(spark, sf_dir):
+    """Every reported (order, part) hit really has >1 lineitem rows,
+    and the audit misses none (recount independently)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.registry import get
+
+    audit = get("orders_duplicate_audit").build(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    recount = (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("partkey"))
+        .agg(F.count("*").alias("n2"))
+        .filter(F.col("n2") > 1)
+    )
+    j = audit.join(recount, ["orderkey", "partkey"], "full_outer")
+    assert j.filter(F.col("n_lines").isNull() | F.col("n2").isNull()).count() == 0
+    assert j.filter(F.col("n_lines") != F.col("n2")).count() == 0
+    # the fixture contains both shapes: re-billed lines (distinct line
+    # numbers) and fully identical duplicate rows (same line number) —
+    # the audit must surface both, so only the ordering invariant holds
+    assert audit.filter(F.col("first_line") > F.col("last_line")).count() == 0
