@@ -333,3 +333,46 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).alias("n_customers"),
         F.sum("n_rows").alias("n_orders"),
     )
+
+
+_TOPK_ORACLE = """
+SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY est_count DESC, item
+"""
+
+
+@query("sketch_approx_topk", oracle=_TOPK_ORACLE, tier="ext")
+def sketch_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via Spark 4's `approx_top_k` sketch —
+    the streaming-friendly frequent-items operator (bounded sketch
+    state, mergeable across partitions, the engine-native sibling of
+    sketch_cms_heavyhitters' hand-rolled count-min).
+
+    Oracle strategy (the house sketch contract): parameters are sized
+    so the approximation is provably exact — maxItemsTracked (1024)
+    exceeds the brand cardinality (25), so every counter is tracked
+    precisely and the result must hash-match the exact GROUP BY twin,
+    proving the sketch path end-to-end. The exploded output is
+    re-sorted with a deterministic (count, item) tie-break rather than
+    trusting the sketch's internal tie order.
+
+    Scale: per-partition sketches of ≤maxItemsTracked entries merge on
+    the driver-side agg — a KB regardless of corpus size; at true
+    long-tail cardinality the same query reports the guaranteed-error
+    top slice instead of exact counts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("p_brand")
+    sk = branded.agg(
+        F.expr("approx_top_k(p_brand, 25, 1024)").alias("topk")
+    )
+    return (
+        sk.select(F.explode("topk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+        .orderBy(F.col("est_count").desc(), "item")
+    )
