@@ -4,6 +4,7 @@ Importing this package registers every declared query with the registry.
 """
 
 from datapipeline_scripts_spark.operators import (  # noqa: F401
+    advstats,
     aggregates,
     approx,
     arrays,

@@ -1,0 +1,349 @@
+"""Advanced statistical operators: one-way ANOVA, Kaplan-Meier survival,
+Pareto/ABC classification via a distributed exact prefix sum, and a
+deterministic replicate-weight bootstrap.
+
+These extend the engine's experimentation/reporting surface (SURVEY.md
+§2.D "declared engine catalog" statistics family; the reference delegates
+all statistics to its backing SQL engines — /root/reference/backup.sh
+runs the queries it is given, so the analytics surface is ours to
+define). Exactness follows the repo idiom: sufficient statistics
+accumulate as exact integers/decimals at fact scale; double arithmetic
+only ever runs over the tiny aggregated result in a deterministic order
+(see stats_ttest / stats_chi2 in aggregates.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.text import md5_48, md5_48_sql
+from datapipeline_scripts_spark.registry import query
+
+
+@query(
+    "stats_anova",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(19,6))) AS s,
+             sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS q
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_obs, sum(s) AS s_all,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM g
+    ),
+    terms AS (
+      SELECT n_groups, n_obs,
+             n * (CAST(s AS DOUBLE) / n - CAST(s_all AS DOUBLE) / n_obs)
+               * (CAST(s AS DOUBLE) / n - CAST(s_all AS DOUBLE) / n_obs) AS term_b,
+             CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS term_w
+      FROM g CROSS JOIN tot
+    ),
+    ss AS (
+      SELECT any_value(n_groups) AS n_groups, any_value(n_obs) AS n_obs,
+             round(sum(term_b), 4) AS ss_between, round(sum(term_w), 4) AS ss_within
+      FROM terms
+    )
+    SELECT n_groups, n_obs, ss_between, ss_within,
+           round((ss_between / (n_groups - 1)) / (ss_within / (n_obs - n_groups)), 4)
+             AS f_stat
+    FROM ss
+    """,
+)
+def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types, from one
+    conditional-aggregation pass: per-group n/Σx/Σx² accumulate as
+    EXACT decimals (the shuffle carries three numbers per group), the
+    between/within sums of squares are double arithmetic over the
+    handful of group rows, and the F statistic derives from the
+    ROUNDED sums so both engines divide identical inputs. At 100 TB
+    this is one map-side-combined aggregation; everything after runs
+    on k rows."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(19,6)")
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        F.sum("s").alias("s_all"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    m_g = F.col("s").cast("double") / F.col("n")
+    m_all = F.col("s_all").cast("double") / F.col("n_obs")
+    term_b = F.col("n") * (m_g - m_all) * (m_g - m_all)
+    term_w = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ss = (
+        g.crossJoin(F.broadcast(tot))
+        .select("n_groups", "n_obs", term_b.alias("term_b"), term_w.alias("term_w"))
+        .agg(
+            F.any_value("n_groups").alias("n_groups"),
+            F.any_value("n_obs").alias("n_obs"),
+            F.round(F.sum("term_b"), 4).alias("ss_between"),
+            F.round(F.sum("term_w"), 4).alias("ss_within"),
+        )
+    )
+    f_stat = (F.col("ss_between") / (F.col("n_groups") - 1)) / (
+        F.col("ss_within") / (F.col("n_obs") - F.col("n_groups"))
+    )
+    return ss.select(
+        "n_groups", "n_obs", "ss_between", "ss_within", F.round(f_stat, 4).alias("f_stat")
+    )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH cutoff AS (SELECT max(ts) AS mx FROM events),
+    users AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY 1
+    ),
+    lifet AS (
+      SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+               AS duration_days,
+             CASE WHEN last_ts < mx - INTERVAL 7 DAY THEN 1 ELSE 0 END AS death
+      FROM users CROSS JOIN cutoff
+    ),
+    per_d AS (
+      SELECT duration_days, CAST(sum(death) AS BIGINT) AS deaths,
+             CAST(count(*) AS BIGINT) AS n_ending
+      FROM lifet GROUP BY 1
+    ),
+    risk AS (
+      SELECT duration_days, deaths,
+             CAST(sum(n_ending) OVER () AS BIGINT)
+               - CAST(coalesce(sum(n_ending) OVER (
+                   ORDER BY duration_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS at_risk
+      FROM per_d
+    )
+    SELECT CAST(duration_days AS BIGINT) AS duration_days, at_risk, deaths,
+           round(product(CAST(at_risk - deaths AS DOUBLE) / at_risk) OVER (
+             ORDER BY duration_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS survival
+    FROM risk ORDER BY duration_days
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (days between first
+    and last event; users still active within 7 days of the corpus
+    max timestamp are right-censored). The fact table reduces to one
+    row per user, then one row per distinct duration — the KM curve
+    itself lives on a calendar-bounded table (≤ days in the fixture
+    window), so the unpartitioned ordered window that forms the
+    product runs on a few hundred rows no matter the corpus size.
+    Survival is a cumulative PRODUCT of exact-integer-ratio factors
+    (never exp(sum(ln)) — both engines multiply the same doubles in
+    the same ascending-duration order, so the rounded curve is
+    bit-stable)."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg(F.max("ts").alias("mx"))
+    users = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    lifet = users.crossJoin(F.broadcast(cutoff)).select(
+        F.datediff(F.col("last_ts").cast("date"), F.col("first_ts").cast("date")).alias(
+            "duration_days"
+        ),
+        F.when(F.col("last_ts") < F.col("mx") - F.expr("INTERVAL 7 DAY"), 1)
+        .otherwise(0)
+        .alias("death"),
+    )
+    per_d = lifet.groupBy("duration_days").agg(
+        F.sum("death").cast("long").alias("deaths"),
+        F.count("*").cast("long").alias("n_ending"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_d.select(
+        "duration_days",
+        "deaths",
+        (
+            F.sum("n_ending").over(w_all) - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("at_risk"),
+    )
+    factor = (F.col("at_risk") - F.col("deaths")).cast("double") / F.col("at_risk")
+    return risk.select(
+        F.col("duration_days").cast("long").alias("duration_days"),
+        "at_risk",
+        "deaths",
+        F.round(F.product(factor).over(w_cum), 6).alias("survival"),
+    ).orderBy("duration_days")
+
+
+@query(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_cents, total_cents,
+             CAST(sum(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents
+      FROM rev CROSS JOIN tot
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_cents * 100 <= total_cents * 70 THEN 'A'
+                  WHEN cum_cents * 100 <= total_cents * 90 THEN 'B'
+                  ELSE 'C' END AS pareto_class,
+             rev_cents, total_cents
+      FROM ranked
+    )
+    SELECT pareto_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS class_revenue_cents,
+           round(CAST(sum(rev_cents) AS DOUBLE) / any_value(total_cents), 6)
+             AS class_share
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts covering
+    the first 70% of cumulative revenue are class A, to 90% B, the
+    tail C. The cumulative sum is the textbook global-window trap
+    (Window.orderBy with no partition → one task), so this runs the
+    DISTRIBUTED exact prefix sum instead: range-repartition by the
+    sort key, per-partition local cumsum, then add each partition's
+    exclusive prefix offset (a broadcast of ~numPartitions rows).
+    The result is identical to the single-task form for any partition
+    boundary placement — classification compares exact integer cents
+    (cum*100 <= total*70), so no float boundary can flip a part's
+    class between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    # localCheckpoint pins the range partitioning: `ranked` feeds both the
+    # local cumsum and the per-partition offsets, and the range partitioner
+    # samples — two independent evaluations could place boundaries
+    # differently, mismatching pid between the branches.
+    ranked = (
+        rev.repartitionByRange(32, F.desc("rev_cents"), F.asc("l_partkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("rev_cents"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = ranked.withColumn("local_cum", F.sum("rev_cents").over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranked.groupBy("pid")
+        .agg(F.sum("rev_cents").alias("part_total"))
+        .select("pid", F.coalesce(F.sum("part_total").over(w_off), F.lit(0)).alias("offset"))
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("local_cum") + F.col("offset")).alias("cum_cents"),
+            "rev_cents",
+            "total_cents",
+        )
+    )
+    cls = (
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 70, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 90, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("pareto_class"), "rev_cents", "total_cents")
+        .groupBy("pareto_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("class_revenue_cents"),
+            F.round(
+                F.sum("rev_cents").cast("double") / F.any_value("total_cents"), 6
+            ).alias("class_share"),
+        )
+        .orderBy("pareto_class")
+    )
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+      WHERE ({md5_48_sql("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}) % 1000 < 632
+      GROUP BY b
+    ),
+    ranked AS (
+      SELECT CAST(s AS DOUBLE) / n AS mean_cents,
+             row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n, b) AS rn,
+             count(*) OVER () AS n_reps
+      FROM reps
+    ),
+    point AS (
+      SELECT round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*), 2) AS point_mean_cents
+      FROM orders
+    )
+    SELECT CAST(any_value(n_reps) AS BIGINT) AS n_reps,
+           any_value(point_mean_cents) AS point_mean_cents,
+           round(max(CASE WHEN rn = 4 THEN mean_cents END), 2) AS ci_lo_cents,
+           round(max(CASE WHEN rn = 61 THEN mean_cents END), 2) AS ci_hi_cents
+    FROM ranked CROSS JOIN point
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap confidence interval for mean order value
+    via replicate weights: 64 subsample replicates, membership decided
+    per (order, replicate) by the cross-engine md5_48 hash (Bernoulli
+    p=0.632 — the classic m-out-of-n bootstrap), so both engines draw
+    literally the same replicates. Map-side the fact expands ×64 but
+    combines to 64 partial rows before the shuffle — the canonical
+    scale-out bootstrap (replicate weights, not data copies). The CI
+    bounds are exact order statistics of the 64 replicate means
+    (ranks 4 and 61 ≈ 5th/95th percentile, winsorize rank formula);
+    each mean is an exact-integer-cents / exact-count division."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    reps = (
+        o.select(cents.alias("cents"), "o_orderkey")
+        .select("cents", "o_orderkey", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"))
+        .filter(md5_48(F.concat_ws(":", F.col("o_orderkey"), F.col("b"))) % 1000 < 632)
+        .groupBy("b")
+        .agg(F.sum("cents").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
+    )
+    mean_c = F.col("s").cast("double") / F.col("n")
+    w_rank = Window.orderBy(mean_c, F.col("b"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = reps.select(
+        mean_c.alias("mean_cents"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_reps"),
+    )
+    point = o.agg(
+        F.round(F.sum(cents).cast("double") / F.count("*"), 2).alias("point_mean_cents")
+    )
+    return ranked.crossJoin(F.broadcast(point)).agg(
+        F.any_value("n_reps").cast("long").alias("n_reps"),
+        F.any_value("point_mean_cents").alias("point_mean_cents"),
+        F.round(F.max(F.when(F.col("rn") == 4, F.col("mean_cents"))), 2).alias("ci_lo_cents"),
+        F.round(F.max(F.when(F.col("rn") == 61, F.col("mean_cents"))), 2).alias("ci_hi_cents"),
+    )

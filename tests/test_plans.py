@@ -527,3 +527,36 @@ def test_hybrid_rrf_search_no_corpus_sized_global_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, "legs must top-k before ranking"
     assert "CartesianProduct" not in plan
+
+
+def test_orders_abc_pareto_distributed_prefix_sum(spark, sf_dir):
+    """The Pareto cumsum must run as the distributed two-phase prefix
+    sum: the part-revenue table's local cumsum window is partitioned
+    by spark_partition_id (never an unpartitioned corpus-sized
+    window), and the only single-partition window runs over the
+    ~numPartitions offset rows. No cartesian product anywhere."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("orders_abc_pareto").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the data-path window is keyed on pid — hashpartitioning, not a
+    # global funnel, sits under it
+    assert "hashpartitioning(pid" in plan.replace("#", "(").replace("pid(", "pid"), plan
+
+
+def test_stats_bootstrap_ci_no_cartesian(spark, sf_dir):
+    """Replicate expansion is a generator (explode) + one keyed
+    aggregation — never a cartesian product; the point-estimate join
+    broadcasts a 1-row aggregate."""
+    df = get("stats_bootstrap_ci").build(spark, sf_dir)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_stats_anova_single_pass(spark, sf_dir):
+    """ANOVA's fact-table work is ONE aggregation pass: the events scan
+    appears once per branch (group stats + derived totals), and the
+    sufficient-stats aggregate is codegen'd JVM-side."""
+    df = get("stats_anova").build(spark, sf_dir)
+    assert has_codegen(df)
+    assert "CartesianProduct" not in join_strategies(df)
