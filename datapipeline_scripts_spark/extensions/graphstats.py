@@ -221,3 +221,73 @@ def graph_triangle_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(na.n_name.alias("nation"))
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+@query(
+    "graph_jaccard_suppliers",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT s, count(*) AS d FROM edges GROUP BY 1),
+    postings AS (
+      SELECT p FROM edges GROUP BY p HAVING count(*) <= 50
+    ),
+    pairs AS (
+      SELECT e1.s AS s1, e2.s AS s2, count(*) AS common
+      FROM edges e1
+      JOIN postings USING (p)
+      JOIN edges e2 USING (p)
+      WHERE e1.s < e2.s
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, CAST(common AS BIGINT) AS common_parts,
+           CAST((10000 * common) // (d1.d + d2.d - common) AS BIGINT)
+             AS jaccard_bp
+    FROM pairs
+    JOIN deg d1 ON d1.s = pairs.s1
+    JOIN deg d2 ON d2.s = pairs.s2
+    ORDER BY jaccard_bp DESC, s1, s2 LIMIT 20
+    """,
+)
+def graph_jaccard_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-similarity via neighborhood overlap: top supplier pairs by
+    Jaccard similarity of the part sets they ship (the collaborative-
+    filtering / entity-resolution primitive, here on the bipartite
+    supplier-part graph from lineitem). The pair generator is the
+    capped posting-list self-join (the dedup_ngram_jaccard_capped
+    pattern): parts supplied by > 50 suppliers are dropped from
+    candidate generation, bounding per-key fanout to 50² and keeping
+    the join an equi-join on partkey — candidates are O(|edges|·cap),
+    never all supplier pairs. Jaccard lands in exact integer basis
+    points via truncating division; top-20 is TakeOrdered with a full
+    deterministic tie-break, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    postings = edges.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= 50)
+    e1 = edges.select(F.col("s").alias("s1"), "p")
+    e2 = edges.select(F.col("s").alias("s2"), "p")
+    pairs = (
+        e1.join(postings.select("p"), "p")
+        .join(e2, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("common").cast("long").alias("common_parts"),
+            F.expr("CAST((10000 * common) div (d1 + d2 - common) AS BIGINT)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy(F.desc("jaccard_bp"), "s1", "s2")
+        .limit(20)
+    )

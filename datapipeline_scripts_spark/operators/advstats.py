@@ -347,3 +347,212 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn") == 4, F.col("mean_cents"))), 2).alias("ci_lo_cents"),
         F.round(F.max(F.when(F.col("rn") == 61, F.col("mean_cents"))), 2).alias("ci_hi_cents"),
     )
+
+
+_INTERP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE user_id % 13 = 0 AND event_type = 'purchase'
+  GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+cal AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (
+  SELECT c.user_id, c.day, d.cents FROM cal c
+  LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+),
+anch AS (
+  SELECT user_id, day, cents,
+         last_value(cents IGNORE NULLS) OVER wb AS prev_c,
+         last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wb AS prev_d,
+         first_value(cents IGNORE NULLS) OVER wf AS next_c,
+         first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wf AS next_d
+  FROM j
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                  ELSE CAST(prev_c AS DOUBLE)
+                       + CAST(next_c - prev_c AS DOUBLE)
+                         * date_diff('day', prev_d, day)
+                         / date_diff('day', prev_d, next_d)
+             END, 2) AS interp_cents,
+       (cents IS NULL) AS is_gap
+FROM anch
+"""
+
+
+@query("time_interpolate_linear", oracle=_INTERP_ORACLE, tier="ext")
+def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing days in an irregular per-user
+    daily revenue series — the sibling of `time_fill_forward` for
+    metrics where a step function biases downstream rolling math.
+    Each user's calendar spine spans their own first..last observed
+    day, so every gap is interior and both anchors exist. The
+    interpolant is exact-integer-cents endpoints + integer day
+    offsets combined in one fixed double expression — identical on
+    both engines. All windows partition by user_id (no global
+    ordering); the spine explodes from a per-user 2-column bound row,
+    so spine size is users × span, never corpus-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("user_id") % 13 == 0) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cal = span.select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    j = cal.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    anch = j.select(
+        "user_id",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double")).otherwise(
+            F.col("prev_c").cast("double")
+            + (F.col("next_c") - F.col("prev_c")).cast("double")
+            * F.datediff("day", "prev_d")
+            / F.datediff("next_d", "prev_d")
+        )
+    )
+    return anch.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(interp, 2).alias("interp_cents"),
+        F.col("cents").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "stats_quantile_bins",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    ranked AS (
+      SELECT pri, c,
+             row_number() OVER (PARTITION BY pri ORDER BY c, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM cents
+    )
+    SELECT pri, CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(c) AS BIGINT) AS lo_cents,
+           CAST(max(c) AS BIGINT) AS hi_cents,
+           CAST(sum(c) AS BIGINT) AS decile_cents
+    FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stats_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order value within each order
+    priority (the histogram-equalized sibling of `stats_histogram`'s
+    equal-width bins). Bin assignment is pure integer arithmetic over
+    the deterministic rank — ((rn-1)*10) div n + 1 — so bin edges can
+    never float-drift between engines; per-bin stats are exact cents.
+    The ranking window partitions by priority (the stats_winsorize
+    scale argument: per-group ordering, no global funnel)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("pri").orderBy("c", "o_orderkey")
+    wn = Window.partitionBy("pri")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    ).select(
+        "pri",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.select(
+            "pri",
+            "c",
+            F.expr("CAST(((rn - 1) * 10) div n + 1 AS BIGINT)").alias("decile"),
+        )
+        .groupBy("pri", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("c").cast("long").alias("lo_cents"),
+            F.max("c").cast("long").alias("hi_cents"),
+            F.sum("c").cast("long").alias("decile_cents"),
+        )
+        .orderBy("pri", "decile")
+    )
+
+
+@query(
+    "events_hhi_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS n_u
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(n_u) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(floor(10000.0 * CAST(sum(n_u * n_u) AS DOUBLE)
+                      / (CAST(sum(n_u) AS DOUBLE) * CAST(sum(n_u) AS DOUBLE)))
+             AS BIGINT) AS hhi_bp,
+           CAST((10000 * max(n_u)) // sum(n_u) AS BIGINT) AS top_share_bp
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of user activity per event
+    type — how dominated each event stream is by its heaviest users
+    (the audit that catches one bot generating half a 100 TB crawl).
+    HHI = Σ share² computed from EXACT integer sufficient statistics
+    (Σn, Σn²) in basis points: the ratio is formed once in double from
+    identical integers, then floored — never a float sum across users.
+    Two keyed aggregations, both map-side combinable; the second runs
+    on |types × active users| rows. At extreme scale Σn² outgrows
+    BIGINT around n_events ≈ 3·10⁹ per type — swap the sums to
+    DECIMAL(38,0) there; the fixture range is exact as written."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(F.count("*").alias("n_u"))
+    hhi = F.floor(
+        10000.0
+        * F.sum(F.col("n_u") * F.col("n_u")).cast("double")
+        / (F.sum("n_u").cast("double") * F.sum("n_u").cast("double"))
+    ).cast("long")
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("n_u").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_users"),
+            hhi.alias("hhi_bp"),
+            F.expr("CAST((10000 * max(n_u)) div sum(n_u) AS BIGINT)").alias("top_share_bp"),
+        )
+        .orderBy("event_type")
+    )

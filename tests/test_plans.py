@@ -560,3 +560,22 @@ def test_stats_anova_single_pass(spark, sf_dir):
     df = get("stats_anova").build(spark, sf_dir)
     assert has_codegen(df)
     assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_time_interpolate_linear_windows_partitioned(spark, sf_dir):
+    """Both anchor windows partition by user_id — no single-partition
+    exchange anywhere (interpolation must scale per-series)."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    plan = simple_plan(get("time_interpolate_linear").build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_graph_jaccard_suppliers_capped_equi_join(spark, sf_dir):
+    """The pair generator must be an equi-join on partkey through the
+    capped posting list — never a cartesian or nested-loop pairing of
+    suppliers."""
+    df = get("graph_jaccard_suppliers").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
