@@ -117,7 +117,8 @@ _ADDED_R3 = {
     "sql_group_by_all", "multimodal_phash_dedup", "dedup_paragraphs", "hybrid_rrf_search", "events_stream_ohlc", "stats_cusum_drift", "scan_provenance", "time_period_over_period", "embedding_dim_stats", "orders_ltv_cohorts", "orders_duplicate_audit", "sketch_approx_topk",
     "stats_anova", "events_survival_km", "orders_abc_pareto", "stats_bootstrap_ci",
     "time_interpolate_linear", "stats_quantile_bins", "events_hhi_concentration",
-    "graph_jaccard_suppliers",
+    "graph_jaccard_suppliers", "stats_theil_sen", "stats_mannwhitney",
+    "stats_outlier_iqr", "time_timezone_rollup",
 }
 
 

@@ -556,3 +556,264 @@ def events_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.c - a.c AS DOUBLE) / date_diff('day', a.d, b.d) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_pairs,
+           round(max(CASE WHEN rn = (n + 1) // 2 THEN slope END), 4)
+             AS median_slope_cents_per_day
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes of
+    each event type's daily revenue series — the estimator that
+    shrugs off the outlier days OLS (stats_regression) chases. The
+    O(days²) pair join runs AFTER aggregation to the calendar-bounded
+    daily table, so the quadratic term is bounded by the observation
+    window, not the corpus (the stats_cusum_drift argument); the
+    median is an exact order statistic (lower median, rank
+    (n+1) div 2) of slopes formed from exact integer cents and day
+    counts, ranked with a full deterministic tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        ((F.col("c2") - F.col("c1")).cast("double") / F.datediff("d2", "d1")).alias("slope"),
+        "d1",
+        "d2",
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("long").alias("n_pairs"),
+            F.round(
+                F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope"))), 4
+            ).alias("median_slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stats_mannwhitney",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(value * 10) AS BIGINT) AS bin, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    bins AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM s GROUP BY bin
+    ),
+    cum AS (
+      SELECT c1, c2,
+             coalesce(sum(c1 + c2) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_n
+      FROM bins
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM bins)
+    SELECT n1, n2,
+           CAST(sum(c1 * (2 * prev_n + c1 + c2 + 1)) - n1 * (n1 + 1) AS BIGINT)
+             AS u1_x2,
+           CAST((10000 * (sum(c1 * (2 * prev_n + c1 + c2 + 1)) - n1 * (n1 + 1)))
+                // (2 * n1 * n2) AS BIGINT) AS cles_bp
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) comparing click vs purchase value
+    distributions on the deterministic binned grid (the stats_ks_test
+    lattice): midranks over bins collapse to the closed form
+    Σ c1·(2·prevN + nb + 1) kept DOUBLED so ties stay in exact
+    integers — no float rank ever exists. The effect size is the
+    common-language P(click > purchase) in truncated basis points
+    (positive-range integer division, identical on both engines).
+    One keyed aggregation to |bins| rows, one ordered window over the
+    bounded grid."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 10).cast("long").alias("bin"), "event_type"
+    )
+    bins = s.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w_prev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)).alias("prev_n"),
+    )
+    tot = bins.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    r1x2 = F.sum(F.col("c1") * (2 * F.col("prev_n") + F.col("c1") + F.col("c2") + 1))
+    u1x2 = r1x2 - F.col("n1") * (F.col("n1") + 1)
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            u1x2.cast("long").alias("u1_x2"),
+            F.expr(
+                "CAST((10000 * (sum(c1 * (2 * prev_n + c1 + c2 + 1)) - n1 * (n1 + 1)))"
+                " div (2 * n1 * n2) AS BIGINT)"
+            ).alias("cles_bp"),
+        )
+    )
+
+
+@query(
+    "stats_outlier_iqr",
+    oracle="""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c
+      FROM customer
+    ),
+    ranked AS (
+      SELECT seg, c,
+             row_number() OVER (PARTITION BY seg ORDER BY c, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY seg) AS n
+      FROM cents
+    ),
+    cuts AS (
+      SELECT seg,
+             max(CASE WHEN rn = (25 * n + 99) // 100 THEN c END) AS q1,
+             max(CASE WHEN rn = (75 * n + 99) // 100 THEN c END) AS q3
+      FROM ranked GROUP BY seg
+    )
+    SELECT cents.seg,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(any_value(q1) AS BIGINT) AS q1_cents,
+           CAST(any_value(q3) AS BIGINT) AS q3_cents,
+           CAST(sum(CASE WHEN c < q1 - (3 * (q3 - q1)) // 2
+                           OR c > q3 + (3 * (q3 - q1)) // 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM cents JOIN cuts USING (seg)
+    GROUP BY cents.seg ORDER BY cents.seg
+    """,
+)
+def stats_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier screen per market segment: quartile cut
+    points are exact order statistics (the stats_winsorize rank
+    formula), fences are pure integer arithmetic (1.5×IQR as
+    (3·IQR) div 2 on nonnegative IQR), so a balance is an outlier by
+    an exact integer comparison — no float fence can disagree between
+    engines. The cut-point table is segments-sized and broadcasts
+    back onto the fact; the ranking window partitions by segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("seg").orderBy("c", "c_custkey")
+    wn = Window.partitionBy("seg")
+    ranked = cents.select(
+        "seg",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("seg").agg(
+        F.max(F.when(F.col("rn") == F.expr("(25 * n + 99) div 100"), F.col("c"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.expr("(75 * n + 99) div 100"), F.col("c"))).alias("q3"),
+    )
+    iqr15 = F.expr("(3 * (q3 - q1)) div 2")
+    outlier = (F.col("c") < F.col("q1") - iqr15) | (F.col("c") > F.col("q3") + iqr15)
+    return (
+        cents.join(F.broadcast(cuts), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.any_value("q1").cast("long").alias("q1_cents"),
+            F.any_value("q3").cast("long").alias("q3_cents"),
+            F.sum(F.when(outlier, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query(
+    "time_timezone_rollup",
+    oracle="""
+    WITH tzs AS (
+      SELECT * FROM (VALUES ('America/New_York'), ('Europe/Berlin'),
+                            ('Asia/Tokyo')) t(tz)
+    )
+    SELECT tz,
+           strftime(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE tz AS DATE),
+                    '%Y-%m-%d') AS local_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events CROSS JOIN tzs
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def time_timezone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware daily rollup: the same UTC event stream bucketed
+    by each market's LOCAL calendar day (IANA zone rules, DST
+    included — what a naive date_trunc silently gets wrong twice a
+    year). The zone list explodes map-side (×|zones|, combines before
+    the shuffle); the aggregation shuffle carries (zone, day) integer
+    partials. Both engines resolve zones from the IANA database, so
+    the local-day assignment is identical; revenue is per-row
+    quantized cents."""
+    e = load_table(spark, sf_dir, "events")
+    tz = F.explode(
+        F.array(F.lit("America/New_York"), F.lit("Europe/Berlin"), F.lit("Asia/Tokyo"))
+    ).alias("tz")
+    return (
+        e.select("ts", F.round(F.col("value") * 100).cast("long").alias("c"), tz)
+        .groupBy(
+            "tz",
+            F.date_format(F.to_date(F.from_utc_timestamp("ts", F.col("tz"))), "yyyy-MM-dd").alias(
+                "local_day"
+            ),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("cents"),
+        )
+        .orderBy("tz", "local_day")
+    )

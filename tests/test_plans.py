@@ -579,3 +579,18 @@ def test_graph_jaccard_suppliers_capped_equi_join(spark, sf_dir):
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, joins
     assert "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_stats_theil_sen_pairs_equi_join(spark, sf_dir):
+    """The pairwise-slope join keys on event_type (d1 < d2 as a
+    residual) over the aggregated daily table — no cartesian product."""
+    df = get("stats_theil_sen").build(spark, sf_dir)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_time_timezone_rollup_codegen_single_agg(spark, sf_dir):
+    """Zone expansion is a generator feeding one partial-aggregated
+    groupBy — whole-stage codegen'd, no join of any kind."""
+    df = get("time_timezone_rollup").build(spark, sf_dir)
+    assert has_codegen(df)
+    assert join_strategies(df) == []
