@@ -119,6 +119,7 @@ _ADDED_R3 = {
     "time_interpolate_linear", "stats_quantile_bins", "events_hhi_concentration",
     "graph_jaccard_suppliers", "stats_theil_sen", "stats_mannwhitney",
     "stats_outlier_iqr", "time_timezone_rollup",
+    "events_rolling_active_users", "events_ab_srm_check", "scd3_prev_value",
 }
 
 

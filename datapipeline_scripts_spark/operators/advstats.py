@@ -817,3 +817,107 @@ def time_timezone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tz", "local_day")
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT max(day) AS mx FROM user_days),
+    dau AS (SELECT day, count(*) AS dau FROM user_days GROUP BY 1),
+    cover AS (
+      SELECT DISTINCT user_id,
+             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                         CAST(day + 6 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM user_days
+    ),
+    wau AS (
+      SELECT day, count(*) AS wau FROM cover CROSS JOIN bounds
+      WHERE day <= mx GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau
+    FROM dau d JOIN wau w USING (day) ORDER BY d.day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and rolling 7-day WAU per day with EXACT distinct counts —
+    no sliding-window distinct aggregation exists in either engine,
+    so WAU uses the coverage-explosion identity: a user active on day
+    d contributes to the weekly-active set of days d..d+6, so
+    exploding each distinct (user, day) pair to its 7 covered days
+    and re-distincting gives the exact rolling distinct. Expansion is
+    a bounded ×7 on the already-deduplicated user-day table (itself ≤
+    users × days, radically smaller than the event stream); for long
+    windows at extreme scale the same identity degrades gracefully to
+    the bitmap/HLL rollup (sketch_hll_rollup) as the approximate
+    path."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = user_days.agg(F.max("day").alias("mx"))
+    dau = user_days.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    cover = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+    ).distinct()
+    wau = (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("mx"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             ({md5_48_sql("CAST(user_id AS VARCHAR)")}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM assign
+    )
+    SELECT n0, n1,
+           round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6) AS srm_chi2,
+           (CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)) > 3.841 AS srm_alarm
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 experiment: users
+    deterministically bucketed by the cross-engine md5_48 hash (the
+    same draw both engines make, so assignment is reproducible — the
+    property a real experimentation platform needs for re-analysis),
+    then the one-degree-of-freedom chi-square (n0−n1)²/(n0+n1)
+    against the 0.05 critical value. Counts are exact integers; the
+    statistic is one double division over them. Pairs with
+    stats_ttest (effect) and stats_mannwhitney (robustness) to round
+    out the experimentation suite; cost is one distinct + one
+    map-side-combined aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select("user_id").distinct().select(
+        (md5_48(F.col("user_id").cast("string")) % 2).alias("variant")
+    )
+    counts = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    return counts.select(
+        "n0", "n1", F.round(chi2, 6).alias("srm_chi2"), (chi2 > 3.841).alias("srm_alarm")
+    )

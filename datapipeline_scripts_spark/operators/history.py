@@ -951,3 +951,56 @@ def time_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp("cents", "prev_day").alias("dod_bp"),
         bp("cents", "prev_week").alias("wow_bp"),
     )
+
+
+@query(
+    "scd3_prev_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           max(CASE WHEN rn = 1 THEN o_orderpriority END) AS current_priority,
+           max(CASE WHEN rn = 2 THEN o_orderpriority END) AS previous_priority,
+           strftime(max(CASE WHEN rn = 1 THEN o_orderdate END), '%Y-%m-%d')
+             AS changed_at
+    FROM ranked WHERE rn <= 2 GROUP BY 1
+    HAVING max(CASE WHEN rn = 1 THEN o_orderpriority END)
+           IS DISTINCT FROM max(CASE WHEN rn = 2 THEN o_orderpriority END)
+    ORDER BY 1
+    """,
+)
+def scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-3 attribute tracking — current + immediately-previous
+    value in ONE row per key (the narrow alternative to scd2_history's
+    full interval table, for marts that only ever ask "what changed
+    last"). Per customer the two most recent orders are selected by a
+    keyed ranking window (deterministic tie-break on orderkey), and
+    only customers whose priority actually changed surface —
+    null-safe comparison keeps single-order customers out on both
+    engines identically. One partitioned window + one keyed
+    aggregation; no global ordering."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = o.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    cur = F.max(F.when(F.col("rn") == 1, F.col("o_orderpriority")))
+    prev = F.max(F.when(F.col("rn") == 2, F.col("o_orderpriority")))
+    return (
+        ranked.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            cur.alias("current_priority"),
+            prev.alias("previous_priority"),
+            F.date_format(
+                F.max(F.when(F.col("rn") == 1, F.col("o_orderdate"))), "yyyy-MM-dd"
+            ).alias("changed_at"),
+        )
+        .filter(~F.col("current_priority").eqNullSafe(F.col("previous_priority")))
+        .orderBy("custkey")
+    )

@@ -594,3 +594,29 @@ def test_time_timezone_rollup_codegen_single_agg(spark, sf_dir):
     df = get("time_timezone_rollup").build(spark, sf_dir)
     assert has_codegen(df)
     assert join_strategies(df) == []
+
+
+def test_events_rolling_active_users_no_global_window(spark, sf_dir):
+    """The exact rolling-distinct runs via coverage explosion + keyed
+    distinct aggregations — no ordered window anywhere on the data
+    path (the only single-partition exchange is the 1-row max-day
+    bound aggregate), and no cartesian pairing."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("events_rolling_active_users").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scd3_prev_value_window_keyed(spark, sf_dir):
+    """The type-3 ranking window partitions by customer — no global
+    ordering on the data path (the final presentation orderBy is a
+    top-level sort of the changed-rows result, not a window)."""
+    from datapipeline_scripts_spark.plans.audit import formatted_plan
+
+    df = get("scd3_prev_value").build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(o_custkey" in plan.replace("#", "(").replace(
+        "o_custkey(", "o_custkey"
+    ), plan
