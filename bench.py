@@ -82,6 +82,12 @@ BENCH_KEYS = (
     "feature_hashing",
     "scd2_point_in_time",
     "events_stream_ohlc",
+    # round-3 advanced statistics batch: distributed prefix sum,
+    # replicate-weight bootstrap (×64 map-side expansion), exact
+    # rolling distinct (×7 coverage explosion)
+    "orders_abc_pareto",
+    "stats_bootstrap_ci",
+    "events_rolling_active_users",
 )
 
 

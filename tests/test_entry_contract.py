@@ -1,0 +1,50 @@
+"""Adapter-surface guards: the driver consumes __spark_entry__.py's
+queries()/oracle_sql() dicts and proves the FIRST 50 keys each round —
+a typo in the rotation sets or a missing oracle entry silently burns a
+round's worth of driver budget, so lock the contract here."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from datapipeline_scripts_spark.registry import all_queries
+
+
+def _entry_module():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_added_r3_keys_all_registered():
+    mod = _entry_module()
+    specs = all_queries()
+    missing = sorted(k for k in mod._ADDED_R3 if k not in specs)
+    assert not missing, f"_ADDED_R3 names unregistered keys: {missing}"
+
+
+def test_every_query_has_an_oracle():
+    # round-2 milestone: zero rows-only entries — keep it that way
+    specs = all_queries()
+    rows_only = sorted(k for k, s in specs.items() if s.oracle is None)
+    assert not rows_only, f"queries without a DuckDB oracle: {rows_only}"
+
+
+def test_entry_exports_cover_registry():
+    mod = _entry_module()
+    q = mod.queries()
+    o = mod.oracle_sql()
+    specs = all_queries()
+    assert set(q) == set(specs), "queries() must export the whole registry"
+    assert set(o) == set(specs), "oracle_sql() must cover every exported key"
+    # rotation sanity: first-50 window contains no already-proven key
+    # unless everything is proven (late rounds)
+    proven = mod._driver_proven_keys()
+    head = list(q)[:50]
+    unproven_total = len([k for k in specs if k not in proven])
+    if unproven_total >= 50:
+        overlap = [k for k in head if k in proven]
+        assert not overlap, f"rotation wastes driver budget on proven keys: {overlap}"
