@@ -467,3 +467,82 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("tf"))
     )
+
+
+_RAKE_SPLIT = r"\b(?:the|a|of)\b"
+
+_RAKE_ORACLE = r"""
+    WITH cleaned AS (
+      SELECT regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pieces AS (
+      SELECT trim(p) AS phrase
+      FROM cleaned, unnest(regexp_split_to_array(t, '\b(?:the|a|of)\b')) AS u(p)
+    ),
+    cand AS (
+      SELECT phrase,
+             length(phrase) - length(replace(phrase, ' ', '')) + 1 AS n_words
+      FROM pieces WHERE phrase <> ''
+    ),
+    short AS (SELECT phrase, n_words FROM cand WHERE n_words <= 4),
+    words AS (
+      SELECT w, n_words FROM short, unnest(string_split(phrase, ' ')) AS t(w)
+    ),
+    wstats AS (
+      SELECT w, CAST((10000 * sum(n_words)) // count(*) AS BIGINT) AS score_bp
+      FROM words GROUP BY w
+    ),
+    dphr AS (
+      SELECT phrase, count(*) AS n_occ FROM short GROUP BY 1
+    ),
+    pw AS (
+      SELECT phrase, w FROM dphr, unnest(string_split(phrase, ' ')) AS t(w)
+    ),
+    ps AS (
+      SELECT phrase, CAST(sum(score_bp) AS BIGINT) AS rake_score_bp
+      FROM pw JOIN wstats USING (w) GROUP BY 1
+    )
+    SELECT d.phrase, CAST(d.n_occ AS BIGINT) AS n_occurrences, ps.rake_score_bp
+    FROM dphr d JOIN ps USING (phrase)
+    ORDER BY ps.rake_score_bp DESC, d.phrase LIMIT 20
+"""
+
+
+@query("text_keyphrase_rake", oracle=_RAKE_ORACLE, tier="ext")
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (≤4 words), each word scores
+    degree/frequency over the whole corpus, and a phrase scores the
+    sum of its words — all in integer basis points (truncating
+    division), so scores can't float-drift. Every stage is
+    explode → keyed aggregation (map-side combinable): word stats
+    shuffle |vocab| rows, phrase stats shuffle |distinct phrases| —
+    the corpus text itself never moves after the first explode.
+    Top-20 is TakeOrdered with a lexical tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = d.filter(F.col("text").isNotNull()).select(
+        F.regexp_replace(F.lower("text"), "[^a-z]+", " ").alias("t")
+    )
+    pieces = cleaned.select(F.explode(F.split("t", _RAKE_SPLIT)).alias("raw"))
+    cand = pieces.select(F.trim("raw").alias("phrase")).filter(F.col("phrase") != "")
+    short = cand.select(
+        "phrase", F.size(F.split("phrase", " ")).alias("n_words")
+    ).filter(F.col("n_words") <= 4)
+    words = short.select(F.explode(F.split("phrase", " ")).alias("w"), "n_words")
+    wstats = words.groupBy("w").agg(
+        F.expr("CAST((10000 * sum(n_words)) div count(*) AS BIGINT)").alias("score_bp")
+    )
+    dphr = short.groupBy("phrase").agg(F.count("*").cast("long").alias("n_occ"))
+    pw = dphr.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    ps = (
+        pw.join(wstats, "w")
+        .groupBy("phrase")
+        .agg(F.sum("score_bp").cast("long").alias("rake_score_bp"))
+    )
+    return (
+        dphr.join(ps, "phrase")
+        .select("phrase", F.col("n_occ").alias("n_occurrences"), "rake_score_bp")
+        .orderBy(F.desc("rake_score_bp"), "phrase")
+        .limit(20)
+    )

@@ -921,3 +921,134 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "n0", "n1", F.round(chi2, 6).alias("srm_chi2"), (chi2 > 3.841).alias("srm_alarm")
     )
+
+
+@query(
+    "orders_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT isodow(o_orderdate) AS dow,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    per_dow AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(c) AS BIGINT) AS cents
+      FROM d GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS n_tot,
+             CAST(sum(cents) AS BIGINT) AS s_tot
+      FROM per_dow
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, n_orders, cents,
+           CAST((10000 * cents * n_tot) // (n_orders * s_tot) AS BIGINT)
+             AS avg_lift_bp
+    FROM per_dow CROSS JOIN tot ORDER BY dow
+    """,
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: each weekday's average order value as
+    a lift vs the overall average, in exact integer basis points —
+    the ratio of two rationals (s_d/n_d) / (s_tot/n_tot) evaluated as
+    one integer expression (10000·s_d·n_tot) div (n_d·s_tot), so no
+    intermediate float exists to drift. ISO weekday on both engines
+    (Spark weekday()+1 ≡ DuckDB isodow). One map-side-combined
+    aggregation to 7 rows; the product s_d·n_tot needs DECIMAL(38,0)
+    beyond ~10¹⁸ cents·orders — fixture range is exact in BIGINT."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        (F.weekday("o_orderdate") + 1).alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    per_dow = d.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("c").cast("long").alias("cents"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_orders").cast("long").alias("n_tot"),
+        F.sum("cents").cast("long").alias("s_tot"),
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_orders",
+            "cents",
+            F.expr("CAST((10000 * cents * n_tot) div (n_orders * s_tot) AS BIGINT)").alias(
+                "avg_lift_bp"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "orders_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS pri,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT pri, delay_days,
+             row_number() OVER (PARTITION BY pri
+                                ORDER BY delay_days, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM lat
+    )
+    SELECT pri,
+           CAST(any_value(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN delay_days END)
+             AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN delay_days END)
+             AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN delay_days END)
+             AS BIGINT) AS p99_days
+    FROM ranked GROUP BY pri ORDER BY pri
+    """,
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency percentiles per order priority — the SLA/
+    logistics tail-latency report. Delays are exact integer day
+    counts; p50/p90/p99 are exact order statistics via the winsorize
+    rank formula (never interpolated percentile_approx, which would
+    both approximate and drift). The join shuffles on orderkey once;
+    ranking windows partition by priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("pri").orderBy("delay_days", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("pri")
+    ranked = lat.select(
+        "pri",
+        "delay_days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def cut(p: int) -> F.Column:
+        return (
+            F.max(
+                F.when(F.col("rn") == F.expr(f"({p} * n + 99) div 100"), F.col("delay_days"))
+            )
+            .cast("long")
+        )
+
+    return (
+        ranked.groupBy("pri")
+        .agg(
+            F.any_value("n").cast("long").alias("n_lines"),
+            cut(50).alias("p50_days"),
+            cut(90).alias("p90_days"),
+            cut(99).alias("p99_days"),
+        )
+        .orderBy("pri")
+    )

@@ -620,3 +620,21 @@ def test_scd3_prev_value_window_keyed(spark, sf_dir):
     assert "hashpartitioning(o_custkey" in plan.replace("#", "(").replace(
         "o_custkey(", "o_custkey"
     ), plan
+
+
+def test_text_keyphrase_rake_shuffles_aggregates_not_text(spark, sf_dir):
+    """RAKE is explode → keyed aggregation throughout: the joins
+    combine vocab/phrase aggregates (hash joins), never raw document
+    text, and nothing pairs candidates cartesian-style."""
+    df = get("text_keyphrase_rake").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+
+
+def test_orders_fulfillment_latency_single_fact_shuffle(spark, sf_dir):
+    """The lineitem-orders join must be a keyed hash/merge join (one
+    fact shuffle on orderkey); ranking windows partition by priority."""
+    df = get("orders_fulfillment_latency").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
