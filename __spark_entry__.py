@@ -121,6 +121,7 @@ _ADDED_R3 = {
     "stats_outlier_iqr", "time_timezone_rollup",
     "events_rolling_active_users", "events_ab_srm_check", "scd3_prev_value",
     "text_keyphrase_rake", "orders_dow_seasonality", "orders_fulfillment_latency",
+    "agg_topn_other", "events_session_bounce",
 }
 
 

@@ -1052,3 +1052,154 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "agg_topn_other",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    top5 AS (
+      SELECT brand FROM rev ORDER BY cents DESC, brand LIMIT 5
+    ),
+    labeled AS (
+      SELECT CASE WHEN t.brand IS NOT NULL THEN r.brand ELSE 'OTHER' END AS label,
+             r.cents
+      FROM rev r LEFT JOIN top5 t ON r.brand = t.brand
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s_tot FROM rev)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST((10000 * sum(cents)) // s_tot AS BIGINT) AS share_bp
+    FROM labeled CROSS JOIN tot
+    GROUP BY label, s_tot ORDER BY revenue_cents DESC, label
+    """,
+)
+def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-N + OTHER reporting rollup: the five highest-revenue
+    part brands keep their identity, the long tail collapses into one
+    OTHER row — the idiom every dashboard needs and naive GROUP BY
+    can't express. The brand aggregate is one keyed fact join +
+    aggregation; top-5 selection is TakeOrdered over the brand-sized
+    aggregate and broadcasts back (N+tail rows never sort globally).
+    Revenue in exact cents, shares in truncated basis points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"))
+    )
+    top5 = rev.orderBy(F.desc("cents"), "brand").limit(5).select(
+        F.col("brand").alias("top_brand")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("s_tot"))
+    labeled = rev.join(
+        F.broadcast(top5), rev.brand == F.col("top_brand"), "left"
+    ).select(
+        F.when(F.col("top_brand").isNotNull(), F.col("brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("label"),
+        "cents",
+    )
+    return (
+        labeled.crossJoin(F.broadcast(tot))
+        .groupBy("label", "s_tot")
+        .agg(
+            F.count("*").cast("long").alias("n_brands"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr("CAST((10000 * sum(cents)) div s_tot AS BIGINT)").alias("share_bp"),
+        )
+        .drop("s_tot")
+        .orderBy(F.desc("revenue_cents"), "label")
+    )
+
+
+@query(
+    "events_session_bounce",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+      FROM ordered
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id,
+             min_by(event_type, ts) AS entry_type,
+             count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST((10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS bounce_bp
+    FROM per_sess GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) → bounce rate
+    by session entry type: the batch twin of the streaming
+    session_window queries, expressed as the classic two-window
+    cumulative-flag sessionizer (every window partitions by user —
+    per-user state, no global ordering). Bounce = single-event
+    session; rates in truncated basis points over exact counts.
+
+    The entry event resolves via min_by(ts) (Spark) ≡ min_by (DuckDB)
+    on the session's first timestamp — ties can't arise because
+    (user, ts, event_id) ordering is total within a session."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+            1,
+        )
+        .otherwise(0)
+    )
+    ordered = e.select(
+        "user_id", "ts", "event_type", "event_id", new_sess.alias("new_sess")
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ordered.select(
+        "user_id", "ts", "event_type", F.sum("new_sess").over(w_cum).alias("sess_id")
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min_by("event_type", "ts").alias("entry_type"),
+        F.count("*").alias("n_events"),
+    )
+    bounced = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_sess.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            bounced.cast("long").alias("n_bounces"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+                " div count(*) AS BIGINT)"
+            ).alias("bounce_bp"),
+        )
+        .orderBy("entry_type")
+    )

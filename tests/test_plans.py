@@ -638,3 +638,25 @@ def test_orders_fulfillment_latency_single_fact_shuffle(spark, sf_dir):
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, joins
     assert "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_agg_topn_other_no_global_sort_on_fact(spark, sf_dir):
+    """Top-5 selection must be TakeOrdered over the brand aggregate;
+    the classification join broadcasts the 5-row head."""
+    from datapipeline_scripts_spark.plans.audit import formatted_plan
+
+    df = get("agg_topn_other").build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_session_bounce_windows_keyed_by_user(spark, sf_dir):
+    """Both sessionizer windows partition by user_id — per-user state,
+    nothing global."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    plan = simple_plan(get("events_session_bounce").build(spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan.replace("#", "(").replace(
+        "user_id(", "user_id"
+    ), plan
