@@ -122,6 +122,7 @@ _ADDED_R3 = {
     "events_rolling_active_users", "events_ab_srm_check", "scd3_prev_value",
     "text_keyphrase_rake", "orders_dow_seasonality", "orders_fulfillment_latency",
     "agg_topn_other", "events_session_bounce",
+    "set_union_by_name", "time_m4_downsample", "events_type_affinity",
 }
 
 

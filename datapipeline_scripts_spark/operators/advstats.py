@@ -1203,3 +1203,171 @@ def events_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS key, c_name AS name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             'balances' AS src
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    UNION ALL BY NAME
+    (
+      SELECT c_name AS name, c_custkey AS key, c_mktsegment AS segment,
+             'directory' AS src
+      FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    ORDER BY key, src
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible union: two extracts with different column
+    orders AND different column sets combine by NAME (missing columns
+    null-fill) — unionByName(allowMissingColumns=True) ≡ DuckDB's
+    UNION ALL BY NAME. The positional-union footgun this prevents is
+    real: the same two SELECTs under plain UNION ALL would silently
+    zip key into name. Pure metadata operation — no shuffle beyond
+    the final presentation sort; at scale this is how heterogeneous
+    ingest generations append into one table (schema_evolution's
+    in-plan sibling)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.lit("balances").alias("src"),
+    )
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("directory").alias("src"),
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy("key", "src")
+
+
+@query(
+    "time_m4_downsample",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) AS ep,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS sk
+      FROM events
+    ),
+    bounds AS (SELECT min(ep) AS e0, max(ep) AS e1 FROM pts)
+    SELECT event_type,
+           CAST(((ep - e0) * 64) // (e1 - e0 + 1) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(c) AS BIGINT) AS min_cents,
+           CAST(max(c) AS BIGINT) AS max_cents,
+           CAST(arg_min(c, sk) AS BIGINT) AS first_cents,
+           CAST(arg_max(c, sk) AS BIGINT) AS last_cents
+    FROM pts CROSS JOIN bounds
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def time_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): each
+    (series, pixel-bucket) keeps exactly min/max/first/last — the
+    four points a line renderer provably needs — so a billion-point
+    series plots from 4×width rows with zero visual error. Pure
+    aggregation (map-side combinable), bucket assignment is integer
+    arithmetic from the microsecond epoch bounds (unix_micros ≡
+    DuckDB epoch_us — second-granularity unix_timestamp would drop
+    sub-second fractions that DuckDB's epoch() keeps); first/last resolve by
+    min_by/max_by on a DECIMAL(38,0) packed (epoch-micros, event_id)
+    sort key, so duplicate timestamps across users cannot make the
+    selection engine-dependent (arg_min struct ordering doesn't
+    exist in DuckDB — the packed integer key is the cross-engine
+    form)."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("ep"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        (
+            F.unix_micros("ts").cast("decimal(38,0)") * 10000000000 + F.col("event_id")
+        ).alias("sk"),
+    )
+    bounds = pts.agg(F.min("ep").alias("e0"), F.max("ep").alias("e1"))
+    return (
+        pts.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.expr("CAST(((ep - e0) * 64) div (e1 - e0 + 1) AS BIGINT)").alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.min("c").cast("long").alias("min_cents"),
+            F.max("c").cast("long").alias("max_cents"),
+            F.min_by("c", "sk").cast("long").alias("first_cents"),
+            F.max_by("c", "sk").cast("long").alias("last_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "events_type_affinity",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n_users AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    per_type AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST((10000 * n_both * nu) // (pa.n * pb.n) AS BIGINT) AS lift_bp
+    FROM pairs
+    JOIN per_type pa ON pa.event_type = type_a
+    JOIN per_type pb ON pb.event_type = type_b
+    CROSS JOIN n_users
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity (lift) matrix: for each unordered type pair,
+    observed co-engagement vs the independence expectation —
+    P(a,b)/(P(a)P(b)) — as ONE exact integer expression
+    (10000·n_ab·N) div (n_a·n_b), the log-free PMI the
+    orders_market_basket pattern uses at basket grain, here at user
+    grain. The self-join fans out per user only over that user's
+    distinct types (≤|event types|, a constant), so candidates are
+    O(users·k²); marginals broadcast. BIGINT ceiling ~10¹⁸ on
+    n_ab·N documented — DECIMAL(38,0) beyond."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n_users = e.agg(F.countDistinct("user_id").alias("nu"))
+    per_type = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    pa = per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    pb = per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr("CAST((10000 * n_both * nu) div (na * nb) AS BIGINT)").alias("lift_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -660,3 +660,20 @@ def test_events_session_bounce_windows_keyed_by_user(spark, sf_dir):
     assert "hashpartitioning(user_id" in plan.replace("#", "(").replace(
         "user_id(", "user_id"
     ), plan
+
+
+def test_time_m4_downsample_pure_aggregation(spark, sf_dir):
+    """M4 is one partial-aggregable groupBy over the fact (the bounds
+    join broadcasts a 1-row aggregate) — codegen'd, no cartesian."""
+    df = get("time_m4_downsample").build(spark, sf_dir)
+    assert has_codegen(df)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_events_type_affinity_per_user_fanout(spark, sf_dir):
+    """The pair generator equi-joins on user_id (per-user bounded
+    fanout); marginals broadcast — no cartesian, no nested loop on
+    the data path."""
+    df = get("events_type_affinity").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
