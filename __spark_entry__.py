@@ -123,6 +123,7 @@ _ADDED_R3 = {
     "text_keyphrase_rake", "orders_dow_seasonality", "orders_fulfillment_latency",
     "agg_topn_other", "events_session_bounce",
     "set_union_by_name", "time_m4_downsample", "events_type_affinity",
+    "experiment_analysis_pipeline",
 }
 
 

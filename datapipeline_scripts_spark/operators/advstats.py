@@ -1371,3 +1371,115 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "experiment_analysis_pipeline",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             ({md5_48_sql("CAST(user_id AS VARCHAR)")}) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    per_user AS (
+      SELECT a.variant, a.user_id,
+             CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                                    THEN CAST(round(e.value * 100) AS BIGINT)
+                               END), 0) AS BIGINT) AS rev_c,
+             CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase' THEN 1 END), 0)
+               AS BIGINT) AS n_purch
+      FROM assign a LEFT JOIN events e ON a.user_id = e.user_id
+      GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN variant = 0 AND n_purch > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv0,
+             CAST(sum(CASE WHEN variant = 1 AND n_purch > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv1,
+             sum(CASE WHEN variant = 0 THEN CAST(rev_c AS DECIMAL(38,0)) END) AS s0,
+             sum(CASE WHEN variant = 1 THEN CAST(rev_c AS DECIMAL(38,0)) END) AS s1,
+             sum(CASE WHEN variant = 0
+                      THEN CAST(rev_c AS DECIMAL(38,0)) * rev_c END) AS q0,
+             sum(CASE WHEN variant = 1
+                      THEN CAST(rev_c AS DECIMAL(38,0)) * rev_c END) AS q1
+      FROM per_user
+    )
+    SELECT n0, n1,
+           round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6) AS srm_chi2,
+           CAST((10000 * conv0) // n0 AS BIGINT) AS conv0_bp,
+           CAST((10000 * conv1) // n1 AS BIGINT) AS conv1_bp,
+           round(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt(
+                 ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0) / (n0 - 1)) / n0
+               + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)) / n1
+             ), 4) AS revenue_t_stat
+    FROM arms
+    """,
+)
+def experiment_analysis_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end experiment readout in ONE Catalyst plan — the
+    flagship of the experimentation suite (stats_ttest /
+    events_ab_srm_check / stats_mannwhitney are its unit pieces):
+    deterministic md5_48 variant assignment over the user universe,
+    per-user outcome aggregation (purchase conversion + revenue
+    cents, LEFT join so zero-activity users stay in their arm — the
+    classic triggered-analysis bias avoided), then a single
+    conditional-aggregation pass produces the sample-ratio-mismatch
+    chi-square, per-arm conversion in exact basis points, and the
+    Welch t on revenue from exact DECIMAL(38,0) sufficient
+    statistics. The only fact-sized shuffles are the user join and
+    the per-user aggregation; the arms table is one row."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select("user_id").distinct().select(
+        "user_id", (md5_48(F.col("user_id").cast("string")) % 2).alias("variant")
+    )
+    purchase = F.col("event_type") == "purchase"
+    per_user = (
+        assign.join(e, "user_id", "left")
+        .groupBy("variant", "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(purchase, F.round(F.col("value") * 100).cast("long"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rev_c"),
+            F.coalesce(F.sum(F.when(purchase, 1)), F.lit(0)).cast("long").alias("n_purch"),
+        )
+    )
+    v0 = F.col("variant") == 0
+    v1 = F.col("variant") == 1
+    rev_dec = F.col("rev_c").cast("decimal(38,0)")
+    arms = per_user.agg(
+        F.count(F.when(v0, 1)).cast("long").alias("n0"),
+        F.count(F.when(v1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(v0 & (F.col("n_purch") > 0), 1).otherwise(0)).cast("long").alias("conv0"),
+        F.sum(F.when(v1 & (F.col("n_purch") > 0), 1).otherwise(0)).cast("long").alias("conv1"),
+        F.sum(F.when(v0, rev_dec)).alias("s0"),
+        F.sum(F.when(v1, rev_dec)).alias("s1"),
+        F.sum(F.when(v0, rev_dec * F.col("rev_c"))).alias("q0"),
+        F.sum(F.when(v1, rev_dec * F.col("rev_c"))).alias("q1"),
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    var0 = (F.col("q0").cast("double") - F.col("s0").cast("double") * F.col("s0").cast("double") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    var1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    t = (m1 - m0) / F.sqrt(var0 / F.col("n0") + var1 / F.col("n1"))
+    return arms.select(
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.expr("CAST((10000 * conv0) div n0 AS BIGINT)").alias("conv0_bp"),
+        F.expr("CAST((10000 * conv1) div n1 AS BIGINT)").alias("conv1_bp"),
+        F.round(t, 4).alias("revenue_t_stat"),
+    )

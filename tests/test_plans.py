@@ -677,3 +677,12 @@ def test_events_type_affinity_per_user_fanout(spark, sf_dir):
     df = get("events_type_affinity").build(spark, sf_dir)
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, joins
+
+
+def test_experiment_pipeline_keyed_joins_only(spark, sf_dir):
+    """The experiment readout's fact-sized work is the user equi-join
+    + per-user aggregation — no cartesian, no nested loop."""
+    df = get("experiment_analysis_pipeline").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
