@@ -123,7 +123,8 @@ _ADDED_R3 = {
     "text_keyphrase_rake", "orders_dow_seasonality", "orders_fulfillment_latency",
     "agg_topn_other", "events_session_bounce",
     "set_union_by_name", "time_m4_downsample", "events_type_affinity",
-    "experiment_analysis_pipeline",
+    "experiment_analysis_pipeline", "time_business_day_latency",
+    "orders_revenue_waterfall",
 }
 
 
