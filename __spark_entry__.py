@@ -124,7 +124,7 @@ _ADDED_R3 = {
     "agg_topn_other", "events_session_bounce",
     "set_union_by_name", "time_m4_downsample", "events_type_affinity",
     "experiment_analysis_pipeline", "time_business_day_latency",
-    "orders_revenue_waterfall",
+    "orders_revenue_waterfall", "text_ngram_novelty", "embedding_outlier_score",
 }
 
 

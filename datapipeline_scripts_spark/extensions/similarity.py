@@ -754,3 +754,84 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x_u").alias("max_u"),
         F.sum(F.when(F.col("x_u") == 0, 1).otherwise(0)).alias("n_zero"),
     )
+
+
+@query(
+    "embedding_outlier_score",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, t.i AS dim,
+             CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 10000) AS BIGINT) AS v
+      FROM embeddings,
+           unnest(range(len(embedding))) AS t(i)
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS q
+      FROM dims GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.vec_id,
+             CAST(sum(CAST(floor(1000000 *
+               (d.v - CAST(st.s AS DOUBLE) / st.n)
+               * (d.v - CAST(st.s AS DOUBLE) / st.n)
+               / ((CAST(st.q AS DOUBLE) - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n) / (st.n - 1))
+             ) AS BIGINT)) AS BIGINT) AS score_u6
+      FROM dims d JOIN stats st USING (dim)
+      GROUP BY 1
+    )
+    SELECT vec_id, score_u6 AS outlier_score_u6
+    FROM scored ORDER BY score_u6 DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outlier screen: per-dimension
+    mean/variance from EXACT integer micro-unit sufficient statistics
+    (the embedding_dim_stats pattern), then each vector scores
+    Σ_dim z² — the multivariate cousin of the per-dimension drift
+    audit, catching vectors that are individually plausible per
+    coordinate but jointly aberrant. Each z² term is identical double
+    arithmetic over identical integers on both engines and quantizes
+    to integer micro-units BEFORE the per-vector sum, so the score is
+    an order-free integer total (a raw double sum drifted between the
+    engines' hash-agg addend orders), and the |dims|-row stats
+    table joins back broadcast-sized. Top-20 is TakeOrdered with a
+    vec_id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        # 1e4 quantization keeps every sufficient statistic below 2^53:
+        # at 1e6 the sum-of-squares (~6e16) exceeded double-exact range
+        # and the decimal->double vs HUGEINT->double casts rounded a
+        # last ulp apart between engines
+        F.round(F.col("x").cast("double") * 10000).cast("long").alias("v"),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z2 = (F.col("v") - mean) * (F.col("v") - mean) / var
+    # each z-squared term quantizes to integer micro-units BEFORE the
+    # per-vector sum — a raw double sum over dims drifted 1e-4 between
+    # engines (hash-agg addend order); floor of identical doubles is
+    # identical, and integer sums are order-free
+    z2_u6 = F.floor(1000000 * z2).cast("long")
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(z2_u6).cast("long").alias("score_u6"))
+        .select("vec_id", F.col("score_u6").alias("outlier_score_u6"))
+        .orderBy(F.desc("outlier_score_u6"), "vec_id")
+        .limit(20)
+    )

@@ -546,3 +546,83 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score_bp"), "phrase")
         .limit(20)
     )
+
+
+_NOVELTY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+               AS g
+      FROM toks WHERE len(ws) >= 3
+    ),
+    first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    per_doc AS (
+      SELECT gr.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM grams gr JOIN first_seen fs ON gr.g = fs.g
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST((10000 * n_novel) // n_grams AS BIGINT) AS novelty_bp
+    FROM per_doc ORDER BY doc_id LIMIT 200
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_ORACLE, tier="ext")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty profile: for each document, the share of its
+    word trigrams whose FIRST corpus occurrence (by doc_id order) is
+    in that document — the health metric that shows a crawl going
+    stale (novelty decays as the corpus saturates) and the additive
+    complement of text_repetition's within-doc signal. First
+    occurrence is arg-min over the gram key (keyed aggregation — the
+    standard inverted-index shape, |distinct grams| rows); shares are
+    truncated basis points over exact counts. The trigram explode is
+    the same corpus-linear expansion text_tfidf already pays; grams
+    shuffle as strings once, first-seen joins back on the gram key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+            )
+        ).alias("g"),
+    ).filter(F.size(F.split(F.col("g"), " ")) == 3)
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST((10000 * n_novel) div n_grams AS BIGINT)").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

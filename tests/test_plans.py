@@ -686,3 +686,19 @@ def test_experiment_pipeline_keyed_joins_only(spark, sf_dir):
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, joins
     assert "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_text_ngram_novelty_keyed_inverted_index(spark, sf_dir):
+    """First-occurrence resolution is a keyed aggregation on the gram
+    plus an equi-join back — no cartesian pairing anywhere."""
+    df = get("text_ngram_novelty").build(spark, sf_dir)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_embedding_outlier_score_broadcast_stats(spark, sf_dir):
+    """The |dims|-row stats table must broadcast back onto the
+    exploded dims — never a shuffle-sized join or cartesian."""
+    df = get("embedding_outlier_score").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
+    assert "CartesianProduct" not in joins, joins
