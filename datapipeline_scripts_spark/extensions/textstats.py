@@ -604,7 +604,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
             )
         ).alias("g"),
-    ).filter(F.size(F.split(F.col("g"), " ")) == 3)
+    )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(first_seen, "g")

@@ -233,7 +233,6 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
-    tot = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
     # localCheckpoint pins the range partitioning: `ranked` feeds both the
     # local cumsum and the per-partition offsets, and the range partitioner
     # samples — two independent evaluations could place boundaries
@@ -243,6 +242,9 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
+    # total derives from the checkpointed rows — a rev.agg() would
+    # rescan lineitem end-to-end for one number (review finding)
+    tot = ranked.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
     w_local = Window.partitionBy("pid").orderBy(
         F.desc("rev_cents"), F.asc("l_partkey")
     ).rowsBetween(Window.unboundedPreceding, 0)
@@ -989,7 +991,8 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_dow
     )
     SELECT CAST(dow AS BIGINT) AS dow, n_orders, cents,
-           CAST((10000 * cents * n_tot) // (n_orders * s_tot) AS BIGINT)
+           CAST((10000 * CAST(cents AS HUGEINT) * n_tot)
+                // (CAST(n_orders AS HUGEINT) * s_tot) AS BIGINT)
              AS avg_lift_bp
     FROM per_dow CROSS JOIN tot ORDER BY dow
     """,
@@ -1001,8 +1004,9 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     one integer expression (10000·s_d·n_tot) div (n_d·s_tot), so no
     intermediate float exists to drift. ISO weekday on both engines
     (Spark weekday()+1 ≡ DuckDB isodow). One map-side-combined
-    aggregation to 7 rows; the product s_d·n_tot needs DECIMAL(38,0)
-    beyond ~10¹⁸ cents·orders — fixture range is exact in BIGINT."""
+    aggregation to 7 rows; the product 10⁴·s_d·n_tot runs in
+    DECIMAL(38,0)/HUGEINT because it exceeds BIGINT already at sf0.1
+    (review finding: the int64 form overflowed there)."""
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
         (F.weekday("o_orderdate") + 1).alias("dow"),
@@ -1022,9 +1026,10 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dow").cast("long").alias("dow"),
             "n_orders",
             "cents",
-            F.expr("CAST((10000 * cents * n_tot) div (n_orders * s_tot) AS BIGINT)").alias(
-                "avg_lift_bp"
-            ),
+            F.expr(
+                "CAST((10000 * CAST(cents AS DECIMAL(38,0)) * n_tot)"
+                " div (CAST(n_orders AS DECIMAL(38,0)) * s_tot) AS BIGINT)"
+            ).alias("avg_lift_bp"),
         )
         .orderBy("dow")
     )
@@ -1181,7 +1186,7 @@ def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_type, event_id,
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sess_id
@@ -1189,7 +1194,9 @@ def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_sess AS (
       SELECT user_id, sess_id,
-             min_by(event_type, ts) AS entry_type,
+             arg_min(event_type,
+                     CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000000 + event_id)
+               AS entry_type,
              count(*) AS n_events
       FROM sess GROUP BY 1, 2
     )
@@ -1210,9 +1217,10 @@ def events_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user state, no global ordering). Bounce = single-event
     session; rates in truncated basis points over exact counts.
 
-    The entry event resolves via min_by(ts) (Spark) ≡ min_by (DuckDB)
-    on the session's first timestamp — ties can't arise because
-    (user, ts, event_id) ordering is total within a session."""
+    The entry event resolves via min_by/arg_min on a packed
+    (epoch-micros, event_id) DECIMAL(38,0) key — keying on ts alone
+    would be engine-arbitrary if two session events ever shared a
+    timestamp."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
@@ -1231,10 +1239,18 @@ def events_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     sess = ordered.select(
-        "user_id", "ts", "event_type", F.sum("new_sess").over(w_cum).alias("sess_id")
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        F.sum("new_sess").over(w_cum).alias("sess_id"),
     )
+    # entry selection keys on a packed (epoch-micros, event_id)
+    # DECIMAL(38,0) — min_by(ts) alone is engine-arbitrary on
+    # duplicate timestamps (the time_m4_downsample tie-break pattern)
+    sk = F.unix_micros("ts").cast("decimal(38,0)") * 10000000000 + F.col("event_id")
     per_sess = sess.groupBy("user_id", "sess_id").agg(
-        F.min_by("event_type", "ts").alias("entry_type"),
+        F.min_by("event_type", sk).alias("entry_type"),
         F.count("*").alias("n_events"),
     )
     bounced = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
