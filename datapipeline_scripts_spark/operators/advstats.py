@@ -1128,7 +1128,8 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_brands,
            CAST(sum(cents) AS BIGINT) AS revenue_cents,
-           CAST((10000 * sum(cents)) // s_tot AS BIGINT) AS share_bp
+           CAST((10000 * CAST(sum(cents) AS HUGEINT)) // s_tot AS BIGINT)
+             AS share_bp
     FROM labeled CROSS JOIN tot
     GROUP BY label, s_tot ORDER BY revenue_cents DESC, label
     """,
@@ -1166,7 +1167,9 @@ def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_brands"),
             F.sum("cents").cast("long").alias("revenue_cents"),
-            F.expr("CAST((10000 * sum(cents)) div s_tot AS BIGINT)").alias("share_bp"),
+            F.expr(
+                "CAST((10000 * CAST(sum(cents) AS DECIMAL(38,0))) div s_tot AS BIGINT)"
+            ).alias("share_bp"),
         )
         .drop("s_tot")
         .orderBy(F.desc("revenue_cents"), "label")
