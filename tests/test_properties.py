@@ -183,3 +183,33 @@ def test_incremental_forms_match_their_full_rebuilds(spark, sf_dir):
     assert _rows(get("graph_triangle_oriented").build(spark, sf_dir)) == _rows(
         get("graph_triangle_count").build(spark, sf_dir)
     )
+
+
+def test_advanced_stats_are_partition_invariant(spark, sf_dir):
+    """Same contract for this round's advanced-stats family. The
+    headline case is orders_abc_pareto: its distributed prefix sum
+    must be IDENTICAL for any range-partition boundary placement, so
+    shuffle width changing the sampled boundaries must not move a
+    single class assignment. Bootstrap (conditional-aggregate
+    replicate sums), the KM curve (ordered cumulative product), and
+    the outlier screen (micro-unit-quantized z² totals) carry the
+    same promise."""
+    from datapipeline_scripts_spark.registry import get
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for key in (
+            "orders_abc_pareto",
+            "stats_bootstrap_ci",
+            "events_survival_km",
+            "embedding_outlier_score",
+            "stats_anova",
+            "events_rolling_active_users",
+        ):
+            results = []
+            for n in ("1", "7", "64"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.append(_rows(get(key).build(spark, sf_dir)))
+            assert results[0] == results[1] == results[2], f"{key} drifted with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
