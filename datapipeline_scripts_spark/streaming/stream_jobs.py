@@ -25,7 +25,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table, table_path
@@ -503,3 +503,89 @@ def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _replay_to_parquet(spark, bars, "complete")
+
+
+@query(
+    "events_stream_late_drop",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn > n // 4),
+    wm AS (
+      SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+    )
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM kept CROSS JOIN wm
+    GROUP BY 1
+    HAVING max(time_bucket(INTERVAL 1 HOUR, ts)) + INTERVAL 1 HOUR
+           <= any_value(w)
+    ORDER BY 1
+    """,
+)
+def events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics proven END TO END: the event
+    table replays as FOUR ordered micro-batches (maxFilesPerTrigger=1
+    over sequentially-written slice files) with the OLDEST quartile
+    delivered third — by then the 10-minute watermark has advanced
+    past its windows, so the engine drops every one of those rows
+    from the tumbling aggregation, exactly as a production stream
+    drops a stalled upstream partition's backlog. The oracle encodes
+    the full contract: counts exclude the late quartile AND windows
+    not yet finalized at the final watermark (append mode withholds
+    open windows). Everything is deterministic because batch order is
+    file order and the watermark path depends only on event times —
+    the one semantics in the streaming family that cannot be shown
+    with a single-batch replay."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    # stream construction: quartile slices by exact (ts, event_id) rank.
+    # The global rank window is part of building the test harness's
+    # input files, not the streaming plan under test (a production
+    # source is already multi-batch).
+    w = Window.orderBy("ts", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    q = F.expr("n div 4")
+    slices = [
+        ranked.filter((F.col("rn") > q) & (F.col("rn") <= 2 * q)),       # Q2
+        ranked.filter((F.col("rn") > 2 * q) & (F.col("rn") <= 3 * q)),   # Q3
+        ranked.filter(F.col("rn") <= q),                                 # Q1 — LATE
+        ranked.filter(F.col("rn") > 3 * q),                              # Q4
+    ]
+    root = tempfile.mkdtemp(prefix="spark_stream_late_")
+    try:
+        cols = e.columns
+        import time as _time
+
+        for i, sl in enumerate(slices):
+            sl.select(*cols).coalesce(1).write.parquet(os.path.join(root, f"s{i}"))
+            _time.sleep(0.05)  # unambiguous mtime order for the file source
+        stream = (
+            spark.readStream.schema(spark.read.parquet(os.path.join(root, "s0")).schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "part-*")
+            .parquet(root)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "n_events",
+            )
+        )
+        out = _replay_to_parquet(spark, agg, "append")
+        return out.orderBy("window_start")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
