@@ -125,7 +125,7 @@ _ADDED_R3 = {
     "set_union_by_name", "time_m4_downsample", "events_type_affinity",
     "experiment_analysis_pipeline", "time_business_day_latency",
     "orders_revenue_waterfall", "text_ngram_novelty", "embedding_outlier_score",
-    "events_stream_late_drop",
+    "events_stream_late_drop", "events_stream_update_mode",
 }
 
 

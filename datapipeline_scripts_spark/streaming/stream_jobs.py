@@ -589,3 +589,114 @@ def events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("window_start")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "events_stream_update_mode",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    labeled AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win,
+             CASE WHEN rn <= n // 4 THEN 'late'
+                  WHEN rn <= 2 * (n // 4) THEN 'b0'
+                  WHEN rn <= 3 * (n // 4) THEN 'b1'
+                  ELSE 'b3' END AS slice
+      FROM ranked
+    )
+    SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(DISTINCT slice) AS BIGINT) AS n_updates,
+           CAST(count(*) AS BIGINT) AS final_count
+    FROM labeled WHERE slice <> 'late'
+    GROUP BY win ORDER BY 1
+    """,
+)
+def events_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode proven end-to-end — the third output-mode
+    semantic (append: events_stream_late_drop; complete:
+    events_stream_tumbling): each micro-batch re-emits only the
+    windows it CHANGED, so a window straddling two delivered slices
+    shows two update emissions, the late quartile produces none (its
+    rows die at the watermark), and open windows emit without waiting
+    for finalization. The foreachBatch sink appends each batch's
+    emissions to a log; the declared result is per-window
+    (n_updates, final_count), which the oracle derives purely from
+    the slice construction — update-mode re-emission is exactly
+    'count of delivered slices containing surviving rows of the
+    window'. A 1-hour window can never span the weeks-long middle
+    quartiles, so eviction cannot suppress a legitimate update in
+    this construction."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n",
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    q = F.expr("n div 4")
+    slices = [
+        ranked.filter((F.col("rn") > q) & (F.col("rn") <= 2 * q)),       # Q2
+        ranked.filter((F.col("rn") > 2 * q) & (F.col("rn") <= 3 * q)),   # Q3
+        ranked.filter(F.col("rn") <= q),                                 # Q1 — LATE
+        ranked.filter(F.col("rn") > 3 * q),                              # Q4
+    ]
+    root = tempfile.mkdtemp(prefix="spark_stream_upd_")
+    try:
+        cols = e.columns
+        for i, sl in enumerate(slices):
+            sl.select(*cols).coalesce(1).write.parquet(os.path.join(root, f"s{i}"))
+            _time.sleep(0.05)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(os.path.join(root, "s0")).schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "part-*")
+            .parquet(root)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "cnt",
+            )
+        )
+        log = os.path.join(root, "log")
+
+        def _append(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(log)
+
+        qh = (
+            agg.writeStream.foreachBatch(_append)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            qh.awaitTermination(timeout=300)
+        finally:
+            qh.stop()
+        emitted = spark.read.parquet(log)
+        out = (
+            emitted.groupBy("window_start")
+            .agg(
+                F.count("*").cast("long").alias("n_updates"),
+                F.max_by("cnt", "batch_id").cast("long").alias("final_count"),
+            )
+            .orderBy("window_start")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
