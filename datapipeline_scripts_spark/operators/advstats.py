@@ -1,6 +1,11 @@
-"""Advanced statistical operators: one-way ANOVA, Kaplan-Meier survival,
-Pareto/ABC classification via a distributed exact prefix sum, and a
-deterministic replicate-weight bootstrap.
+"""Advanced statistics and analytics-reporting operators: ANOVA,
+Kaplan-Meier survival, Pareto/ABC via a distributed exact prefix sum,
+deterministic replicate-weight bootstrap, Theil-Sen, Mann-Whitney,
+IQR fences, linear interpolation, equal-frequency binning, HHI,
+timezone rollups, rolling active users, A/B readouts (SRM + the
+one-plan experiment flagship), top-N+OTHER, session bounce, M4
+downsampling, type-affinity lift, business-day latency, and the
+revenue waterfall.
 
 These extend the engine's experimentation/reporting surface (SURVEY.md
 §2.D "declared engine catalog" statistics family; the reference delegates
@@ -1690,3 +1695,116 @@ def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta_cents").cast("long").alias("delta_cents"),
         F.sum("delta_cents").over(w).cast("long").alias("running_cents"),
     ).orderBy("step_no")
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap_us) AS BIGINT) AS s,
+             sum(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS q
+      FROM ordered WHERE gap_us IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(s // n AS BIGINT) AS mean_gap_us,
+           round(
+             (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+              - CAST(s AS DOUBLE) / n)
+             / (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+                + CAST(s AS DOUBLE) / n), 4) AS burstiness
+    FROM g ORDER BY event_type
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of inter-event gaps
+    per event type (gap attributed to the later event's type; −1 =
+    perfectly regular, 0 = Poisson, →1 = extreme bursts) — the signal
+    that separates organic traffic from machine retries in a 100 TB
+    event stream. Gaps are exact integer microseconds from a per-USER
+    lag window (per-key state, no global ordering); σ and μ derive
+    from exact n/Σg/Σg² sufficient statistics, with Σg² in
+    DECIMAL(38,0) because microsecond gaps squared leave the
+    double-exact range (the 2^53 cast trap) — the final statistic is
+    one fixed double expression over identical decimals, whose
+    leading digits are well below the round(4) boundary. Mean gap
+    reported as exact truncating division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ordered = e.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    g = ordered.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap_us").cast("long").alias("s"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us")).alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_gap_us"),
+        F.round((sigma - mu) / (sigma + mu), 4).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+@query(
+    "quality_freshness_sla",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS corpus_max FROM events),
+    per_type AS (
+      SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(date_diff('day', CAST(last_ts AS DATE), CAST(corpus_max AS DATE))
+             AS BIGINT) AS staleness_days,
+           date_diff('day', CAST(last_ts AS DATE), CAST(corpus_max AS DATE)) > 3
+             AS sla_breach
+    FROM per_type CROSS JOIN ref ORDER BY event_type
+    """,
+)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: how stale each event type is
+    relative to the newest data in the corpus, with a 3-day SLA flag —
+    the dead-man's-switch (pipeline/snapshot.py A23) generalized from
+    'did the whole pipeline check in' to 'did each SOURCE keep
+    flowing', which is how a silent upstream failure actually
+    presents in a multi-source ingest. One map-side-combined
+    aggregation to |types| rows; the corpus-max reference broadcasts.
+    Anchoring staleness to the corpus max (not wall clock) keeps the
+    audit deterministic and replayable."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("corpus_max"))
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").cast("long").alias("n_events")
+    )
+    stale = F.datediff(
+        F.col("corpus_max").cast("date"), F.col("last_ts").cast("date")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            "n_events",
+            stale.cast("long").alias("staleness_days"),
+            (stale > 3).alias("sla_breach"),
+        )
+        .orderBy("event_type")
+    )
