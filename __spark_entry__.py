@@ -126,7 +126,7 @@ _ADDED_R3 = {
     "experiment_analysis_pipeline", "time_business_day_latency",
     "orders_revenue_waterfall", "text_ngram_novelty", "embedding_outlier_score",
     "events_stream_late_drop", "events_stream_update_mode",
-    "events_burstiness", "quality_freshness_sla",
+    "events_burstiness", "quality_freshness_sla", "stats_power_analysis",
 }
 
 

@@ -1808,3 +1808,65 @@ def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_power_analysis",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM per_user
+    ),
+    grid AS (SELECT unnest([50, 100, 200, 500]) AS mde_bp)
+    SELECT mde_bp,
+           CAST((10000 * n_conv) // n_users AS BIGINT) AS p_base_bp,
+           CAST(ceil(
+             (2.8 * 2.8)
+             * ((CAST(n_conv AS DOUBLE) / n_users) * (1 - CAST(n_conv AS DOUBLE) / n_users)
+                + (CAST(n_conv AS DOUBLE) / n_users + mde_bp / 10000.0)
+                  * (1 - CAST(n_conv AS DOUBLE) / n_users - mde_bp / 10000.0))
+             / ((mde_bp / 10000.0) * (mde_bp / 10000.0))
+           ) AS BIGINT) AS required_n_per_arm
+    FROM base CROSS JOIN grid ORDER BY mde_bp
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from observed data: for a grid of minimum
+    detectable effects (absolute bp on purchase conversion), the
+    required users per arm at α=0.05 / power=0.80 via the two-
+    proportion closed form (z_α/2 + z_β)²·(p₁q₁+p₂q₂)/δ² — the
+    planning counterpart of experiment_analysis_pipeline's readout.
+    The base rate is exact integers from one keyed aggregation; the
+    sizing formula is one fixed double expression per grid row (the
+    z constant written identically as 2.8·2.8 on both engines), so
+    ceil lands identically. Cost: one scan, 4 output rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    )
+    base = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    grid = base.select(
+        "n_users",
+        "n_conv",
+        F.explode(F.array(F.lit(50), F.lit(100), F.lit(200), F.lit(500))).alias("mde_bp"),
+    )
+    p1 = F.col("n_conv").cast("double") / F.col("n_users")
+    delta = F.col("mde_bp") / F.lit(10000.0)
+    p2 = p1 + delta
+    n_req = F.ceil(
+        F.lit(2.8) * F.lit(2.8) * (p1 * (1 - p1) + p2 * (1 - p2)) / (delta * delta)
+    ).cast("long")
+    return grid.select(
+        "mde_bp",
+        F.expr("CAST((10000 * n_conv) div n_users AS BIGINT)").alias("p_base_bp"),
+        n_req.alias("required_n_per_arm"),
+    ).orderBy("mde_bp")
