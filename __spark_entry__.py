@@ -127,6 +127,7 @@ _ADDED_R3 = {
     "orders_revenue_waterfall", "text_ngram_novelty", "embedding_outlier_score",
     "events_stream_late_drop", "events_stream_update_mode",
     "events_burstiness", "quality_freshness_sla", "stats_power_analysis",
+    "quality_sequence_gaps", "orders_reorder_interval",
 }
 
 

@@ -1870,3 +1870,113 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((10000 * n_conv) div n_users AS BIGINT)").alias("p_base_bp"),
         n_req.alias("required_n_per_arm"),
     ).orderBy("mde_bp")
+
+
+@query(
+    "quality_sequence_gaps",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, max(l_linenumber) AS max_ln,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(max_ln - n_lines AS BIGINT) AS n_missing,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(l_orderkey) AS BIGINT) AS example_orderkey
+    FROM per_order WHERE max_ln <> n_lines
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit: orders whose line numbers skip values
+    (max(linenumber) ≠ count of lines — the O(1)-per-group identity
+    that detects dropped rows in any 1..N-numbered detail table
+    without generating a single expected-sequence row). Reported as a
+    gap-size distribution with a deterministic example key per
+    bucket. One map-side-combined aggregation; the no-explode
+    formulation is what survives 100 TB — the naive
+    generate-expected-sequence anti-join expands ×max(N)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_linenumber").alias("max_ln"), F.count("*").alias("n_lines")
+    )
+    return (
+        per_order.filter(F.col("max_ln") != F.col("n_lines"))
+        .groupBy((F.col("max_ln") - F.col("n_lines")).cast("long").alias("n_missing"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("l_orderkey").cast("long").alias("example_orderkey"),
+        )
+        .orderBy("n_missing")
+    )
+
+
+@query(
+    "orders_reorder_interval",
+    oracle="""
+    WITH gaps AS (
+      SELECT c.c_mktsegment AS seg,
+             date_diff('day',
+                       lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                                ORDER BY o.o_orderdate, o.o_orderkey),
+                       o.o_orderdate) AS gap_days,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT seg, gap_days,
+             row_number() OVER (PARTITION BY seg ORDER BY gap_days, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY seg) AS n
+      FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT seg,
+           CAST(any_value(n) AS BIGINT) AS n_intervals,
+           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN gap_days END)
+             AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN gap_days END)
+             AS BIGINT) AS p90_days
+    FROM ranked GROUP BY seg ORDER BY seg
+    """,
+)
+def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase cycle: days between a customer's consecutive orders,
+    summarized as exact p50/p90 per market segment — the retention
+    planning metric (how long before a 'lapsed' flag means anything).
+    Per-customer lag windows (keyed state), segment-partitioned exact
+    ranks (the winsorize scale shape), integer day arithmetic
+    throughout. The customer dim broadcasts onto the orders fact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+            "o_orderkey",
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    wr = Window.partitionBy("seg").orderBy("gap_days", "o_orderkey")
+    wn = Window.partitionBy("seg")
+    ranked = gaps.select(
+        "seg",
+        "gap_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def cut(p: int):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"({p} * n + 99) div 100"), F.col("gap_days"))
+        ).cast("long")
+
+    return (
+        ranked.groupBy("seg")
+        .agg(
+            F.any_value("n").cast("long").alias("n_intervals"),
+            cut(50).alias("p50_days"),
+            cut(90).alias("p90_days"),
+        )
+        .orderBy("seg")
+    )
