@@ -1980,3 +1980,66 @@ def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "sort_null_ordering",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN NULL
+                ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_cents
+    FROM customer
+    ORDER BY bal_cents DESC NULLS FIRST, c_custkey
+    LIMIT 50
+    """,
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering parity: the two engines DISAGREE by
+    default (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST),
+    so any ORDER BY over a nullable key silently diverges unless the
+    placement is spelled out — this query pins DESC NULLS FIRST on
+    both sides, with every 10th customer's balance nulled by key, so
+    the null block provably leads the limited output at any scale
+    factor (NULLS LAST + LIMIT would never show a null at all). The one-line lesson every
+    cross-engine migration needs, declared as a hash-checked query;
+    TakeOrdered(50), no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.when(
+        F.col("c_custkey") % 10 != 0, F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    return (
+        c.select("c_custkey", bal.alias("bal_cents"))
+        .orderBy(F.col("bal_cents").desc_nulls_first(), F.col("c_custkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "events_dow_hour_matrix",
+    oracle="""
+    SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity matrix (the traffic-shaping heatmap
+    behind capacity planning and send-time optimization): one
+    map-side-combined aggregation to ≤168 cells, ISO weekday on both
+    engines, revenue in exact per-row cents. The long (dow, hr) form
+    is deliberate — it pivots client-side for display but stays keyed
+    and combinable at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday(F.col("ts").cast("date")) + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+        )
+        .orderBy("dow", "hr")
+    )
