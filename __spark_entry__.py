@@ -128,7 +128,7 @@ _ADDED_R3 = {
     "events_stream_late_drop", "events_stream_update_mode",
     "events_burstiness", "quality_freshness_sla", "stats_power_analysis",
     "quality_sequence_gaps", "orders_reorder_interval",
-    "sort_null_ordering", "events_dow_hour_matrix",
+    "sort_null_ordering", "events_dow_hour_matrix", "events_error_budget",
 }
 
 

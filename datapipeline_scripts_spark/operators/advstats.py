@@ -2043,3 +2043,60 @@ def events_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+@query(
+    "events_error_budget",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errors,
+             CAST(count(*) AS BIGINT) AS total
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, errors, total,
+             CAST(sum(errors) OVER w AS BIGINT) AS cum_err,
+             CAST(sum(total) OVER w AS BIGINT) AS cum_tot
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, errors, total,
+           CAST((10000 * cum_err) // cum_tot AS BIGINT) AS burn_bp,
+           (10000 * cum_err) // cum_tot > 100 AS budget_breached
+    FROM cum ORDER BY day
+    """,
+)
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn: cumulative error share of all events in
+    exact truncated basis points against a 1% budget, flagged per day
+    — the reliability view CUSUM (change detection) and the freshness
+    SLA (flow detection) don't give: how much failure allowance is
+    left. The fact reduces to one row per day map-side; the ordered
+    cumulative window runs over the calendar-bounded daily table
+    (KB-sized at any corpus size — the stats_ks_test argument);
+    every number is an exact integer."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errors"),
+        F.count("*").cast("long").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "errors",
+        "total",
+        F.sum("errors").over(w).cast("long").alias("cum_err"),
+        F.sum("total").over(w).cast("long").alias("cum_tot"),
+    )
+    burn = F.expr("(10000 * cum_err) div cum_tot")
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "errors",
+        "total",
+        burn.cast("long").alias("burn_bp"),
+        (burn > 100).alias("budget_breached"),
+    ).orderBy("day")
