@@ -157,3 +157,98 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@query(
+    "incremental_topk_refresh",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+)
+def incremental_topk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained top-k (heaviest users): top-k itself is
+    NOT a mergeable aggregate — yesterday's top-10 plus today's top-10
+    is not tomorrow's top-10 — so the materialized state is the full
+    per-user count map (the underlying monoid), merged with the delta
+    batch's counts and re-ranked at read. The hash must equal the
+    full recompute, proving the state discipline: materialize the
+    mergeable layer, derive the non-mergeable answer at the end
+    (exactly incremental_agg_refresh's contract, on an aggregate
+    where the naive 'merge the answers' shortcut is WRONG). Refresh
+    cost is O(delta + |keys|), never O(history); the final top-10 is
+    TakeOrdered over the |users|-sized state."""
+    import os
+    import tempfile as _tf
+
+    e = load_table(spark, sf_dir, "events")
+    # data-derived cutoff (corpus max minus 7 days) so base and delta
+    # are both non-empty at every scale factor and across fixture
+    # regenerations — a literal date rots when fixtures move. The
+    # 1-row bound broadcasts; nothing collects to the driver.
+    cut = e.agg(F.date_sub(F.max(F.to_date("ts")), 7).alias("cut"))
+    counts = lambda df, pred: (  # noqa: E731
+        df.crossJoin(F.broadcast(cut))
+        .filter(pred)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    out = os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_incrtopk_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    counts(e, F.to_date("ts") < F.col("cut")).write.mode("overwrite").parquet(out)
+    base = spark.read.parquet(out)  # materialized count map — base rows never rescanned
+    delta = counts(e, F.to_date("ts") >= F.col("cut"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+    return merged.orderBy(F.desc("n_events"), "user_id").limit(10)
+
+
+@query(
+    "dsl_query_compile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           min(l_quantity) AS min_qty
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def dsl_query_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The programmatic query surface: a JSON-able spec compiled to a
+    Catalyst plan by plans/dsl.py — tools emit data structures, the
+    engine compiles them, and the optimizer treats the result exactly
+    like handwritten DataFrame code (pushdown and pruning asserted in
+    test_plans.py). The declared spec exercises scan, conjunctive
+    filter with IN, grouped count/sum_cents/min, and ordering; the
+    oracle is the SQL a human would have written."""
+    from datapipeline_scripts_spark.plans.dsl import compile_spec
+
+    spec = {
+        "table": "lineitem",
+        "filter": {
+            "op": "and",
+            "args": [
+                {"op": ">=", "col": "l_quantity", "lit": 10},
+                {"op": "in", "col": "l_returnflag", "lit": ["A", "R"]},
+            ],
+        },
+        "group_by": ["l_returnflag"],
+        "aggs": [
+            {"fn": "count", "as": "n"},
+            {"fn": "sum_cents", "col": "l_extendedprice", "as": "rev_cents"},
+            {"fn": "min", "col": "l_quantity", "as": "min_qty"},
+        ],
+        "order_by": [["l_returnflag", "asc"]],
+    }
+    return compile_spec(spark, sf_dir, spec)

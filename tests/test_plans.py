@@ -702,3 +702,25 @@ def test_embedding_outlier_score_broadcast_stats(spark, sf_dir):
     joins = join_strategies(df)
     assert "BroadcastHashJoin" in joins, joins
     assert "CartesianProduct" not in joins, joins
+
+
+def test_dsl_compiled_spec_gets_catalyst_optimizations(spark, sf_dir):
+    """A compiled spec must be indistinguishable from handwritten
+    DataFrame code to the optimizer: the filter reaches the parquet
+    scan as pushed filters and the scan reads only the referenced
+    columns."""
+    df = get("dsl_query_compile").build(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "l_returnflag" in pushed, pushed
+    cols = read_schemas(df)[0]
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert has_codegen(df)
+
+
+def test_incremental_topk_matches_monoid_contract(spark, sf_dir):
+    """The materialized state must be the count map, merged and
+    re-ranked — two executions give identical top-10 (reproducible
+    refresh), and the plan has no cartesian."""
+    a = [tuple(r) for r in get("incremental_topk_refresh").build(spark, sf_dir).collect()]
+    b = [tuple(r) for r in get("incremental_topk_refresh").build(spark, sf_dir).collect()]
+    assert a == b and len(a) == 10
