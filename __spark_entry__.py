@@ -129,7 +129,8 @@ _ADDED_R3 = {
     "events_burstiness", "quality_freshness_sla", "stats_power_analysis",
     "quality_sequence_gaps", "orders_reorder_interval",
     "sort_null_ordering", "events_dow_hour_matrix", "events_error_budget",
-    "incremental_topk_refresh", "dsl_query_compile",
+    "incremental_topk_refresh", "dsl_query_compile", "dsl_query_join",
+    "events_ab_cuped",
 }
 
 

@@ -252,3 +252,45 @@ def dsl_query_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_by": [["l_returnflag", "asc"]],
     }
     return compile_spec(spark, sf_dir, spec)
+
+
+@query(
+    "dsl_query_join",
+    oracle="""
+    SELECT o.o_orderpriority AS pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 25
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dsl_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-compiled JOIN: the declarative surface extended with a
+    joins clause (equi-keys, join type, optional broadcast hint) —
+    the compiled plan carries the broadcast hint into a
+    BroadcastHashJoin and still gets filter pushdown on the fact
+    side (both plan-asserted). Specs stay pure data; the engine owns
+    physical strategy."""
+    from datapipeline_scripts_spark.plans.dsl import compile_spec
+
+    spec = {
+        "table": "lineitem",
+        "joins": [
+            {
+                "table": "orders",
+                "on": [["l_orderkey", "o_orderkey"]],
+                "type": "inner",
+                "broadcast": True,
+            }
+        ],
+        "filter": {"op": ">=", "col": "l_quantity", "lit": 25},
+        "group_by": ["o_orderpriority"],
+        "aggs": [
+            {"fn": "count", "as": "n"},
+            {"fn": "sum_cents", "col": "l_extendedprice", "as": "rev_cents"},
+        ],
+        "order_by": [["o_orderpriority", "asc"]],
+    }
+    return compile_spec(spark, sf_dir, spec).withColumnRenamed("o_orderpriority", "pri")

@@ -17,6 +17,8 @@ Spec grammar (all keys optional except `table`):
           {"op": ">=", "col": "l_quantity", "lit": 10},
           {"op": "in", "col": "l_returnflag", "lit": ["A", "R"]}
       ]},
+      "joins": [{"table": "orders", "on": [["l_orderkey", "o_orderkey"]],
+                 "type": "inner", "broadcast": false}],
       "group_by": ["l_returnflag"],
       "aggs": [
           {"fn": "count", "as": "n"},
@@ -93,6 +95,15 @@ def _agg(node: dict) -> Column:
 def compile_spec(spark: SparkSession, sf_dir: str, spec: dict) -> DataFrame:
     """Compile a query spec to a (lazy) DataFrame plan."""
     df = load_table(spark, sf_dir, spec["table"])
+    for j in spec.get("joins", ()):
+        right = load_table(spark, sf_dir, j["table"])
+        if j.get("broadcast"):
+            right = F.broadcast(right)
+        cond = None
+        for left_col, right_col in j["on"]:
+            leg = df[left_col] == right[right_col]
+            cond = leg if cond is None else (cond & leg)
+        df = df.join(right, cond, j.get("type", "inner"))
     if "filter" in spec:
         df = df.filter(_predicate(spec["filter"]))
     if "group_by" in spec:

@@ -724,3 +724,12 @@ def test_incremental_topk_matches_monoid_contract(spark, sf_dir):
     a = [tuple(r) for r in get("incremental_topk_refresh").build(spark, sf_dir).collect()]
     b = [tuple(r) for r in get("incremental_topk_refresh").build(spark, sf_dir).collect()]
     assert a == b and len(a) == 10
+
+
+def test_dsl_join_spec_honors_broadcast_hint(spark, sf_dir):
+    """The joins clause's broadcast hint must reach the physical plan
+    as a BroadcastHashJoin, with the fact-side filter still pushed."""
+    df = get("dsl_query_join").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
+    assert "l_quantity" in " ".join(pushed_filters(df))
