@@ -2228,3 +2228,68 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta, 6).alias("theta"),
         F.round(adj, 4).alias("adj_diff_dollars"),
     )
+
+
+@query(
+    "supplier_scorecard",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem l GROUP BY 1
+    ),
+    scored AS (
+      SELECT s.s_suppkey, n.n_name AS nation, p.rev_cents, p.n_lines, p.n_parts,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY p.rev_cents DESC, s.s_suppkey)
+               AS nation_rank,
+             CAST((10000 * CAST(p.rev_cents AS HUGEINT))
+                  // sum(p.rev_cents) OVER (PARTITION BY n.n_name) AS BIGINT)
+               AS nation_share_bp
+      FROM per_supp p
+      JOIN supplier s ON p.suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT * FROM scored WHERE nation_rank <= 3
+    ORDER BY nation, nation_rank
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: revenue, volume, assortment breadth, and
+    within-nation rank + revenue share for each nation's top-3
+    suppliers — the recurring vendor-review report, in one plan. The
+    fact aggregates once to |suppliers| rows; dims broadcast; ranking
+    and share windows partition by nation; shares are exact wide-int
+    basis points. rn ≤ 3 after a keyed window is the top-k-per-group
+    shape Catalyst executes without any global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    joined = per_supp.join(
+        F.broadcast(s), per_supp.suppkey == s.s_suppkey
+    ).join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    w_rank = Window.partitionBy("n_name").orderBy(F.desc("rev_cents"), "s_suppkey")
+    w_nat = Window.partitionBy("n_name")
+    scored = joined.select(
+        "s_suppkey",
+        F.col("n_name").alias("nation"),
+        "rev_cents",
+        "n_lines",
+        "n_parts",
+        F.row_number().over(w_rank).alias("nation_rank"),
+        F.expr(
+            "CAST((10000 * CAST(rev_cents AS DECIMAL(38,0)))"
+            " div sum(rev_cents) OVER (PARTITION BY n_name) AS BIGINT)"
+        ).alias("nation_share_bp"),
+    )
+    return scored.filter(F.col("nation_rank") <= 3).orderBy("nation", "nation_rank")
