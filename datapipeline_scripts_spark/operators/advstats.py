@@ -2293,3 +2293,100 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nation_share_bp"),
     )
     return scored.filter(F.col("nation_rank") <= 3).orderBy("nation", "nation_rank")
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT max(day) AS mx FROM user_days),
+    seq AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM user_days
+    ),
+    starts AS (
+      SELECT day,
+             CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN date_diff('day', prev_day, day) = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN date_diff('day', prev_day, day) > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM seq GROUP BY 1
+    ),
+    churns AS (
+      SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+      FROM seq CROSS JOIN bounds
+      WHERE (next_day IS NULL AND day < mx)
+         OR date_diff('day', day, next_day) > 1
+      GROUP BY 1
+    )
+    SELECT strftime(coalesce(s.day, c.day), '%Y-%m-%d') AS day,
+           coalesce(s.n_new, 0) AS n_new,
+           coalesce(s.n_retained, 0) AS n_retained,
+           coalesce(s.n_resurrected, 0) AS n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned
+    FROM starts s FULL OUTER JOIN churns c ON s.day = c.day
+    CROSS JOIN bounds
+    WHERE coalesce(s.day, c.day) <= mx
+    ORDER BY 1
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the canonical DAU decomposition every
+    growth team reports: each active user-day is NEW (first ever),
+    RETAINED (active yesterday) or RESURRECTED (returned after a
+    gap), and a CHURN is charged to the day after an activity streak
+    ends — so dau(d) − dau(d−1) ≡ new + resurrected − churned, by
+    construction. Built entirely from per-user lag/lead windows over
+    the deduplicated user-day table (keyed state, no global
+    ordering); churn on the final day is right-censored exactly as
+    events_survival_km censors lifetimes. All exact integer counts."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = user_days.agg(F.max("day").alias("mx"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = user_days.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    starts = seq.groupBy("day").agg(
+        F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.datediff("day", "prev_day") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.datediff("day", "prev_day") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churns = (
+        seq.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("next_day").isNull() & (F.col("day") < F.col("mx")))
+            | (F.datediff("next_day", "day") > 1)
+        )
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    out = (
+        starts.join(churns, "day", "full_outer")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("mx"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )
+    return out
