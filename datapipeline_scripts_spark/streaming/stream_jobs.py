@@ -700,3 +700,113 @@ def events_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "events_stream_join_expiry",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn > n // 4),
+    purchases AS (
+      SELECT user_id, ts AS p_ts FROM kept WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts FROM kept WHERE event_type = 'click'
+    )
+    SELECT strftime(CAST(p.p_ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts + INTERVAL 1 HOUR
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_stream_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join STATE EXPIRY proven end-to-end — the third
+    leg of the streaming-semantics trilogy (late-drop: input
+    eviction; update-mode: re-emission; here: join state lifetime).
+    Purchases and clicks replay as two coordinated 4-batch file
+    streams (one slice file per source per trigger, written in
+    lockstep) with the oldest quartile delivered third on BOTH
+    sides: by then the watermark has advanced weeks past the
+    quartile, so its rows are dropped at input and every join-state
+    entry that could have matched them is long evicted — the engine
+    keeps ±1h of state per side, not the stream's history. The
+    construction leaves a >1h margin at every slice boundary, so the
+    oracle is exactly 'all same-user purchase-click pairs within ±1h
+    among the on-time quartiles' — no boundary case depends on
+    eviction tie-breaking."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n",
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    q = F.expr("n div 4")
+    slice_preds = [
+        (F.col("rn") > q) & (F.col("rn") <= 2 * q),
+        (F.col("rn") > 2 * q) & (F.col("rn") <= 3 * q),
+        F.col("rn") <= q,  # LATE
+        F.col("rn") > 3 * q,
+    ]
+    root = tempfile.mkdtemp(prefix="spark_stream_ssj_")
+    try:
+        cols = e.columns
+        for i, pred in enumerate(slice_preds):
+            sl = ranked.filter(pred).select(*cols)
+            sl.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(
+                os.path.join(root, "left", f"s{i}")
+            )
+            sl.filter(F.col("event_type") == "click").coalesce(1).write.parquet(
+                os.path.join(root, "right", f"s{i}")
+            )
+            _time.sleep(0.05)
+
+        def _src(side: str) -> DataFrame:
+            return (
+                spark.readStream.schema(
+                    spark.read.parquet(os.path.join(root, side, "s0")).schema
+                )
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", "part-*")
+                .parquet(os.path.join(root, side))
+            )
+
+        purchases = (
+            _src("left")
+            .withWatermark("ts", "10 minutes")
+            .select("user_id", F.col("ts").alias("p_ts"))
+        )
+        clicks = (
+            _src("right")
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        landed = _replay_to_parquet(
+            spark, joined.select("user_id", "p_ts", "c_ts"), "append"
+        )
+        return (
+            landed.groupBy(F.date_format(F.col("p_ts").cast("date"), "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .orderBy("day")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
