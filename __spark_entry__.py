@@ -131,7 +131,7 @@ _ADDED_R3 = {
     "sort_null_ordering", "events_dow_hour_matrix", "events_error_budget",
     "incremental_topk_refresh", "dsl_query_compile", "dsl_query_join",
     "events_ab_cuped", "supplier_scorecard", "events_growth_accounting",
-    "events_stream_join_expiry",
+    "events_stream_join_expiry", "time_forecast_snaive_backtest",
 }
 
 

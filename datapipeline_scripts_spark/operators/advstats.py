@@ -2390,3 +2390,53 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
     return out
+
+
+@query(
+    "time_forecast_snaive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    fc AS (
+      SELECT day, cents,
+             lag(cents, 7) OVER (ORDER BY day) AS forecast_cents
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(cents - forecast_cents)) // count(*) AS BIGINT)
+             AS mae_cents,
+           CAST((10000 * sum(abs(cents - forecast_cents))) // sum(cents)
+             AS BIGINT) AS wape_bp
+    FROM fc WHERE forecast_cents IS NOT NULL
+    """,
+)
+def time_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: ŷ(d) = y(d−7) on daily
+    revenue, scored with MAE and WAPE in exact integers — the
+    baseline every forecasting system must beat, and the backtest
+    harness shape (lag-k forecast + holdout error) that fancier
+    models plug into. WAPE (Σ|e|/Σy) rather than MAPE because it
+    needs no per-row division — both metrics are single truncating
+    divisions over exact integer sums. The lag window runs over the
+    calendar-bounded daily aggregate (the stats_ks_test argument);
+    the fact table contributes one map-side-combined pass."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day")
+    fc = daily.select(
+        "cents", F.lag("cents", 7).over(w).alias("forecast_cents")
+    ).filter(F.col("forecast_cents").isNotNull())
+    return fc.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(sum(abs(cents - forecast_cents)) div count(*) AS BIGINT)"
+        ).alias("mae_cents"),
+        F.expr(
+            "CAST((10000 * sum(abs(cents - forecast_cents))) div sum(cents) AS BIGINT)"
+        ).alias("wape_bp"),
+    )
