@@ -132,6 +132,7 @@ _ADDED_R3 = {
     "incremental_topk_refresh", "dsl_query_compile", "dsl_query_join",
     "events_ab_cuped", "supplier_scorecard", "events_growth_accounting",
     "events_stream_join_expiry", "time_forecast_snaive_backtest",
+    "table_diff", "partition_skew_report", "text_sentence_stats", "dedup_prefix",
 }
 
 

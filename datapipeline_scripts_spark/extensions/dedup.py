@@ -920,3 +920,43 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chunks", "kept_chunks", "recon_fp")
     )
+
+
+_PREFIX_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 40)) AS pre_fp
+  FROM documents
+)
+SELECT min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM fp GROUP BY pre_fp HAVING count(*) > 1
+"""
+
+
+@query("dedup_prefix", oracle=_PREFIX_ORACLE, tier="ext")
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint near-dup detector: normalize (lower, collapse
+    whitespace), fingerprint the first 40 chars, and report duplicate
+    groups (survivor = min doc_id, copy count, distinct sources).
+    Common-Crawl-style curation runs this as the *cheapest* dedup pass —
+    templated scrapes share openings long before full bodies match
+    (fixtures: ~20 prefix groups vs 0 exact-norm duplicates).
+
+    Scale: the shuffle carries a 32-byte md5 of a 40-char prefix — the
+    cheapest possible key; grouping is map-side combinable and the
+    HAVING filter drops singleton groups before any further join."""
+    d = load_table(spark, sf_dir, "documents")
+    pre = F.substring(normalize_text(F.col("text")), 1, 40)
+    return (
+        d.select("doc_id", "source", F.md5(pre).alias("pre_fp"))
+        .groupBy("pre_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("keep_doc_id", "n_docs", "n_sources")
+    )

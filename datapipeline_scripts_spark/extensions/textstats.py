@@ -626,3 +626,65 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+_SENTENCE_ORACLE = """
+WITH sent AS (
+  SELECT lang,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                     s -> length(s) > 0) AS ss
+  FROM documents
+),
+per_doc AS (
+  SELECT lang,
+         CAST(len(ss) AS BIGINT) AS n_sent,
+         CAST(coalesce(list_sum(list_transform(ss, s -> length(s))), 0) AS BIGINT) AS n_chars
+  FROM sent
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_sent) AS BIGINT) AS total_sentences,
+       CAST(sum(n_sent) * 100 // count(*) AS BIGINT) AS sent_per_doc_x100,
+       CAST(CASE WHEN sum(n_sent) = 0 THEN 0
+                 ELSE sum(n_chars) * 100 // sum(n_sent) END AS BIGINT)
+         AS chars_per_sentence_x100
+FROM per_doc GROUP BY lang
+"""
+
+
+@query("text_sentence_stats", oracle=_SENTENCE_ORACLE, tier="ext")
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per language: split on [.!?]+ runs,
+    drop blank fragments, report docs, total sentences, and the x100
+    integer ratios (sentences/doc, chars/sentence) a corpus curation
+    pass thresholds on (too-short sentences => boilerplate, too-long
+    => unsegmented scrape).
+
+    All segmentation runs in higher-order builtins (split / transform /
+    filter / aggregate) inside whole-stage codegen — no Python touches
+    the text; the shuffle carries only (lang, two bigints) per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    sent = F.expr(
+        "filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> length(s) > 0)"
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(sent).cast("long").alias("n_sent"),
+        F.expr(
+            "aggregate(filter(transform(split(text, '[.!?]+'), s -> trim(s)),"
+            " s -> length(s) > 0), 0L, (a, s) -> a + length(s))"
+        )
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_sent").cast("long").alias("total_sentences"),
+        F.expr("sum(n_sent) * 100 div count(*)").cast("long").alias("sent_per_doc_x100"),
+        F.expr(
+            "CASE WHEN sum(n_sent) = 0 THEN 0"
+            " ELSE sum(n_chars) * 100 div sum(n_sent) END"
+        )
+        .cast("long")
+        .alias("chars_per_sentence_x100"),
+    )

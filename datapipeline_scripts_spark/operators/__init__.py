@@ -14,6 +14,7 @@ from datapipeline_scripts_spark.operators import (  # noqa: F401
     joins,
     json_ops,
     quality,
+    reconcile,
     scalars,
     scans,
     sequences,
