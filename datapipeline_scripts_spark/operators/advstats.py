@@ -2440,3 +2440,65 @@ def time_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST((10000 * sum(abs(cents - forecast_cents))) div sum(cents) AS BIGINT)"
         ).alias("wape_bp"),
     )
+
+
+def _linreg_sql(table: str, big: str, div: str) -> str:
+    """Two-predictor OLS by Cramer's rule on the 3x3 normal equations —
+    one template, two dialects (the stats_pca_power pattern,
+    history.py:388). Every sufficient statistic is an exact int64 sum
+    (bounds checked at sf0.1: max |s2y| ~ 6e15 < 2^63); the Cramer
+    determinants expand in {big} (int128-class) arithmetic, and the
+    final coefficients come out as *integer 1e-4 units* via truncating
+    division — no double ever enters, so both engines agree bit-exactly
+    (max |det0 * 10000| ~ 5.4e37 < 1e38, inside DECIMAL(38,0))."""
+    return f"""
+WITH su AS (
+  SELECT CAST(count(*) AS {big}) AS n,
+         CAST(sum(q) AS {big}) AS s1,
+         CAST(sum(d) AS {big}) AS s2,
+         CAST(sum(y) AS {big}) AS sy,
+         CAST(sum(q * q) AS {big}) AS s11,
+         CAST(sum(d * d) AS {big}) AS s22,
+         CAST(sum(q * d) AS {big}) AS s12,
+         CAST(sum(q * y) AS {big}) AS s1y,
+         CAST(sum(d * y) AS {big}) AS s2y
+  FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_discount * 10000) AS BIGINT) AS d,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM {table}) t
+),
+dets AS (
+  SELECT n,
+    (n  * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2)
+        + s2 * (s1  * s12 - s11 * s2))  AS det,
+    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+    (n  * (s1y * s22 - s12 * s2y) - sy * (s1  * s22 - s12 * s2)
+        + s2 * (s1  * s2y - s1y * s2))  AS det1,
+    (n  * (s11 * s2y - s1y * s12) - s1 * (s1  * s2y - s1y * s2)
+        + sy * (s1  * s12 - s11 * s2))  AS det2
+  FROM su
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((det0 * 10000) {div} det AS BIGINT) AS intercept_cents_x1e4,
+       CAST((det1 * 10000) {div} det AS BIGINT) AS qty_slope_x1e4,
+       CAST((det2 * 10000) {div} det AS BIGINT) AS discount_slope_x1e4
+FROM dets
+"""
+
+
+@query("stats_linreg_multi", oracle=_linreg_sql("lineitem", "HUGEINT", "//"), tier="ext")
+def stats_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (extendedprice-cents on quantity and
+    discount-bp, with intercept) solved in closed form from one pass of
+    sufficient statistics — the multi-feature sibling of
+    stats_regression's regr_slope pair.
+
+    Scale: the corpus collapses to a single 9-number aggregate row
+    (partial-aggregable, map-side combined); the 3x3 Cramer solve runs
+    on that one row — O(1) after the scan regardless of input size.
+    Adding features grows the normal-equation matrix quadratically but
+    the one-pass-then-solve shape is exactly how distributed OLS runs
+    at 100 TB (the solve never distributes)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ols_v")
+    return spark.sql(_linreg_sql("lineitem_ols_v", "DECIMAL(38,0)", "div"))

@@ -191,3 +191,60 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month", "day")
     )
+
+
+def _holt_sql(table: str, dayexpr: str, div: str) -> str:
+    """Holt double-exponential smoothing as a recursive CTE — one
+    template, two dialects (day-index expression and truncating-div
+    token differ; everything else is identical SQL text). alpha=0.2 and
+    beta=0.1 are exact rationals, so each step is integer arithmetic on
+    1e-4-cent-scaled state: lvl' = (2y + 8(lvl+tr)) div 10,
+    tr' = ((lvl'-lvl) + 9 tr) div 10 — truncation toward zero agrees
+    between engines (the stats_pca_power contract), so 30 chained
+    smoothing steps stay bit-identical."""
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT {dayexpr} AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM {table} GROUP BY 1
+),
+hl(d, lvl, tr) AS (
+  SELECT d, cents * 10000, CAST(0 AS BIGINT) FROM daily WHERE d = 1
+  UNION ALL
+  SELECT d, lvl, ((lvl - plvl) + 9 * ptr) {div} 10 FROM (
+    SELECT y.d AS d,
+           (2 * y.cents * 10000 + 8 * (h.lvl + h.tr)) {div} 10 AS lvl,
+           h.lvl AS plvl, h.tr AS ptr
+    FROM hl h JOIN daily y ON y.d = h.d + 1
+    WHERE h.d < 60
+  ) s
+)
+SELECT d AS day_idx,
+       CAST(lvl AS BIGINT) AS level_microcents,
+       CAST(tr AS BIGINT) AS trend_microcents,
+       CAST(lvl + 7 * tr AS BIGINT) AS forecast_h7_microcents
+FROM hl
+"""
+
+
+_HOLT_DAY_DUCK = "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) + 1"
+_HOLT_DAY_SPARK = "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) + 1"
+
+
+@query("time_holt_linear", oracle=_holt_sql("events", _HOLT_DAY_DUCK, "//"), tier="ext")
+def time_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily revenue
+    series, with the ENGINE driving the recursion (recursive CTE —
+    the stateful sibling of time_forecast_snaive_backtest's lag-k
+    baseline). Emits per-day level/trend state and the 7-day-ahead
+    linear forecast, all in exact 1e-4-cent integer units.
+
+    Scale: the raw corpus collapses to one row per day in a
+    partial-aggregable pass; the recursion then runs on the
+    |days|-row series — bounded work independent of corpus size (the
+    depth guard caps it at 60 steps; Spark's default recursion limit
+    is 100). A longer horizon would checkpoint the (lvl, tr) state
+    table per epoch instead of deepening one recursion —
+    docs/SCALE.md's PageRank paragraph applies verbatim."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_holt_v")
+    return spark.sql(_holt_sql("events_holt_v", _HOLT_DAY_SPARK, "div"))

@@ -752,3 +752,57 @@ def orders_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cohort_users").cast("long").alias("cohort_users"),
         )
     )
+
+
+_PATTERN_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_conversions,
+       contains(seq, 'e') AS has_error
+FROM seqs
+"""
+
+
+@query("events_pattern_regex", oracle=_PATTERN_ORACLE, tier="ext")
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's
+    event history collapses to an ordered initial-letter string
+    (v=view, c=click, p=purchase, ...), and conversions are counted as
+    non-overlapping matches of the regex ``vc*p`` — view, any clicks,
+    purchase. The regex IS the pattern language: swapping in a new
+    funnel definition is a one-token change, which is exactly the
+    MATCH_RECOGNIZE use case Spark lacks natively.
+
+    Determinism: collect_list order is undefined, so the sequence is
+    rebuilt via array_sort over (ts, event_id, initial) structs —
+    unique total order — before joining to a string; the oracle's
+    string_agg ORDER BY ts, event_id mirrors it. Greedy non-overlapping
+    scan agrees between Java regex and RE2 for this pattern class (no
+    alternation ambiguity).
+
+    Scale: one user_id shuffle; per-user state is the initial string,
+    bounded by the same MAX_EVENTS_PER_USER cap argument as the
+    sequence family (a hot-user guard would prepend _cap_user_events;
+    left uncapped here because the declared output is per-user exact)."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, substring(event_type, 1, 1) AS ini))), "
+            "x -> x.ini), '')"
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.expr("regexp_count(seq, 'vc*p')").cast("long").alias("n_conversions"),
+        F.col("seq").contains("e").alias("has_error"),
+    )
