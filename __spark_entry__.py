@@ -134,6 +134,7 @@ _ADDED_R3 = {
     "events_stream_join_expiry", "time_forecast_snaive_backtest",
     "table_diff", "partition_skew_report", "text_sentence_stats", "dedup_prefix",
     "stats_linreg_multi", "events_pattern_regex", "time_holt_linear",
+    "sample_deterministic_topk", "events_ab_did",
 }
 
 

@@ -88,6 +88,11 @@ BENCH_KEYS = (
     "orders_abc_pareto",
     "stats_bootstrap_ci",
     "events_rolling_active_users",
+    # round-3 closing batch: keyed snapshot diff + per-user sequence
+    # regex (the two heaviest closers: a fact-fact full-outer join and
+    # a corpus-wide ordered string build)
+    "table_diff",
+    "events_pattern_regex",
 )
 
 

@@ -2502,3 +2502,111 @@ def stats_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (the solve never distributes)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ols_v")
     return spark.sql(_linreg_sql("lineitem_ols_v", "DECIMAL(38,0)", "div"))
+
+
+@query(
+    "events_ab_did",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE)
+               + to_days(CAST(floor(date_diff('day', CAST(min(ts) AS DATE),
+                                              CAST(max(ts) AS DATE)) / 2) AS INTEGER))
+               AS mid
+      FROM events
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             ({md5_48_sql("CAST(e.user_id AS VARCHAR)")}) % 2 AS variant,
+             CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                                     AND CAST(e.ts AS DATE) < b.mid
+                                    THEN CAST(round(e.value * 100) AS BIGINT) END),
+                           0) AS BIGINT) AS pre_c,
+             CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                                     AND CAST(e.ts AS DATE) >= b.mid
+                                    THEN CAST(round(e.value * 100) AS BIGINT) END),
+                           0) AS BIGINT) AS post_c
+      FROM events e CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_control,
+             CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_treat,
+             CAST(coalesce(sum(CASE WHEN variant = 0 THEN pre_c END), 0) AS BIGINT) AS s_pre_c,
+             CAST(coalesce(sum(CASE WHEN variant = 0 THEN post_c END), 0) AS BIGINT) AS s_post_c,
+             CAST(coalesce(sum(CASE WHEN variant = 1 THEN pre_c END), 0) AS BIGINT) AS s_pre_t,
+             CAST(coalesce(sum(CASE WHEN variant = 1 THEN post_c END), 0) AS BIGINT) AS s_post_t
+      FROM per_user
+    )
+    SELECT n_control, n_treat,
+           CAST(s_pre_c  * 10000 // n_control AS BIGINT) AS pre_control_micro,
+           CAST(s_post_c * 10000 // n_control AS BIGINT) AS post_control_micro,
+           CAST(s_pre_t  * 10000 // n_treat  AS BIGINT) AS pre_treat_micro,
+           CAST(s_post_t * 10000 // n_treat  AS BIGINT) AS post_treat_micro,
+           CAST((s_post_t * 10000 // n_treat) - (s_pre_t * 10000 // n_treat)
+              - ((s_post_c * 10000 // n_control) - (s_pre_c * 10000 // n_control))
+              AS BIGINT) AS did_microcents
+    FROM cells
+    """,
+    tier="ext",
+)
+def events_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate for the A/B suite: per-user
+    purchase spend split at the data-derived midpoint into pre/post,
+    arms assigned by the house md5_48 draw (same as events_ab_cuped /
+    events_ab_srm_check), and the effect reported as
+    (post−pre)_treat − (post−pre)_control on per-arm mean spend — the
+    design that nets out any shared time trend the raw post-period
+    diff would swallow. All cell means are exact integer microcents
+    (truncating division), so the single-row report is bit-identical
+    across engines.
+
+    Scale: one user_id shuffle for the per-user pre/post sums, then a
+    partial-aggregable collapse to one 6-number row — the same
+    two-stage shape as CUPED; the midpoint broadcast is a 1-row
+    cross join."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr(
+            "date_add(CAST(min(ts) AS DATE), "
+            "CAST(floor(datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE)) / 2) AS INT))"
+        ).alias("mid")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            (md5_48(F.col("user_id").cast("string")) % 2).alias("variant"),
+        )
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN event_type = 'purchase'"
+                " AND CAST(ts AS DATE) < mid THEN CAST(round(value * 100) AS BIGINT) END), 0)"
+                " AS BIGINT)"
+            ).alias("pre_c"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN event_type = 'purchase'"
+                " AND CAST(ts AS DATE) >= mid THEN CAST(round(value * 100) AS BIGINT) END), 0)"
+                " AS BIGINT)"
+            ).alias("post_c"),
+        )
+    )
+    v0, v1 = F.col("variant") == 0, F.col("variant") == 1
+    cells = per_user.agg(
+        F.count(F.when(v0, 1)).cast("long").alias("n_control"),
+        F.count(F.when(v1, 1)).cast("long").alias("n_treat"),
+        F.coalesce(F.sum(F.when(v0, F.col("pre_c"))), F.lit(0)).cast("long").alias("s_pre_c"),
+        F.coalesce(F.sum(F.when(v0, F.col("post_c"))), F.lit(0)).cast("long").alias("s_post_c"),
+        F.coalesce(F.sum(F.when(v1, F.col("pre_c"))), F.lit(0)).cast("long").alias("s_pre_t"),
+        F.coalesce(F.sum(F.when(v1, F.col("post_c"))), F.lit(0)).cast("long").alias("s_post_t"),
+    )
+    return cells.selectExpr(
+        "n_control",
+        "n_treat",
+        "CAST(s_pre_c  * 10000 div n_control AS BIGINT) AS pre_control_micro",
+        "CAST(s_post_c * 10000 div n_control AS BIGINT) AS post_control_micro",
+        "CAST(s_pre_t  * 10000 div n_treat  AS BIGINT) AS pre_treat_micro",
+        "CAST(s_post_t * 10000 div n_treat  AS BIGINT) AS post_treat_micro",
+        "CAST((s_post_t * 10000 div n_treat) - (s_pre_t * 10000 div n_treat)"
+        " - ((s_post_c * 10000 div n_control) - (s_pre_c * 10000 div n_control))"
+        " AS BIGINT) AS did_microcents",
+    )

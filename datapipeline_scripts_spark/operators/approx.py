@@ -175,3 +175,48 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         (F.abs(F.col("n_sampled") / F.col("n_total") - want) < tol).alias("rate_ok"),
     )
+
+
+_DET_TOPK_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+  FROM events
+)
+SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
+FROM ranked WHERE rk <= 5
+"""
+
+
+@query("sample_deterministic_topk", oracle=_DET_TOPK_ORACLE, tier="ext")
+def sample_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible k-per-group sample: rank each group by the md5 of
+    the row key and keep the first 5 — the distributed idiom for "give
+    me the same 5 example rows per category on every run, any cluster"
+    (rate-based `sample`/`sample_stratified` can't promise exact k).
+
+    Scale shape: a naive per-group rank window funnels each group
+    through ONE reducer — with 5 event types that is 5 tasks for the
+    whole corpus. Instead the sample is taken in two stages: a local
+    top-5 per (group, input partition) — embarrassingly parallel — and
+    a global re-rank over the ≤ 5·partitions survivors. Top-5 of the
+    local top-5 union equals top-5 of the corpus (selection is
+    monotone), so the result is identical; only the tiny survivor set
+    ever crosses one reducer."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.md5(F.col("event_id").cast("string")).alias("hk"),
+    )
+    local = Window.partitionBy("event_type", F.spark_partition_id()).orderBy("hk", "event_id")
+    survivors = e.withColumn("lrk", F.row_number().over(local)).filter(F.col("lrk") <= 5)
+    glob = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(glob))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", F.col("rk").cast("long").alias("rk"), "event_id", "user_id")
+    )

@@ -733,3 +733,55 @@ def test_dsl_join_spec_honors_broadcast_hint(spark, sf_dir):
     joins = join_strategies(df)
     assert "BroadcastHashJoin" in joins, joins
     assert "l_quantity" in " ".join(pushed_filters(df))
+
+
+def test_table_diff_keyed_equi_join(spark, sf_dir):
+    """Snapshot reconciliation must diff via one keyed full-outer
+    equi-join (SortMergeJoin/ShuffledHashJoin), never a nested loop,
+    and the per-class rollup is partial-aggregable."""
+    df = get("table_diff").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_partition_skew_report_windows_tiny_domain(spark, sf_dir):
+    """The only window runs over distinct per-key count VALUES (bounded
+    domain), and the only cross joins broadcast 1-row aggregates."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("partition_skew_report").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sample_deterministic_topk_two_stage(spark, sf_dir):
+    """The k-per-group sample must take the two-stage shape: a local
+    top-k window keyed by (group, input partition) — visible as
+    SPARK_PARTITION_ID in the plan — before the global per-group
+    re-rank ever sees a row."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("sample_deterministic_topk").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Window") >= 2, plan
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+
+
+def test_events_pattern_regex_single_user_shuffle(spark, sf_dir):
+    """Sequence building is one user_id hash aggregate — no ordered
+    window, no join, no cartesian on the event path."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("events_pattern_regex").build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_events_ab_did_broadcast_bounds_only(spark, sf_dir):
+    """DiD's only cross join broadcasts the 1-row midpoint aggregate;
+    the user rollup and the cell collapse are hash aggregates."""
+    df = get("events_ab_did").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
