@@ -135,6 +135,7 @@ _ADDED_R3 = {
     "table_diff", "partition_skew_report", "text_sentence_stats", "dedup_prefix",
     "stats_linreg_multi", "events_pattern_regex", "time_holt_linear",
     "sample_deterministic_topk", "events_ab_did",
+    "orders_backlog_aging", "events_time_to_convert", "time_calendar_dim",
 }
 
 

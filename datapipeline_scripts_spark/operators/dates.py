@@ -248,3 +248,132 @@ def time_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs/SCALE.md's PageRank paragraph applies verbatim."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_holt_v")
     return spark.sql(_holt_sql("events_holt_v", _HOLT_DAY_SPARK, "div"))
+
+
+_AGING_ORACLE = """
+WITH snap AS (SELECT max(o_orderdate) AS s FROM orders),
+open_orders AS (
+  SELECT date_diff('day', CAST(o.o_orderdate AS DATE), CAST(p.s AS DATE)) AS age,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o CROSS JOIN snap p
+  WHERE o.o_orderstatus = 'O'
+),
+bucketed AS (
+  SELECT CASE WHEN age <= 30 THEN '000-030'
+              WHEN age <= 60 THEN '031-060'
+              WHEN age <= 90 THEN '061-090'
+              ELSE '090+' END AS age_bucket,
+         cents
+  FROM open_orders
+)
+SELECT age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(count(*) * 10000 // (SELECT count(*) FROM open_orders) AS BIGINT) AS share_bp
+FROM bucketed GROUP BY age_bucket
+"""
+
+
+@query("orders_backlog_aging", oracle=_AGING_ORACLE, tier="ext")
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging report (the AR-aging classic): orders
+    still in status O bucketed by age at the data-derived snapshot
+    date (30/60/90-day buckets), with exact counts, cents totals, and
+    basis-point share of the open book.
+
+    Scale: the status filter pushes to the parquet scan; the snapshot
+    date is a broadcast 1-row aggregate; bucketing is a codegen'd CASE
+    and the rollup is partial-aggregable — one scan, one tiny shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("s"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.expr("datediff(CAST(s AS DATE), CAST(o_orderdate AS DATE))").alias("age"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    total = open_orders.agg(F.count("*").cast("long").alias("n_open"))
+    bucketed = open_orders.select(
+        F.when(F.col("age") <= 30, "000-030")
+        .when(F.col("age") <= 60, "031-060")
+        .when(F.col("age") <= 90, "061-090")
+        .otherwise("090+")
+        .alias("age_bucket"),
+        "cents",
+    )
+    return (
+        bucketed.groupBy("age_bucket")
+        .agg(F.count("*").cast("long").alias("n_orders"), F.sum("cents").cast("long").alias("total_cents"))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "age_bucket",
+            "n_orders",
+            "total_cents",
+            "CAST(n_orders * 10000 div n_open AS BIGINT) AS share_bp",
+        )
+    )
+
+
+# Every calendar attribute is derived arithmetically or from extracts
+# both engines define identically (year/quarter/month/day/last_day);
+# day-of-week comes from day-counting off an anchor Monday
+# (1990-01-01) rather than engine dow() conventions (Spark: 1=Sunday,
+# DuckDB: 0=Sunday — a guaranteed mismatch).
+_CALENDAR_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS mn, CAST(max(o_orderdate) AS DATE) AS mx
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d,
+         mn
+  FROM bounds
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(year(d) AS BIGINT) AS year,
+       CAST(quarter(d) AS BIGINT) AS quarter,
+       CAST(month(d) AS BIGINT) AS month,
+       CAST(day(d) AS BIGINT) AS day_of_month,
+       CAST(date_diff('day', DATE '1990-01-01', d) % 7 + 1 AS BIGINT) AS dow_iso,
+       (date_diff('day', DATE '1990-01-01', d) % 7 + 1) >= 6 AS is_weekend,
+       day(d) = 1 AS is_month_start,
+       d = last_day(d) AS is_month_end,
+       CAST(date_diff('day', mn, d) // 7 + 1 AS BIGINT) AS week_of_series
+FROM spine
+"""
+
+
+@query("time_calendar_dim", oracle=_CALENDAR_ORACLE, tier="ext")
+def time_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension over the orders date span — the
+    warehouse utility every date-keyed star join wants on the
+    broadcast side: one row per day with year/quarter/month/day,
+    ISO day-of-week (derived by day-counting from an anchor Monday,
+    sidestepping the engines' incompatible dow() conventions),
+    weekend/month-boundary flags, and a series week number.
+
+    Scale: the spine generates from a 1-row min/max aggregate via
+    sequence() — O(days), trivially broadcastable, never touches the
+    fact table again; the dimension is exactly what join_star /
+    join_dpp_partitioned broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr("CAST(min(o_orderdate) AS DATE)").alias("mn"),
+        F.expr("CAST(max(o_orderdate) AS DATE)").alias("mx"),
+    )
+    spine = bounds.select(F.expr("explode(sequence(mn, mx, interval 1 day))").alias("d"), "mn")
+    return spine.selectExpr(
+        "date_format(d, 'yyyy-MM-dd') AS day",
+        "CAST(year(d) AS BIGINT) AS year",
+        "CAST(quarter(d) AS BIGINT) AS quarter",
+        "CAST(month(d) AS BIGINT) AS month",
+        "CAST(dayofmonth(d) AS BIGINT) AS day_of_month",
+        "CAST(datediff(d, DATE '1990-01-01') % 7 + 1 AS BIGINT) AS dow_iso",
+        "(datediff(d, DATE '1990-01-01') % 7 + 1) >= 6 AS is_weekend",
+        "dayofmonth(d) = 1 AS is_month_start",
+        "d = last_day(d) AS is_month_end",
+        "CAST(datediff(d, mn) div 7 + 1 AS BIGINT) AS week_of_series",
+    )

@@ -806,3 +806,52 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("regexp_count(seq, 'vc*p')").cast("long").alias("n_conversions"),
         F.col("seq").contains("e").alias("has_error"),
     )
+
+
+_TTC_ORACLE = """
+WITH first_view AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN first_view v ON e.user_id = v.user_id AND e.ts > v.v_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST((epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 1000000 AS BIGINT) AS secs_to_convert
+FROM first_view v JOIN first_purchase p ON v.user_id = p.user_id
+"""
+
+
+@query("events_time_to_convert", oracle=_TTC_ORACLE, tier="ext")
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion latency: per user, seconds from the
+    first view to the first purchase strictly after it — the funnel
+    family's timing metric (events_funnel counts who converts;
+    this measures how long it takes). Exact integer seconds via
+    unix_micros ≡ epoch_us (Spark's unix_timestamp truncates to whole
+    seconds and would drift — documented trap).
+
+    Scale: two per-user min aggregates (both map-side combinable) and
+    two keyed joins on user_id sharing one partitioning — no windows,
+    no fanout beyond one row per converting user."""
+    e = load_table(spark, sf_dir, "events")
+    first_view = (
+        e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        first_view.join(first_purchase, "user_id")
+        .selectExpr(
+            "user_id",
+            "CAST((unix_micros(p_ts) - unix_micros(v_ts)) div 1000000 AS BIGINT)"
+            " AS secs_to_convert",
+        )
+    )
