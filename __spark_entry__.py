@@ -136,6 +136,7 @@ _ADDED_R3 = {
     "stats_linreg_multi", "events_pattern_regex", "time_holt_linear",
     "sample_deterministic_topk", "events_ab_did",
     "orders_backlog_aging", "events_time_to_convert", "time_calendar_dim",
+    "graph_clustering_coeff", "quality_cross_field",
 }
 
 

@@ -291,3 +291,85 @@ def graph_jaccard_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_bp"), "s1", "s2")
         .limit(20)
     )
+
+
+_CLUSTERING_ORACLE = f"""
+WITH {_EDGES_CTE},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pernode AS (
+  SELECT x AS k FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n_triangles FROM pernode GROUP BY k),
+u_d AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS k FROM und UNION ALL SELECT b AS k FROM und)
+  GROUP BY k
+)
+SELECT n.n_name AS nation,
+       u_d.degree AS degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CAST(CASE WHEN u_d.degree < 2 THEN 0
+                 ELSE 2 * coalesce(t.n_triangles, 0) * 10000
+                      // (u_d.degree * (u_d.degree - 1)) END AS BIGINT) AS clustering_bp
+FROM u_d
+LEFT JOIN tcnt t ON u_d.k = t.k
+JOIN nation n ON u_d.k = n.n_nationkey
+"""
+
+
+@query("graph_clustering_coeff", oracle=_CLUSTERING_ORACLE, tier="ext")
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the nation trade
+    graph: 2·triangles / (deg·(deg−1)) in exact integer basis points —
+    the cohesion metric on top of graph_triangle_count's enumeration
+    and graph_degree_stats' degrees (how clique-like is each nation's
+    trade neighborhood).
+
+    Scale: same ordered-edge-join triangle enumeration (every leg an
+    equi-join on endpoints) + one degree aggregate; the division is a
+    node-sized stitch. At web scale the identical plan runs with the
+    oriented (degree-ordered) edge variant — graph_triangle_oriented
+    proves that substitution is hash-identical."""
+    raw = trade_edges(spark, sf_dir)
+    und = (
+        raw.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    u_d = (
+        und.select(F.col("a").alias("k"))
+        .unionByName(und.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        u_d.join(F.broadcast(tcnt), "k", "left")
+        .join(F.broadcast(na), u_d.k == na.n_nationkey)
+        .selectExpr(
+            "n_name AS nation",
+            "degree",
+            "coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles",
+            "CAST(CASE WHEN degree < 2 THEN 0"
+            " ELSE 2 * coalesce(n_triangles, 0) * 10000"
+            " div (degree * (degree - 1)) END AS BIGINT) AS clustering_bp",
+        )
+    )

@@ -300,3 +300,84 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
         )
     )
+
+
+_XFIELD_ORACLE = """
+WITH detail AS (
+  SELECT l_orderkey AS k,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS detail_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+         coalesce(d.detail_cents, 0) AS detail_cents,
+         (d.k IS NULL) AS headless
+  FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(CASE WHEN headless THEN 1 END) AS BIGINT) AS n_no_lines,
+       CAST(count(CASE WHEN NOT headless
+                        AND abs(header_cents - detail_cents) <= 100 THEN 1 END) AS BIGINT)
+         AS n_consistent,
+       CAST(count(CASE WHEN NOT headless
+                        AND abs(header_cents - detail_cents) > 100 THEN 1 END) AS BIGINT)
+         AS n_mismatched,
+       CAST(sum(CASE WHEN headless THEN 0
+                     ELSE abs(header_cents - detail_cents) END) AS BIGINT)
+         AS total_abs_drift_cents
+FROM recon
+"""
+
+
+@query("quality_cross_field", oracle=_XFIELD_ORACLE, tier="ext")
+def quality_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail cross-table reconciliation — the audit
+    quality_audit's single-table rules can't express: does each order
+    header's total agree with the sum of its line items (±$1)? Reports
+    exact counts of consistent / mismatched / line-less orders and the
+    total absolute drift in cents, all integer arithmetic.
+
+    Scale: one partial-aggregable rollup of the fact table to order
+    grain, one keyed left join against headers (both sides hash on
+    orderkey, AQE-coalesced), then a global conditional-sum collapse —
+    the same two-scan budget a warehouse reconciliation job gets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    detail = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("detail_cents")
+    )
+    recon = o.join(detail, o.o_orderkey == detail.k, "left").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+        F.coalesce("detail_cents", F.lit(0)).alias("detail_cents"),
+        F.col("k").isNull().alias("headless"),
+    )
+    return recon.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.count(F.when(F.col("headless"), 1)).cast("long").alias("n_no_lines"),
+        F.count(
+            F.when(
+                ~F.col("headless")
+                & (F.abs(F.col("header_cents") - F.col("detail_cents")) <= 100),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_consistent"),
+        F.count(
+            F.when(
+                ~F.col("headless")
+                & (F.abs(F.col("header_cents") - F.col("detail_cents")) > 100),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        F.sum(
+            F.when(F.col("headless"), 0).otherwise(
+                F.abs(F.col("header_cents") - F.col("detail_cents"))
+            )
+        )
+        .cast("long")
+        .alias("total_abs_drift_cents"),
+    )
