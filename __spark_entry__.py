@@ -137,6 +137,7 @@ _ADDED_R3 = {
     "sample_deterministic_topk", "events_ab_did",
     "orders_backlog_aging", "events_time_to_convert", "time_calendar_dim",
     "graph_clustering_coeff", "quality_cross_field",
+    "stats_spearman", "orders_customer_migration",
 }
 
 

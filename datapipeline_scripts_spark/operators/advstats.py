@@ -2610,3 +2610,158 @@ def events_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - ((s_post_c * 10000 div n_control) - (s_pre_c * 10000 div n_control))"
         " AS BIGINT) AS did_microcents",
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH pairs AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+xhist AS (SELECT flag, x, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+xrank AS (
+  SELECT flag, x,
+         2 * (sum(c) OVER (PARTITION BY flag ORDER BY x) - c) + c + 1 AS r2
+  FROM xhist
+),
+yhist AS (SELECT flag, y, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+yrank AS (
+  SELECT flag, y,
+         2 * (sum(c) OVER (PARTITION BY flag ORDER BY y) - c) + c + 1 AS r2
+  FROM yhist
+),
+d2 AS (
+  SELECT p.flag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((xr.r2 - yr.r2) * (xr.r2 - yr.r2)) AS BIGINT) AS sd2
+  FROM pairs p
+  JOIN xrank xr ON p.flag = xr.flag AND p.x = xr.x
+  JOIN yrank yr ON p.flag = yr.flag AND p.y = yr.y
+  GROUP BY p.flag
+)
+SELECT flag, n,
+       CAST(1000000 - CAST(6 * CAST(sd2 AS HUGEINT) * 1000000
+            // (4 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
+            AS BIGINT) AS spearman_x1e6
+FROM d2
+"""
+
+
+@query("stats_spearman", oracle=_SPEARMAN_ORACLE, tier="ext")
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-averaged ranks, classic
+    1 − 6Σd²/(n(n²−1)) form) between quantity and discount per return
+    flag — the robust complement to stats_corr_matrix's Pearson.
+
+    The rank step never sorts rows: tie-averaged ranks come from the
+    cumulative VALUE HISTOGRAM (avg rank of value v = #below + 
+    (ties+1)/2, carried in doubled units to stay integer), so the only
+    ordered windows run over ≤|distinct values| rows per group (50
+    quantities, 11 discounts) — the partition_skew_report trick. Ranks
+    join back to rows by value (broadcast-sized maps), Σd² is one
+    exact int64 aggregate, and the final ratio is int128 truncating
+    division — bit-identical across engines at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+
+    def ranks(col: str) -> DataFrame:
+        hist = pairs.groupBy("flag", col).agg(F.count("*").cast("long").alias("c"))
+        w = Window.partitionBy("flag").orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return hist.select(
+            "flag",
+            col,
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias(f"r2_{col}"),
+        )
+
+    d2 = (
+        pairs.join(F.broadcast(ranks("x")), ["flag", "x"])
+        .join(F.broadcast(ranks("y")), ["flag", "y"])
+        .groupBy("flag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("r2_x") - F.col("r2_y")) * (F.col("r2_x") - F.col("r2_y")))
+            .cast("long")
+            .alias("sd2"),
+        )
+    )
+    return d2.selectExpr(
+        "flag",
+        "n",
+        "CAST(1000000 - CAST(6 * CAST(sd2 AS DECIMAL(38,0)) * 1000000"
+        " div (4 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))"
+        " AS BIGINT) AS BIGINT) AS spearman_x1e6",
+    )
+
+
+_MIGRATION_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS c,
+         year(o_orderdate) AS yr,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE year(o_orderdate) IN (1998, 1999)
+  GROUP BY 1, 2
+),
+qa AS (
+  SELECT c, ntile(5) OVER (ORDER BY cents, c) AS q
+  FROM spend WHERE yr = 1998
+),
+qb AS (
+  SELECT c, ntile(5) OVER (ORDER BY cents, c) AS q
+  FROM spend WHERE yr = 1999
+),
+mat AS (
+  SELECT qa.q AS q_1998, qb.q AS q_1999, CAST(count(*) AS BIGINT) AS n_customers
+  FROM qa JOIN qb ON qa.c = qb.c
+  GROUP BY 1, 2
+)
+SELECT CAST(q_1998 AS BIGINT) AS q_1998,
+       CAST(q_1999 AS BIGINT) AS q_1999,
+       n_customers,
+       CAST(n_customers * 10000 // (SELECT sum(n_customers) FROM mat) AS BIGINT) AS share_bp
+FROM mat
+"""
+
+
+@query("orders_customer_migration", oracle=_MIGRATION_ORACLE, tier="ext")
+def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration matrix: each customer's spend
+    quintile in 1998 vs 1999 (deterministic ntile tie-broken on
+    (cents, custkey)), cross-tabulated with exact counts and
+    basis-point shares — the churn/upsell report behind every
+    "movement between segments" dashboard.
+
+    Scale: spend collapses to one row per (customer, year) —
+    partial-aggregable — before the quintile windows rank the
+    |customers|-sized aggregate (the events_rfm_segments precedent);
+    the migration join is keyed on customer and the matrix is ≤25
+    rows. At 100 TB the ranking input is |customers|, not |orders|."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.filter(F.year("o_orderdate").isin(1998, 1999))
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("cents", "c")
+    qa = spend.filter(F.col("yr") == 1998).select("c", F.ntile(5).over(w).alias("q_1998"))
+    qb = spend.filter(F.col("yr") == 1999).select("c", F.ntile(5).over(w).alias("q_1999"))
+    mat = (
+        qa.join(qb, "c")
+        .groupBy("q_1998", "q_1999")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+    total = mat.agg(F.sum("n_customers").alias("tot"))
+    return mat.crossJoin(F.broadcast(total)).selectExpr(
+        "CAST(q_1998 AS BIGINT) AS q_1998",
+        "CAST(q_1999 AS BIGINT) AS q_1999",
+        "n_customers",
+        "CAST(n_customers * 10000 div tot AS BIGINT) AS share_bp",
+    )
