@@ -2758,10 +2758,13 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_1998", "q_1999")
         .agg(F.count("*").cast("long").alias("n_customers"))
     )
-    total = mat.agg(F.sum("n_customers").alias("tot"))
-    return mat.crossJoin(F.broadcast(total)).selectExpr(
+    # total via a window over the ≤25-row matrix (bounded domain), not a
+    # crossJoin back onto `mat` — the self-reference would duplicate the
+    # whole quintile subtree in the physical plan (Catalyst does not
+    # dedupe it), doubling the ntile passes for no reason
+    return mat.selectExpr(
         "CAST(q_1998 AS BIGINT) AS q_1998",
         "CAST(q_1999 AS BIGINT) AS q_1999",
         "n_customers",
-        "CAST(n_customers * 10000 div tot AS BIGINT) AS share_bp",
+        "CAST(n_customers * 10000 div sum(n_customers) OVER () AS BIGINT) AS share_bp",
     )

@@ -145,18 +145,28 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_incragg_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{spark.sparkContext.applicationId}",
     )
-    state(o.filter(F.col("o_orderdate") < cutoff)).write.mode("overwrite").parquet(out)
-    base = spark.read.parquet(out)  # materialized: base rows never rescanned
-    delta = state(o.filter(F.col("o_orderdate") >= cutoff))
-    merged = (
-        base.unionByName(delta)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.sum("n_orders").cast("long").alias("n_orders"),
-            F.round(F.sum("sum_state"), 2).cast("double").alias("sum_price"),
+    import shutil as _sh
+
+    try:
+        state(o.filter(F.col("o_orderdate") < cutoff)).write.mode("overwrite").parquet(out)
+        base = spark.read.parquet(out)  # materialized: base rows never rescanned
+        delta = state(o.filter(F.col("o_orderdate") >= cutoff))
+        merged = (
+            base.unionByName(delta)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.round(F.sum("sum_state"), 2).cast("double").alias("sum_price"),
+            )
         )
-    )
-    return merged
+        # localCheckpoint materializes the (tiny, per-status) result so the
+        # scratch state dir is deletable immediately — repeated runs across
+        # applications no longer accumulate orphans (ADVICE r03). A real
+        # nightly rollup KEEPS this state as its managed table; the scratch
+        # dir here only exists to prove the merge discipline.
+        return merged.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
 
 
 @query(
@@ -199,15 +209,23 @@ def incremental_topk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_incrtopk_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{spark.sparkContext.applicationId}",
     )
-    counts(e, F.to_date("ts") < F.col("cut")).write.mode("overwrite").parquet(out)
-    base = spark.read.parquet(out)  # materialized count map — base rows never rescanned
-    delta = counts(e, F.to_date("ts") >= F.col("cut"))
-    merged = (
-        base.unionByName(delta)
-        .groupBy("user_id")
-        .agg(F.sum("n_events").cast("long").alias("n_events"))
-    )
-    return merged.orderBy(F.desc("n_events"), "user_id").limit(10)
+    import shutil as _sh
+
+    try:
+        counts(e, F.to_date("ts") < F.col("cut")).write.mode("overwrite").parquet(out)
+        base = spark.read.parquet(out)  # materialized count map — base rows never rescanned
+        delta = counts(e, F.to_date("ts") >= F.col("cut"))
+        merged = (
+            base.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.sum("n_events").cast("long").alias("n_events"))
+        )
+        # top-10 result materialized via localCheckpoint so the scratch
+        # count-map dir can be removed at once (ADVICE r03 — no orphaned
+        # per-application state dirs)
+        return merged.orderBy(F.desc("n_events"), "user_id").limit(10).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
 
 
 @query(

@@ -203,10 +203,13 @@ def _holt_sql(table: str, dayexpr: str, div: str) -> str:
     between engines (the stats_pca_power contract), so 30 chained
     smoothing steps stay bit-identical."""
     return f"""
-WITH RECURSIVE daily AS (
+WITH RECURSIVE mn AS (
+  SELECT min(CAST(ts AS DATE)) AS d0 FROM {table}
+),
+daily AS (
   SELECT {dayexpr} AS d,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM {table} GROUP BY 1
+  FROM {table} CROSS JOIN mn GROUP BY 1
 ),
 hl(d, lvl, tr) AS (
   SELECT d, cents * 10000, CAST(0 AS BIGINT) FROM daily WHERE d = 1
@@ -227,8 +230,13 @@ FROM hl
 """
 
 
-_HOLT_DAY_DUCK = "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) + 1"
-_HOLT_DAY_SPARK = "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) + 1"
+# day index anchored at the DATA's own min(ts) (via the `mn` CTE), not a
+# literal date: a literal rots if the fixture is regenerated with a new
+# start date, and the recursion's seed (WHERE d = 1) would then match
+# nothing — a silent vacuous pass (ADVICE r03). test_properties.py
+# additionally asserts the result is non-empty.
+_HOLT_DAY_DUCK = "CAST(date_diff('day', d0, CAST(ts AS DATE)) AS BIGINT) + 1"
+_HOLT_DAY_SPARK = "CAST(datediff(CAST(ts AS DATE), d0) AS BIGINT) + 1"
 
 
 @query("time_holt_linear", oracle=_holt_sql("events", _HOLT_DAY_DUCK, "//"), tier="ext")

@@ -32,6 +32,25 @@ from datapipeline_scripts_spark.catalog import load_table, table_path
 from datapipeline_scripts_spark.registry import query
 
 
+def _stamp_slice_order(slice_dirs: list[str]) -> None:
+    """Give every file under each slice directory a strictly-increasing
+    mtime (1 s apart, oldest first, anchored 1 h in the past so files
+    the query itself writes later can never sort earlier than the
+    input). The file-stream source orders files by modification time;
+    a write-then-sleep dance is nondeterministic on filesystems with
+    coarse (1 s) mtime granularity (ADVICE r03), so the timestamps are
+    set explicitly after the writes instead."""
+    import os
+    import time
+
+    base = time.time() - 3600.0
+    for i, d in enumerate(slice_dirs):
+        ts = base + i
+        for dirpath, _dirs, files in os.walk(d):
+            for name in files:
+                os.utime(os.path.join(dirpath, name), (ts, ts))
+
+
 def _replay_to_parquet(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     scratch parquet sink and return the materialized result.
@@ -51,7 +70,13 @@ def _replay_to_parquet(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFr
     # shuffle default. 8 here cuts the fixture replay ~40% (measured
     # 2.97→1.65 s events_stream_session at sf0.1); a production job sets
     # SPARK_GRAFT_STREAM_SHUFFLE to its cluster-appropriate width. The
-    # conf is restored after the (synchronous) replay finishes.
+    # conf is restored after the (synchronous) replay finishes. NOTE:
+    # spark.conf is session-global, so a batch query running CONCURRENTLY
+    # on this SparkSession during the replay would inherit the narrow
+    # setting — the harness is single-threaded per session, which is the
+    # assumption this override relies on (ADVICE r03); a server-style
+    # deployment must give replays their own spark.newSession() whose
+    # conf overlay is isolated from sibling sessions.
     import os as _os
 
     sess = sdf.sparkSession
@@ -564,17 +589,16 @@ def events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="spark_stream_late_")
     try:
         cols = e.columns
-        import time as _time
-
-        for i, sl in enumerate(slices):
-            sl.select(*cols).coalesce(1).write.parquet(os.path.join(root, f"s{i}"))
-            _time.sleep(0.05)  # unambiguous mtime order for the file source
+        slice_dirs = [os.path.join(root, "slices", f"s{i}") for i in range(len(slices))]
+        for sl, d in zip(slices, slice_dirs):
+            sl.select(*cols).coalesce(1).write.parquet(d)
+        _stamp_slice_order(slice_dirs)
         stream = (
-            spark.readStream.schema(spark.read.parquet(os.path.join(root, "s0")).schema)
+            spark.readStream.schema(spark.read.parquet(slice_dirs[0]).schema)
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
             .option("pathGlobFilter", "part-*")
-            .parquet(root)
+            .parquet(os.path.join(root, "slices"))
         )
         agg = (
             stream.withWatermark("ts", "10 minutes")
@@ -632,7 +656,6 @@ def events_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time as _time
 
     e = load_table(spark, sf_dir, "events")
     w = Window.orderBy("ts", "event_id")
@@ -652,15 +675,20 @@ def events_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="spark_stream_upd_")
     try:
         cols = e.columns
-        for i, sl in enumerate(slices):
-            sl.select(*cols).coalesce(1).write.parquet(os.path.join(root, f"s{i}"))
-            _time.sleep(0.05)
+        # slices live under their own subdirectory so the source can
+        # never see the foreachBatch sink's part-* output below `log`
+        # (ADVICE r03: safe today only because availableNow snapshots
+        # the file list at start; a checkpoint restart would self-ingest)
+        slice_dirs = [os.path.join(root, "slices", f"s{i}") for i in range(len(slices))]
+        for sl, d in zip(slices, slice_dirs):
+            sl.select(*cols).coalesce(1).write.parquet(d)
+        _stamp_slice_order(slice_dirs)
         stream = (
-            spark.readStream.schema(spark.read.parquet(os.path.join(root, "s0")).schema)
+            spark.readStream.schema(spark.read.parquet(slice_dirs[0]).schema)
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
             .option("pathGlobFilter", "part-*")
-            .parquet(root)
+            .parquet(os.path.join(root, "slices"))
         )
         agg = (
             stream.withWatermark("ts", "10 minutes")
@@ -743,7 +771,6 @@ def events_stream_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time as _time
 
     e = load_table(spark, sf_dir, "events")
     w = Window.orderBy("ts", "event_id")
@@ -771,7 +798,11 @@ def events_stream_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             sl.filter(F.col("event_type") == "click").coalesce(1).write.parquet(
                 os.path.join(root, "right", f"s{i}")
             )
-            _time.sleep(0.05)
+        # lockstep delivery: slice i gets the same explicit mtime rank on
+        # both sides, so each source's mtime-ordered 4-trigger replay
+        # stays coordinated
+        _stamp_slice_order([os.path.join(root, "left", f"s{i}") for i in range(len(slice_preds))])
+        _stamp_slice_order([os.path.join(root, "right", f"s{i}") for i in range(len(slice_preds))])
 
         def _src(side: str) -> DataFrame:
             return (

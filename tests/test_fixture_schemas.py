@@ -105,3 +105,64 @@ def test_fixture_nonempty(spark, sf_dir, table):
     # a regenerated-but-empty fixture would green-wash every oracle
     # (0 rows == 0 rows); require actual data
     assert load_table(spark, sf_dir, table).limit(1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprints (VERDICT r03 item 3): the schema guard above catches
+# dtype drift, but a fixture REGENERATION with the same schema and different
+# values would silently flip not-yet-driver-proven keys red in the driver's
+# next run. Fingerprint = (row count, sum of each row's md5-derived 48-bit
+# int) — order-insensitive, value-exact, stable across DuckDB versions
+# (md5 is specified; struct→text rendering is pinned by the values below —
+# if THAT ever shifts, this test fails loudly too, which is the point:
+# any change to /root/testdata content must be noticed, never discovered
+# via a red CORRECTNESS row).
+_CONTENT_FP = {
+    "/root/testdata/sf0.001": {
+        "customer": (150, 21670157456555865),
+        "documents": (500, 68109008863441952),
+        "embeddings": (500, 70543585968586012),
+        "events": (1000, 142781260452233221),
+        "lineitem": (6000, 848207706809276186),
+        "nation": (25, 3700710569055916),
+        "orders": (1500, 216410460567556739),
+        "part": (200, 27025206807496926),
+        "region": (5, 456347259059421),
+        "supplier": (10, 1702436148514735),
+    },
+    "/root/testdata/sf0.01": {
+        "customer": (1500, 206086443277054044),
+        "documents": (500, 70472263032308818),
+        "embeddings": (500, 72491476999259410),
+        "events": (10000, 1421271886709211442),
+        "lineitem": (60000, 8418928966843352350),
+        "nation": (25, 3700710569055916),
+        "orders": (15000, 2118631126500469026),
+        "part": (2000, 280864998489074840),
+        "region": (5, 456347259059421),
+        "supplier": (100, 14257846071374805),
+    },
+}
+
+
+@pytest.mark.parametrize("sf_path", sorted(_CONTENT_FP))
+def test_fixture_content_fingerprint(sf_path):
+    import os
+
+    import duckdb
+
+    if not os.path.isdir(sf_path):
+        pytest.skip(f"{sf_path} not present")
+    con = duckdb.connect()
+    for table, (exp_n, exp_fp) in sorted(_CONTENT_FP[sf_path].items()):
+        n, fp = con.execute(
+            "SELECT count(*), CAST(coalesce(sum(CAST(('0x' || "
+            "substr(md5(CAST(t AS TEXT)), 1, 12)) AS BIGINT)), 0) AS BIGINT) "
+            f"FROM read_parquet('{sf_path}/{table}.parquet') t"
+        ).fetchone()
+        assert (n, fp) == (exp_n, exp_fp), (
+            f"/root/testdata CONTENT changed for {table!r} under {sf_path} "
+            f"(got n={n} fp={fp}, recorded n={exp_n} fp={exp_fp}): re-verify "
+            "every unproven query key against the new fixtures and re-record "
+            "these fingerprints — do NOT assume prior green runs still hold"
+        )

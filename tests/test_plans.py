@@ -785,3 +785,67 @@ def test_events_ab_did_broadcast_bounds_only(spark, sf_dir):
     df = get("events_ab_did").build(spark, sf_dir)
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, joins
+
+
+def test_stats_spearman_broadcast_rank_maps_keyed_windows(spark, sf_dir):
+    """The rank maps (≤|distinct values| rows per flag) broadcast back
+    onto the pair stream as hash joins, the cumulative-histogram
+    windows are keyed by flag, and nothing plans as a cartesian or
+    nested-loop product (VERDICT r03 item 5)."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("stats_spearman").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 2, joins
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+    plan = simple_plan(df)
+    # both cumulative-histogram windows shuffle on flag, never globally
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_orders_customer_migration_keyed_join_tiny_matrix(spark, sf_dir):
+    """The migration join is a keyed equi-join on customer; the only
+    nested-loop product broadcasts the 1-row matrix total (the
+    scalar-broadcast idiom); the quintile windows rank the
+    per-(customer, year) AGGREGATE, never raw orders (VERDICT r03
+    item 5)."""
+    from datapipeline_scripts_spark.plans.audit import simple_plan
+
+    df = get("orders_customer_migration").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    # ntile windows must sit ABOVE the spend hash aggregate in the plan:
+    # the aggregate collapses orders → (customer, year) before any sort
+    import re as _re
+
+    plan = simple_plan(df)
+    # exactly 2 ntile passes + 1 bounded share window — a crossJoin-total
+    # formulation would duplicate the quintile subtree to 4 ntile windows
+    assert len(_re.findall(r"[+:]- Window ", plan)) == 3, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_graph_clustering_coeff_all_equi_joins(spark, sf_dir):
+    """Every triangle-enumeration leg and the degree/label stitches are
+    hash equi-joins on endpoints — no cartesian, no nested loop
+    anywhere (VERDICT r03 item 5)."""
+    df = get("graph_clustering_coeff").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_quality_cross_field_pruned_scans_keyed_join(spark, sf_dir):
+    """The reconciliation reads exactly the reconciliation columns from
+    each side (scan pruning) and stitches them with one keyed
+    equi-join — no cartesian (VERDICT r03 item 5)."""
+    df = get("quality_cross_field").build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+    schemas = read_schemas(df)
+    li_cols = next(s for s in schemas if "l_orderkey" in s)
+    o_cols = next(s for s in schemas if "o_orderkey" in s)
+    assert sorted(li_cols) == ["l_extendedprice", "l_orderkey"], li_cols
+    assert sorted(o_cols) == ["o_orderkey", "o_totalprice"], o_cols

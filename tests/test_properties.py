@@ -213,3 +213,19 @@ def test_advanced_stats_are_partition_invariant(spark, sf_dir):
             assert results[0] == results[1] == results[2], f"{key} drifted with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_holt_linear_seed_is_data_anchored(spark, sf_dir):
+    """time_holt_linear's recursion seeds at day index 1 = the DATA's
+    min(ts) date (the `mn` CTE), so a fixture regeneration with a new
+    start date cannot silently empty the seed (ADVICE r03: the old
+    literal-date anchor would have made both engines return 0 rows —
+    a vacuous hash match). Non-empty output + the seed row's zero
+    initial trend are the load-bearing assertions."""
+    from datapipeline_scripts_spark.registry import get
+
+    rows = _rows(get("time_holt_linear").build(spark, sf_dir))
+    assert len(rows) > 0, "holt recursion seeded nothing — day-index anchor broken"
+    by_idx = {r[0]: r for r in rows}
+    assert 1 in by_idx, "day index 1 (min(ts) day) missing from recursion output"
+    assert by_idx[1][2] == 0, "seed row must start with zero trend state"
