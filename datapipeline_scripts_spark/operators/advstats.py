@@ -167,6 +167,8 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("death").cast("long").alias("deaths"),
         F.count("*").cast("long").alias("n_ending"),
     )
+    # bounded-domain global windows: input is the per-duration aggregate
+    # (|distinct durations| rows), not per-subject lifetimes
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w_prev = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, 0)
@@ -254,6 +256,8 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("rev_cents"), F.asc("l_partkey")
     ).rowsBetween(Window.unboundedPreceding, 0)
     local = ranked.withColumn("local_cum", F.sum("rev_cents").over(w_local))
+    # bounded-domain global window: one row per input PARTITION (pid),
+    # i.e. shuffle-width-many rows — the distributed-prefix-sum stitch
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         ranked.groupBy("pid")
@@ -385,6 +389,8 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean_c = F.col("s").cast("double") / F.col("n")
+    # bounded-domain global window: ranks the 64 bootstrap replicate
+    # means (64 rows at ANY corpus size)
     w_rank = Window.orderBy(mean_c, F.col("b"))
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = reps.select(
@@ -732,6 +738,7 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("c2"),
     )
+    # bounded-domain global window: runs over |value bins| rows
     w_prev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     cum = bins.select(
         "c1",
@@ -1688,6 +1695,7 @@ def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.step_no", "s.step", "s.delta_cents")
+    # bounded-domain global window: exactly 3 waterfall steps
     w = Window.orderBy("step_no").rowsBetween(Window.unboundedPreceding, 0)
     return steps.select(
         F.col("step_no").cast("long").alias("step_no"),
@@ -2084,6 +2092,7 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("errors"),
         F.count("*").cast("long").alias("total"),
     )
+    # bounded-domain global window: runs over the |days| daily series
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "day",
@@ -2750,6 +2759,9 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
     )
+    # global ntile over the |customers|-sized spend aggregate (never raw
+    # orders); at extreme |customers| the exact substitution is the
+    # range-partitioned prefix-sum rank (orders_abc_pareto pattern)
     w = Window.orderBy("cents", "c")
     qa = spend.filter(F.col("yr") == 1998).select("c", F.ntile(5).over(w).alias("q_1998"))
     qb = spend.filter(F.col("yr") == 1999).select("c", F.ntile(5).over(w).alias("q_1999"))

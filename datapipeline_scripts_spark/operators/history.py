@@ -263,6 +263,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
         )
     )
+    # bounded-domain global window: input is the per-BIN aggregate
+    # (|value bins| rows), never the event stream
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = pts.select(
         F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
@@ -874,6 +876,7 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count("*").cast("long").alias("n_days"), F.sum("y").cast("long").alias("total")
     )
+    # bounded-domain global window: runs over the |days| daily series
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pre = (
         daily.crossJoin(F.broadcast(tot))

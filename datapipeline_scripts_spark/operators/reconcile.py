@@ -171,6 +171,8 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("long").alias("max_cnt"),
     )
     dist = per_key.groupBy("cnt").agg(F.count("*").cast("long").alias("freq"))
+    # bounded-domain global window: input is the |distinct count values|
+    # histogram, not the per-key rows
     cum = dist.withColumn(
         "cumfreq",
         F.sum("freq").over(Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)),

@@ -658,6 +658,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon_cents",
         )
     )
+    # global ntile windows over the |users|-sized RFM aggregate (never
+    # raw events); at extreme |users| the exact substitution is the
+    # range-partitioned prefix-sum rank (orders_abc_pareto pattern)
     wr = Window.orderBy(F.col("rec_days").asc(), F.col("user_id"))
     wf = Window.orderBy(F.col("freq").desc(), F.col("user_id"))
     wm = Window.orderBy(F.col("mon_cents").desc(), F.col("user_id"))

@@ -658,6 +658,9 @@ def events_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = load_table(spark, sf_dir, "events")
+    # global rank window builds the TEST HARNESS's slice files only —
+    # not part of the streaming plan under test (a production source
+    # is already multi-batch)
     w = Window.orderBy("ts", "event_id")
     ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
         "n",
@@ -773,6 +776,9 @@ def events_stream_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = load_table(spark, sf_dir, "events")
+    # global rank window builds the TEST HARNESS's slice files only —
+    # not part of the streaming plan under test (a production source
+    # is already multi-batch)
     w = Window.orderBy("ts", "event_id")
     ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
         "n",
