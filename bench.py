@@ -133,6 +133,12 @@ def main() -> None:
         "sf": float(sf) if sf else sf_dir,
     }
     out.update(_shared_set_vs_previous(timings))
+    # one-line drift context for readers of BENCH_r*.json: raw
+    # cross-round ratios on this VM conflate code and box; see
+    # docs/BENCH_NOTES.md for the controlled same-box attribution
+    # (r4: box 1.5x slower than at r02's recording; code-for-code,
+    # r4 is 0.77x r2's time on the shared 36-key set)
+    out["bench_note"] = "cross-round ratios include VM drift; docs/BENCH_NOTES.md has the same-box code-for-code attribution"
     print(json.dumps(out), flush=True)
 
 
@@ -152,25 +158,41 @@ def _shared_set_vs_previous(timings: dict[str, float]) -> dict:
     )
     if not prior:
         return {}
-    try:
-        with open(prior[-1]) as fh:
-            prev = json.load(fh)
-        # the driver wraps our JSON line under "parsed" in BENCH_r*.json
-        prev_q = prev.get("parsed", prev).get("queries", {})
-        shared = sorted(set(prev_q) & set(timings))
-        if not shared:
-            return {}
-        cur_total = round(sum(timings[k] for k in shared), 3)
-        prev_total = round(sum(prev_q[k] for k in shared), 3)
-        return {
-            "shared_set_baseline": os.path.basename(prior[-1]),
-            "shared_set_keys": len(shared),
-            "shared_set_total": cur_total,
-            "shared_set_prev_total": prev_total,
-            "shared_set_ratio": round(cur_total / prev_total, 3) if prev_total else None,
-        }
-    except Exception:
-        return {}
+    out: dict = {}
+    # ratio vs EVERY prior round (VERDICT r03 item 4: two consecutive
+    # uniform inflations need the cumulative trend visible, not just the
+    # last-round ratio), each over the key set shared with THAT round
+    history: dict[str, float] = {}
+    for path in prior:
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+            # the driver wraps our JSON line under "parsed" in BENCH_r*.json
+            prev_q = prev.get("parsed", prev).get("queries", {})
+            shared = sorted(set(prev_q) & set(timings))
+            if not shared:
+                continue
+            cur_total = round(sum(timings[k] for k in shared), 3)
+            prev_total = round(sum(prev_q[k] for k in shared), 3)
+            if prev_total:
+                history[os.path.basename(path)] = round(cur_total / prev_total, 3)
+            if path == prior[-1]:
+                out.update(
+                    {
+                        "shared_set_baseline": os.path.basename(path),
+                        "shared_set_keys": len(shared),
+                        "shared_set_total": cur_total,
+                        "shared_set_prev_total": prev_total,
+                        "shared_set_ratio": round(cur_total / prev_total, 3)
+                        if prev_total
+                        else None,
+                    }
+                )
+        except Exception:
+            continue
+    if history:
+        out["shared_set_ratios"] = history
+    return out
 
 
 if __name__ == "__main__":

@@ -106,6 +106,33 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_incremental_agg_refresh(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> DataFrame:
+    """Write the base partial-aggregate state under `state_dir` and
+    return the LAZY refreshed plan (state scan + delta scan, exactly
+    two FileScans — test_plans asserts this shape). Callers own the
+    lifetime of `state_dir` while the returned plan is unmaterialized;
+    a real nightly rollup keeps it as its managed state table."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+    state = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_state"),
+    )
+    state(o.filter(F.col("o_orderdate") < cutoff)).write.mode("overwrite").parquet(state_dir)
+    base = spark.read.parquet(state_dir)  # materialized: base rows never rescanned
+    delta = state(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.round(F.sum("sum_state"), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
 @query(
     "incremental_agg_refresh",
     oracle="""
@@ -132,33 +159,16 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same one the sketch rollups apply to non-algebraic
     metrics."""
     import os
+    import shutil as _sh
     import tempfile as _tf
 
-    o = load_table(spark, sf_dir, "orders")
-    cutoff = "1997-01-01"
-    state = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
-        F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_state"),
-    )
     out = os.path.join(
         _tf.gettempdir(),
         f"spark_graft_incragg_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{spark.sparkContext.applicationId}",
     )
-    import shutil as _sh
-
     try:
-        state(o.filter(F.col("o_orderdate") < cutoff)).write.mode("overwrite").parquet(out)
-        base = spark.read.parquet(out)  # materialized: base rows never rescanned
-        delta = state(o.filter(F.col("o_orderdate") >= cutoff))
-        merged = (
-            base.unionByName(delta)
-            .groupBy("o_orderstatus")
-            .agg(
-                F.sum("n_orders").cast("long").alias("n_orders"),
-                F.round(F.sum("sum_state"), 2).cast("double").alias("sum_price"),
-            )
-        )
+        merged = build_incremental_agg_refresh(spark, sf_dir, out)
         # localCheckpoint materializes the (tiny, per-status) result so the
         # scratch state dir is deletable immediately — repeated runs across
         # applications no longer accumulate orphans (ADVICE r03). A real

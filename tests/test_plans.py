@@ -399,10 +399,15 @@ def test_zorder_write_reads_back_pruned(spark, sf_dir):
     assert "l_partkey" in pushed and "l_suppkey" in pushed
 
 
-def test_incremental_refresh_never_rescans_base_rows(spark, sf_dir):
+def test_incremental_refresh_never_rescans_base_rows(spark, sf_dir, tmp_path):
     # the refreshed plan reads the materialized state file + the delta
-    # slice of orders — exactly two parquet scans, no third
-    df = get("incremental_agg_refresh").build(spark, sf_dir)
+    # slice of orders — exactly two parquet scans, no third. Inspect the
+    # LAZY builder form: the registered query localCheckpoints the result
+    # (so it can delete its scratch state dir, ADVICE r03), which replaces
+    # the plan with an RDD scan and would hide the shape under audit.
+    from datapipeline_scripts_spark.operators.cdc import build_incremental_agg_refresh
+
+    df = build_incremental_agg_refresh(spark, sf_dir, str(tmp_path / "state"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 2, plan
 
@@ -849,3 +854,52 @@ def test_quality_cross_field_pruned_scans_keyed_join(spark, sf_dir):
     o_cols = next(s for s in schemas if "o_orderkey" in s)
     assert sorted(li_cols) == ["l_extendedprice", "l_orderkey"], li_cols
     assert sorted(o_cols) == ["o_orderkey", "o_totalprice"], o_cols
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "key",
+    [
+        # pair-generating / join-heavy round-3 keys: a cartesian or
+        # nested-loop product in ANY of these is a 100 TB scale-killer,
+        # so lock the equi-join shape in (round-4 widening of the
+        # VERDICT r03 item-5 idiom)
+        "dedup_containment",
+        "dedup_cross_source",
+        "dedup_incremental",
+        "dedup_paragraphs",
+        "dedup_prefix",
+        "multimodal_phash_dedup",
+        "graph_triangle_oriented",
+        "graph_degree_stats",
+        "feature_hashing",
+        "events_markov_transitions",
+    ],
+)
+def test_r3_pair_generators_have_no_product_joins(spark, sf_dir, key):
+    df = get(key).build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, (key, joins)
+    assert "BroadcastNestedLoopJoin" not in joins, (key, joins)
+
+
+@_pytest.mark.parametrize(
+    "key,max_bnlj",
+    [
+        # these two use the deliberate bounded-broadcast nested-loop
+        # idiom exactly once: orders_market_basket broadcasts its 1-row
+        # basket-count aggregate; knn_pq broadcasts the |queries|-sized
+        # probe set against candidates (candidates never self-join).
+        # Lock in: never a CartesianProduct, never MORE than the one
+        # intended broadcast product.
+        ("orders_market_basket", 1),
+        ("knn_pq", 1),
+    ],
+)
+def test_r3_bounded_broadcast_products_stay_bounded(spark, sf_dir, key, max_bnlj):
+    df = get(key).build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, (key, joins)
+    assert joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (key, joins)
