@@ -16,7 +16,16 @@ from datapipeline_scripts_spark.session import get_spark
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    # accept both comma- and space-separated key lists; an unknown key is
+    # a loud error, not a silent no-op (a typo'd key must never look like
+    # a passing check)
+    only = (
+        {k for arg in sys.argv[2:] for k in arg.split(",") if k} if len(sys.argv) > 2 else None
+    )
+    if only:
+        unknown = only - set(all_queries())
+        if unknown:
+            raise SystemExit(f"unknown query key(s): {sorted(unknown)}")
     spark = get_spark("check_all")
     failures = 0
     for key in sorted(all_queries()):
@@ -32,7 +41,8 @@ def main() -> int:
             failures += 1
             msg = str(exc).splitlines()[0][:300]
             print(f"{time.time() - t0:6.1f}s [ERR ] {key}: {msg}", flush=True)
-    print(f"done: {failures} failures / {len(all_queries())} queries", flush=True)
+    n_checked = len(only) if only else len(all_queries())
+    print(f"done: {failures} failures / {n_checked} queries checked", flush=True)
     return 1 if failures else 0
 
 
