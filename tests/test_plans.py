@@ -903,3 +903,42 @@ def test_r3_bounded_broadcast_products_stay_bounded(spark, sf_dir, key, max_bnlj
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, (key, joins)
     assert joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (key, joins)
+
+
+@_pytest.mark.parametrize(
+    "key,max_bnlj",
+    [
+        # round-4 sweep over the remaining join-bearing r3 keys: never a
+        # CartesianProduct, and the scalar-broadcast nested-loop count is
+        # pinned to today's plan (a new unbounded product would raise it)
+        ("events_time_to_convert", 0),
+        ("events_growth_accounting", 2),
+        ("orders_reorder_interval", 0),
+        ("orders_ltv_cohorts", 0),
+        ("scd2_merge_incremental", 0),
+        ("scd2_history", 0),
+        ("time_business_day_latency", 0),
+        ("quality_sequence_gaps", 0),
+        ("stats_mannwhitney", 1),
+        ("stats_linreg_multi", 0),
+        ("orders_dow_seasonality", 1),
+        ("orders_duplicate_audit", 0),
+        ("events_ab_cuped", 1),
+        ("events_ab_srm_check", 0),
+        ("supplier_scorecard", 0),
+        ("orders_revenue_waterfall", 0),
+        ("time_period_over_period", 0),
+        ("orders_backlog_aging", 3),
+        ("events_hhi_concentration", 0),
+        ("stats_power_analysis", 0),
+        ("stats_cusum_drift", 1),
+        ("time_seasonal_decompose", 0),
+        ("events_burstiness", 0),
+        ("quality_freshness_sla", 1),
+    ],
+)
+def test_r3_join_keys_product_join_budget(spark, sf_dir, key, max_bnlj):
+    df = get(key).build(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, (key, joins)
+    assert joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (key, joins)
