@@ -229,3 +229,35 @@ def test_holt_linear_seed_is_data_anchored(spark, sf_dir):
     by_idx = {r[0]: r for r in rows}
     assert 1 in by_idx, "day index 1 (min(ts) day) missing from recursion output"
     assert by_idx[1][2] == 0, "seed row must start with zero trend state"
+
+
+def test_late_r3_stats_are_partition_invariant(spark, sf_dir):
+    """Round-4 widening of the partition-invariance contract to the
+    late-round-3 statistics: Spearman's histogram-derived ranks, the
+    Mann-Whitney rank sums, Theil-Sen's median-of-slopes, CUSUM's
+    ordered drift scan, the CUPED/DiD experiment adjustments, and the
+    deterministic migration-matrix quintiles must all be bit-identical
+    for ANY shuffle width — each is built on integer-quantized,
+    order-independent aggregation, and a drift here would show up as a
+    cross-engine hash mismatch at some future scale factor."""
+    from datapipeline_scripts_spark.registry import get
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for key in (
+            "stats_spearman",
+            "stats_mannwhitney",
+            "stats_theil_sen",
+            "stats_cusum_drift",
+            "events_ab_cuped",
+            "events_ab_did",
+            "orders_customer_migration",
+            "stats_power_analysis",
+        ):
+            results = []
+            for n in ("1", "7", "64"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.append(_rows(get(key).build(spark, sf_dir)))
+            assert results[0] == results[1] == results[2], f"{key} drifted with shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
