@@ -101,7 +101,8 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                              AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -139,11 +140,23 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name")
     )
     o_red = o.join(dim, o.o_custkey == dim.c_custkey).select("o_orderkey", "n_name")
+    # revenue accumulates in exact 1e-4-dollar integer units (price has
+    # 2 dp, discount 2 dp → the product is exact at 4 dp): a plain double
+    # sum diverges across engines' addend orders at 0.005 boundaries once
+    # the group is big enough (first seen at the 6M-row scale proxy —
+    # docs/SCALE_EXPERIMENT.md); the final display value divides the
+    # identical bigint on both engines, so rounding agrees bit-for-bit
     return (
         li.join(o_red, li.l_orderkey == o_red.o_orderkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+                ).cast("double")
+                / 10000,
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -25,7 +25,15 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     matching the driver's pre-registered views."""
     con = duckdb.connect()
     for name in TABLES:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'")
+        path = table_path(sf_dir, name)
+        # fixtures are single files, but Spark-written tables (e.g. the
+        # scale-proxy datasets) are DIRECTORIES of part files — glob those
+        # so the oracle runs on either layout
+        import os as _os
+
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

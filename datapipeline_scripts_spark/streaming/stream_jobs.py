@@ -112,15 +112,23 @@ def _replay_to_parquet(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFr
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema from the batch read;
     the ns→µs conversion is applied identically)."""
+    import os
+
     batch = load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    # the file-stream source needs a directory; glob-filter to the events
-    # file within the scale-factor dir
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written table (e.g. the scale proxies): the table IS a
+        # directory of part files — stream it directly
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # driver fixture layout: single file inside the scale-factor dir;
+        # the file-stream source needs a directory, so glob-filter to it
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream.select(*batch.columns)
