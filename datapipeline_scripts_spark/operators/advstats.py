@@ -2458,8 +2458,16 @@ def _linreg_sql(table: str, big: str, div: str) -> str:
     (bounds checked at sf0.1: max |s2y| ~ 6e15 < 2^63); the Cramer
     determinants expand in {big} (int128-class) arithmetic, and the
     final coefficients come out as *integer 1e-4 units* via truncating
-    division — no double ever enters, so both engines agree bit-exactly
-    (max |det0 * 10000| ~ 5.4e37 < 1e38, inside DECIMAL(38,0))."""
+    division — no double ever enters, so both engines agree bit-exactly.
+    The x1e4 scaling uses the quotient/remainder split
+    q*1e4 + (r*1e4)/det (an exact identity under truncation toward
+    zero, which both dialects share) so the 128-bit determinant is
+    never multiplied by 1e4 directly: the naive det0*10000 overflowed
+    INT128 at the 6M-row scale proxy (det0 ~ 2e34 there, growing
+    ~cubically in n); the split form keeps headroom to |det*| < 1.7e38
+    itself, i.e. ~60M rows on this value distribution — past that,
+    center the predictors first (the covariance form drops the
+    n*mean^3-scale terms)."""
     return f"""
 WITH su AS (
   SELECT CAST(count(*) AS {big}) AS n,
@@ -2489,9 +2497,12 @@ dets AS (
   FROM su
 )
 SELECT CAST(n AS BIGINT) AS n,
-       CAST((det0 * 10000) {div} det AS BIGINT) AS intercept_cents_x1e4,
-       CAST((det1 * 10000) {div} det AS BIGINT) AS qty_slope_x1e4,
-       CAST((det2 * 10000) {div} det AS BIGINT) AS discount_slope_x1e4
+       CAST((det0 {div} det) * 10000 + ((det0 % det) * 10000) {div} det
+            AS BIGINT) AS intercept_cents_x1e4,
+       CAST((det1 {div} det) * 10000 + ((det1 % det) * 10000) {div} det
+            AS BIGINT) AS qty_slope_x1e4,
+       CAST((det2 {div} det) * 10000 + ((det2 % det) * 10000) {div} det
+            AS BIGINT) AS discount_slope_x1e4
 FROM dets
 """
 

@@ -844,15 +844,17 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_suppkey AS suppkey,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rev_1e4
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
       GROUP BY 1
     )
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           round(CAST(rev_1e4 AS DOUBLE) / 10000, 2) AS total_revenue
     FROM supplier JOIN rev ON s_suppkey = suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    WHERE rev_1e4 = (SELECT max(rev_1e4) FROM rev)
     ORDER BY s_suppkey
     """,
 )
@@ -867,18 +869,30 @@ def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
+    # revenue in exact 1e-4-dollar integer units: "= max" over double
+    # sums is engine-order-dependent once true revenues tie (the 10x
+    # scale proxy surfaced different tie SETS per engine) — the bigint
+    # makes the tie set identical everywhere; display divides at the end
     rev = (
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("rev_1e4")
+        )
         .localCheckpoint()  # shared by the row set and the scalar max
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    mx = rev.agg(F.max("rev_1e4").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
     return (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        .filter(F.col("rev_1e4") == F.col("mx"))
         .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_1e4").cast("double") / 10000, 2).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
