@@ -244,7 +244,8 @@ def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.user_id,
            count(*) AS n_pairs,
-           round(sum(o.o_totalprice), 2) AS sum_price
+           round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS sum_price
     FROM events e JOIN orders o ON e.user_id = o.o_custkey
     GROUP BY e.user_id
     """,
@@ -268,7 +269,16 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(o, (e.user_id == o.o_custkey) & (e.salt == o.salt))
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_pairs"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        # exact cents accumulation (the join_star precedent): a double sum
+        # over the fanned-out pairs diverges across engines' addend orders
+        # at rounding boundaries once groups get big (seen at the 60M-row
+        # proxy); the display value divides the identical bigint
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100, 2
+            ).alias("sum_price"),
+        )
     )
 
 
