@@ -2654,7 +2654,7 @@ yrank AS (
 d2 AS (
   SELECT p.flag,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum((xr.r2 - yr.r2) * (xr.r2 - yr.r2)) AS BIGINT) AS sd2
+         sum(CAST(xr.r2 - yr.r2 AS HUGEINT) * (xr.r2 - yr.r2)) AS sd2
   FROM pairs p
   JOIN xrank xr ON p.flag = xr.flag AND p.x = xr.x
   JOIN yrank yr ON p.flag = yr.flag AND p.y = yr.y
@@ -2704,9 +2704,15 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum((F.col("r2_x") - F.col("r2_y")) * (F.col("r2_x") - F.col("r2_y")))
-            .cast("long")
-            .alias("sd2"),
+            # sd2 accumulates in 128-bit: per-term d^2 fits int64 (~1.4e16
+            # at 60M rows) but the SUM overflows it (~8.6e23 measured at
+            # the 60M-row proxy) — DECIMAL(38,0) here, HUGEINT in the
+            # oracle, and the final ratio already ran in int128
+            F.sum(
+                ((F.col("r2_x") - F.col("r2_y")) * (F.col("r2_x") - F.col("r2_y"))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sd2"),
         )
     )
     return d2.selectExpr(

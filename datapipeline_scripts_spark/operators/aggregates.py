@@ -957,7 +957,7 @@ g AS (
   SELECT o_orderstatus,
          count(*) AS n,
          CAST(sum(cents) AS BIGINT) AS total_cents,
-         CAST(sum(i * cents) AS BIGINT) AS weighted
+         sum(CAST(i AS HUGEINT) * cents) AS weighted
   FROM ranked GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, n, total_cents,
@@ -993,7 +993,10 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ranked.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total_cents"),
-        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+        # weighted rank-sum in 128-bit: each i*cents term fits int64, the
+        # SUM does not past ~10M rows/group (3.6e20 measured at the
+        # 60M-row proxy) — DECIMAL(38,0) here, HUGEINT in the oracle
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("weighted"),
     )
     return g.select(
         "o_orderstatus",
