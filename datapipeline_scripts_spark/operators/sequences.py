@@ -167,14 +167,19 @@ def events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ewma",
-    oracle="""
+    oracle=f"""
+    WITH capped AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS _rn
+      FROM events WHERE user_id % 5 = 0
+    )
     SELECT user_id,
            round(list_reduce(
              list_prepend(0.0, list(value ORDER BY ts, event_id)),
              (acc, x) -> 0.9 * acc + 0.1 * x
            ), 4) AS ewma
-    FROM events
-    WHERE user_id % 5 = 0
+    FROM capped WHERE _rn <= {MAX_EVENTS_PER_USER}
     GROUP BY user_id
     """,
 )
@@ -412,10 +417,16 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_path",
-    oracle="""
-    WITH seq AS (
+    oracle=f"""
+    WITH capped AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS _rn
+      FROM events
+    ),
+    seq AS (
       SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
-      FROM events GROUP BY user_id
+      FROM capped WHERE _rn <= {MAX_EVENTS_PER_USER} GROUP BY user_id
     ),
     tri AS (
       SELECT unnest(types[1:len(types)-2]) AS a,
