@@ -134,10 +134,10 @@ def main() -> None:
     }
     out.update(_shared_set_vs_previous(timings))
     # one-line drift context for readers of BENCH_r*.json: raw
-    # cross-round ratios on this VM conflate code and box; see
-    # docs/BENCH_NOTES.md for the controlled same-box attribution
-    # (r4: box 1.5x slower than at r02's recording; code-for-code,
-    # r4 is 0.77x r2's time on the shared 36-key set)
+    # cross-round ratios on this VM conflate code and box; the
+    # controlled same-box code-for-code attribution method and its
+    # per-round measurements live in docs/BENCH_NOTES.md (ADVICE r04:
+    # no round-specific figures here, they go stale)
     out["bench_note"] = "cross-round ratios include VM drift; docs/BENCH_NOTES.md has the same-box code-for-code attribution"
     print(json.dumps(out), flush=True)
 

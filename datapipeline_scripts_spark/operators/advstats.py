@@ -2454,56 +2454,91 @@ def time_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
 def _linreg_sql(table: str, big: str, div: str) -> str:
     """Two-predictor OLS by Cramer's rule on the 3x3 normal equations —
     one template, two dialects (the stats_pca_power pattern,
-    history.py:388). Every sufficient statistic is an exact int64 sum
-    (bounds checked at sf0.1: max |s2y| ~ 6e15 < 2^63); the Cramer
-    determinants expand in {big} (int128-class) arithmetic, and the
-    final coefficients come out as *integer 1e-4 units* via truncating
-    division — no double ever enters, so both engines agree bit-exactly.
-    The x1e4 scaling uses the quotient/remainder split
-    q*1e4 + (r*1e4)/det (an exact identity under truncation toward
-    zero, which both dialects share) so the 128-bit determinant is
-    never multiplied by 1e4 directly: the naive det0*10000 overflowed
-    INT128 at the 6M-row scale proxy (det0 ~ 2e34 there, growing
-    ~cubically in n); the split form keeps headroom to |det*| < 1.7e38
-    itself, i.e. ~60M rows on this value distribution — past that,
-    center the predictors first (the covariance form drops the
-    n*mean^3-scale terms)."""
+    history.py:388) — in the CENTERED (covariance) form: a first
+    one-row aggregate computes integer pseudo-means (truncated, so both
+    engines agree), every row is shifted by them, and the sufficient
+    statistics accumulate over the shifted values.  The Cramer
+    determinants det/det1/det2 are shift-invariant, so their values are
+    bit-identical to the raw-moment form — but the intermediate
+    expansion terms shrink from n*mean^3 scale to n*covariance scale
+    (the raw form's s1*(s1y*s22) term alone was ~1.8e40 at the 60M-row
+    proxy, past INT128; the shifted form's largest term n*s1y'*s22' is
+    ~1e36 there).  The intercept numerator is recovered exactly via the
+    identity det0_raw = det0' + cy*det - cq*det1 - cd*det2 (same
+    rational det0/det, so outputs are unchanged).  Shifted sums are
+    cast per-term to {big} before summing (s2y' alone passes int64 near
+    1e10 rows).  Ceiling: the dominant n^3-growth term keeps every
+    intermediate under INT128 to ~6e8 rows on this value distribution
+    (vs ~6e7 for the raw form, which errored loudly at the 100x proxy);
+    hash-proven at the 60M-row proxy (docs/SCALE_EXPERIMENT.md).
+
+    Final coefficients come out as *integer 1e-4 units* via truncating
+    division — no double ever enters.  The x1e4 scaling uses a
+    TWO-STAGE quotient/remainder split q*1e4 + (r*100 {div} det)*100 +
+    ((r*100 % det)*100) {div} det (exact under truncation toward zero
+    because quotient and remainder share the dividend's sign, so trunc
+    distributes over the integer part): the single-stage r*1e4 product
+    is bounded by |det|*1e4 and would overflow INT128 once |det| >
+    1.7e34, whereas the two-stage r*100 products are bounded by
+    |det|*100 — safe to |det| < 1.7e36 (ADVICE r04)."""
+
+    def scaled(x: str) -> str:
+        return (
+            f"CAST(({x} {div} det) * 10000"
+            f" + ((({x} % det) * 100) {div} det) * 100"
+            f" + (((({x} % det) * 100) % det) * 100) {div} det"
+            f" AS BIGINT)"
+        )
+
     return f"""
-WITH su AS (
+WITH t AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 10000) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM {table}
+),
+m AS (
   SELECT CAST(count(*) AS {big}) AS n,
-         CAST(sum(q) AS {big}) AS s1,
-         CAST(sum(d) AS {big}) AS s2,
-         CAST(sum(y) AS {big}) AS sy,
-         CAST(sum(q * q) AS {big}) AS s11,
-         CAST(sum(d * d) AS {big}) AS s22,
-         CAST(sum(q * d) AS {big}) AS s12,
-         CAST(sum(q * y) AS {big}) AS s1y,
-         CAST(sum(d * y) AS {big}) AS s2y
-  FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
-               CAST(round(l_discount * 10000) AS BIGINT) AS d,
-               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-        FROM {table}) t
+         CAST(sum(CAST(q AS {big})) {div} count(*) AS BIGINT) AS cq,
+         CAST(sum(CAST(d AS {big})) {div} count(*) AS BIGINT) AS cd,
+         CAST(sum(CAST(y AS {big})) {div} count(*) AS BIGINT) AS cy
+  FROM t
+),
+su AS (
+  SELECT m.n, m.cq, m.cd, m.cy,
+         CAST(sum(q - cq) AS {big}) AS s1,
+         CAST(sum(d - cd) AS {big}) AS s2,
+         CAST(sum(y - cy) AS {big}) AS sy,
+         sum(CAST((q - cq) * (q - cq) AS {big})) AS s11,
+         sum(CAST((d - cd) * (d - cd) AS {big})) AS s22,
+         sum(CAST((q - cq) * (d - cd) AS {big})) AS s12,
+         sum(CAST((q - cq) * (y - cy) AS {big})) AS s1y,
+         sum(CAST((d - cd) * (y - cy) AS {big})) AS s2y
+  FROM t CROSS JOIN m
+  GROUP BY m.n, m.cq, m.cd, m.cy
 ),
 dets AS (
-  SELECT n,
+  SELECT n, cq, cd, cy,
     (n  * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2)
         + s2 * (s1  * s12 - s11 * s2))  AS det,
     (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
-        + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+        + s2 * (s1y * s12 - s11 * s2y)) AS det0s,
     (n  * (s1y * s22 - s12 * s2y) - sy * (s1  * s22 - s12 * s2)
         + s2 * (s1  * s2y - s1y * s2))  AS det1,
     (n  * (s11 * s2y - s1y * s12) - s1 * (s1  * s2y - s1y * s2)
         + sy * (s1  * s12 - s11 * s2))  AS det2
   FROM su
+),
+nums AS (
+  SELECT n, det, det1, det2,
+         (det0s + cy * det - cq * det1 - cd * det2) AS det0
+  FROM dets
 )
 SELECT CAST(n AS BIGINT) AS n,
-       CAST((det0 {div} det) * 10000 + ((det0 % det) * 10000) {div} det
-            AS BIGINT) AS intercept_cents_x1e4,
-       CAST((det1 {div} det) * 10000 + ((det1 % det) * 10000) {div} det
-            AS BIGINT) AS qty_slope_x1e4,
-       CAST((det2 {div} det) * 10000 + ((det2 % det) * 10000) {div} det
-            AS BIGINT) AS discount_slope_x1e4
-FROM dets
+       {scaled('det0')} AS intercept_cents_x1e4,
+       {scaled('det1')} AS qty_slope_x1e4,
+       {scaled('det2')} AS discount_slope_x1e4
+FROM nums
 """
 
 
@@ -2704,14 +2739,17 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(
             F.count("*").cast("long").alias("n"),
-            # sd2 accumulates in 128-bit: per-term d^2 fits int64 (~1.4e16
-            # at 60M rows) but the SUM overflows it (~8.6e23 measured at
-            # the 60M-row proxy) — DECIMAL(38,0) here, HUGEINT in the
-            # oracle, and the final ratio already ran in int128
+            # sd2 accumulates in 128-bit, and the PER-TERM square is also
+            # computed in 128-bit (cast the difference BEFORE squaring —
+            # d can reach 2n in doubled-rank units, so d^2 wraps int64
+            # past ~1.5e9 rows per flag; the oracle's HUGEINT operand
+            # order `CAST(d AS HUGEINT) * d` is mirrored here).  The SUM
+            # itself overflows int64 far earlier (~8.6e23 measured at the
+            # 60M-row proxy) — DECIMAL(38,0) here, HUGEINT in the oracle,
+            # and the final ratio already ran in int128.
             F.sum(
-                ((F.col("r2_x") - F.col("r2_y")) * (F.col("r2_x") - F.col("r2_y"))).cast(
-                    "decimal(38,0)"
-                )
+                (F.col("r2_x") - F.col("r2_y")).cast("decimal(38,0)")
+                * (F.col("r2_x") - F.col("r2_y"))
             ).alias("sd2"),
         )
     )

@@ -825,9 +825,12 @@ def test_orders_customer_migration_keyed_join_tiny_matrix(spark, sf_dir):
     import re as _re
 
     plan = simple_plan(df)
-    # exactly 2 ntile passes + 1 bounded share window — a crossJoin-total
-    # formulation would duplicate the quintile subtree to 4 ntile windows
-    assert len(_re.findall(r"[+:]- Window ", plan)) == 3, plan
+    # at most 2 ntile passes + 1 bounded share window — a crossJoin-total
+    # formulation would duplicate the quintile subtree to 4 ntile windows.
+    # Upper bound, not exact-match: a Spark upgrade that collapses or
+    # re-renders Window nodes must not fail this without a real
+    # regression (ADVICE r04).
+    assert 1 <= len(_re.findall(r"[+:]- Window ", plan)) <= 3, plan
     assert "HashAggregate" in plan, plan
 
 
@@ -920,7 +923,8 @@ def test_r3_bounded_broadcast_products_stay_bounded(spark, sf_dir, key, max_bnlj
         ("time_business_day_latency", 0),
         ("quality_sequence_gaps", 0),
         ("stats_mannwhitney", 1),
-        ("stats_linreg_multi", 0),
+        # r5: centered OLS broadcasts the 1-row pseudo-means aggregate
+        ("stats_linreg_multi", 1),
         ("orders_dow_seasonality", 1),
         ("orders_duplicate_audit", 0),
         ("events_ab_cuped", 1),
