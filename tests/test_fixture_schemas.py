@@ -142,6 +142,22 @@ _CONTENT_FP = {
         "region": (5, 456347259059421),
         "supplier": (100, 14257846071374805),
     },
+    # sf0.1 is the BENCH scale (VERDICT r04 item 6): a silent fixture
+    # regeneration here would skew every cross-round bench comparison,
+    # so it is pinned too. Sums exceed int64 at these row counts, so
+    # fingerprints are the raw HUGEINT row-sums (Python ints).
+    "/root/testdata/sf0.1": {
+        "customer": (15000, 2117754323028189088),
+        "documents": (5000, 697555762266129839),
+        "embeddings": (2000, 282390997789240039),
+        "events": (100000, 14020040023389603495),
+        "lineitem": (600000, 84475957283277904813),
+        "nation": (25, 3700710569055916),
+        "orders": (150000, 21112711338310196708),
+        "part": (20000, 2818240548558826242),
+        "region": (5, 456347259059421),
+        "supplier": (1000, 144470955336104479),
+    },
 }
 
 
@@ -155,9 +171,11 @@ def test_fixture_content_fingerprint(sf_path):
         pytest.skip(f"{sf_path} not present")
     con = duckdb.connect()
     for table, (exp_n, exp_fp) in sorted(_CONTENT_FP[sf_path].items()):
+        # no BIGINT cast on the sum: the per-row terms are 48-bit, so the
+        # sum passes int64 around ~65k rows (sf0.1 events/lineitem do)
         n, fp = con.execute(
-            "SELECT count(*), CAST(coalesce(sum(CAST(('0x' || "
-            "substr(md5(CAST(t AS TEXT)), 1, 12)) AS BIGINT)), 0) AS BIGINT) "
+            "SELECT count(*), coalesce(sum(CAST(('0x' || "
+            "substr(md5(CAST(t AS TEXT)), 1, 12)) AS BIGINT)), 0) "
             f"FROM read_parquet('{sf_path}/{table}.parquet') t"
         ).fetchone()
         assert (n, fp) == (exp_n, exp_fp), (
