@@ -48,6 +48,17 @@ def get_spark(app_name: str = "datapipeline_scripts_spark", **extra_conf: str) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # scan-split granularity: map-stage parallelism is bounded by
+        # input splits, and a compact table whose rows EXPAND downstream
+        # (band-join probes, shingle explodes) can starve the box — the
+        # 100x proxy's 50MB/8-file part table put a 5e9-row band-join
+        # expansion through 8 map tasks. Lower this for such runs
+        # (e.g. SPARK_GRAFT_MAX_PARTITION_BYTES=4194304); on a real
+        # cluster the default 128MB is right because inputs are big.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
