@@ -265,41 +265,49 @@ _TWINS = {
     "text_contamination": twin_text_contamination,
 }
 
-# Keys whose RESULT is too large to distinct/fingerprint in one pass on
-# one box (join_band's 179.5M-pair result expands through a 5e9-row
-# band-probe intermediate whose distinct spill exhausted local disk —
-# twice). Sliced twin: fingerprint disjoint `col % n = k` slices of
-# BOTH engines' results and sum. Exact and exhaustive — distinct
-# commutes with filtering on a row-determined predicate, the md5_48
-# row-sum is associative over the disjoint union, and the slice
-# predicate pushes into both plans (onto the probe-side scan), so each
-# pass spills ~1/n of the single-shot run. On a real cluster the
-# single-shot shuffle is fine (spill spreads across executors); the
-# slicing compensates for ONE box standing in for that cluster.
-_SLICED = {"join_band": ("part_a", 8)}
+# Keys whose RESULT is too large to distinct/fingerprint in one Spark
+# pass on one box. join_band at the 100x proxy emits ~100x the 10x
+# proxy's 179.5M pairs (pair count grows QUADRATICALLY in per-band
+# part density, and the replicated price points make bands dense) —
+# the single-shot distinct's shuffle+spill exhausted local disk twice.
+# Sliced twin: Spark fingerprints disjoint `col % n = k` slices and
+# sums. Exact and exhaustive — distinct commutes with filtering on a
+# row-determined predicate, the md5_48 row-sum is associative over the
+# disjoint union, and the slice predicate pushes onto the probe-side
+# scan, so each pass shuffles ~1/n of the result. DuckDB needs NO
+# slicing: its scalar (count, sum) aggregate STREAMS the join output —
+# nothing is materialized — so the oracle side runs one shot. On a
+# real cluster the single-shot Spark shuffle is fine (spill spreads
+# across executors); slicing compensates for ONE box standing in.
+_SLICED = {"join_band": ("part_a", 32)}
 
 
 def run_sliced(spark, spec, sf_dir: str, col: str, n_slices: int):
     from pyspark.sql import functions as F
 
-    tot = [0, 0, 0, 0]  # spark n, spark fp, oracle n, oracle fp
-    cols_seen = None
+    t0 = time.time()
+    with duck_connection(sf_dir) as con:
+        o_cols, o_cls, o_n, o_fp = _duck_fingerprint(con, spec.oracle)
+    print(f"#   oracle one-shot: {o_n}/{o_fp} ({time.time() - t0:.1f}s)", flush=True)
+    tot_n = tot_fp = 0
     for k in range(n_slices):
+        t0 = time.time()
         sdf = spec.build(spark, sf_dir).filter(F.col(col) % n_slices == k)
         s_cols, s_cls, s_n, s_fp = _spark_fingerprint(sdf)
-        with duck_connection(sf_dir) as con:
-            o_cols, o_cls, o_n, o_fp = _duck_fingerprint(
-                con, f"SELECT * FROM ({spec.oracle}) t WHERE {col} % {n_slices} = {k}"
-            )
         if (s_cols, s_cls) != (o_cols, o_cls):
             raise RuntimeError(f"slice {k}: schema/render mismatch {s_cols} vs {o_cols}")
-        cols_seen = s_cols
-        tot[0] += s_n
-        tot[1] += s_fp
-        tot[2] += o_n
-        tot[3] += o_fp
-        print(f"#   slice {k + 1}/{n_slices}: spark {s_n}/{s_fp} oracle {o_n}/{o_fp}", flush=True)
-    return cols_seen, tuple(tot)
+        tot_n += s_n
+        tot_fp += s_fp
+        print(
+            f"#   slice {k + 1}/{n_slices}: spark {s_n}/{s_fp} ({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+        # nudge ContextCleaner so the finished slice's shuffle files are
+        # deleted before the next slice starts spilling — without this,
+        # per-slice shuffle data accumulates for the whole loop and the
+        # disk headroom the slicing bought is lost again
+        spark.sparkContext._jvm.System.gc()
+    return s_cols, (tot_n, tot_fp, o_n, o_fp)
 
 
 def main() -> int:
