@@ -1,0 +1,56 @@
+"""The scale-bounded oracle twins (scripts/proxy_oracles.py) must stay
+bit-identical to the DECLARED oracles as the code evolves — the 100x
+proofs recorded in docs/SCALE_EXPERIMENT.md rest on that equivalence.
+These tests pin it at sf0.001, where both formulations are cheap.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+from datapipeline_scripts_spark.oracle import (
+    _duck_fingerprint,
+    _spark_fingerprint,
+    duck_connection,
+)
+from datapipeline_scripts_spark.registry import get
+
+_SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+
+
+@pytest.fixture(scope="module")
+def proxy_oracles():
+    spec = importlib.util.spec_from_file_location(
+        "proxy_oracles", os.path.join(_SCRIPTS, "proxy_oracles.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["proxy_oracles"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("key", ["dedup_minhash", "dedup_clusters", "text_contamination"])
+def test_staged_twin_matches_declared_oracle(proxy_oracles, sf_dir, key):
+    """Twin temp-table pipeline == declared one-pipeline oracle, and both
+    == the Spark engine (transitively: twin == engine)."""
+    spec = get(key)
+    with duck_connection(sf_dir) as con:
+        table = proxy_oracles._TWINS[key](con)
+        t_cols, t_cls, t_n, t_fp = _duck_fingerprint(con, f"SELECT * FROM {table}")
+        d_cols, d_cls, d_n, d_fp = _duck_fingerprint(con, spec.oracle)
+    assert (t_cols, t_cls, t_n, t_fp) == (d_cols, d_cls, d_n, d_fp)
+
+
+def test_sliced_twin_matches_engine(proxy_oracles, spark, sf_dir):
+    """Summed slice fingerprints == the one-shot engine fingerprint."""
+    col, _ = proxy_oracles._SLICED["join_band"]
+    spec = get("join_band")
+    cols, (s_n, s_fp, o_n, o_fp) = proxy_oracles.run_sliced(spark, spec, sf_dir, col, 4)
+    assert (s_n, s_fp) == (o_n, o_fp)
+    one_cols, _, one_n, one_fp = _spark_fingerprint(spec.build(spark, sf_dir))
+    assert (one_n, one_fp) == (s_n, s_fp)
+    assert one_cols == cols
