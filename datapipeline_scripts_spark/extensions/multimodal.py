@@ -2,15 +2,26 @@
 the binary-payload processing pattern (decode / feature-extract as
 Arrow-batched Pandas code over `mapInPandas`).
 
-The container has no image/audio codecs, so `decode` is a clearly
-marked deterministic stub (`_fake_decode`) behind an import-try — the
-Spark-side plumbing (binary column, typed metadata schema, batch
-iteration, partition sizing) is real and tested (SURVEY brief:
-"STUB the decode step ... make the plumbing real").
+The container has no image/audio codecs, so by DEFAULT `decode` is a
+clearly marked deterministic stub (`_fake_decode`) — the Spark-side
+plumbing (binary column, typed metadata schema, batch iteration,
+partition sizing) is real and tested (SURVEY brief: "STUB the decode
+step ... make the plumbing real").  Real decode is wired behind an
+explicit extras flag (VERDICT r05 item 6): set
+``SPARK_GRAFT_REAL_DECODE=1`` (in the EXECUTOR environment on a real
+cluster — ``spark.executorEnv.SPARK_GRAFT_REAL_DECODE=1``) and the
+image workers decode via Pillow (width/height, grayscale dHash),
+raising a loud NotImplementedError with remediation if Pillow is
+absent.  The flag deliberately CHANGES width/height/phash semantics,
+so the declared DuckDB oracles cover the default path only; with the
+flag set the keys are rows-only verifiable.  Presence of Pillow alone
+never flips the path — an installed codec must not silently change
+query results.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,22 +68,53 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _real_decode_available() -> bool:
-    try:  # pragma: no cover - codecs absent in this container by design
-        import PIL.Image  # noqa: F401
+_REAL_DECODE_ENV = "SPARK_GRAFT_REAL_DECODE"
 
-        return True
-    except ImportError:
-        return False
+
+def _real_decode_requested() -> bool:
+    """Explicit opt-in only: the flag — never mere codec presence —
+    selects the real path (it changes result semantics vs the declared
+    oracles). Read per-call so executors see their own environment."""
+    return os.environ.get(_REAL_DECODE_ENV, "0") not in ("", "0")
+
+
+def _require_pil():
+    try:
+        from PIL import Image  # noqa: PLC0415 - worker-side lazy import
+
+        return Image
+    except ImportError as ex:  # pragma: no cover - Pillow absent here by design
+        raise NotImplementedError(
+            f"{_REAL_DECODE_ENV}=1 requires Pillow, which this container does "
+            "not ship. On a real cluster: add pillow to the executor image "
+            f"(pip install pillow) or unset {_REAL_DECODE_ENV} for the "
+            "deterministic stub path."
+        ) from ex
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decode: derive a fake
-    (width, height) from the payload bytes. Replace with PIL/ffmpeg in a
-    codec-equipped image."""
+    (width, height) from the payload bytes. The real-codec twin is
+    `_pil_decode` (SPARK_GRAFT_REAL_DECODE=1)."""
     if not payload:
         return (0, 0)
     return (64 + payload[0] % 64, 64 + payload[-1] % 64)
+
+
+def _pil_decode(image_mod, payload: bytes) -> tuple[int, int]:  # pragma: no cover
+    """Real (width, height) via Pillow; (0, 0) for empty payloads like
+    the stub, (-1, -1) for non-empty bytes no codec accepts — loud in
+    the output, never an exception, so one corrupt blob can't kill a
+    100 TB scan."""
+    import io
+
+    if not payload:
+        return (0, 0)
+    try:
+        with image_mod.open(io.BytesIO(bytes(payload))) as img:
+            return (int(img.width), int(img.height))
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return (-1, -1)
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,12 +122,14 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
     Arrow delivers each partition as pandas batches; one Python worker
     per core, zero JVM round-trips inside the loop."""
-    use_real = _real_decode_available()
+    use_real = _real_decode_requested()
+    image_mod = _require_pil() if use_real else None
     for pdf in batches:
         payloads = pdf["payload"]
-        if use_real:  # pragma: no cover
-            raise NotImplementedError("real image decode not wired in this container")
-        dims = [_fake_decode(p if p is not None else b"") for p in payloads]
+        if use_real:  # pragma: no cover - exercised only with Pillow present
+            dims = [_pil_decode(image_mod, p if p is not None else b"") for p in payloads]
+        else:
+            dims = [_fake_decode(p if p is not None else b"") for p in payloads]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -195,8 +239,12 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     fixed-size chunking with container parsing (ffmpeg) and the
     checksum with a decoded-frame feature; offsets/indices/batching
     stay identical."""
-    if _real_decode_available():  # pragma: no cover
-        raise NotImplementedError("real frame decode not wired in this container")
+    if _real_decode_requested():
+        raise NotImplementedError(
+            f"{_REAL_DECODE_ENV}=1: real frame sampling needs a video "
+            "container parser (ffmpeg/pyav), which Pillow does not provide — "
+            f"unset {_REAL_DECODE_ENV} for the deterministic chunking path"
+        )
     for pdf in batches:
         out: dict[str, list] = {k.name: [] for k in _FRAME_SCHEMA}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -289,18 +337,39 @@ def _phash_bytes(p: bytes) -> int:
     return bits
 
 
+def _phash_pixels(image_mod, payload: bytes) -> int:  # pragma: no cover
+    """Real dHash (SPARK_GRAFT_REAL_DECODE=1): grayscale, resample to a
+    (_PHASH_BITS+1)-pixel row, adjacent-compare — the textbook
+    difference hash the byte-stub mirrors. Undecodable payloads fall
+    back to the byte hash so they still dedup among themselves."""
+    import io
+
+    if not payload:
+        return 0
+    try:
+        with image_mod.open(io.BytesIO(bytes(payload))) as img:
+            px = list(img.convert("L").resize((_PHASH_BITS + 1, 1)).getdata())
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return _phash_bytes(payload)
+    bits = 0
+    for i in range(_PHASH_BITS):
+        if px[i] < px[i + 1]:
+            bits |= 1 << i
+    return bits
+
+
 def _phash_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    if _real_decode_available():  # pragma: no cover
-        raise NotImplementedError("real image decode not wired in this container")
+    use_real = _real_decode_requested()
+    image_mod = _require_pil() if use_real else None
     for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "phash": [
-                    _phash_bytes(p if p is not None else b"") for p in pdf["payload"]
-                ],
-            }
-        )
+        if use_real:  # pragma: no cover - exercised only with Pillow present
+            hashes = [
+                _phash_pixels(image_mod, p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+        else:
+            hashes = [_phash_bytes(p if p is not None else b"") for p in pdf["payload"]]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
 
 def _phash_oracle() -> str:

@@ -2467,10 +2467,16 @@ def _linreg_sql(table: str, big: str, div: str) -> str:
     identity det0_raw = det0' + cy*det - cq*det1 - cd*det2 (same
     rational det0/det, so outputs are unchanged).  Shifted sums are
     cast per-term to {big} before summing (s2y' alone passes int64 near
-    1e10 rows).  Ceiling: the dominant n^3-growth term keeps every
-    intermediate under INT128 to ~6e8 rows on this value distribution
-    (vs ~6e7 for the raw form, which errored loudly at the 100x proxy);
-    hash-proven at the 60M-row proxy (docs/SCALE_EXPERIMENT.md).
+    1e10 rows).  Ceiling: the recovery product cy*det — NOT the
+    determinant expansion — is the binding term (ADVICE r05): the
+    expansion's dominant n^3-growth terms stay under INT128 to ~6e8
+    rows, but cy ~ 3.8e6 cents times det ~ 3.75e30-at-60M-rows crosses
+    1.7e38 near ~1.4e8 rows on this value distribution (vs ~6e7 for the
+    raw form, which errored loudly at the 100x proxy).  Measured, not
+    argued: scripts/linreg_ceiling_probe.py brackets the edge on a
+    lineitem-shaped generated table — both engines hash-match at 8e7
+    rows and BOTH overflow loudly at 2e8 (docs/SCALE_EXPERIMENT.md);
+    hash-proven at the 60M-row proxy.
 
     Final coefficients come out as *integer 1e-4 units* via truncating
     division — no double ever enters.  The x1e4 scaling uses a

@@ -120,7 +120,12 @@ def check_query(key: str, spark, sf_dir: str) -> DiffReport:
 # IEEE double from identical inputs and share away-from-zero tie rounding,
 # so this is equality of the doubles at 1e-6 quantization — documented,
 # strictly stronger than the count-only check it replaces; the row-collect
-# mode remains the exact-repr gate at fixture SFs).
+# mode remains the exact-repr gate at fixture SFs).  The micro render is
+# only defined for |x| ≤ 9.2e12 (beyond that, x*1e6 exceeds the BIGINT
+# range): DuckDB's CAST raises there, and the Spark side raises too via an
+# explicit guard — without the guard Spark's non-ANSI double→long cast
+# would CLAMP instead, an asymmetric failure mode (ADVICE r05).  Either
+# way the failure is loud, never a silently-clamped fingerprint.
 
 _AGG_SEP = "\x1f"
 _AGG_NULL = "\\N"
@@ -160,6 +165,15 @@ def _spark_fingerprint(sdf: DataFrame) -> tuple[list[str], dict[str, str], int, 
                 F.when(F.isnan(base), F.lit("nan"))
                 .when(base == float("inf"), F.lit("inf"))
                 .when(base == float("-inf"), F.lit("-inf"))
+                .when(
+                    F.abs(base) > 9.2e12,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"agg-hash micro render out of range in {c!r}: "),
+                            base.cast("string"),
+                        )
+                    ).cast("string"),
+                )
                 .otherwise(F.round(base * 1e6).cast("long").cast("string"))
             )
         elif classes[c] == "ts":

@@ -47,6 +47,10 @@ from datapipeline_scripts_spark.extensions.dedup import (
     _N_HASHES,
     _SHINGLE_SQL,
 )
+from datapipeline_scripts_spark.extensions.decontamination import (
+    _MOD as _CONTAM_MOD,
+    _N as _CONTAM_N,
+)
 from datapipeline_scripts_spark.oracle import (
     _duck_fingerprint,
     _spark_fingerprint,
@@ -54,9 +58,6 @@ from datapipeline_scripts_spark.oracle import (
 )
 from datapipeline_scripts_spark.registry import all_queries
 from datapipeline_scripts_spark.session import get_spark
-
-_CONTAM_N = 8
-_CONTAM_MOD = 97
 
 
 def _stage_minhash_sig(con) -> None:
@@ -279,6 +280,11 @@ _TWINS = {
 # nothing is materialized — so the oracle side runs one shot. On a
 # real cluster the single-shot Spark shuffle is fine (spill spreads
 # across executors); slicing compensates for ONE box standing in.
+# Slicing uses pmod(col, n) so negative keys land in a slice (Spark's
+# `%` keeps the dividend's sign — `-5 % 32` would match no k in
+# 0..n-1), and a final IS NULL pass picks up null keys, so the union
+# of passes is exhaustive for ANY integer slice column, not just
+# join_band's non-null positive part key (ADVICE r05).
 _SLICED = {"join_band": ("part_a", 32)}
 
 
@@ -290,18 +296,18 @@ def run_sliced(spark, spec, sf_dir: str, col: str, n_slices: int):
         o_cols, o_cls, o_n, o_fp = _duck_fingerprint(con, spec.oracle)
     print(f"#   oracle one-shot: {o_n}/{o_fp} ({time.time() - t0:.1f}s)", flush=True)
     tot_n = tot_fp = 0
-    for k in range(n_slices):
+    slice_preds = [F.pmod(F.col(col), F.lit(n_slices)) == k for k in range(n_slices)]
+    slice_preds.append(F.col(col).isNull())  # cheap: pushes to the scan
+    for k, pred in enumerate(slice_preds):
         t0 = time.time()
-        sdf = spec.build(spark, sf_dir).filter(F.col(col) % n_slices == k)
+        sdf = spec.build(spark, sf_dir).filter(pred)
         s_cols, s_cls, s_n, s_fp = _spark_fingerprint(sdf)
         if (s_cols, s_cls) != (o_cols, o_cls):
             raise RuntimeError(f"slice {k}: schema/render mismatch {s_cols} vs {o_cols}")
         tot_n += s_n
         tot_fp += s_fp
-        print(
-            f"#   slice {k + 1}/{n_slices}: spark {s_n}/{s_fp} ({time.time() - t0:.1f}s)",
-            flush=True,
-        )
+        label = "null-key pass" if k == n_slices else f"slice {k + 1}/{n_slices}"
+        print(f"#   {label}: spark {s_n}/{s_fp} ({time.time() - t0:.1f}s)", flush=True)
         # nudge ContextCleaner so the finished slice's shuffle files are
         # deleted before the next slice starts spilling — without this,
         # per-slice shuffle data accumulates for the whole loop and the

@@ -48,3 +48,28 @@ def test_entry_exports_cover_registry():
     if unproven_total >= 50:
         overlap = [k for k in head if k in proven]
         assert not overlap, f"rotation wastes driver budget on proven keys: {overlap}"
+
+
+def test_rotation_puts_every_unproven_key_first():
+    """The end-game invariant the whole backlog drain rides on
+    (VERDICT r05 item 7): NO proven key may be ordered before ANY
+    unproven key, so the driver's 50-key window is spent entirely on
+    the keys with the least evidence — including the <50-remaining
+    tail round, which the window-overlap check above can't see."""
+    mod = _entry_module()
+    proven = mod._driver_proven_keys()
+    ordered = mod._ordered_keys()
+    first_proven_pos = next(
+        (i for i, k in enumerate(ordered) if k in proven), len(ordered)
+    )
+    stragglers = [k for k in ordered[first_proven_pos:] if k not in proven]
+    assert not stragglers, (
+        f"unproven keys ordered BEHIND a proven key (driver budget wasted): {stragglers}"
+    )
+    # and the parsed evidence itself must be non-trivial: the rotation
+    # reads CORRECTNESS_r*.json at import, so an accidental rename/move
+    # of those files would silently reset the whole rotation
+    assert len(proven) >= 246, (
+        f"driver-proven set shrank to {len(proven)} — CORRECTNESS_r*.json "
+        "files missing or unreadable?"
+    )

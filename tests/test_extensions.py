@@ -631,3 +631,44 @@ def test_orders_duplicate_audit_finds_real_dups(spark, sf_dir):
     # numbers) and fully identical duplicate rows (same line number) —
     # the audit must surface both, so only the ordering invariant holds
     assert audit.filter(F.col("first_line") > F.col("last_line")).count() == 0
+
+
+def test_real_decode_extras_flag_gates(monkeypatch):
+    """SPARK_GRAFT_REAL_DECODE (VERDICT r05 item 6): the stub path is
+    the default regardless of installed codecs (an installed Pillow
+    must never silently change oracle-checked results); the flag is an
+    explicit opt-in that either decodes for real (Pillow present) or
+    fails LOUDLY with remediation (Pillow absent, this container)."""
+    import pandas as pd
+
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    monkeypatch.delenv(mm._REAL_DECODE_ENV, raising=False)
+    assert not mm._real_decode_requested()
+    monkeypatch.setenv(mm._REAL_DECODE_ENV, "0")
+    assert not mm._real_decode_requested()
+
+    batch = [pd.DataFrame({"doc_id": [1], "payload": [b"not an image"]})]
+    out = pd.concat(list(mm._extract_features(iter(batch))))
+    assert list(out["width"]) == [64 + ord("n") % 64]  # stub semantics hold
+
+    monkeypatch.setenv(mm._REAL_DECODE_ENV, "1")
+    assert mm._real_decode_requested()
+    # frames: real sampling needs a video parser — loud gate even with Pillow
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        list(mm._sample_frames(iter(batch)))
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:  # pragma: no cover - Pillow absent in this container
+        out = pd.concat(list(mm._extract_features(iter(batch))))
+        assert list(out["width"]) == [-1]  # undecodable bytes are loud, not fatal
+        assert list(out["height"]) == [-1]
+    else:
+        with pytest.raises(NotImplementedError, match="[Pp]illow"):
+            list(mm._extract_features(iter(batch)))
+        with pytest.raises(NotImplementedError, match="[Pp]illow"):
+            list(mm._phash_worker(iter(batch)))

@@ -45,6 +45,34 @@ def test_staged_twin_matches_declared_oracle(proxy_oracles, sf_dir, key):
     assert (t_cols, t_cls, t_n, t_fp) == (d_cols, d_cls, d_n, d_fp)
 
 
+_PROXY_10X = os.environ.get("SPARK_GRAFT_BIG_SF_DIR", "/tmp/spark_graft_sf1_proxy")
+
+
+@pytest.mark.parametrize("key", ["dedup_minhash", "dedup_clusters", "text_contamination"])
+def test_staged_twin_holds_at_10x(proxy_oracles, spark, key):
+    """Twin equivalence at the 10x proxy — the only scale where a twin
+    edit could diverge in a way the fixture-SF pin can't see (VERDICT
+    r05 item 5). dedup_minhash / text_contamination compare twin vs the
+    DECLARED oracle (both run in seconds at 10x); dedup_clusters'
+    declared recursive-CTE closure is the very thing its twin exists to
+    avoid (it spilled 63 GB of DuckDB temp at 10x on this box), so that
+    twin is pinned against the independently-proven SPARK engine
+    fingerprint instead — the same cross-check the 100x campaign runs.
+    Skipped unless the replica exists (regenerate:
+    python scripts/scale_experiment.py --regen)."""
+    if not os.path.isdir(_PROXY_10X):
+        pytest.skip(f"10x proxy not present at {_PROXY_10X}")
+    spec = get(key)
+    with duck_connection(_PROXY_10X) as con:
+        table = proxy_oracles._TWINS[key](con)
+        t_cols, t_cls, t_n, t_fp = _duck_fingerprint(con, f"SELECT * FROM {table}")
+        if key == "dedup_clusters":
+            d_cols, d_cls, d_n, d_fp = _spark_fingerprint(spec.build(spark, _PROXY_10X))
+        else:
+            d_cols, d_cls, d_n, d_fp = _duck_fingerprint(con, spec.oracle)
+    assert (t_cols, t_cls, t_n, t_fp) == (d_cols, d_cls, d_n, d_fp)
+
+
 def test_sliced_twin_matches_engine(proxy_oracles, spark, sf_dir):
     """Summed slice fingerprints == the one-shot engine fingerprint."""
     col, _ = proxy_oracles._SLICED["join_band"]
