@@ -158,10 +158,11 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None
        org.apache.spark:spark-avro_2.13:<spark-version>`) — columnar,
        codegen'd, splittable within files: the 100 TB path.
     2. Otherwise the pure-Python Object Container File DataSource
-       (`sources/avro_pysource.py`, partition-per-file, stdlib-only
-       null/deflate codecs) — so Avro reads WORK in this container
-       instead of raising. Remaining loud gates live in the Python
-       reader itself (snappy/zstandard codecs, multi-branch unions).
+       (`sources/avro_pysource.py`, partition-per-file, every
+       spec-named codec — null/deflate/snappy/bzip2/xz stdlib-only,
+       zstandard via pyarrow — and full union coverage via spark-avro's
+       member-struct convention) — so Avro reads WORK in this container
+       instead of raising.
 
     A caller-supplied `schema` applies as-is on the JVM tier; the
     Python tier decodes by the file's writer schema, so there it must

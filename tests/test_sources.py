@@ -164,6 +164,12 @@ def _write_avro_reference(spark, path, n_rows, codec="deflate"):
         w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
     elif codec == "snappy":
         w.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    elif codec == "zstandard":
+        w.setCodec(jvm.org.apache.avro.file.CodecFactory.zstandardCodec(3))
+    elif codec == "bzip2":
+        w.setCodec(jvm.org.apache.avro.file.CodecFactory.bzip2Codec())
+    elif codec == "xz":
+        w.setCodec(jvm.org.apache.avro.file.CodecFactory.xzCodec(6))
     w.create(sch, jvm.java.io.File(path))
     GR = jvm.org.apache.avro.generic.GenericData.Record
     for i in range(n_rows):
@@ -211,10 +217,19 @@ def test_avro_python_tier_roundtrips_rich_types(spark, tmp_path):
     d.mkdir()
     _write_avro_reference(spark, str(d / "part-0.avro"), 4, codec="deflate")
     _write_avro_reference(spark, str(d / "part-1.avro"), 4, codec="null")
+    n_files = 2
+    try:  # snappy codec: decoded by the pure-Python block decoder
+        _write_avro_reference(spark, str(d / "part-2.avro"), 4, codec="snappy")
+        n_files = 3
+    except Exception:
+        pass  # JVM snappy unavailable to write the fixture; 2-codec run
     df = readers.read(spark, "avro", str(d))
-    assert df.rdd.getNumPartitions() == 2  # one task per container file
+    assert df.rdd.getNumPartitions() == n_files  # one task per container file
     rows = sorted(df.collect(), key=lambda r: r["id"])
-    assert len(rows) == 8
+    assert len(rows) == 4 * n_files
+    if n_files == 3:  # every codec decoded the same 4 logical rows
+        assert {r["id"] for r in rows} == {0, 1, 2, 3}
+        assert sum(1 for r in rows if r["id"] == 1) == 3
     r1 = next(r for r in rows if r["id"] == 1)
     assert r1["name"] == "name-1" and rows[0]["name"] is None
     assert r1["score"] == 1.25 and r1["flag"] is False
@@ -224,6 +239,139 @@ def test_avro_python_tier_roundtrips_rich_types(spark, tmp_path):
     assert r1["ts"] == dt.datetime(2023, 11, 14, 22, 13, 20, 1)  # UTC session
     assert r1["day"] == dt.date(1970, 1, 1) + dt.timedelta(days=19_001)
     assert r1["amount"] == Decimal("123.46")
+
+
+def _reframe_ocf_codec(src: str, dst: str, codec: str) -> None:
+    """Rewrite a null-codec OCF with each block recompressed by a stdlib
+    codec — canonical JVM-encoded VALUES under spec-framed bzip2/xz
+    compression, for when the JVM lacks the jar to write the fixture
+    itself (pyspark ships commons-compress but not org.tukaani:xz)."""
+    import bz2
+    import io
+    import lzma
+
+    from datapipeline_scripts_spark.sources.avro_pysource import _TK
+
+    read_long = _TK["read_long"]
+
+    def zz(n: int) -> bytes:  # zigzag-varint encode (spec)
+        u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+        out = bytearray()
+        while True:
+            b7 = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b7 | 0x80)
+            else:
+                out.append(b7)
+                return bytes(out)
+
+    with open(src, "rb") as f:
+        meta, sync = _TK["parse_header"](f)
+        assert meta.get("avro.codec", b"null") in (b"null", b"")
+        rest = io.BytesIO(f.read())
+        blocks = []
+        while rest.tell() < len(rest.getvalue()):
+            n_records = read_long(rest)
+            size = read_long(rest)
+            payload = rest.read(size)
+            assert rest.read(16) == sync
+            blocks.append((n_records, payload))
+    comp = bz2.compress if codec == "bzip2" else (
+        lambda b: lzma.compress(b, format=lzma.FORMAT_XZ)
+    )
+    meta["avro.codec"] = codec.encode()
+    with open(dst, "wb") as g:
+        g.write(b"Obj\x01")
+        g.write(zz(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode()
+            g.write(zz(len(kb)) + kb + zz(len(v)) + v)
+        g.write(zz(0))
+        g.write(sync)
+        for n_records, payload in blocks:
+            c = comp(payload)
+            g.write(zz(n_records) + zz(len(c)) + c + sync)
+
+
+def test_avro_python_tier_bzip2_xz_codecs(spark, tmp_path):
+    """bzip2/xz OCF blocks decode via stdlib bz2/lzma to the exact rows
+    of the null-codec reference file. Fixtures come from the JVM codec
+    when its jar is present, else from reframing the JVM-encoded blocks
+    under stdlib compression (same values, same spec framing)."""
+    base = str(tmp_path / "base.avro")
+    _write_avro_reference(spark, base, 5, codec="null")
+    expected = sorted(readers.read(spark, "avro", base).collect(),
+                      key=lambda r: r["id"])
+    for codec in ("bzip2", "xz", "zstandard"):
+        fixtures = []
+        if codec != "zstandard":  # stdlib-compressed reframe of the JVM blocks
+            fixtures.append(str(tmp_path / f"reframed-{codec}.avro"))
+            _reframe_ocf_codec(base, fixtures[0], codec)
+        try:  # canonical JVM-compressed fixture too, when its jar is present
+            fixtures.append(str(tmp_path / f"jvm-{codec}.avro"))
+            _write_avro_reference(spark, fixtures[-1], 5, codec=codec)
+        except Exception:
+            fixtures.pop()
+        assert fixtures, f"no fixture could be produced for codec {codec}"
+        for fx in fixtures:
+            rows = sorted(readers.read(spark, "avro", fx).collect(),
+                          key=lambda r: r["id"])
+            assert rows == expected, f"{fx} diverged from null-codec rows"
+
+
+_AVRO_UNION_SCHEMA = """{
+  "type": "record", "name": "U", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "pick", "type": ["int", "string"]},
+    {"name": "num", "type": ["null", "int", "long"]},
+    {"name": "mix", "type": ["null", "string", "double"]}
+  ]}"""
+
+
+def test_avro_python_tier_multibranch_unions(spark, tmp_path):
+    """Full union coverage per spark-avro's documented mapping:
+    [int,string] → struct<member0,member1> (exactly one non-NULL),
+    [null,int,long] → nullable long (numeric promotion),
+    [null,string,double] → NULLABLE member-struct."""
+    from pyspark.sql import types as T
+
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_AVRO_UNION_SCHEMA)
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    p = str(tmp_path / "union.avro")
+    w.create(sch, jvm.java.io.File(p))
+    GR = jvm.org.apache.avro.generic.GenericData.Record
+    for i in range(6):
+        r = GR(sch)
+        r.put("id", i)
+        r.put("pick", i * 7 if i % 2 == 0 else f"s-{i}")
+        r.put("num", [None, i, 5_000_000_000 + i][i % 3])  # int AND long branch
+        r.put("mix", [None, f"m-{i}", i * 2.5][i % 3])
+        w.append(r)
+    w.close()
+
+    df = readers.read(spark, "avro", p)
+    assert df.schema["pick"].dataType == T.StructType([
+        T.StructField("member0", T.IntegerType(), True),
+        T.StructField("member1", T.StringType(), True),
+    ])
+    assert df.schema["num"].dataType == T.LongType()
+    assert df.schema["mix"].dataType == T.StructType([
+        T.StructField("member0", T.StringType(), True),
+        T.StructField("member1", T.DoubleType(), True),
+    ])
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 6
+    assert rows[0]["pick"]["member0"] == 0 and rows[0]["pick"]["member1"] is None
+    assert rows[1]["pick"]["member1"] == "s-1" and rows[1]["pick"]["member0"] is None
+    assert rows[0]["num"] is None and rows[1]["num"] == 1
+    assert rows[2]["num"] == 5_000_000_002  # the long branch
+    assert rows[3]["mix"] is None  # null branch → whole struct NULL
+    assert rows[4]["mix"]["member0"] == "m-4" and rows[4]["mix"]["member1"] is None
+    assert rows[5]["mix"]["member1"] == 12.5 and rows[5]["mix"]["member0"] is None
 
 
 def test_avro_python_tier_gates_are_loud(spark, sf_dir, tmp_path):
@@ -239,14 +387,11 @@ def test_avro_python_tier_gates_are_loud(spark, sf_dir, tmp_path):
     # user schema that disagrees with the writer schema is refused
     with pytest.raises(NotImplementedError, match="writer schema"):
         readers.read_avro(spark, p, schema=T.StructType([T.StructField("id", T.LongType())]))
-    # snappy needs a non-stdlib decompressor: loud remediation
-    snappy_path = str(tmp_path / "snappy.avro")
-    try:
-        _write_avro_reference(spark, snappy_path, 2, codec="snappy")
-    except Exception:
-        pytest.skip("JVM snappy codec unavailable to write the fixture")
-    with pytest.raises(Exception, match="(?i)snappy"):
-        readers.read(spark, "avro", snappy_path).collect()
+    # a codec outside the Avro 1.12 spec list: loud remediation
+    from datapipeline_scripts_spark.sources.avro_pysource import _TK
+
+    with pytest.raises(NotImplementedError, match="re-encode"):
+        _TK["decompress"]("lz4-future", b"\x00")
 
 
 def test_avro_varint_golden_bytes():
@@ -324,6 +469,22 @@ def test_jdbc_live_extract_roundtrip_embedded_derby(spark, tmp_path):
         .count()
         == 143
     )
+
+
+def test_snappy_block_golden_bytes():
+    """Pure-Python snappy block decode pinned against hand-computed
+    spec bytes: literal, overlapping 1-byte-offset copy (pattern
+    repeat), 60-escape long literal, 2-byte-offset copy."""
+    from datapipeline_scripts_spark.sources.avro_pysource import _TK
+
+    sd = _TK["snappy_decompress"]
+    # 12-byte preamble | literal "abc" | copy off=3 len=9 (overlaps itself)
+    assert sd(b"\x0c" + b"\x08abc" + b"\x15\x03") == b"abcabcabcabc"
+    # 70-byte preamble | 64-byte literal via the v=60 escape | copy off=64 len=6
+    lit = bytes(range(64))
+    assert sd(b"\x46" + b"\xf0\x3f" + lit + b"\x16\x40\x00") == lit + lit[:6]
+    with pytest.raises(ValueError, match="length mismatch"):
+        sd(b"\x05" + b"\x08abc")  # header promises 5, stream yields 3
 
 
 def test_merge_schema_reconciles_evolved_files(spark, tmp_path):
