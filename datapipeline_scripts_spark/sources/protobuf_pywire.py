@@ -1,0 +1,491 @@
+"""Pure-Python protobuf wire-format decoder — the in-container tier
+for `readers.protobuf_decode` (the external ``spark-protobuf`` module
+is not baked into this image, and this image's ``google.protobuf``
+is broken, so BOTH canonical decode paths are out locally; on a real
+cluster submit with ``--packages
+org.apache.spark:spark-protobuf_2.13:<spark-version>`` and the JVM
+tier takes over unchanged — columnar, codegen'd: the 100 TB path).
+
+Everything here derives from the PUBLIC protobuf encoding spec
+(protobuf.dev/programming-guides/encoding) and the PUBLIC, frozen
+``descriptor.proto`` schema:
+
+- **Wire format**: a message is a sequence of ``(tag, value)``
+  records; ``tag = field_number << 3 | wire_type``; wire types
+  0=VARINT, 1=I64, 2=LEN, 5=I32 (3/4 = deprecated groups, raised
+  loudly here). Varints are 7-bit little-endian base-128; sint* use
+  zigzag; signed int32/int64 negatives arrive as 10-byte
+  two's-complement varints.
+- **Descriptors**: a compiled ``.desc`` file IS a protobuf message
+  (``FileDescriptorSet``), so this module bootstraps by decoding the
+  descriptor set with its own wire reader against the hard-coded
+  field numbers of descriptor.proto (stable public API since proto2):
+  FileDescriptorSet.file=1; FileDescriptorProto{name=1, package=2,
+  message_type=4, enum_type=5, syntax=12}; DescriptorProto{name=1,
+  field=2, nested_type=3, enum_type=4, options=7};
+  MessageOptions.map_entry=7; FieldDescriptorProto{name=1, number=3,
+  label=4, type=5, type_name=6}; EnumDescriptorProto{name=1,
+  value=2}; EnumValueDescriptorProto{name=1, number=2}.
+
+Value semantics mirror protobuf-java holders (what spark-protobuf
+emits), so a query moved between tiers sees identical values:
+uint32/fixed32 wrap to two's-complement Integer, uint64/fixed64 wrap
+to two's-complement Long, enums render as their symbol names
+(unknown numbers as the decimal string — proto3 open enums), missing
+scalar fields materialize their defaults, missing sub-messages are
+NULL, repeated fields accept both packed and unpacked encodings, and
+map fields (``map_entry`` nested types) decode to MapType. Spark
+schema mapping: 32-bit ints → IntegerType, 64-bit → LongType,
+float/double/bool/string/bytes → the obvious types, enum →
+StringType, message → StructType, repeated → ArrayType.
+
+Scale posture: decode runs as an Arrow-batched Python UDF over the
+binary column — right for sidecar/medium data in-container, not for
+a 100 TB scan (use the JVM connector there). The decoder compiles
+once driver-side per message type and ships by value (cloudpickle),
+so executors need no descriptor file access.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# FieldDescriptorProto.Type numbers (public descriptor.proto enum)
+_T_DOUBLE, _T_FLOAT, _T_INT64, _T_UINT64, _T_INT32 = 1, 2, 3, 4, 5
+_T_FIXED64, _T_FIXED32, _T_BOOL, _T_STRING, _T_GROUP = 6, 7, 8, 9, 10
+_T_MESSAGE, _T_BYTES, _T_UINT32, _T_ENUM = 11, 12, 13, 14
+_T_SFIXED32, _T_SFIXED64, _T_SINT32, _T_SINT64 = 15, 16, 17, 18
+_LABEL_REPEATED = 3
+
+_VARINT_TYPES = {
+    _T_INT64, _T_UINT64, _T_INT32, _T_BOOL, _T_UINT32, _T_ENUM,
+    _T_SINT32, _T_SINT64,
+}
+_I64_TYPES = {_T_DOUBLE, _T_FIXED64, _T_SFIXED64}
+_I32_TYPES = {_T_FLOAT, _T_FIXED32, _T_SFIXED32}
+
+
+# ---- wire primitives --------------------------------------------------------
+
+
+def read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    """→ (unsigned value, next offset)."""
+    acc = shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("truncated protobuf varint")
+        b = buf[i]
+        i += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("protobuf varint longer than 10 bytes")
+
+
+def iter_records(buf: bytes):
+    """Yield (field_number, wire_type, value) over one message's bytes.
+    VARINT/I32/I64 values come as unsigned ints, LEN as bytes."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        tag, i = read_varint(buf, i)
+        fn, wt = tag >> 3, tag & 7
+        if fn == 0:
+            raise ValueError("protobuf field number 0 is invalid")
+        if wt == 0:
+            v, i = read_varint(buf, i)
+        elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("truncated protobuf i64")
+            v = int.from_bytes(buf[i : i + 8], "little")
+            i += 8
+        elif wt == 2:
+            ln, i = read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError("truncated protobuf LEN payload")
+            v = buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("truncated protobuf i32")
+            v = int.from_bytes(buf[i : i + 4], "little")
+            i += 4
+        else:  # 3/4: deprecated group encoding
+            raise NotImplementedError(
+                "protobuf group wire types are deprecated and not decoded; "
+                "re-encode without groups or use the spark-protobuf connector"
+            )
+        yield fn, wt, v
+
+
+def _sign64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _sign32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+# ---- descriptor-set parsing (bootstrapped on the wire reader) --------------
+
+
+def _group_fields(buf: bytes) -> dict[int, list]:
+    out: dict[int, list] = {}
+    for fn, _wt, v in iter_records(buf):
+        out.setdefault(fn, []).append(v)
+    return out
+
+
+def _str(vals: dict, fn: int, default: str = "") -> str:
+    return vals[fn][-1].decode("utf-8") if fn in vals else default
+
+
+def parse_descriptor_set(desc_bytes: bytes) -> dict:
+    """FileDescriptorSet bytes → registry:
+    {".pkg.Msg": {"kind": "message", "name": ..., "fields": [...]},
+     ".pkg.Enum": {"kind": "enum", "symbols": {number: name}}}
+    Field dicts: {name, number, label, type, type_name, map_entry}."""
+    registry: dict[str, dict] = {}
+
+    def walk_enum(buf: bytes, scope: str) -> None:
+        vals = _group_fields(buf)
+        full = f"{scope}.{_str(vals, 1)}"
+        symbols: dict[int, str] = {}
+        for v in vals.get(2, []):  # EnumValueDescriptorProto
+            ev = _group_fields(v)
+            symbols[ev.get(2, [0])[-1]] = _str(ev, 1)
+        registry[full] = {"kind": "enum", "symbols": symbols}
+
+    def walk_message(buf: bytes, scope: str) -> None:
+        vals = _group_fields(buf)
+        full = f"{scope}.{_str(vals, 1)}"
+        map_entry = False
+        for opt in vals.get(7, []):  # MessageOptions
+            mo = _group_fields(opt)
+            map_entry = bool(mo.get(7, [0])[-1])
+        fields = []
+        for fv in vals.get(2, []):  # FieldDescriptorProto
+            fd = _group_fields(fv)
+            fields.append(
+                {
+                    "name": _str(fd, 1),
+                    "number": fd.get(3, [0])[-1],
+                    "label": fd.get(4, [1])[-1],
+                    "type": fd.get(5, [0])[-1],
+                    "type_name": _str(fd, 6, default="") or None,
+                }
+            )
+        registry[full] = {"kind": "message", "fields": fields, "map_entry": map_entry}
+        for nested in vals.get(3, []):
+            walk_message(nested, full)
+        for en in vals.get(4, []):
+            walk_enum(en, full)
+
+    files = _group_fields(desc_bytes)
+    for f in files.get(1, []):  # FileDescriptorSet.file
+        fv = _group_fields(f)
+        pkg = _str(fv, 2)
+        scope = f".{pkg}" if pkg else ""
+        for m in fv.get(4, []):  # message_type
+            walk_message(m, scope)
+        for en in fv.get(5, []):  # enum_type
+            walk_enum(en, scope)
+    if not registry:
+        raise ValueError("descriptor set contains no messages (not a .desc file?)")
+    return registry
+
+
+# ---- schema + decoder compilation ------------------------------------------
+
+
+def _resolve(type_name: str, registry: dict) -> dict:
+    if type_name in registry:
+        return registry[type_name]
+    raise NotImplementedError(
+        f"descriptor references unknown type {type_name!r} (cross-file "
+        "imports need the full FileDescriptorSet: protoc --include_imports)"
+    )
+
+
+def _is_map_field(fld: dict, registry: dict) -> bool:
+    return (
+        fld["type"] == _T_MESSAGE
+        and fld["label"] == _LABEL_REPEATED
+        and _resolve(fld["type_name"], registry).get("map_entry", False)
+    )
+
+
+_SCALAR_SPARK = {
+    _T_DOUBLE: T.DoubleType(), _T_FLOAT: T.FloatType(),
+    _T_INT64: T.LongType(), _T_UINT64: T.LongType(),
+    _T_INT32: T.IntegerType(), _T_FIXED64: T.LongType(),
+    _T_FIXED32: T.IntegerType(), _T_BOOL: T.BooleanType(),
+    _T_STRING: T.StringType(), _T_BYTES: T.BinaryType(),
+    _T_UINT32: T.IntegerType(), _T_ENUM: T.StringType(),
+    _T_SFIXED32: T.IntegerType(), _T_SFIXED64: T.LongType(),
+    _T_SINT32: T.IntegerType(), _T_SINT64: T.LongType(),
+}
+
+
+def spark_type_for(full_name: str, registry: dict, _seen: tuple = ()) -> T.StructType:
+    """Message full name (leading dot) → Spark StructType."""
+    if full_name in _seen:
+        raise NotImplementedError(
+            f"recursive message {full_name!r} has no finite Spark schema; "
+            "flatten the recursion upstream"
+        )
+    msg = _resolve(full_name, registry)
+    fields = []
+    for fld in msg["fields"]:
+        fields.append(T.StructField(fld["name"], _field_spark_type(fld, registry, _seen + (full_name,)), True))
+    return T.StructType(fields)
+
+
+def _field_spark_type(fld: dict, registry: dict, seen: tuple) -> T.DataType:
+    if _is_map_field(fld, registry):
+        entry = _resolve(fld["type_name"], registry)
+        kf, vf = entry["fields"][0], entry["fields"][1]
+        return T.MapType(
+            _field_spark_type({**kf, "label": 1}, registry, seen),
+            _field_spark_type({**vf, "label": 1}, registry, seen),
+            True,
+        )
+    if fld["type"] == _T_MESSAGE:
+        base: T.DataType = spark_type_for(fld["type_name"], registry, seen)
+    elif fld["type"] == _T_GROUP:
+        raise NotImplementedError("protobuf groups are deprecated and unsupported")
+    elif fld["type"] == _T_ENUM:
+        _resolve(fld["type_name"], registry)  # loud on missing enum
+        base = T.StringType()
+    else:
+        base = _SCALAR_SPARK[fld["type"]]
+    if fld["label"] == _LABEL_REPEATED:
+        return T.ArrayType(base, True)
+    return base
+
+
+def _scalar_converter(ftype: int, enum_symbols: dict | None):
+    """Unsigned wire int / LEN bytes → Python value (protobuf-java
+    holder semantics: two's-complement wrap for unsigned types)."""
+    if ftype == _T_DOUBLE:
+        return lambda v: _struct.unpack("<d", v.to_bytes(8, "little"))[0]
+    if ftype == _T_FLOAT:
+        return lambda v: _struct.unpack("<f", v.to_bytes(4, "little"))[0]
+    if ftype in (_T_INT64, _T_INT32):
+        return _sign64  # negatives arrive as 64-bit two's-complement varints
+    if ftype == _T_UINT64:
+        return _sign64  # Long wrap (matches protobuf-java/spark-protobuf)
+    if ftype in (_T_UINT32, _T_FIXED32):
+        return _sign32  # Integer wrap
+    if ftype == _T_FIXED64:
+        return _sign64
+    if ftype == _T_SFIXED32:
+        return _sign32
+    if ftype == _T_SFIXED64:
+        return _sign64
+    if ftype in (_T_SINT32, _T_SINT64):
+        return _zigzag
+    if ftype == _T_BOOL:
+        return lambda v: v != 0
+    if ftype == _T_STRING:
+        return lambda v: v.decode("utf-8")
+    if ftype == _T_BYTES:
+        return lambda v: bytes(v)
+    if ftype == _T_ENUM:
+        syms = enum_symbols or {}
+        return lambda v: syms.get(_sign64(v), str(_sign64(v)))
+    raise NotImplementedError(f"unsupported protobuf scalar type {ftype}")
+
+
+_SCALAR_DEFAULT = {
+    _T_DOUBLE: 0.0, _T_FLOAT: 0.0, _T_BOOL: False, _T_STRING: "",
+    _T_BYTES: b"",
+}
+
+
+def compile_decoder(full_name: str, registry: dict):
+    """→ fn(bytes) -> tuple matching spark_type_for(full_name).
+    Compiled once driver-side; recursion-safe via a memo of 1-slot
+    lists (the avro_pysource named-type trick)."""
+    memo: dict[str, list] = {}
+
+    def message_fn(name: str):
+        if name not in memo:
+            slot: list = [None]
+            memo[name] = slot
+            slot[0] = build(name)
+        cell = memo[name]
+        return lambda buf: cell[0](buf)
+
+    def build(name: str):
+        msg = _resolve(name, registry)
+        by_number: dict[int, dict] = {}
+        order: list[dict] = []
+        for idx, fld in enumerate(msg["fields"]):
+            ftype = fld["type"]
+            if ftype == _T_GROUP:
+                raise NotImplementedError("protobuf groups are deprecated and unsupported")
+            info = dict(fld)
+            info["idx"] = idx
+            info["is_map"] = _is_map_field(fld, registry)
+            info["repeated"] = fld["label"] == _LABEL_REPEATED and not info["is_map"]
+            if ftype == _T_MESSAGE and not info["is_map"]:
+                info["sub"] = message_fn(fld["type_name"])
+            elif info["is_map"]:
+                entry = _resolve(fld["type_name"], registry)
+                kf, vf = entry["fields"][0], entry["fields"][1]
+                info["kconv"] = _entry_conv(kf)
+                info["vconv"] = _entry_conv(vf)
+                # proto3 omits default-valued entry fields from the wire
+                info["kdefault"] = _default_for(kf, registry)
+                info["vdefault"] = _default_for(vf, registry)
+            else:
+                syms = (
+                    _resolve(fld["type_name"], registry)["symbols"]
+                    if ftype == _T_ENUM
+                    else None
+                )
+                info["conv"] = _scalar_converter(ftype, syms)
+            by_number[fld["number"]] = info
+            order.append(info)
+
+        def decode(buf: bytes) -> tuple:
+            acc: dict[int, object] = {}
+            for fn, wt, v in iter_records(buf):
+                info = by_number.get(fn)
+                if info is None:  # unknown field: already skipped by wire type
+                    continue
+                ftype = info["type"]
+                if info["is_map"]:
+                    k, val = _decode_map_entry(v, info)
+                    acc.setdefault(fn, {})[k] = val  # type: ignore[index]
+                elif info["repeated"]:
+                    lst = acc.setdefault(fn, [])
+                    if wt == 2 and ftype in _VARINT_TYPES | _I64_TYPES | _I32_TYPES:
+                        _extend_packed(lst, v, info)  # packed scalars
+                    elif ftype == _T_MESSAGE:
+                        lst.append(info["sub"](v))  # type: ignore[union-attr]
+                    else:
+                        lst.append(info["conv"](v))  # type: ignore[operator]
+                elif ftype == _T_MESSAGE:
+                    acc[fn] = info["sub"](v)
+                else:
+                    acc[fn] = info["conv"](v)  # last-one-wins (spec)
+            out = []
+            for info in order:
+                fn = info["number"]
+                if fn in acc:
+                    out.append(acc[fn])
+                elif info["is_map"]:
+                    out.append({})
+                elif info["repeated"]:
+                    out.append([])
+                else:
+                    out.append(_default_for(info, registry))
+            return tuple(out)
+
+        return decode
+
+    def _entry_conv(fld: dict):
+        if fld["type"] == _T_MESSAGE:
+            return message_fn(fld["type_name"])
+        syms = (
+            _resolve(fld["type_name"], registry)["symbols"]
+            if fld["type"] == _T_ENUM
+            else None
+        )
+        return _scalar_converter(fld["type"], syms)
+
+    def _decode_map_entry(buf: bytes, info: dict):
+        k, val = info["kdefault"], info["vdefault"]
+        for fn, _wt, v in iter_records(buf):
+            if fn == 1:
+                k = info["kconv"](v)
+            elif fn == 2:
+                val = info["vconv"](v)
+        return k, val
+
+    def _extend_packed(lst: list, buf: bytes, info: dict) -> None:
+        ftype, conv = info["type"], info["conv"]
+        i, n = 0, len(buf)
+        while i < n:
+            if ftype in _VARINT_TYPES:
+                v, i = read_varint(buf, i)
+            elif ftype in _I64_TYPES:
+                v = int.from_bytes(buf[i : i + 8], "little")
+                i += 8
+            else:
+                v = int.from_bytes(buf[i : i + 4], "little")
+                i += 4
+            lst.append(conv(v))
+
+    return message_fn(full_name)
+
+
+def _default_scalar(ftype: int, enum_symbols: dict | None):
+    if ftype in _SCALAR_DEFAULT:
+        return _SCALAR_DEFAULT[ftype]
+    if ftype == _T_ENUM:
+        return (enum_symbols or {}).get(0, "0")
+    if ftype in (_T_DOUBLE, _T_FLOAT):
+        return 0.0
+    return 0
+
+
+def _default_for(info: dict, registry: dict):
+    if info["type"] == _T_MESSAGE:
+        return None  # missing sub-message is NULL, not an empty struct
+    syms = (
+        registry[info["type_name"]]["symbols"] if info["type"] == _T_ENUM else None
+    )
+    return _default_scalar(info["type"], syms)
+
+
+# ---- the DataFrame-level entry ----------------------------------------------
+
+
+def _qualify(message_name: str, registry: dict) -> str:
+    if message_name.startswith("."):
+        return message_name
+    # match by suffix the way protobuf-java's findMessageTypeByName does
+    dotted = f".{message_name}"
+    hits = [k for k, v in registry.items() if v["kind"] == "message" and (k == dotted or k.endswith(dotted))]
+    if not hits:
+        raise ValueError(
+            f"message {message_name!r} not in descriptor set; known: "
+            f"{sorted(k for k, v in registry.items() if v['kind'] == 'message' and not v.get('map_entry'))}"
+        )
+    if len(hits) > 1:
+        raise ValueError(f"message name {message_name!r} is ambiguous: {sorted(hits)}")
+    return hits[0]
+
+
+def decode_protobuf_py(
+    df: DataFrame, data_col: str, message_name: str, desc_path: str
+) -> DataFrame:
+    """Pure-Python tier of `readers.protobuf_decode`: replace the binary
+    `data_col` with the decoded struct, same as `from_protobuf`. The
+    descriptor file is read ONCE driver-side; the compiled decoder
+    ships to executors by value inside an Arrow-batched UDF."""
+    with open(desc_path, "rb") as fh:
+        registry = parse_descriptor_set(fh.read())
+    full = _qualify(message_name, registry)
+    schema = spark_type_for(full, registry)
+    decode = compile_decoder(full, registry)
+
+    def decode_or_null(b):
+        return None if b is None else decode(bytes(b))
+
+    udf = F.udf(decode_or_null, schema, useArrow=True)
+    return df.withColumn(data_col, udf(F.col(data_col)))

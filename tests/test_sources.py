@@ -571,7 +571,225 @@ def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir):
     assert touched <= 3 and touched < len(ranges), f"probe touches {touched}/{len(ranges)}"
 
 
-def test_protobuf_decode_is_gated_without_connector(spark, sf_dir):
-    df = spark.range(1).selectExpr("CAST('x' AS BINARY) AS payload")
-    with pytest.raises(NotImplementedError, match="spark-protobuf"):
-        readers.protobuf_decode(df, "payload", "M", "/nonexistent.desc")
+# ---- Protobuf: pure-Python wire tier (round 6) -----------------------------
+#
+# The spark-protobuf CONNECTOR is absent and this image's google.protobuf
+# is broken, but the ORC jars inside pyspark shade the REAL protobuf-java
+# runtime — so the tests build descriptors and DynamicMessages through it
+# (via py4j) and decode the canonical wire bytes with the pure-Python tier,
+# the same encoder-vs-decoder strategy as the Avro tests above.
+
+
+def _pb(jvm):
+    return jvm.org.apache.orc.protobuf
+
+
+def _build_rich_descriptor(spark):
+    """FileDescriptorProto for: enum Color; message Inner{int32 a=1;
+    string b=2}; message Rich{<every scalar type> + enum + nested +
+    repeated packed/unpacked + map<string,int64>} (proto3)."""
+    jvm = spark._jvm
+    DP = _pb(jvm).DescriptorProtos
+    FT = DP.FieldDescriptorProto.Type
+    FL = DP.FieldDescriptorProto.Label
+
+    def add_field(b, name, num, ftype, label=None, type_name=None):
+        f = DP.FieldDescriptorProto.newBuilder()
+        f.setName(name)
+        f.setNumber(num)
+        f.setType(ftype)
+        f.setLabel(label or FL.LABEL_OPTIONAL)
+        if type_name:
+            f.setTypeName(type_name)
+        b.addField(f)
+
+    fdp = DP.FileDescriptorProto.newBuilder()
+    fdp.setName("rich.proto")
+    fdp.setPackage("t")
+    fdp.setSyntax("proto3")
+
+    en = DP.EnumDescriptorProto.newBuilder()
+    en.setName("Color")
+    for i, s in enumerate(("RED", "GREEN", "BLUE")):
+        ev = DP.EnumValueDescriptorProto.newBuilder()
+        ev.setName(s)
+        ev.setNumber(i)
+        en.addValue(ev)
+    fdp.addEnumType(en)
+
+    inner = DP.DescriptorProto.newBuilder()
+    inner.setName("Inner")
+    add_field(inner, "a", 1, FT.TYPE_INT32)
+    add_field(inner, "b", 2, FT.TYPE_STRING)
+    fdp.addMessageType(inner)
+
+    rich = DP.DescriptorProto.newBuilder()
+    rich.setName("Rich")
+    entry = DP.DescriptorProto.newBuilder()
+    entry.setName("AttrsEntry")
+    mo = DP.MessageOptions.newBuilder()
+    mo.setMapEntry(True)
+    entry.setOptions(mo)
+    add_field(entry, "key", 1, FT.TYPE_STRING)
+    add_field(entry, "value", 2, FT.TYPE_INT64)
+    rich.addNestedType(entry)
+    scalars = [
+        ("d", 1, FT.TYPE_DOUBLE), ("f", 2, FT.TYPE_FLOAT),
+        ("i32", 3, FT.TYPE_INT32), ("i64", 4, FT.TYPE_INT64),
+        ("u32", 5, FT.TYPE_UINT32), ("u64", 6, FT.TYPE_UINT64),
+        ("s32", 7, FT.TYPE_SINT32), ("s64", 8, FT.TYPE_SINT64),
+        ("fx32", 9, FT.TYPE_FIXED32), ("fx64", 10, FT.TYPE_FIXED64),
+        ("sf32", 11, FT.TYPE_SFIXED32), ("sf64", 12, FT.TYPE_SFIXED64),
+        ("flag", 13, FT.TYPE_BOOL), ("name", 14, FT.TYPE_STRING),
+        ("payload", 15, FT.TYPE_BYTES),
+    ]
+    for nm, num, ft in scalars:
+        add_field(rich, nm, num, ft)
+    add_field(rich, "color", 16, FT.TYPE_ENUM, type_name=".t.Color")
+    add_field(rich, "inner", 17, FT.TYPE_MESSAGE, type_name=".t.Inner")
+    add_field(rich, "nums", 18, FT.TYPE_INT64, label=FL.LABEL_REPEATED)
+    add_field(rich, "labels", 19, FT.TYPE_STRING, label=FL.LABEL_REPEATED)
+    add_field(rich, "attrs", 20, FT.TYPE_MESSAGE, label=FL.LABEL_REPEATED,
+              type_name=".t.Rich.AttrsEntry")
+    fdp.addMessageType(rich)
+    return fdp.build()
+
+
+def _encode_rich_fixture(spark, tmp_path):
+    """→ (desc_path, [row0_bytes (all fields set), row1_bytes (empty)])
+    encoded by the canonical protobuf-java runtime."""
+    jvm = spark._jvm
+    pb = _pb(jvm)
+    fdp = _build_rich_descriptor(spark)
+    desc_set = pb.DescriptorProtos.FileDescriptorSet.newBuilder().addFile(fdp).build()
+    desc_path = str(tmp_path / "rich.desc")
+    with open(desc_path, "wb") as fh:
+        fh.write(bytes(desc_set.toByteArray()))
+
+    arr = spark.sparkContext._gateway.new_array(pb.Descriptors.FileDescriptor, 0)
+    fd = pb.Descriptors.FileDescriptor.buildFrom(fdp, arr)
+    rich = fd.findMessageTypeByName("Rich")
+
+    # py4j auto-unboxes java.lang.Float/Long returns back into Python,
+    # so reflection setField can't be fed typed wrappers — TextFormat
+    # parses the canonical text rendering with correct field typing.
+    text = """
+    d: 1.5
+    f: 1.25
+    i32: -7
+    i64: -1099511627776
+    u32: 4000000000
+    u64: 9223372036854775813
+    s32: -3
+    s64: -34359738368
+    fx32: 4000000001
+    fx64: 9223372036854775815
+    sf32: -9
+    sf64: -2199023255552
+    flag: true
+    name: "h\\xc3\\xa9llo"
+    payload: "\\000\\001\\377"
+    color: GREEN
+    inner { a: 5 b: "x" }
+    nums: 1 nums: -2 nums: 3
+    labels: "alpha" labels: "beta"
+    attrs { key: "k1" value: 10 }
+    attrs { key: "k2" value: -20 }
+    """
+    b = pb.DynamicMessage.newBuilder(rich)
+    pb.TextFormat.merge(text, b)
+    full = bytes(b.build().toByteArray())
+    empty = bytes(pb.DynamicMessage.newBuilder(rich).build().toByteArray())
+    return desc_path, [full, empty]
+
+
+def test_protobuf_python_tier_decodes_canonical_wire(spark, tmp_path):
+    """protobuf-java-encoded messages → pure-Python tier: every scalar
+    type (incl. unsigned wrap semantics), enum symbol, nested message,
+    packed repeated, map field, proto3 defaults on an empty message,
+    and unknown-field skipping."""
+    from pyspark.sql import types as T
+
+    desc_path, (full, empty) = _encode_rich_fixture(spark, tmp_path)
+    # unknown fields must be skipped by wire type: append field 99
+    # (varint 1) and field 98 (LEN "zz") to the full message
+    def uvarint(v):
+        out = bytearray()
+        while True:
+            if v > 0x7F:
+                out.append((v & 0x7F) | 0x80)
+                v >>= 7
+            else:
+                out.append(v)
+                return bytes(out)
+
+    full_plus = (full + uvarint(99 << 3) + b"\x01"
+                 + uvarint((98 << 3) | 2) + b"\x02zz")
+    df = spark.createDataFrame(
+        [(0, bytearray(full_plus)), (1, bytearray(empty)), (2, None)],
+        "id long, data binary",
+    )
+    out = readers.protobuf_decode(df, "data", "Rich", desc_path)
+    assert out.schema["data"].dataType["u32"].dataType == T.IntegerType()
+    assert out.schema["data"].dataType["u64"].dataType == T.LongType()
+    assert out.schema["data"].dataType["attrs"].dataType == T.MapType(
+        T.StringType(), T.LongType(), True
+    )
+    rows = {r["id"]: r["data"] for r in out.collect()}
+    r = rows[0]
+    assert r["d"] == 1.5 and r["f"] == 1.25
+    assert r["i32"] == -7 and r["i64"] == -(2**40)
+    assert r["u32"] == 4_000_000_000 - (1 << 32)  # two's-complement holder
+    assert r["u64"] == (2**63 + 5) - (1 << 64)
+    assert r["s32"] == -3 and r["s64"] == -(2**35)
+    assert r["fx32"] == 4_000_000_001 - (1 << 32)
+    assert r["fx64"] == (2**63 + 7) - (1 << 64)
+    assert r["sf32"] == -9 and r["sf64"] == -(2**41)
+    assert r["flag"] is True and r["name"] == "héllo"
+    assert bytes(r["payload"]) == b"\x00\x01\xff"
+    assert r["color"] == "GREEN"
+    assert r["inner"]["a"] == 5 and r["inner"]["b"] == "x"
+    assert r["nums"] == [1, -2, 3]  # protobuf-java packs these (proto3)
+    assert r["labels"] == ["alpha", "beta"]
+    assert r["attrs"] == {"k1": 10, "k2": -20}
+    e = rows[1]  # proto3 defaults materialize; sub-message is NULL
+    assert e["d"] == 0.0 and e["i64"] == 0 and e["flag"] is False
+    assert e["name"] == "" and bytes(e["payload"]) == b""
+    assert e["color"] == "RED" and e["inner"] is None
+    assert e["nums"] == [] and e["attrs"] == {}
+    assert rows[2] is None  # NULL binary stays NULL
+
+
+def test_protobuf_wire_golden_bytes():
+    """Wire decode pinned against hand-computed spec bytes — including
+    protobuf.dev's canonical `08 96 01` = field 1, varint 150."""
+    from datapipeline_scripts_spark.sources import protobuf_pywire as pw
+
+    def reg_one(ftype, type_name=None, label=1, extra=None):
+        reg = {".m.M": {"kind": "message", "map_entry": False, "fields": [
+            {"name": "x", "number": 1, "label": label, "type": ftype,
+             "type_name": type_name}]}}
+        reg.update(extra or {})
+        return reg
+
+    assert pw.compile_decoder(".m.M", reg_one(5))(b"\x08\x96\x01") == (150,)
+    # int32 -2 arrives as a 10-byte two's-complement varint
+    neg2 = b"\x08" + b"\xfe\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    assert pw.compile_decoder(".m.M", reg_one(5))(neg2) == (-2,)
+    # sint32 zigzag: wire 1 → -1
+    assert pw.compile_decoder(".m.M", reg_one(17))(b"\x08\x01") == (-1,)
+    # fixed32 little-endian, i32 wire type
+    assert pw.compile_decoder(".m.M", reg_one(7))(b"\x0d\x01\x00\x00\x80") == (
+        -(2**31) + 1,
+    )
+    # packed repeated int64: LEN of three varints
+    assert pw.compile_decoder(".m.M", reg_one(3, label=3))(
+        b"\x0a\x03\x01\x02\x03"
+    ) == ([1, 2, 3],)
+    # groups raise loudly; truncation raises loudly
+    with pytest.raises(NotImplementedError, match="group"):
+        list(pw.iter_records(b"\x0b"))
+    with pytest.raises(ValueError, match="truncated"):
+        list(pw.iter_records(b"\x08"))
+    with pytest.raises(ValueError, match="descriptor"):
+        pw.parse_descriptor_set(b"")
