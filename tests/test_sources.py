@@ -552,6 +552,86 @@ def test_avro_python_writer_roundtrips_and_jvm_reads_it(spark, tmp_path):
     assert readers.read(spark, "avro", out_dir).count() == 0
 
 
+def test_avro_python_writer_boundary_values(spark, tmp_path):
+    """Writer→reader→JVM-reader agreement at the integer boundaries
+    where varint/zigzag encoders classically break: 7-bit group edges,
+    int32/int64 extremes, decimal precision edges."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from datapipeline_scripts_spark.sources.avro_pysource import write_avro_py
+
+    edges64 = [0, 1, -1, 63, -64, 64, -65, 127, 128, 8191, 8192,
+               2**31 - 1, -(2**31), 2**31, -(2**31) - 1, 2**63 - 1, -(2**63)]
+    edges32 = [0, 1, -1, 63, -64, 2**31 - 1, -(2**31)]
+    rows = [
+        (i, v, edges32[i % len(edges32)],
+         Decimal("99999999.99") if v > 0 else Decimal("-99999999.99"))
+        for i, v in enumerate(edges64)
+    ]
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v64", T.LongType(), False),
+        T.StructField("v32", T.IntegerType(), False),
+        T.StructField("amt", T.DecimalType(10, 2), False),
+    ])
+    out = str(tmp_path / "edges")
+    write_avro_py(spark.createDataFrame(rows, schema), out, codec="null")
+    got = {r["id"]: r for r in readers.read(spark, "avro", out).collect()}
+    assert len(got) == len(edges64)
+    for i, v in enumerate(edges64):
+        assert got[i]["v64"] == v, f"v64 edge {v}"
+        assert got[i]["v32"] == edges32[i % len(edges32)]
+    jvm = spark._jvm
+    import glob as g
+
+    seen = {}
+    for f in g.glob(f"{out}/*.avro"):
+        rdr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        while rdr.hasNext():
+            rec = rdr.next()
+            seen[rec.get("id")] = rec.get("v64")
+        rdr.close()
+    assert seen == {i: v for i, v in enumerate(edges64)}
+
+
+def test_protobuf_wire_boundary_varints():
+    """Decoder at the int32/int64/uint extremes and the 10-byte varint
+    ceiling (hand-encoded per spec)."""
+    from datapipeline_scripts_spark.sources import protobuf_pywire as pw
+
+    def uv(v):  # unsigned LE base-128
+        out = bytearray()
+        while True:
+            if v > 0x7F:
+                out.append((v & 0x7F) | 0x80)
+                v >>= 7
+            else:
+                out.append(v)
+                return bytes(out)
+
+    def reg_one(ftype):
+        return {".m.M": {"kind": "message", "map_entry": False, "fields": [
+            {"name": "x", "number": 1, "label": 1, "type": ftype,
+             "type_name": None}]}}
+
+    int64 = pw.compile_decoder(".m.M", reg_one(3))
+    assert int64(b"\x08" + uv(2**63 - 1)) == (2**63 - 1,)
+    assert int64(b"\x08" + uv(2**64 - 2**63)) == (-(2**63),)  # wire = 2's comp
+    uint64 = pw.compile_decoder(".m.M", reg_one(4))
+    assert uint64(b"\x08" + uv(2**64 - 1)) == (-1,)  # java long wrap
+    uint32 = pw.compile_decoder(".m.M", reg_one(13))
+    assert uint32(b"\x08" + uv(2**32 - 1)) == (-1,)  # java int wrap
+    sint64 = pw.compile_decoder(".m.M", reg_one(18))
+    assert sint64(b"\x08" + uv(2**64 - 1)) == (-(2**63),)  # zigzag min
+    assert sint64(b"\x08" + uv(2**64 - 2)) == (2**63 - 1,)  # zigzag max
+    with pytest.raises(ValueError, match="longer than 10"):
+        pw.read_varint(b"\xff" * 11, 0)
+
+
 def test_snappy_block_golden_bytes():
     """Pure-Python snappy block decode pinned against hand-computed
     spec bytes: literal, overlapping 1-byte-offset copy (pattern
