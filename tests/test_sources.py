@@ -812,6 +812,29 @@ def _build_rich_descriptor(spark):
     add_field(rich, "labels", 19, FT.TYPE_STRING, label=FL.LABEL_REPEATED)
     add_field(rich, "attrs", 20, FT.TYPE_MESSAGE, label=FL.LABEL_REPEATED,
               type_name=".t.Rich.AttrsEntry")
+    # repeated message + int-keyed map + message-valued map
+    add_field(rich, "inners", 21, FT.TYPE_MESSAGE, label=FL.LABEL_REPEATED,
+              type_name=".t.Inner")
+    scores = DP.DescriptorProto.newBuilder()
+    scores.setName("ScoresEntry")
+    mo2 = DP.MessageOptions.newBuilder()
+    mo2.setMapEntry(True)
+    scores.setOptions(mo2)
+    add_field(scores, "key", 1, FT.TYPE_INT32)
+    add_field(scores, "value", 2, FT.TYPE_DOUBLE)
+    rich.addNestedType(scores)
+    add_field(rich, "scores", 22, FT.TYPE_MESSAGE, label=FL.LABEL_REPEATED,
+              type_name=".t.Rich.ScoresEntry")
+    objs = DP.DescriptorProto.newBuilder()
+    objs.setName("ObjsEntry")
+    mo3 = DP.MessageOptions.newBuilder()
+    mo3.setMapEntry(True)
+    objs.setOptions(mo3)
+    add_field(objs, "key", 1, FT.TYPE_STRING)
+    add_field(objs, "value", 2, FT.TYPE_MESSAGE, type_name=".t.Inner")
+    rich.addNestedType(objs)
+    add_field(rich, "objs", 23, FT.TYPE_MESSAGE, label=FL.LABEL_REPEATED,
+              type_name=".t.Rich.ObjsEntry")
     fdp.addMessageType(rich)
     return fdp.build()
 
@@ -856,6 +879,11 @@ def _encode_rich_fixture(spark, tmp_path):
     labels: "alpha" labels: "beta"
     attrs { key: "k1" value: 10 }
     attrs { key: "k2" value: -20 }
+    inners { a: 1 b: "p" }
+    inners { a: 2 b: "q" }
+    scores { key: 3 value: 0.5 }
+    scores { key: -4 value: -2.5 }
+    objs { key: "o1" value { a: 9 b: "z" } }
     """
     b = pb.DynamicMessage.newBuilder(rich)
     pb.TextFormat.merge(text, b)
@@ -913,11 +941,16 @@ def test_protobuf_python_tier_decodes_canonical_wire(spark, tmp_path):
     assert r["nums"] == [1, -2, 3]  # protobuf-java packs these (proto3)
     assert r["labels"] == ["alpha", "beta"]
     assert r["attrs"] == {"k1": 10, "k2": -20}
+    assert [tuple(x) for x in r["inners"]] == [(1, "p"), (2, "q")]
+    assert r["scores"] == {3: 0.5, -4: -2.5}
+    assert set(r["objs"]) == {"o1"}
+    assert tuple(r["objs"]["o1"]) == (9, "z")
     e = rows[1]  # proto3 defaults materialize; sub-message is NULL
     assert e["d"] == 0.0 and e["i64"] == 0 and e["flag"] is False
     assert e["name"] == "" and bytes(e["payload"]) == b""
     assert e["color"] == "RED" and e["inner"] is None
     assert e["nums"] == [] and e["attrs"] == {}
+    assert e["inners"] == [] and e["scores"] == {} and e["objs"] == {}
     assert rows[2] is None  # NULL binary stays NULL
 
 
