@@ -241,6 +241,24 @@ def read(spark: SparkSession, fmt: str, path: str, **kwargs) -> DataFrame:
     return reader(spark, path, **kwargs)
 
 
+def write_avro(df: DataFrame, path: str, mode: str = "error", codec: str = "deflate") -> None:
+    """Avro sink, two-tier like read_avro: the JVM spark-avro connector
+    when on the classpath (columnar, any Hadoop filesystem — the 100 TB
+    path), else the pure-Python OCF writer (`avro_pysource.write_avro_py`:
+    one part-file per partition on a POSIX-visible directory,
+    null/deflate codecs)."""
+    try:
+        jvm_codec = "uncompressed" if codec == "null" else codec
+        writer = df.write.mode(mode).option("compression", jvm_codec)
+        writer.format("avro").save(path)
+    except Exception as exc:
+        if "already exists" in str(exc):  # mode='error' refusal, not a tier gap
+            raise
+        from datapipeline_scripts_spark.sources.avro_pysource import write_avro_py
+
+        write_avro_py(df, path, codec=codec, mode=mode)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

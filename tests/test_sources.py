@@ -632,6 +632,92 @@ def test_protobuf_wire_boundary_varints():
         pw.read_varint(b"\xff" * 11, 0)
 
 
+def test_avro_write_read_randomized_sweep(spark, tmp_path):
+    """Seeded randomized writer→reader roundtrip over the full type
+    lattice (300 rows), plus a JVM-reader aggregate cross-check — the
+    values property tests would explore, pinned deterministic."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(0xA5817)
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("amt", T.DecimalType(18, 4), True),
+        T.StructField("arr", T.ArrayType(T.LongType(), True), True),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType(), True), True),
+    ])
+
+    def maybe(gen, p=0.85):
+        return gen() if rng.random() < p else None
+
+    def rand_str():
+        return "".join(rng.choice("abčdé日本\U0001F600xyz _") for _ in range(rng.randrange(0, 12)))
+
+    rows = [
+        (
+            i,
+            maybe(lambda: rng.randrange(-(2**63), 2**63)),
+            maybe(rand_str),
+            maybe(lambda: rng.choice([0.0, -0.0, 1e300, -1e-300, 2.5, float("inf")])),
+            maybe(lambda: Decimal(rng.randrange(-(10**14), 10**14)).scaleb(-4)),
+            maybe(lambda: [maybe(lambda: rng.randrange(-(2**31), 2**31), 0.9)
+                           for _ in range(rng.randrange(0, 5))]),
+            maybe(lambda: {rand_str() or "k": maybe(rand_str, 0.9)
+                           for _ in range(rng.randrange(0, 4))}),
+        )
+        for i in range(300)
+    ]
+    from datapipeline_scripts_spark.sources.avro_pysource import write_avro_py
+
+    out = str(tmp_path / "sweep")
+    files = write_avro_py(spark.createDataFrame(rows, schema).repartition(4), out)
+    got = {r["id"]: r for r in readers.read(spark, "avro", out).collect()}
+    assert len(got) == 300
+    for row in rows:
+        g = got[row[0]]
+        assert g["v"] == row[1] and g["s"] == row[2]
+        assert g["d"] == row[3] or (g["d"] != g["d"] and row[3] != row[3])
+        assert g["amt"] == row[4]
+        assert g["arr"] == row[5] and g["m"] == row[6]
+    # canonical aggregate cross-check: JVM reader sees the same id-sum
+    # and non-null long-sum
+    jvm = spark._jvm
+    id_sum = v_sum = n = 0
+    for f in files:
+        rdr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        while rdr.hasNext():
+            rec = rdr.next()
+            n += 1
+            id_sum += rec.get("id")
+            v = rec.get("v")
+            if v is not None:
+                v_sum = (v_sum + v) % (2**61 - 1)
+        rdr.close()
+    assert n == 300 and id_sum == sum(r[0] for r in rows)
+    assert v_sum == sum(r[1] for r in rows if r[1] is not None) % (2**61 - 1)
+
+
+def test_write_avro_two_tier_dispatch(spark, tmp_path):
+    """readers.write_avro lands on the pure-Python tier here (no
+    spark-avro jar) and mode='error' refuses an existing directory
+    without falling through to a double-write."""
+    df = spark.range(5).selectExpr("id", "CONCAT('n-', id) AS name")
+    out = str(tmp_path / "sink")
+    readers.write_avro(df, out)
+    assert readers.read(spark, "avro", out).count() == 5
+    with pytest.raises(Exception, match="(?i)exists"):
+        readers.write_avro(df, out)
+    readers.write_avro(df.limit(2), out, mode="overwrite", codec="null")
+    assert readers.read(spark, "avro", out).count() == 2
+
+
 def test_snappy_block_golden_bytes():
     """Pure-Python snappy block decode pinned against hand-computed
     spec bytes: literal, overlapping 1-byte-offset copy (pattern
