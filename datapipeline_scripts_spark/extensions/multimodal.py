@@ -10,13 +10,16 @@ step ... make the plumbing real").  Real decode is wired behind an
 explicit extras flag (VERDICT r05 item 6): set
 ``SPARK_GRAFT_REAL_DECODE=1`` (in the EXECUTOR environment on a real
 cluster — ``spark.executorEnv.SPARK_GRAFT_REAL_DECODE=1``) and the
-image workers decode via Pillow (width/height, grayscale dHash),
-raising a loud NotImplementedError with remediation if Pillow is
-absent.  The flag deliberately CHANGES width/height/phash semantics,
-so the declared DuckDB oracles cover the default path only; with the
-flag set the keys are rows-only verifiable.  Presence of Pillow alone
-never flips the path — an installed codec must not silently change
-query results.
+image workers decode for real: via Pillow when it is importable
+(every format), else via the stdlib-only PNG decoder
+(`extensions/png_stdlib.py` — PNG is zlib + five byte filters, so the
+most common lossless format needs no codec library; non-PNG payloads
+report the loud (-1,-1)/byte-hash fallbacks, exactly like Pillow's
+undecodable branch).  The flag deliberately CHANGES
+width/height/phash semantics, so the declared DuckDB oracles cover
+the default path only; with the flag set the keys are rows-only
+verifiable.  Presence of Pillow alone never flips the path — an
+installed codec must not silently change query results.
 """
 
 from __future__ import annotations
@@ -78,18 +81,17 @@ def _real_decode_requested() -> bool:
     return os.environ.get(_REAL_DECODE_ENV, "0") not in ("", "0")
 
 
-def _require_pil():
+def _image_backend() -> tuple[str, object]:
+    """('pil', PIL.Image) when Pillow is importable (covers every
+    format), else ('png', None): the stdlib PNG decoder handles the
+    most common lossless format and reports the same loud fallbacks as
+    Pillow's undecodable branch for anything else."""
     try:
         from PIL import Image  # noqa: PLC0415 - worker-side lazy import
 
-        return Image
-    except ImportError as ex:  # pragma: no cover - Pillow absent here by design
-        raise NotImplementedError(
-            f"{_REAL_DECODE_ENV}=1 requires Pillow, which this container does "
-            "not ship. On a real cluster: add pillow to the executor image "
-            f"(pip install pillow) or unset {_REAL_DECODE_ENV} for the "
-            "deterministic stub path."
-        ) from ex
+        return ("pil", Image)
+    except ImportError:
+        return ("png", None)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
@@ -117,17 +119,41 @@ def _pil_decode(image_mod, payload: bytes) -> tuple[int, int]:  # pragma: no cov
         return (-1, -1)
 
 
+def _png_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real (width, height) via the stdlib PNG decoder — same contract
+    as `_pil_decode`: (0, 0) empty, (-1, -1) undecodable. Size comes
+    from IHDR alone (O(1)), no pixel inflate on the feature path."""
+    from datapipeline_scripts_spark.extensions import png_stdlib
+
+    if not payload:
+        return (0, 0)
+    try:
+        w, h = png_stdlib.png_size(bytes(payload))
+        return (int(w), int(h))
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return (-1, -1)
+
+
+def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int]:
+    if backend == "pil":  # pragma: no cover - Pillow absent in this container
+        return _pil_decode(image_mod, payload)
+    return _png_decode_dims(payload)
+
+
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: binary payload → typed feature row.
 
     Arrow delivers each partition as pandas batches; one Python worker
     per core, zero JVM round-trips inside the loop."""
     use_real = _real_decode_requested()
-    image_mod = _require_pil() if use_real else None
+    backend, image_mod = _image_backend() if use_real else (None, None)
     for pdf in batches:
         payloads = pdf["payload"]
-        if use_real:  # pragma: no cover - exercised only with Pillow present
-            dims = [_pil_decode(image_mod, p if p is not None else b"") for p in payloads]
+        if use_real:
+            dims = [
+                _real_decode_dims(backend, image_mod, p if p is not None else b"")
+                for p in payloads
+            ]
         else:
             dims = [_fake_decode(p if p is not None else b"") for p in payloads]
         yield pd.DataFrame(
@@ -358,15 +384,37 @@ def _phash_pixels(image_mod, payload: bytes) -> int:  # pragma: no cover
     return bits
 
 
+def _phash_pixels_png(payload: bytes) -> int:
+    """Real dHash via the stdlib PNG decoder: box-average the grayscale
+    into a (_PHASH_BITS+1)-pixel row, adjacent-compare — same contract
+    as `_phash_pixels` (0 for empty, byte-hash fallback for bytes the
+    decoder rejects, so undecodables still dedup among themselves)."""
+    from datapipeline_scripts_spark.extensions import png_stdlib
+
+    if not payload:
+        return 0
+    try:
+        px = png_stdlib.png_gray_band_row(bytes(payload), _PHASH_BITS + 1)
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return _phash_bytes(payload)
+    bits = 0
+    for i in range(_PHASH_BITS):
+        if px[i] < px[i + 1]:
+            bits |= 1 << i
+    return bits
+
+
 def _phash_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     use_real = _real_decode_requested()
-    image_mod = _require_pil() if use_real else None
+    backend, image_mod = _image_backend() if use_real else (None, None)
     for pdf in batches:
-        if use_real:  # pragma: no cover - exercised only with Pillow present
+        if use_real and backend == "pil":  # pragma: no cover - Pillow absent here
             hashes = [
                 _phash_pixels(image_mod, p if p is not None else b"")
                 for p in pdf["payload"]
             ]
+        elif use_real:
+            hashes = [_phash_pixels_png(p if p is not None else b"") for p in pdf["payload"]]
         else:
             hashes = [_phash_bytes(p if p is not None else b"") for p in pdf["payload"]]
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})

@@ -657,18 +657,122 @@ def test_real_decode_extras_flag_gates(monkeypatch):
     # frames: real sampling needs a video parser — loud gate even with Pillow
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         list(mm._sample_frames(iter(batch)))
-    try:
-        import PIL  # noqa: F401
+    # with the flag set, the real path runs on EVERY backend (Pillow if
+    # importable, stdlib PNG otherwise — r6): non-image bytes report the
+    # loud (-1,-1) dims and the byte-hash phash fallback, never raise
+    out = pd.concat(list(mm._extract_features(iter(batch))))
+    assert list(out["width"]) == [-1] and list(out["height"]) == [-1]
+    ph = pd.concat(list(mm._phash_worker(iter(batch))))
+    assert list(ph["phash"]) == [mm._phash_bytes(b"not an image")]
 
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if has_pil:  # pragma: no cover - Pillow absent in this container
-        out = pd.concat(list(mm._extract_features(iter(batch))))
-        assert list(out["width"]) == [-1]  # undecodable bytes are loud, not fatal
-        assert list(out["height"]) == [-1]
-    else:
-        with pytest.raises(NotImplementedError, match="[Pp]illow"):
-            list(mm._extract_features(iter(batch)))
-        with pytest.raises(NotImplementedError, match="[Pp]illow"):
-            list(mm._phash_worker(iter(batch)))
+
+def _imageio_png(spark, w, h, rgb_fn):
+    """Canonical PNG bytes from the JVM's headless ImageIO encoder —
+    the reference implementation the stdlib decoder is proven against
+    (same strategy as the Avro/protobuf canonical-encoder tests)."""
+    jvm = spark._jvm
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    return bytes(baos.toByteArray())
+
+
+def test_png_stdlib_decodes_imageio_canonical(spark):
+    """Stdlib PNG decoder vs the JVM ImageIO encoder: exact IHDR size,
+    exact per-pixel BT.601 luma, and real-decode dHash semantics on
+    monotone gradients."""
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+    from datapipeline_scripts_spark.extensions import png_stdlib
+
+    w, h = 26, 4
+    rgb = lambda x, y: (10 * x, 5 * x + y, 255 - 9 * x)  # noqa: E731
+    payload = _imageio_png(spark, w, h, rgb)
+    assert png_stdlib.is_png(payload)
+    assert png_stdlib.png_size(payload) == (w, h)
+    got_w, got_h, gray = png_stdlib.png_decode_gray(payload)
+    assert (got_w, got_h) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = rgb(x, y)
+            want = (299 * r + 587 * g + 114 * b) // 1000
+            assert gray[y * w + x] == want, (x, y)
+
+    # dHash: left→right brightening gradient sets every bit, reversed none
+    bright = _imageio_png(spark, w, h, lambda x, y: (10 * x,) * 3)
+    dark = _imageio_png(spark, w, h, lambda x, y: (250 - 10 * x,) * 3)
+    assert mm._phash_pixels_png(bright) == (1 << mm._PHASH_BITS) - 1
+    assert mm._phash_pixels_png(dark) == 0
+    # and the feature path reports the true dimensions under the flag
+    assert mm._png_decode_dims(payload) == (w, h)
+    assert mm._png_decode_dims(b"") == (0, 0)
+    assert mm._png_decode_dims(b"JUNKJUNKJUNK") == (-1, -1)
+
+
+def test_png_stdlib_all_filter_types_golden():
+    """Every PNG filter branch (None/Sub/Up/Average/Paeth) pinned by a
+    hand-framed file: rows are FORWARD-filtered per spec from known
+    pixels, so decode must invert each filter exactly; CRC and
+    dimension mismatches raise loudly."""
+    import struct
+    import zlib
+
+    from datapipeline_scripts_spark.extensions import png_stdlib
+
+    w, h = 6, 5
+    rows = [
+        [10, 20, 30, 40, 50, 60],
+        [15, 25, 35, 45, 55, 65],
+        [200, 150, 100, 80, 60, 40],
+        [7, 14, 21, 28, 35, 42],
+        [255, 0, 128, 64, 192, 32],
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ft)
+        prev = rows[y - 1] if y else [0] * w
+        for x in range(w):
+            cur = rows[y][x]
+            left = rows[y][x - 1] if x else 0
+            up_left = prev[x - 1] if x else 0
+            pred = [0, left, prev[x], (left + prev[x]) >> 1,
+                    paeth(left, prev[x], up_left)][ft]
+            raw.append((cur - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    got_w, got_h, gray = png_stdlib.png_decode_gray(png)
+    assert (got_w, got_h) == (w, h)
+    assert [list(gray[y * w:(y + 1) * w]) for y in range(h)] == rows
+
+    # loud failure modes: corrupt CRC, interlace, 16-bit depth
+    bad = bytearray(png)
+    bad[20] ^= 0xFF  # inside IHDR data → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        png_stdlib.png_decode_gray(bytes(bad))
+    ihdr_i = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    png_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        png_stdlib.png_decode_gray(png_i)
+    ihdr_16 = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png_16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_16)
+              + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth"):
+        png_stdlib.png_decode_gray(png_16)
