@@ -1073,3 +1073,53 @@ def test_protobuf_wire_golden_bytes():
         list(pw.iter_records(b"\x08"))
     with pytest.raises(ValueError, match="descriptor"):
         pw.parse_descriptor_set(b"")
+
+
+def test_protobuf_randomized_scalar_sweep(spark, tmp_path):
+    """Seeded randomized values through the canonical protobuf-java
+    encoder (TextFormat) and back through the pure-Python tier — 60
+    messages sweeping the full signed/unsigned/zigzag/fixed ranges."""
+    import random
+
+    jvm = spark._jvm
+    pb = _pb(jvm)
+    fdp = _build_rich_descriptor(spark)
+    desc_set = pb.DescriptorProtos.FileDescriptorSet.newBuilder().addFile(fdp).build()
+    desc_path = str(tmp_path / "rich.desc")
+    with open(desc_path, "wb") as fh:
+        fh.write(bytes(desc_set.toByteArray()))
+    arr = spark.sparkContext._gateway.new_array(pb.Descriptors.FileDescriptor, 0)
+    fd = pb.Descriptors.FileDescriptor.buildFrom(fdp, arr)
+    rich = fd.findMessageTypeByName("Rich")
+
+    rng = random.Random(0xBEEF06)
+    expected = []
+    blobs = []
+    for i in range(60):
+        i32 = rng.randrange(-(2**31), 2**31)
+        i64 = rng.randrange(-(2**63), 2**63)
+        u32 = rng.randrange(0, 2**32)
+        u64 = rng.randrange(0, 2**64)
+        s32 = rng.randrange(-(2**31), 2**31)
+        s64 = rng.randrange(-(2**63), 2**63)
+        nums = [rng.randrange(-(2**63), 2**63) for _ in range(rng.randrange(0, 6))]
+        text = (f"i32: {i32} i64: {i64} u32: {u32} u64: {u64} "
+                f"s32: {s32} s64: {s64} "
+                + " ".join(f"nums: {v}" for v in nums))
+        b = pb.DynamicMessage.newBuilder(rich)
+        pb.TextFormat.merge(text, b)
+        blobs.append((i, bytearray(bytes(b.build().toByteArray()))))
+        expected.append({
+            "i32": i32, "i64": i64,
+            "u32": u32 - (1 << 32) if u32 >= 1 << 31 else u32,  # java int wrap
+            "u64": u64 - (1 << 64) if u64 >= 1 << 63 else u64,  # java long wrap
+            "s32": s32, "s64": s64, "nums": nums,
+        })
+    df = spark.createDataFrame(blobs, "id long, data binary")
+    out = readers.protobuf_decode(df, "data", "Rich", desc_path)
+    rows = {r["id"]: r["data"] for r in out.collect()}
+    assert len(rows) == 60
+    for i, want in enumerate(expected):
+        got = rows[i]
+        for k, v in want.items():
+            assert got[k] == v, (i, k, v, got[k])
