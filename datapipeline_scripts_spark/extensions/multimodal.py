@@ -85,12 +85,25 @@ def _image_backend() -> tuple[str, object]:
     """('pil', PIL.Image) when Pillow is importable (covers every
     format), else ('png', None): the stdlib PNG decoder handles the
     most common lossless format and reports the same loud fallbacks as
-    Pillow's undecodable branch for anything else."""
+    Pillow's undecodable branch for anything else.
+
+    Backend choice only affects NON-PNG payloads: PNGs always route
+    through the stdlib decoder on every worker, so one image hashes
+    identically fleet-wide regardless of which workers have Pillow
+    (ADVICE r06). To pin non-PNG semantics on a heterogeneous cluster
+    set ``SPARK_GRAFT_IMAGE_BACKEND=png`` (force stdlib everywhere) or
+    ``=pil`` (require Pillow — ImportError is loud, never a silent
+    semantic switch)."""
+    forced = os.environ.get("SPARK_GRAFT_IMAGE_BACKEND", "").strip().lower()
+    if forced == "png":
+        return ("png", None)
     try:
         from PIL import Image  # noqa: PLC0415 - worker-side lazy import
 
         return ("pil", Image)
     except ImportError:
+        if forced == "pil":
+            raise  # pinned backend missing on this worker: fail loud
         return ("png", None)
 
 
@@ -135,6 +148,13 @@ def _png_decode_dims(payload: bytes) -> tuple[int, int]:
 
 
 def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int]:
+    """PNG payloads take the stdlib path on EVERY worker (identical
+    results whether or not Pillow is installed there — ADVICE r06);
+    the backend choice only decides non-PNG handling."""
+    from datapipeline_scripts_spark.extensions import png_stdlib
+
+    if payload and png_stdlib.is_png(bytes(payload)):
+        return _png_decode_dims(payload)
     if backend == "pil":  # pragma: no cover - Pillow absent in this container
         return _pil_decode(image_mod, payload)
     return _png_decode_dims(payload)
@@ -364,17 +384,21 @@ def _phash_bytes(p: bytes) -> int:
 
 
 def _phash_pixels(image_mod, payload: bytes) -> int:  # pragma: no cover
-    """Real dHash (SPARK_GRAFT_REAL_DECODE=1): grayscale, resample to a
-    (_PHASH_BITS+1)-pixel row, adjacent-compare — the textbook
-    difference hash the byte-stub mirrors. Undecodable payloads fall
-    back to the byte hash so they still dedup among themselves."""
+    """Real dHash (SPARK_GRAFT_REAL_DECODE=1) for NON-PNG formats via
+    Pillow: grayscale, area-true (BOX) resample to a (_PHASH_BITS+1)-
+    pixel row, adjacent-compare — the textbook difference hash the
+    byte-stub mirrors. BOX is pinned so Pillow's downscale matches the
+    stdlib bander's box-average (ADVICE r06: the default bicubic gave
+    backend-dependent hashes). Undecodable payloads fall back to the
+    byte hash so they still dedup among themselves."""
     import io
 
     if not payload:
         return 0
     try:
+        box = getattr(getattr(image_mod, "Resampling", image_mod), "BOX")
         with image_mod.open(io.BytesIO(bytes(payload))) as img:
-            px = list(img.convert("L").resize((_PHASH_BITS + 1, 1)).getdata())
+            px = list(img.convert("L").resize((_PHASH_BITS + 1, 1), resample=box).getdata())
     except Exception:  # noqa: BLE001 - undecodable payload is a data condition
         return _phash_bytes(payload)
     bits = 0
@@ -404,17 +428,31 @@ def _phash_pixels_png(payload: bytes) -> int:
     return bits
 
 
+def _phash_real(backend: str, image_mod, payload: bytes) -> int:
+    """Route by PAYLOAD TYPE, not backend availability: PNGs hash via
+    the stdlib bander on every worker (bit-identical fleet-wide —
+    ADVICE r06), non-PNGs via Pillow (BOX-pinned) where present, else
+    the byte-hash fallback."""
+    from datapipeline_scripts_spark.extensions import png_stdlib
+
+    if not payload:
+        return 0
+    if png_stdlib.is_png(bytes(payload)):
+        return _phash_pixels_png(payload)
+    if backend == "pil":  # pragma: no cover - Pillow absent in this container
+        return _phash_pixels(image_mod, payload)
+    return _phash_bytes(payload)
+
+
 def _phash_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     use_real = _real_decode_requested()
     backend, image_mod = _image_backend() if use_real else (None, None)
     for pdf in batches:
-        if use_real and backend == "pil":  # pragma: no cover - Pillow absent here
+        if use_real:
             hashes = [
-                _phash_pixels(image_mod, p if p is not None else b"")
+                _phash_real(backend, image_mod, p if p is not None else b"")
                 for p in pdf["payload"]
             ]
-        elif use_real:
-            hashes = [_phash_pixels_png(p if p is not None else b"") for p in pdf["payload"]]
         else:
             hashes = [_phash_bytes(p if p is not None else b"") for p in pdf["payload"]]
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})

@@ -257,6 +257,9 @@ def _build_toolkit() -> dict:
         return make_reader(t, named)  # {"type": "string"} primitive wrapper
 
     def _register_named(schema, named: dict, fn) -> None:
+        # post-qualify_names the name IS the fullname; the bare short
+        # segment stays registered as a net for spec-loose writers
+        # (collisions resolve last-write-wins, same as _avro_to_spark)
         name = schema.get("name")
         if not name:
             return
@@ -264,7 +267,7 @@ def _build_toolkit() -> dict:
         full = f"{ns}.{name}" if ns and "." not in name else name
         # store in a 1-tuple so forward references resolve post-hoc
         named[full] = (fn,)
-        named[name] = (fn,)
+        named[full.rsplit(".", 1)[-1]] = (fn,)
 
     def snappy_decompress(buf: bytes) -> bytes:
         """Raw snappy block format (PUBLIC spec,
@@ -367,12 +370,60 @@ def _build_toolkit() -> dict:
             "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
         )
 
+    _AVRO_PRIM_NAMES = frozenset(
+        {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+    )
+
+    def qualify_names(schema, enclosing=None, defined=None):
+        """Resolve the Avro spec's namespace rules ONCE (driver- or
+        executor-side, before compiling readers): rewrite every named
+        type's `name` to its fullname (dropping the `namespace` attr)
+        and every resolvable short reference to the fullname it denotes,
+        so the `named` registries key by exact string. Per spec a name is
+        defined before use in reading order, so one document-order pass
+        suffices; fullname references ("a.b.C") pass through verbatim
+        (ADVICE r06: avro-java emits fullname refs when a reference
+        crosses a namespace context — these previously failed schema
+        inference even though the decoder could read the file)."""
+        if defined is None:
+            defined = set()
+        if isinstance(schema, str):
+            if schema in _AVRO_PRIM_NAMES or "." in schema:
+                return schema  # primitive, or already a fullname reference
+            if enclosing and f"{enclosing}.{schema}" in defined:
+                return f"{enclosing}.{schema}"  # fullname-first resolution
+            return schema  # null-namespace reference (or unresolvable: loud later)
+        if isinstance(schema, list):
+            return [qualify_names(b, enclosing, defined) for b in schema]
+        t = schema["type"]
+        if t in ("record", "enum", "fixed") and schema.get("name"):
+            name = schema["name"]
+            ns = schema.get("namespace", enclosing) if "." not in name else None
+            full = f"{ns}.{name}" if ns else name
+            out = {k: v for k, v in schema.items() if k != "namespace"}
+            out["name"] = full
+            defined.add(full)
+            inner_ns = full.rsplit(".", 1)[0] if "." in full else None
+            if t == "record":
+                out["fields"] = [
+                    {**fld, "type": qualify_names(fld["type"], inner_ns, defined)}
+                    for fld in schema["fields"]
+                ]
+            return out
+        if t == "array":
+            return {**schema, "items": qualify_names(schema["items"], enclosing, defined)}
+        if t == "map":
+            return {**schema, "values": qualify_names(schema["values"], enclosing, defined)}
+        if isinstance(t, (dict, list)):
+            return {**schema, "type": qualify_names(t, enclosing, defined)}
+        return schema  # primitive-with-logicalType wrapper
+
     def iter_file(path: str):
         """Yield one tuple per record of an OCF file (top-level record
         schema → tuple in field order)."""
         with open(path, "rb") as f:
             meta, sync = parse_header(f)
-            schema = json.loads(meta["avro.schema"].decode("utf-8"))
+            schema = qualify_names(json.loads(meta["avro.schema"].decode("utf-8")))
             if not (isinstance(schema, dict) and schema.get("type") == "record"):
                 raise NotImplementedError(
                     "only record-rooted Avro files map to DataFrame rows"
@@ -409,6 +460,7 @@ def _build_toolkit() -> dict:
         "decompress": decompress,
         "snappy_decompress": snappy_decompress,
         "iter_file": iter_file,
+        "qualify_names": qualify_names,
     }
 
 
@@ -418,9 +470,23 @@ _TK = _build_toolkit()
 # ---- driver-side: schema inference ----------------------------------------
 
 
+def _register_named_type(schema: dict, named: dict, st: T.DataType) -> None:
+    """Mirror of the decoder's `_register_named` (ADVICE r06): fullname
+    AND short segment, so a fullname reference resolves here exactly
+    when the decoder can read it."""
+    name = schema.get("name")
+    if not name:
+        return
+    ns = schema.get("namespace")
+    full = f"{ns}.{name}" if ns and "." not in name else name
+    named[full] = st
+    named[full.rsplit(".", 1)[-1]] = st
+
+
 def _avro_to_spark(schema, named: dict) -> tuple[T.DataType, bool]:
-    """Parsed Avro schema → (Spark type, nullable). Must mirror the
-    decoder's value conversions exactly (same clauses, same order)."""
+    """Parsed Avro schema (pass through the toolkit's `qualify_names`
+    first) → (Spark type, nullable). Must mirror the decoder's value
+    conversions exactly (same clauses, same order)."""
     if isinstance(schema, str):
         prim = {
             "null": T.NullType(),
@@ -462,24 +528,26 @@ def _avro_to_spark(schema, named: dict) -> tuple[T.DataType, bool]:
     if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
         return T.TimestampType(), False
     if t in ("bytes", "fixed") and logical == "decimal":
-        return T.DecimalType(int(schema.get("precision", 38)), int(schema.get("scale", 0))), False
+        dec = T.DecimalType(int(schema.get("precision", 38)), int(schema.get("scale", 0)))
+        if t == "fixed":  # decoder registers decimal-fixed names; mirror it
+            _register_named_type(schema, named, dec)
+        return dec, False
     if t == "record":
+        # registration happens AFTER the field walk (a recursive record
+        # has no finite StructType — a self-reference fails loudly as an
+        # unresolved ref, unlike the decoder which handles recursion)
         fields = []
-        name = schema.get("name")
         for fld in schema["fields"]:
             dt, nullable = _avro_to_spark(fld["type"], named)
             fields.append(T.StructField(fld["name"], dt, nullable))
         st = T.StructType(fields)
-        if name:
-            named[name] = st
+        _register_named_type(schema, named, st)
         return st, False
     if t == "enum":
-        if schema.get("name"):
-            named[schema["name"]] = T.StringType()
+        _register_named_type(schema, named, T.StringType())
         return T.StringType(), False
     if t == "fixed":
-        if schema.get("name"):
-            named[schema["name"]] = T.BinaryType()
+        _register_named_type(schema, named, T.BinaryType())
         return T.BinaryType(), False
     if t == "array":
         dt, nullable = _avro_to_spark(schema["items"], named)
@@ -512,7 +580,7 @@ def spark_schema_for_path(path: str) -> T.StructType:
     """Writer schema of the first file → Spark StructType (driver-side)."""
     with open(list_avro_files(path)[0], "rb") as f:
         meta, _sync = _TK["parse_header"](f)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    schema = _TK["qualify_names"](json.loads(meta["avro.schema"].decode("utf-8")))
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         raise NotImplementedError("only record-rooted Avro files map to DataFrame rows")
     st, _ = _avro_to_spark(schema, {})
@@ -748,18 +816,37 @@ def write_avro_py(df: DataFrame, path: str, codec: str = "deflate", mode: str = 
     (true in local mode and on shared-FS clusters — on object stores
     use the JVM connector). Codecs: null/deflate. Timestamp columns are
     converted to unix micros JVM-side (exact, timezone-free) before
-    rows reach Python; nested-struct timestamps are refused loudly."""
+    rows reach Python; nested-struct timestamps are refused loudly.
+    All four DataFrameWriter save modes apply (ADVICE r06 — the JVM
+    tier forwards `mode` verbatim, so the tiers must agree): `error`/
+    `errorifexists` refuse a non-empty target, `overwrite` replaces it,
+    `ignore` silently returns [] when the target is non-empty, and
+    `append` adds part-files under run-unique names."""
     import hashlib
     import shutil
+    import uuid
 
     from pyspark.sql import functions as F
 
+    mode = "error" if mode == "errorifexists" else mode
+    if mode not in ("error", "overwrite", "append", "ignore"):
+        raise ValueError(
+            f"unknown save mode {mode!r}; expected "
+            "error/errorifexists/overwrite/append/ignore"
+        )
     if os.path.exists(path):
         if mode == "overwrite":
             shutil.rmtree(path)
         elif os.listdir(path):
-            raise FileExistsError(f"{path!r} exists; pass mode='overwrite'")
+            if mode == "ignore":
+                return []  # DataFrameWriter semantics: silent no-op
+            if mode == "error":
+                raise FileExistsError(f"{path!r} exists; pass mode='overwrite'")
+            # append falls through: run-unique part names below
     os.makedirs(path, exist_ok=True)
+    # append can meet same-numbered parts from a prior run; a driver-side
+    # run token keeps the names (and the md5-derived sync markers) unique
+    run_token = f"-{uuid.uuid4().hex[:12]}" if mode == "append" else ""
 
     name_seq = [0]
     schema: dict = {
@@ -805,15 +892,15 @@ def write_avro_py(df: DataFrame, path: str, codec: str = "deflate", mode: str = 
             return iter(())  # empty partition → no file
         import itertools
 
-        part_path = os.path.join(path, f"part-{pid:05d}.avro")
-        sync = hashlib.md5(sync_base + pid.to_bytes(4, "big")).digest()
+        part_path = os.path.join(path, f"part-{pid:05d}{run_token}.avro")
+        sync = hashlib.md5(sync_base + run_token.encode() + pid.to_bytes(4, "big")).digest()
         write_file(part_path, schema_json, encoder, itertools.chain([first], it), codec, sync)
         return iter([part_path])
 
     files = sorted(df.select(*cols).rdd.mapPartitionsWithIndex(write_partition).collect())
     if not files:  # all partitions empty: header-only file so reads work
-        part_path = os.path.join(path, "part-00000.avro")
-        sync = hashlib.md5(sync_base + (0).to_bytes(4, "big")).digest()
+        part_path = os.path.join(path, f"part-00000{run_token}.avro")
+        sync = hashlib.md5(sync_base + run_token.encode() + (0).to_bytes(4, "big")).digest()
         write_file(part_path, schema_json, encoder, iter(()), codec, sync)
         files = [part_path]
     return files

@@ -24,16 +24,22 @@ Everything here derives from the PUBLIC protobuf encoding spec
   message_type=4, enum_type=5, syntax=12}; DescriptorProto{name=1,
   field=2, nested_type=3, enum_type=4, options=7};
   MessageOptions.map_entry=7; FieldDescriptorProto{name=1, number=3,
-  label=4, type=5, type_name=6}; EnumDescriptorProto{name=1,
-  value=2}; EnumValueDescriptorProto{name=1, number=2}.
+  label=4, type=5, type_name=6, default_value=7, oneof_index=9,
+  proto3_optional=17}; EnumDescriptorProto{name=1, value=2};
+  EnumValueDescriptorProto{name=1, number=2}.
 
 Value semantics mirror protobuf-java holders (what spark-protobuf
 emits), so a query moved between tiers sees identical values:
 uint32/fixed32 wrap to two's-complement Integer, uint64/fixed64 wrap
 to two's-complement Long, enums render as their symbol names
 (unknown numbers as the decimal string — proto3 open enums), missing
-scalar fields materialize their defaults, missing sub-messages are
-NULL, repeated fields accept both packed and unpacked encodings, and
+scalar fields materialize their defaults (the proto2 declared
+``default_value`` when the descriptor carries one, else the type
+zero), PRESENCE-TRACKED absent fields — oneof members and proto3
+``optional``s, per ``oneof_index``/``proto3_optional`` — are NULL
+with last-set-wins clearing across a oneof's members (ADVICE r06:
+these previously materialized zero-defaults), missing sub-messages
+are NULL, repeated fields accept both packed and unpacked encodings, and
 map fields (``map_entry`` nested types) decode to MapType. Spark
 schema mapping: 32-bit ints → IntegerType, 64-bit → LongType,
 float/double/bool/string/bytes → the obvious types, enum →
@@ -155,7 +161,8 @@ def parse_descriptor_set(desc_bytes: bytes) -> dict:
     """FileDescriptorSet bytes → registry:
     {".pkg.Msg": {"kind": "message", "name": ..., "fields": [...]},
      ".pkg.Enum": {"kind": "enum", "symbols": {number: name}}}
-    Field dicts: {name, number, label, type, type_name, map_entry}."""
+    Field dicts: {name, number, label, type, type_name, default_value,
+    oneof_index, proto3_optional}."""
     registry: dict[str, dict] = {}
 
     def walk_enum(buf: bytes, scope: str) -> None:
@@ -184,6 +191,13 @@ def parse_descriptor_set(desc_bytes: bytes) -> dict:
                     "label": fd.get(4, [1])[-1],
                     "type": fd.get(5, [0])[-1],
                     "type_name": _str(fd, 6, default="") or None,
+                    # proto2 declared default (text form; None = undeclared)
+                    "default_value": fd[7][-1].decode("utf-8") if 7 in fd else None,
+                    # oneof membership => explicit presence (NULL when unset);
+                    # proto3 `optional` arrives as a synthetic 1-member oneof
+                    # AND sets proto3_optional — parse both for robustness
+                    "oneof_index": fd[9][-1] if 9 in fd else None,
+                    "proto3_optional": bool(fd.get(17, [0])[-1]),
                 }
             )
         registry[full] = {"kind": "message", "fields": fields, "map_entry": map_entry}
@@ -332,6 +346,10 @@ def compile_decoder(full_name: str, registry: dict):
         msg = _resolve(name, registry)
         by_number: dict[int, dict] = {}
         order: list[dict] = []
+        # oneof_index -> member field numbers: protobuf-java setter
+        # semantics clear a oneof's other members when one is set, so
+        # on the wire last-set-wins ACROSS the group, not per field
+        oneof_members: dict[int, list[int]] = {}
         for idx, fld in enumerate(msg["fields"]):
             ftype = fld["type"]
             if ftype == _T_GROUP:
@@ -340,6 +358,18 @@ def compile_decoder(full_name: str, registry: dict):
             info["idx"] = idx
             info["is_map"] = _is_map_field(fld, registry)
             info["repeated"] = fld["label"] == _LABEL_REPEATED and not info["is_map"]
+            if not info["repeated"] and not info["is_map"]:
+                # value a missing singular field materializes (ADVICE r06):
+                # presence-tracked (oneof member / proto3 optional) -> NULL,
+                # proto2 declared default -> that value, else the type zero
+                if fld.get("oneof_index") is not None or fld.get("proto3_optional"):
+                    info["absent"] = None
+                    if fld.get("oneof_index") is not None and not fld.get("proto3_optional"):
+                        oneof_members.setdefault(fld["oneof_index"], []).append(fld["number"])
+                elif fld.get("default_value") is not None:
+                    info["absent"] = _parse_default(fld["default_value"], ftype)
+                else:
+                    info["absent"] = _default_for(fld, registry)
             if ftype == _T_MESSAGE and not info["is_map"]:
                 info["sub"] = message_fn(fld["type_name"])
             elif info["is_map"]:
@@ -359,6 +389,13 @@ def compile_decoder(full_name: str, registry: dict):
                 info["conv"] = _scalar_converter(ftype, syms)
             by_number[fld["number"]] = info
             order.append(info)
+        # field number -> the OTHER members of its (explicit) oneof
+        clears: dict[int, tuple[int, ...]] = {
+            m: tuple(o for o in members if o != m)
+            for members in oneof_members.values()
+            if len(members) > 1
+            for m in members
+        }
 
         def decode(buf: bytes) -> tuple:
             acc: dict[int, object] = {}
@@ -380,8 +417,12 @@ def compile_decoder(full_name: str, registry: dict):
                         lst.append(info["conv"](v))  # type: ignore[operator]
                 elif ftype == _T_MESSAGE:
                     acc[fn] = info["sub"](v)
+                    for other in clears.get(fn, ()):
+                        acc.pop(other, None)
                 else:
                     acc[fn] = info["conv"](v)  # last-one-wins (spec)
+                    for other in clears.get(fn, ()):
+                        acc.pop(other, None)
             out = []
             for info in order:
                 fn = info["number"]
@@ -392,7 +433,7 @@ def compile_decoder(full_name: str, registry: dict):
                 elif info["repeated"]:
                     out.append([])
                 else:
-                    out.append(_default_for(info, registry))
+                    out.append(info["absent"])
             return tuple(out)
 
         return decode
@@ -441,6 +482,69 @@ def _default_scalar(ftype: int, enum_symbols: dict | None):
     if ftype in (_T_DOUBLE, _T_FLOAT):
         return 0.0
     return 0
+
+
+_C_ESCAPES = {
+    "a": 7, "b": 8, "f": 12, "n": 10, "r": 13, "t": 9, "v": 11,
+    "\\": 92, "'": 39, '"': 34, "?": 63,
+}
+
+
+def _c_unescape(s: str) -> bytes:
+    """Descriptor `default_value` for bytes fields is C-escaped text
+    (octal \\NNN, hex \\xNN, the usual letter escapes) — the encoding
+    protobuf's own text format uses. Non-escape chars pass as UTF-8."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out += c.encode("utf-8")
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError(f"dangling backslash in bytes default {s!r}")
+        e = s[i + 1]
+        if e in _C_ESCAPES:
+            out.append(_C_ESCAPES[e])
+            i += 2
+        elif e in "01234567":
+            j = i + 1
+            while j < min(i + 4, n) and s[j] in "01234567":
+                j += 1
+            out.append(int(s[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif e == "x":
+            j = i + 2
+            while j < min(i + 4, n) and s[j] in "0123456789abcdefABCDEF":
+                j += 1
+            if j == i + 2:
+                raise ValueError(f"bad hex escape in bytes default {s!r}")
+            out.append(int(s[i + 2 : j], 16) & 0xFF)
+            i = j
+        else:
+            raise ValueError(f"unknown escape \\{e} in bytes default {s!r}")
+    return bytes(out)
+
+
+def _parse_default(s: str, ftype: int):
+    """proto2 declared default (descriptor text form) → the holder value
+    the JVM tier materializes for an absent field."""
+    if ftype == _T_STRING:
+        return s
+    if ftype == _T_BYTES:
+        return _c_unescape(s)
+    if ftype == _T_BOOL:
+        return s == "true"
+    if ftype in (_T_DOUBLE, _T_FLOAT):
+        return float(s)  # float() accepts protobuf's inf/-inf/nan spellings
+    if ftype == _T_ENUM:
+        return s  # the symbol name IS the holder value in this mapping
+    if ftype in (_T_UINT32, _T_FIXED32):
+        return _sign32(int(s))  # Integer wrap, same as live values
+    if ftype in (_T_UINT64, _T_FIXED64):
+        return _sign64(int(s))
+    return int(s)  # remaining integer types: in-range by construction
 
 
 def _default_for(info: dict, registry: dict):

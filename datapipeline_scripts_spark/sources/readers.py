@@ -150,6 +150,46 @@ def read_binary_files(
     return reader.load(path)
 
 
+# Signatures that mean "the optional JVM connector is not on the
+# classpath" — the ONLY condition under which the two-tier readers
+# below fall back to their pure-Python tier (ADVICE r06: a bare
+# `except Exception` rerouted genuine failures — corrupt files, IO
+# errors, mid-job write aborts — to the slow tier and discarded the
+# real error; worst case write_avro(mode='overwrite') rmtree'ing JVM
+# partial output). Probed in-container: missing spark-avro raises
+# AnalysisException condition _LEGACY_ERROR_TEMP_1139 ("Failed to
+# find data source: avro"), missing spark-protobuf raises condition
+# PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE; the others cover the
+# documented Spark-version spellings of the same absence.
+_CONNECTOR_ABSENT_SIGNATURES = (
+    "Failed to find data source",
+    "Failed to find the data source",
+    "DATA_SOURCE_NOT_FOUND",
+    "_LEGACY_ERROR_TEMP_1139",
+    "PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE",
+    "CANNOT_LOAD_PROTOBUF_CLASS",
+    "ClassNotFoundException",
+)
+
+
+def _connector_absent(exc: BaseException) -> bool:
+    """True iff `exc` is a missing-connector signature (fall back to the
+    Python tier); anything else is a genuine failure and must re-raise."""
+    if isinstance(exc, ImportError):  # pyspark.sql.protobuf wrapper absent
+        return True
+    parts = [str(exc)]
+    get_cond = getattr(exc, "getCondition", None)
+    if get_cond is not None:
+        try:
+            cond = get_cond()
+            if cond:
+                parts.append(cond)
+        except Exception:
+            pass
+    text = " ".join(parts)
+    return any(sig in text for sig in _CONNECTOR_ABSENT_SIGNATURES)
+
+
 def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """Avro source, two-tier (round 6 closes the former hard gate):
 
@@ -173,7 +213,9 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None
         reader = reader.schema(schema)
     try:
         return reader.format("avro").load(path)
-    except Exception:
+    except Exception as exc:
+        if not _connector_absent(exc):
+            raise  # genuine failure (corrupt file, IO, perms) — never mask it
         from datapipeline_scripts_spark.sources.avro_pysource import (
             read_avro_py,
             spark_schema_for_path,
@@ -186,7 +228,7 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None
                 "— drop the schema argument (then .select/.cast), or use the "
                 "spark-avro connector (--packages "
                 "org.apache.spark:spark-avro_2.13:<spark-version>)"
-            )
+            ) from exc
         return read_avro_py(spark, path)
 
 
@@ -214,7 +256,9 @@ def protobuf_decode(df: DataFrame, data_col: str, message_name: str, desc_path: 
         )
         out.schema  # force analysis: missing connector surfaces here
         return out
-    except Exception:
+    except Exception as exc:
+        if not _connector_absent(exc):
+            raise  # bad desc path / wrong message name / etc: both tiers fail
         from datapipeline_scripts_spark.sources.protobuf_pywire import (
             decode_protobuf_py,
         )
@@ -252,7 +296,10 @@ def write_avro(df: DataFrame, path: str, mode: str = "error", codec: str = "defl
         writer = df.write.mode(mode).option("compression", jvm_codec)
         writer.format("avro").save(path)
     except Exception as exc:
-        if "already exists" in str(exc):  # mode='error' refusal, not a tier gap
+        if not _connector_absent(exc):
+            # mode='error' refusals, mid-job write failures, IO errors:
+            # re-raise — falling through would rmtree JVM partial output
+            # under mode='overwrite' and mask the real failure
             raise
         from datapipeline_scripts_spark.sources.avro_pysource import write_avro_py
 

@@ -776,3 +776,37 @@ def test_png_stdlib_all_filter_types_golden():
               + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="depth"):
         png_stdlib.png_decode_gray(png_16)
+
+
+def test_real_decode_backend_uniform_for_png(spark, monkeypatch):
+    """ADVICE r06: PNG payloads route through the stdlib decoder on
+    EVERY worker, so phash/dims are identical whether or not Pillow is
+    importable there; SPARK_GRAFT_IMAGE_BACKEND pins non-PNG handling
+    (=png forces stdlib, =pil fails loud when Pillow is absent)."""
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+    from datapipeline_scripts_spark.extensions import png_stdlib
+
+    png = _imageio_png(spark, 15, 3, lambda x, y: (17 * x, 17 * x, 17 * x))
+    assert png_stdlib.is_png(png)
+    # PNG routes to the stdlib bander BEFORE the backend is consulted:
+    # identical under both backend labels, image_mod never touched
+    want = mm._phash_pixels_png(png)
+    assert mm._phash_real("png", None, png) == want
+    assert mm._phash_real("pil", None, png) == want  # would crash if pil path ran
+    assert mm._real_decode_dims("pil", None, png) == (15, 3)
+    assert mm._real_decode_dims("png", None, png) == (15, 3)
+    # non-PNG under the stdlib backend: byte-hash fallback, dims loud
+    junk = b"GIF89a-not-a-png"
+    assert mm._phash_real("png", None, junk) == mm._phash_bytes(junk)
+    assert mm._real_decode_dims("png", None, junk) == (-1, -1)
+    # empty payload contract unchanged
+    assert mm._phash_real("png", None, b"") == 0
+    # the pinning knob
+    monkeypatch.setenv("SPARK_GRAFT_IMAGE_BACKEND", "png")
+    assert mm._image_backend() == ("png", None)
+    monkeypatch.setenv("SPARK_GRAFT_IMAGE_BACKEND", "pil")
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError):  # Pillow absent in this container
+        mm._image_backend()
+    monkeypatch.delenv("SPARK_GRAFT_IMAGE_BACKEND")
