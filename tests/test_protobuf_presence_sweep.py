@@ -107,3 +107,85 @@ def test_randomized_presence_sweep_vs_protobuf_java(spark, tmp_path, which):
                 assert g == pytest.approx(w, abs=0, rel=1e-12), (i, fdesc, g, w)
             else:
                 assert g == w, (which, i, fdesc, g, w)
+
+
+def test_oneof_with_message_member_clears_across_types(spark, tmp_path):
+    """Last-set-wins must clear across a oneof whose members mix a
+    MESSAGE and a scalar (the two decoder set-paths): hand-framed wire
+    carrying both members in each order, plus protobuf-java
+    single-member encodings."""
+    jvm = spark._jvm
+    pb = _pb(jvm)
+    DP = pb.DescriptorProtos
+    FT = DP.FieldDescriptorProto.Type
+    FL = DP.FieldDescriptorProto.Label
+
+    fdp = DP.FileDescriptorProto.newBuilder()
+    fdp.setName("mix.proto")
+    fdp.setPackage("mx")
+    fdp.setSyntax("proto3")
+    inner = DP.DescriptorProto.newBuilder()
+    inner.setName("Inner")
+    fa = DP.FieldDescriptorProto.newBuilder()
+    fa.setName("a")
+    fa.setNumber(1)
+    fa.setType(FT.TYPE_INT32)
+    fa.setLabel(FL.LABEL_OPTIONAL)
+    inner.addField(fa)
+    fdp.addMessageType(inner)
+
+    mix = DP.DescriptorProto.newBuilder()
+    mix.setName("Mix")
+    od = DP.OneofDescriptorProto.newBuilder()
+    od.setName("pick")
+    mix.addOneofDecl(od)
+    fm = DP.FieldDescriptorProto.newBuilder()
+    fm.setName("m")
+    fm.setNumber(1)
+    fm.setType(FT.TYPE_MESSAGE)
+    fm.setLabel(FL.LABEL_OPTIONAL)
+    fm.setTypeName(".mx.Inner")
+    fm.setOneofIndex(0)
+    mix.addField(fm)
+    fk = DP.FieldDescriptorProto.newBuilder()
+    fk.setName("k")
+    fk.setNumber(2)
+    fk.setType(FT.TYPE_INT32)
+    fk.setLabel(FL.LABEL_OPTIONAL)
+    fk.setOneofIndex(0)
+    mix.addField(fk)
+    fdp.addMessageType(mix)
+
+    fdp_built = fdp.build()
+    desc_set = pb.DescriptorProtos.FileDescriptorSet.newBuilder().addFile(fdp_built).build()
+    desc_path = str(tmp_path / "mix.desc")
+    with open(desc_path, "wb") as fh:
+        fh.write(bytes(desc_set.toByteArray()))
+
+    arr = spark.sparkContext._gateway.new_array(pb.Descriptors.FileDescriptor, 0)
+    fd = pb.Descriptors.FileDescriptor.buildFrom(fdp_built, arr)
+    mixd = fd.findMessageTypeByName("Mix")
+
+    def enc(text):
+        b = pb.DynamicMessage.newBuilder(mixd)
+        pb.TextFormat.merge(text, b)
+        return bytes(b.build().toByteArray())
+
+    inner5 = b"\x08\x05"  # Inner{a:5}
+    wire_m = b"\x0a" + bytes([len(inner5)]) + inner5  # field 1 LEN
+    wire_k = b"\x10\x09"  # field 2 varint 9
+    blobs = [
+        (0, bytearray(enc(""))),
+        (1, bytearray(enc("m { a: 5 }"))),
+        (2, bytearray(enc("k: 9"))),
+        (3, bytearray(wire_m + wire_k)),  # m then k => k wins, m NULL
+        (4, bytearray(wire_k + wire_m)),  # k then m => m wins, k NULL
+    ]
+    df = spark.createDataFrame(blobs, "id long, data binary")
+    out = readers.protobuf_decode(df, "data", "Mix", desc_path)
+    rows = {r["id"]: r["data"] for r in out.collect()}
+    assert rows[0] == (None, None)
+    assert rows[1] == ((5,), None)
+    assert rows[2] == (None, 9)
+    assert rows[3] == (None, 9)
+    assert rows[4] == ((5,), None)
