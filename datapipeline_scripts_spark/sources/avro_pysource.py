@@ -418,15 +418,30 @@ def _build_toolkit() -> dict:
             return {**schema, "type": qualify_names(t, enclosing, defined)}
         return schema  # primitive-with-logicalType wrapper
 
-    def iter_file(path: str):
+    def iter_file(path: str, expected_schema_canon: str | None = None):
         """Yield one tuple per record of an OCF file (top-level record
-        schema → tuple in field order)."""
+        schema → tuple in field order). When `expected_schema_canon`
+        (sort-keys JSON of the qualified writer schema the DataFrame
+        schema was inferred from) is given, a file whose writer schema
+        differs refuses LOUDLY — each file decodes by its own schema,
+        so a heterogeneous directory would otherwise mislabel values
+        under the first file's column layout (silent wrong data)."""
         with open(path, "rb") as f:
             meta, sync = parse_header(f)
             schema = qualify_names(json.loads(meta["avro.schema"].decode("utf-8")))
             if not (isinstance(schema, dict) and schema.get("type") == "record"):
                 raise NotImplementedError(
                     "only record-rooted Avro files map to DataFrame rows"
+                )
+            if (
+                expected_schema_canon is not None
+                and json.dumps(schema, sort_keys=True) != expected_schema_canon
+            ):
+                raise ValueError(
+                    f"{path}: writer schema differs from the directory's "
+                    "inferred schema — the pure-Python Avro tier has no "
+                    "reader-schema resolution; read the mismatched files "
+                    "separately or use the spark-avro connector"
                 )
             codec = meta.get("avro.codec", b"null").decode("utf-8")
             rec = make_reader(schema, {})
@@ -931,9 +946,10 @@ def register_pyavro(spark: SparkSession) -> None:
     iter_file = _TK["iter_file"]  # closure → pickled by value with the partition
 
     class AvroFilePartition(InputPartition):
-        def __init__(self, path: str, decode) -> None:
+        def __init__(self, path: str, decode, expected_schema_canon: str | None) -> None:
             self.path = path
             self.decode = decode
+            self.expected_schema_canon = expected_schema_canon
 
     class PyAvroReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
@@ -942,10 +958,20 @@ def register_pyavro(spark: SparkSession) -> None:
                 raise ValueError("pyavro: .load(path) is required")
 
         def partitions(self):  # one task per container file
-            return [AvroFilePartition(p, iter_file) for p in list_avro_files(self.path)]
+            files = list_avro_files(self.path)
+            # canonical writer schema of the file the DataFrame schema
+            # was inferred from: every other file must match (executor-
+            # side check — one header parse per task, no extra driver IO)
+            with open(files[0], "rb") as f:
+                meta, _sync = _TK["parse_header"](f)
+            canon = json.dumps(
+                _TK["qualify_names"](json.loads(meta["avro.schema"].decode("utf-8"))),
+                sort_keys=True,
+            )
+            return [AvroFilePartition(p, iter_file, canon) for p in files]
 
         def read(self, partition: AvroFilePartition):
-            yield from partition.decode(partition.path)
+            yield from partition.decode(partition.path, partition.expected_schema_canon)
 
     class PyAvroDataSource(DataSource):
         @classmethod

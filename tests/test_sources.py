@@ -1502,3 +1502,35 @@ def test_protobuf_tier_equivalence_when_connector_present(spark, tmp_path):
     py_df = decode_protobuf_py(df, "data", "Rich", desc_path)
     assert py_df.schema == jvm_df.schema
     assert _rows_canon(py_df) == _rows_canon(jvm_df)
+
+
+def test_avro_heterogeneous_directory_is_loud(spark, tmp_path):
+    """Two container files with DIFFERENT writer schemas in one
+    directory: each file decodes by its own schema, so without a guard
+    the second file's values would silently land under the first
+    file's column labels. The Python tier must refuse loudly (the JVM
+    connector applies reader-schema resolution; this tier has none)."""
+    from datapipeline_scripts_spark.sources.avro_pysource import (
+        read_avro_py,
+        write_avro_py,
+    )
+
+    d = str(tmp_path / "hetero")
+    write_avro_py(
+        spark.range(3).selectExpr("id", "cast(id as string) AS s"),
+        d, codec="null", mode="error",
+    )
+    # same column COUNT, different names/types: the nastiest silent case
+    write_avro_py(
+        spark.range(3).selectExpr("cast(id as string) AS z", "id AS q"),
+        d, codec="null", mode="append",
+    )
+    with pytest.raises(Exception, match="writer schema differs"):
+        read_avro_py(spark, d).collect()
+    # homogeneous multi-file directories still read fine
+    d2 = str(tmp_path / "homo")
+    write_avro_py(
+        spark.range(4).repartition(2).selectExpr("id", "cast(id as string) AS s"),
+        d2, codec="null", mode="error",
+    )
+    assert read_avro_py(spark, d2).count() == 4
