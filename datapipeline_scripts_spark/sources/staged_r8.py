@@ -3,15 +3,17 @@
 VERDICT r6 item 2 froze the catalog at 306 keys until the driver's
 round-7 window closes the correctness gate (CORRECTNESS_r07), with new
 keys entering only afterwards via the deferred ``_ADDED_*`` rotation
-set. These three builders (VERDICT items 2 and 5) are therefore
-implemented and oracle-proven here — `tests/test_staged_r8.py` runs
-each against its DuckDB twin — without touching the registry. Round 8
-flips them live by moving the ``@query`` registrations in (keys:
-``avro_roundtrip``, ``protobuf_roundtrip``, ``multimodal_real_png``)
-and adding the keys to a new ``_ADDED_R8`` set in
-``__spark_entry__.py`` so they queue behind nothing.
+set. These five builders (VERDICT items 2 and 5, plus driver-eye
+coverage for the pytest-only JDBC and Avro-logical-type legs) are
+therefore implemented and oracle-proven here — `tests/test_staged_r8.py`
+runs each against its DuckDB twin — without touching the registry.
+Round 8 flips them live by moving the ``@query`` registrations in
+(keys: ``avro_roundtrip``, ``protobuf_roundtrip``,
+``multimodal_real_png``, ``jdbc_roundtrip``,
+``avro_logical_roundtrip``) and adding the keys to a new ``_ADDED_R8``
+set in ``__spark_entry__.py`` so they queue behind nothing.
 
-All three follow the established roundtrip-key conventions
+All five follow the established roundtrip-key conventions
 (format_queries.py): per-application tmp paths, distributed writes,
 aggregation aliases identical on both sides.
 """
@@ -325,8 +327,143 @@ def multimodal_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+
+
+# ---- jdbc_roundtrip (staged r8, VERDICT A9/A25 driver-eye coverage) ---------
+
+JDBC_ROUNDTRIP_ORACLE = """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → a REAL relational database (embedded Apache Derby, the
+    JDBC driver baked into this Spark) via the JDBC sink → 4-way
+    range-partitioned parallel extract back → aggregate. This is the
+    reference's full-database-extract shape (A9/A25) under the
+    driver's hash gate, previously proven only in pytest.
+
+    Scale shape: the read-back is the production parallel-extract
+    split (numPartitions range predicates pushed to the database);
+    embedded Derby stands in for the warehouse endpoint — on a real
+    cluster only the URL/driver options change."""
+    from datapipeline_scripts_spark.sources import readers
+
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tempfile.gettempdir(), "derby.log")
+    )
+    db = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jdbcdb_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    url = f"jdbc:derby:{db};create=true"
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    hi = src.agg(F.max("o_orderkey")).first()[0] or 1
+    src.write.format("jdbc").options(
+        url=url,
+        dbtable="ORDERS_RT",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        user="app",
+        password="app",
+    ).mode("overwrite").save()
+    back = readers.read_jdbc(
+        spark,
+        readers.jdbc_options(
+            url,
+            "ORDERS_RT",
+            user="app",
+            password="app",
+            partition_column="o_orderkey",
+            lower_bound=0,
+            upper_bound=int(hi) + 1,
+            num_partitions=4,
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        ),
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---- avro_logical_roundtrip (staged r8: date + decimal logical types) ------
+
+AVRO_LOGICAL_ROUNDTRIP_ORACLE = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS first_ship,
+           CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS last_ship,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem dates and decimals through the Avro LOGICAL types
+    (`int/date`, `bytes/decimal`) via the two-tier sink and source —
+    the values that actually exercise the codec's logical-type clauses
+    rather than plain scalars. Oracle recomputes from parquet, so a
+    hash match proves date epoch-days and decimal unscaled-bytes
+    round-trip exactly."""
+    from datapipeline_scripts_spark.sources import readers
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_returnflag",
+            F.to_date("l_shipdate").alias("ship_day"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_avro_logical_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    readers.write_avro(src, out, mode="overwrite", codec="deflate")
+    back = readers.read_avro(spark, out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ship_day").cast("string").alias("first_ship"),
+            F.max("ship_day").cast("string").alias("last_ship"),
+            F.round(F.sum("price"), 2).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 STAGED: dict[str, tuple] = {
     "avro_roundtrip": (avro_roundtrip, AVRO_ROUNDTRIP_ORACLE),
     "protobuf_roundtrip": (protobuf_roundtrip, PROTOBUF_ROUNDTRIP_ORACLE),
     "multimodal_real_png": (multimodal_real_png, MULTIMODAL_REAL_PNG_ORACLE),
+    "jdbc_roundtrip": (jdbc_roundtrip, JDBC_ROUNDTRIP_ORACLE),
+    "avro_logical_roundtrip": (avro_logical_roundtrip, AVRO_LOGICAL_ROUNDTRIP_ORACLE),
 }
