@@ -66,18 +66,25 @@ _PRIORITY = [
 ]
 
 
-def _driver_proven_keys() -> set[str]:
-    """Keys with a fully-green row in ANY prior round's driver
-    CORRECTNESS file. Parsing the files (instead of hard-coding round
-    1's outcome) makes the checked-set rotation automatic: each round
-    the 50-key window lands on the keys with the least driver
-    evidence, and over rounds the whole catalog gets driver-proven."""
+def _driver_proven_keys() -> dict[str, int]:
+    """Map key → EARLIEST round whose driver CORRECTNESS file has a
+    fully-green row for it. Parsing the files (instead of hard-coding
+    round 1's outcome) makes the checked-set rotation automatic: each
+    round the 50-key window lands on the keys with the least driver
+    evidence. With the whole catalog driver-proven (r7), the earliest
+    round doubles as evidence AGE: the proven tail is ordered
+    oldest-evidence-first so spare window slots refresh r1/r2-era
+    proofs instead of re-proving last round's keys (VERDICT r7 item
+    2). Membership semantics (``key in proven``) are unchanged."""
     import glob
     import json
+    import re
 
-    proven: set[str] = set()
+    proven: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 99
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -89,7 +96,7 @@ def _driver_proven_keys() -> set[str]:
                     and row.get("hash_match")
                     and not row.get("err")
                 ):
-                    proven.add(key)
+                    proven[key] = min(rnd, proven.get(key, 99))
         except Exception:
             continue  # a malformed file must never break the contract
     return proven
@@ -141,14 +148,34 @@ _ADDED_R3 = {
 }
 
 
+# Round-8 additions (the five keys staged through the r6/r7 freeze in
+# sources/staged_r8.py, flipped live after CORRECTNESS_r07 closed the
+# gate 306/306). Kept in the deferral union so any future never-proven
+# backlog would still rotate first.
+_ADDED_R8 = {
+    "avro_roundtrip", "protobuf_roundtrip", "multimodal_real_png",
+    "jdbc_roundtrip", "avro_logical_roundtrip",
+}
+
+_DEFERRED = _ADDED_R3 | _ADDED_R8
+
+
 def _ordered_keys() -> list[str]:
     specs = all_queries()
     proven = _driver_proven_keys()
     head = [k for k in _PRIORITY if k in specs and k not in proven]
     seen = set(head)
-    mid = [k for k in specs if k not in seen and k not in proven and k not in _ADDED_R3]
-    new = [k for k in specs if k not in seen and k not in proven and k in _ADDED_R3]
-    tail = [k for k in specs if k not in seen and k in proven]
+    mid = [k for k in specs if k not in seen and k not in proven and k not in _DEFERRED]
+    new = [k for k in specs if k not in seen and k not in proven and k in _DEFERRED]
+    # Proven tail, OLDEST driver evidence first (VERDICT r7 item 2):
+    # with zero unproven keys left, the window's spare slots land on
+    # the keys whose only green row is rounds old. Registry order
+    # breaks ties so the sort is deterministic.
+    pos = {k: i for i, k in enumerate(specs)}
+    tail = sorted(
+        (k for k in specs if k not in seen and k in proven),
+        key=lambda k: (proven[k], pos[k]),
+    )
     return head + mid + new + tail
 
 

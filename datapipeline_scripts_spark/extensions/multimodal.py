@@ -95,6 +95,14 @@ def _image_backend() -> tuple[str, object]:
     ``=pil`` (require Pillow — ImportError is loud, never a silent
     semantic switch)."""
     forced = os.environ.get("SPARK_GRAFT_IMAGE_BACKEND", "").strip().lower()
+    if forced not in ("", "png", "pil"):
+        # ADVICE r07: a typo'd pin silently fell back to per-worker
+        # auto-detection — the exact heterogeneous-cluster divergence
+        # the knob exists to prevent. Unrecognized values fail loud.
+        raise ValueError(
+            f"SPARK_GRAFT_IMAGE_BACKEND={forced!r}: must be 'png', 'pil', "
+            "or unset"
+        )
     if forced == "png":
         return ("png", None)
     try:

@@ -258,8 +258,12 @@ def _build_toolkit() -> dict:
 
     def _register_named(schema, named: dict, fn) -> None:
         # post-qualify_names the name IS the fullname; the bare short
-        # segment stays registered as a net for spec-loose writers
-        # (collisions resolve last-write-wins, same as _avro_to_spark)
+        # segment stays registered as a net for spec-loose writers.
+        # ADVICE r07: when two named types share a short name across
+        # namespaces, the net must not silently bind either — register
+        # a sentinel that raises on resolution instead. Bookkeeping
+        # keys carry a "/" (illegal in Avro names) so they can never
+        # collide with a real type reference.
         name = schema.get("name")
         if not name:
             return
@@ -267,7 +271,23 @@ def _build_toolkit() -> dict:
         full = f"{ns}.{name}" if ns and "." not in name else name
         # store in a 1-tuple so forward references resolve post-hoc
         named[full] = (fn,)
-        named[full.rsplit(".", 1)[-1]] = (fn,)
+        named["//full/" + full] = True
+        short = full.rsplit(".", 1)[-1]
+        if short == full or named.get("//full/" + short):
+            return  # the short form IS a fullname — never shadow it
+        owner = named.get("//short-owner/" + short)
+        if owner is None or owner == full:
+            named["//short-owner/" + short] = full
+            named[short] = (fn,)
+        else:
+            def _ambiguous(_f, _s=short):
+                raise ValueError(
+                    f"ambiguous short Avro type reference {_s!r}: defined "
+                    "in multiple namespaces — the writer schema must use "
+                    "the fullname"
+                )
+
+            named[short] = (_ambiguous,)
 
     def snappy_decompress(buf: bytes) -> bytes:
         """Raw snappy block format (PUBLIC spec,
@@ -418,14 +438,64 @@ def _build_toolkit() -> dict:
             return {**schema, "type": qualify_names(t, enclosing, defined)}
         return schema  # primitive-with-logicalType wrapper
 
+    def canonical_form(schema) -> str:
+        """Decode-relevant canonical form of a QUALIFIED schema (pass
+        through `qualify_names` first), for the heterogeneous-directory
+        comparison. Follows the spec's Parsing Canonical Form rules —
+        STRIP doc/aliases/defaults/extra attributes, FULLNAMES (done
+        upstream), unwrap `{"type": X}` wrappers — EXTENDED to retain
+        `logicalType`/`precision`/`scale`: logical types change the
+        DECODED value type (int→date, bytes→Decimal), so for this tier
+        they are structural (ADVICE r07: the previous exact writer-JSON
+        comparison refused legitimately homogeneous directories whose
+        files differ only in doc/default/alias attributes emitted by
+        evolving tooling). Serialized as sort-keys JSON; compared only
+        against itself, never against an external PCF string."""
+
+        def norm(s):
+            if isinstance(s, str):
+                return s
+            if isinstance(s, list):
+                return [norm(b) for b in s]
+            t = s["type"]
+            if t == "record":
+                return {
+                    "type": "record",
+                    "name": s["name"],
+                    "fields": [
+                        {"name": f["name"], "type": norm(f["type"])}
+                        for f in s["fields"]
+                    ],
+                }
+            if t == "enum":
+                return {"type": "enum", "name": s["name"], "symbols": s["symbols"]}
+            if t == "fixed":
+                out = {"type": "fixed", "name": s["name"], "size": s["size"]}
+            elif t == "array":
+                return {"type": "array", "items": norm(s["items"])}
+            elif t == "map":
+                return {"type": "map", "values": norm(s["values"])}
+            elif isinstance(t, (dict, list)):
+                return norm(t)  # {"type": {...}} wrapper
+            else:
+                out = {"type": t}
+            for k in ("logicalType", "precision", "scale"):
+                if k in s:
+                    out[k] = s[k]
+            return out["type"] if len(out) == 1 else out
+
+        return json.dumps(norm(schema), sort_keys=True)
+
     def iter_file(path: str, expected_schema_canon: str | None = None):
         """Yield one tuple per record of an OCF file (top-level record
         schema → tuple in field order). When `expected_schema_canon`
-        (sort-keys JSON of the qualified writer schema the DataFrame
-        schema was inferred from) is given, a file whose writer schema
-        differs refuses LOUDLY — each file decodes by its own schema,
-        so a heterogeneous directory would otherwise mislabel values
-        under the first file's column layout (silent wrong data)."""
+        (the `canonical_form` of the qualified writer schema the
+        DataFrame schema was inferred from) is given, a file whose
+        writer schema differs STRUCTURALLY refuses LOUDLY — each file
+        decodes by its own schema, so a heterogeneous directory would
+        otherwise mislabel values under the first file's column layout
+        (silent wrong data). Attribute-only differences (doc, aliases,
+        field defaults) decode identically and pass."""
         with open(path, "rb") as f:
             meta, sync = parse_header(f)
             schema = qualify_names(json.loads(meta["avro.schema"].decode("utf-8")))
@@ -435,7 +505,7 @@ def _build_toolkit() -> dict:
                 )
             if (
                 expected_schema_canon is not None
-                and json.dumps(schema, sort_keys=True) != expected_schema_canon
+                and canonical_form(schema) != expected_schema_canon
             ):
                 raise ValueError(
                     f"{path}: writer schema differs from the directory's "
@@ -476,6 +546,7 @@ def _build_toolkit() -> dict:
         "snappy_decompress": snappy_decompress,
         "iter_file": iter_file,
         "qualify_names": qualify_names,
+        "canonical_form": canonical_form,
     }
 
 
@@ -485,17 +556,43 @@ _TK = _build_toolkit()
 # ---- driver-side: schema inference ----------------------------------------
 
 
+class _AmbiguousShortRef:
+    """Sentinel bound to a short name claimed by multiple namespaces
+    (ADVICE r07) — resolving a reference through it raises, mirroring
+    the decoder's behavior exactly."""
+
+    def __init__(self, short: str) -> None:
+        self.short = short
+
+    def raise_(self) -> None:
+        raise ValueError(
+            f"ambiguous short Avro type reference {self.short!r}: defined "
+            "in multiple namespaces — the writer schema must use the "
+            "fullname"
+        )
+
+
 def _register_named_type(schema: dict, named: dict, st: T.DataType) -> None:
     """Mirror of the decoder's `_register_named` (ADVICE r06): fullname
     AND short segment, so a fullname reference resolves here exactly
-    when the decoder can read it."""
+    when the decoder can read it — including the ambiguous-short-name
+    sentinel (ADVICE r07)."""
     name = schema.get("name")
     if not name:
         return
     ns = schema.get("namespace")
     full = f"{ns}.{name}" if ns and "." not in name else name
     named[full] = st
-    named[full.rsplit(".", 1)[-1]] = st
+    named["//full/" + full] = True
+    short = full.rsplit(".", 1)[-1]
+    if short == full or named.get("//full/" + short):
+        return
+    owner = named.get("//short-owner/" + short)
+    if owner is None or owner == full:
+        named["//short-owner/" + short] = full
+        named[short] = st
+    else:
+        named[short] = _AmbiguousShortRef(short)
 
 
 def _avro_to_spark(schema, named: dict) -> tuple[T.DataType, bool]:
@@ -516,7 +613,10 @@ def _avro_to_spark(schema, named: dict) -> tuple[T.DataType, bool]:
         if schema in prim:
             return prim[schema], False
         if schema in named:
-            return named[schema], False
+            st = named[schema]
+            if isinstance(st, _AmbiguousShortRef):
+                st.raise_()
+            return st, False
         raise NotImplementedError(f"unresolved Avro type reference {schema!r}")
     if isinstance(schema, list):
         non_null = [b for b in schema if b != "null"]
@@ -964,9 +1064,8 @@ def register_pyavro(spark: SparkSession) -> None:
             # side check — one header parse per task, no extra driver IO)
             with open(files[0], "rb") as f:
                 meta, _sync = _TK["parse_header"](f)
-            canon = json.dumps(
-                _TK["qualify_names"](json.loads(meta["avro.schema"].decode("utf-8"))),
-                sort_keys=True,
+            canon = _TK["canonical_form"](
+                _TK["qualify_names"](json.loads(meta["avro.schema"].decode("utf-8")))
             )
             return [AvroFilePartition(p, iter_file, canon) for p in files]
 

@@ -168,7 +168,19 @@ _CONNECTOR_ABSENT_SIGNATURES = (
     "_LEGACY_ERROR_TEMP_1139",
     "PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE",
     "CANNOT_LOAD_PROTOBUF_CLASS",
-    "ClassNotFoundException",
+)
+
+# A ClassNotFoundException only means "connector absent" when the class
+# it names IS the connector (ADVICE r07: a mid-job CNFE for an
+# unrelated class — codec shim, filesystem impl, UDF dependency — is a
+# deployment fault that must surface, not a cue to silently reroute to
+# the slow Python tier). The JVM spelling puts the missing class name
+# right after the exception class, so anchor on connector prefixes.
+_CONNECTOR_CLASS_PREFIXES = (
+    "org.apache.spark.sql.avro",
+    "org.apache.spark.sql.protobuf",
+    "org.apache.spark.sql.v2.avro",
+    "avro.AvroFileFormat",
 )
 
 
@@ -187,7 +199,11 @@ def _connector_absent(exc: BaseException) -> bool:
         except Exception:
             pass
     text = " ".join(parts)
-    return any(sig in text for sig in _CONNECTOR_ABSENT_SIGNATURES)
+    if any(sig in text for sig in _CONNECTOR_ABSENT_SIGNATURES):
+        return True
+    if "ClassNotFoundException" in text:
+        return any(prefix in text for prefix in _CONNECTOR_CLASS_PREFIXES)
+    return False
 
 
 def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

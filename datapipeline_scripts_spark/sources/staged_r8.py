@@ -1,17 +1,15 @@
-"""Round-8 query keys, STAGED but NOT registered.
+"""Round-8 query keys — staged through the r6/r7 catalog freeze,
+REGISTERED in round 8.
 
 VERDICT r6 item 2 froze the catalog at 306 keys until the driver's
-round-7 window closes the correctness gate (CORRECTNESS_r07), with new
-keys entering only afterwards via the deferred ``_ADDED_*`` rotation
-set. These five builders (VERDICT items 2 and 5, plus driver-eye
-coverage for the pytest-only JDBC and Avro-logical-type legs) are
-therefore implemented and oracle-proven here — `tests/test_staged_r8.py`
-runs each against its DuckDB twin — without touching the registry.
-Round 8 flips them live by moving the ``@query`` registrations in
-(keys: ``avro_roundtrip``, ``protobuf_roundtrip``,
-``multimodal_real_png``, ``jdbc_roundtrip``,
-``avro_logical_roundtrip``) and adding the keys to a new ``_ADDED_R8``
-set in ``__spark_entry__.py`` so they queue behind nothing.
+round-7 window closed the correctness gate; CORRECTNESS_r07 closed it
+(306/306 cumulative, VERDICT r7 headline), so round 8 flips these five
+builders live exactly per the staged recipe (VERDICT r7 item 1): the
+``@query`` registrations below, plus an ``_ADDED_R8`` deferral set in
+``__spark_entry__.py`` so the keys enter the driver window without
+displacing anything. They were oracle-proven at sf0.001+sf0.01 while
+staged (`tests/test_staged_r8.py`), so registration is the only change
+this round.
 
 All five follow the established roundtrip-key conventions
 (format_queries.py): per-application tmp paths, distributed writes,
@@ -32,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
 
 # ---- avro_roundtrip ---------------------------------------------------------
 
@@ -47,6 +46,7 @@ AVRO_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("avro_roundtrip", oracle=AVRO_ROUNDTRIP_ORACLE, tier="core")
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → Avro Object Container Files via the two-tier sink
     (`readers.write_avro`: spark-avro when on the classpath, the pure
@@ -164,6 +164,7 @@ PROTOBUF_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("protobuf_roundtrip", oracle=PROTOBUF_ROUNDTRIP_ORACLE, tier="core")
 def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → protobuf wire bytes (Arrow-batched encoder, public
     wire format) → `readers.protobuf_decode` (spark-protobuf on a
@@ -299,6 +300,7 @@ def _real_png_oracle() -> str:
 MULTIMODAL_REAL_PNG_ORACLE = _real_png_oracle()
 
 
+@query("multimodal_real_png", oracle=MULTIMODAL_REAL_PNG_ORACLE, tier="ext")
 def multimodal_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PNG decode under the driver harness: per-document PNGs
     (pixel values a pure function of doc_id) are encoded AND decoded
@@ -344,6 +346,7 @@ JDBC_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("jdbc_roundtrip", oracle=JDBC_ROUNDTRIP_ORACLE, tier="core")
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → a REAL relational database (embedded Apache Derby, the
     JDBC driver baked into this Spark) via the JDBC sink → 4-way
@@ -422,6 +425,7 @@ AVRO_LOGICAL_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("avro_logical_roundtrip", oracle=AVRO_LOGICAL_ROUNDTRIP_ORACLE, tier="core")
 def avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem dates and decimals through the Avro LOGICAL types
     (`int/date`, `bytes/decimal`) via the two-tier sink and source —

@@ -26,6 +26,38 @@ def test_added_r3_keys_all_registered():
     assert not missing, f"_ADDED_R3 names unregistered keys: {missing}"
 
 
+def test_added_r8_keys_registered_and_lead_the_window():
+    """Round-8 flip (VERDICT r7 item 1): the five staged keys are
+    registered, named in _ADDED_R8, and — having no driver evidence —
+    occupy the front of the 50-key window."""
+    mod = _entry_module()
+    specs = all_queries()
+    missing = sorted(k for k in mod._ADDED_R8 if k not in specs)
+    assert not missing, f"_ADDED_R8 names unregistered keys: {missing}"
+    proven = mod._driver_proven_keys()
+    head = mod._ordered_keys()[:50]
+    unproven_new = sorted(mod._ADDED_R8 - set(proven))
+    stragglers = [k for k in unproven_new if k not in head]
+    assert not stragglers, f"new keys outside the driver window: {stragglers}"
+
+
+def test_proven_tail_ordered_oldest_evidence_first():
+    """VERDICT r7 item 2: with the backlog empty, the window's spare
+    slots must refresh the STALEST driver evidence — the proven tail
+    is sorted by earliest-proven round, ascending."""
+    mod = _entry_module()
+    proven = mod._driver_proven_keys()
+    ordered = mod._ordered_keys()
+    tail_rounds = [proven[k] for k in ordered if k in proven]
+    assert tail_rounds == sorted(tail_rounds), (
+        "proven tail is not oldest-evidence-first"
+    )
+    # the age map itself must be non-trivial: round-1 evidence exists
+    # and therefore leads the tail
+    if tail_rounds:
+        assert tail_rounds[0] == min(proven.values())
+
+
 def test_every_query_has_an_oracle():
     # round-2 milestone: zero rows-only entries — keep it that way
     specs = all_queries()

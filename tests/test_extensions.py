@@ -809,4 +809,12 @@ def test_real_decode_backend_uniform_for_png(spark, monkeypatch):
 
     with _pytest.raises(ImportError):  # Pillow absent in this container
         mm._image_backend()
+    # ADVICE r07: a typo'd pin must fail loud, not silently fall back
+    # to per-worker auto-detection (the divergence the knob prevents)
+    for bad in ("stdlib", "pillow", "auto", "pg"):
+        monkeypatch.setenv("SPARK_GRAFT_IMAGE_BACKEND", bad)
+        with _pytest.raises(ValueError, match="SPARK_GRAFT_IMAGE_BACKEND"):
+            mm._image_backend()
+    monkeypatch.setenv("SPARK_GRAFT_IMAGE_BACKEND", " PNG ")  # normalized
+    assert mm._image_backend() == ("png", None)
     monkeypatch.delenv("SPARK_GRAFT_IMAGE_BACKEND")

@@ -1534,3 +1534,161 @@ def test_avro_heterogeneous_directory_is_loud(spark, tmp_path):
         d2, codec="null", mode="error",
     )
     assert read_avro_py(spark, d2).count() == 4
+
+
+# ---- ADVICE r07 closures (round 8) -----------------------------------------
+
+
+def test_connector_absent_cnfe_anchored_to_connector_classes():
+    """ADVICE r07: a ClassNotFoundException only means connector-absent
+    when the missing class IS the connector. A mid-job CNFE for an
+    unrelated class (codec shim, filesystem impl, UDF dependency) is a
+    deployment fault and must re-raise, not reroute to the slow tier."""
+
+    class Cond(Exception):
+        pass
+
+    absent = [
+        Cond("java.lang.ClassNotFoundException: org.apache.spark.sql.avro.AvroFileFormat"),
+        Cond("java.lang.ClassNotFoundException: org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"),
+        Cond("java.lang.ClassNotFoundException: org.apache.spark.sql.v2.avro.AvroScan"),
+    ]
+    genuine = [
+        Cond("java.lang.ClassNotFoundException: com.hadoop.compression.lzo.LzoCodec"),
+        Cond("java.lang.ClassNotFoundException: org.apache.hadoop.fs.s3a.S3AFileSystem"),
+        Cond("Job aborted: java.lang.ClassNotFoundException: com.example.MyUdfDep"),
+    ]
+    for e in absent:
+        assert readers._connector_absent(e), e
+    for e in genuine:
+        assert not readers._connector_absent(e), e
+
+
+def _write_jvm_avro_simple(spark, path: str, schema_json: str, ids) -> None:
+    """One OCF file via the canonical JVM encoder, schema supplied
+    verbatim (so tests control doc/aliases/defaults attributes)."""
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    w.create(sch, jvm.java.io.File(path))
+    GR = jvm.org.apache.avro.generic.GenericData.Record
+    for i in ids:
+        r = GR(sch)
+        r.put("id", i)
+        w.append(r)
+    w.close()
+
+
+def test_avro_attribute_only_schema_drift_reads_fine(spark, tmp_path):
+    """ADVICE r07: two writer schemas that differ ONLY in non-structural
+    attributes (doc, aliases, field default) decode identically — the
+    heterogeneous-directory guard must compare Parsing-Canonical-Form,
+    not exact JSON, so evolving-tooling directories still read."""
+    from datapipeline_scripts_spark.sources.avro_pysource import read_avro_py
+
+    d = tmp_path / "attr_drift"
+    d.mkdir()
+    v1 = '{"type":"record","name":"R","namespace":"t","fields":[{"name":"id","type":"long"}]}'
+    v2 = (
+        '{"type":"record","name":"R","namespace":"t","doc":"rev 2",'
+        '"aliases":["Old"],"fields":[{"name":"id","type":"long",'
+        '"doc":"pk","default":0,"aliases":["ident"]}]}'
+    )
+    _write_jvm_avro_simple(spark, str(d / "part-0.avro"), v1, range(3))
+    _write_jvm_avro_simple(spark, str(d / "part-1.avro"), v2, range(3, 7))
+    assert read_avro_py(spark, str(d)).count() == 7
+    # but a LOGICAL-TYPE difference is structural for this tier (the
+    # decoded value type changes): still refused loudly
+    d2 = tmp_path / "ltype_drift"
+    d2.mkdir()
+    v3 = (
+        '{"type":"record","name":"R","namespace":"t","fields":'
+        '[{"name":"id","type":{"type":"long","logicalType":"timestamp-micros"}}]}'
+    )
+    _write_jvm_avro_simple(spark, str(d2 / "part-0.avro"), v1, range(3))
+    _write_jvm_avro_simple(spark, str(d2 / "part-1.avro"), v3, range(3))
+    with pytest.raises(Exception, match="writer schema differs"):
+        read_avro_py(spark, str(d2)).collect()
+
+
+def test_avro_canonical_form_rules():
+    """Unit pin of the canonicalizer: STRIP attributes collapse, unions/
+    wrappers normalize, logicalType+precision/scale are retained."""
+    from datapipeline_scripts_spark.sources.avro_pysource import _TK
+
+    canon = _TK["canonical_form"]
+    q = _TK["qualify_names"]
+    base = {
+        "type": "record", "name": "R", "namespace": "t",
+        "fields": [{"name": "a", "type": "int"}],
+    }
+    decorated = {
+        "type": "record", "name": "R", "namespace": "t", "doc": "x",
+        "aliases": ["S"],
+        "fields": [{"name": "a", "type": {"type": "int"}, "doc": "y", "default": 1}],
+    }
+    assert canon(q(base)) == canon(q(decorated))
+    ltype = {
+        "type": "record", "name": "R", "namespace": "t",
+        "fields": [{"name": "a", "type": {"type": "int", "logicalType": "date"}}],
+    }
+    assert canon(q(base)) != canon(q(ltype))
+    dec1 = {
+        "type": "record", "name": "R", "namespace": "t",
+        "fields": [{"name": "a", "type": {"type": "bytes",
+                    "logicalType": "decimal", "precision": 10, "scale": 2}}],
+    }
+    dec2 = {
+        "type": "record", "name": "R", "namespace": "t",
+        "fields": [{"name": "a", "type": {"type": "bytes",
+                    "logicalType": "decimal", "precision": 12, "scale": 2}}],
+    }
+    assert canon(q(dec1)) != canon(q(dec2))
+
+
+def test_avro_short_name_collision_is_loud():
+    """ADVICE r07: two named types sharing a short name across
+    namespaces — a bare short reference must raise 'ambiguous', not
+    silently bind whichever type was defined last. Fullname references
+    keep working; a single-definition short net keeps working."""
+    from datapipeline_scripts_spark.sources.avro_pysource import (
+        _TK,
+        _avro_to_spark,
+    )
+
+    q = _TK["qualify_names"]
+
+    def root(ref):
+        return q({
+            "type": "record", "name": "Root", "fields": [
+                {"name": "p", "type": {"type": "record", "name": "X",
+                 "namespace": "a", "fields": [{"name": "v", "type": "int"}]}},
+                {"name": "r", "type": {"type": "record", "name": "X",
+                 "namespace": "b", "fields": [{"name": "w", "type": "string"}]}},
+                {"name": "ref", "type": ref},
+            ],
+        })
+
+    # schema-inference side
+    with pytest.raises(ValueError, match="ambiguous short"):
+        _avro_to_spark(root("X"), {})
+    st, _ = _avro_to_spark(root("a.X"), {})  # fullnames stay exact
+    assert st.fields[2].dataType == st.fields[0].dataType
+    # decoder side mirrors: building a reader through the bare ref and
+    # invoking it raises the same ambiguity error
+    import io
+    rdr = _TK["make_reader"](root("X"), {})
+    with pytest.raises(ValueError, match="ambiguous short"):
+        rdr(io.BytesIO(b"\x02\x00\x02\x00\x00"))
+    # single-definition short net still resolves
+    single = q({
+        "type": "record", "name": "Root", "fields": [
+            {"name": "p", "type": {"type": "record", "name": "Y",
+             "namespace": "a", "fields": [{"name": "v", "type": "int"}]}},
+            {"name": "ref", "type": "Y"},
+        ],
+    })
+    st2, _ = _avro_to_spark(single, {})
+    assert st2.fields[1].dataType == st2.fields[0].dataType

@@ -1,9 +1,9 @@
-"""Oracle proofs for the STAGED round-8 keys (sources/staged_r8.py).
+"""Oracle proofs for the round-8 keys (sources/staged_r8.py).
 
-The catalog is frozen at 306 until CORRECTNESS_r07 closes the gate
-(VERDICT r6 items 1-2), so these builders are not registered yet —
-but they are held to the exact bar registration will apply: the same
-`oracle.compare` hash gate the driver uses, at both fixture SFs."""
+Staged through the r6/r7 catalog freeze, registered in round 8 after
+CORRECTNESS_r07 closed the gate 306/306 (VERDICT r7 item 1). The
+oracle proofs predate registration: the same `oracle.compare` hash
+gate the driver uses, at both fixture SFs."""
 
 from __future__ import annotations
 
@@ -26,9 +26,14 @@ def test_staged_key_matches_oracle(spark, key, sf_dir):
     assert report.spark_rows > 0
 
 
-def test_staged_keys_not_registered_while_catalog_frozen():
-    """The freeze invariant itself: staging must not leak into the
-    registry before round 8 flips it deliberately."""
-    registered = set(all_queries())
-    assert len(registered) == 306
-    assert not (set(STAGED) & registered)
+def test_r8_keys_registered_with_correct_builders():
+    """Round 8 flipped the staged keys live: every STAGED key must be
+    in the registry, bound to the SAME builder and oracle the proofs
+    above ran (the decorating-the-wrong-function failure mode breaks
+    the driver contract silently), and the catalog is 311."""
+    specs = all_queries()
+    assert len(specs) == 311
+    for key, (fn, oracle) in STAGED.items():
+        assert key in specs, key
+        assert specs[key].build is fn, key
+        assert specs[key].oracle == oracle, key
