@@ -93,6 +93,17 @@ BENCH_KEYS = (
     # a corpus-wide ordered string build)
     "table_diff",
     "events_pattern_regex",
+    # round-8 registrations: the codec/JDBC roundtrips (two-tier Avro
+    # incl. logical types, protobuf wire, stdlib PNG decode, Derby
+    # parallel extract). avro_roundtrip's first run pays ~11 s of
+    # python-worker spin-up at sf0.1; the untimed warmups below absorb
+    # it (warm ~1.6 s), so the timed best is the plan's real cost and
+    # the shared-set ratio vs pre-r8 rounds stays clean of cold-start.
+    "avro_roundtrip",
+    "avro_logical_roundtrip",
+    "protobuf_roundtrip",
+    "multimodal_real_png",
+    "jdbc_roundtrip",
 )
 
 

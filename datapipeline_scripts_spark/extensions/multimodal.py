@@ -155,16 +155,37 @@ def _png_decode_dims(payload: bytes) -> tuple[int, int]:
         return (-1, -1)
 
 
+def _jpeg_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real (width, height) via the stdlib JPEG header scan — same
+    contract as `_pil_decode`: (0, 0) empty, (-1, -1) undecodable.
+    Size comes from the SOF header alone (no entropy decode), so even
+    progressive files the pixel decoder refuses report true dims."""
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib
+
+    if not payload:
+        return (0, 0)
+    try:
+        w, h = jpeg_stdlib.jpeg_size(bytes(payload))
+        return (int(w), int(h))
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return (-1, -1)
+
+
 def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int]:
     """PNG payloads take the stdlib path on EVERY worker (identical
     results whether or not Pillow is installed there — ADVICE r06);
-    the backend choice only decides non-PNG handling."""
-    from datapipeline_scripts_spark.extensions import png_stdlib
+    JPEGs follow the same rule by default (round 8: jpeg_stdlib) —
+    only an explicit `SPARK_GRAFT_IMAGE_BACKEND=pil` pin hands them to
+    Pillow. The backend choice otherwise decides the remaining
+    formats (WebP/GIF/TIFF need Pillow)."""
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib, png_stdlib
 
     if payload and png_stdlib.is_png(bytes(payload)):
         return _png_decode_dims(payload)
     if backend == "pil":  # pragma: no cover - Pillow absent in this container
         return _pil_decode(image_mod, payload)
+    if payload and jpeg_stdlib.is_jpeg(bytes(payload)):
+        return _jpeg_decode_dims(payload)
     return _png_decode_dims(payload)
 
 
@@ -436,12 +457,34 @@ def _phash_pixels_png(payload: bytes) -> int:
     return bits
 
 
+def _phash_pixels_jpeg(payload: bytes) -> int:
+    """Real dHash via the stdlib baseline-JPEG decoder (round 8) —
+    same contract as `_phash_pixels_png` (0 for empty, byte-hash
+    fallback for bytes the decoder rejects, e.g. progressive files)."""
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib
+
+    if not payload:
+        return 0
+    try:
+        px = jpeg_stdlib.jpeg_gray_band_row(bytes(payload), _PHASH_BITS + 1)
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return _phash_bytes(payload)
+    bits = 0
+    for i in range(_PHASH_BITS):
+        if px[i] < px[i + 1]:
+            bits |= 1 << i
+    return bits
+
+
 def _phash_real(backend: str, image_mod, payload: bytes) -> int:
     """Route by PAYLOAD TYPE, not backend availability: PNGs hash via
     the stdlib bander on every worker (bit-identical fleet-wide —
-    ADVICE r06), non-PNGs via Pillow (BOX-pinned) where present, else
-    the byte-hash fallback."""
-    from datapipeline_scripts_spark.extensions import png_stdlib
+    ADVICE r06), JPEGs likewise by default (round 8; the integer-IDCT
+    decoder is deterministic, so one JPEG hashes identically
+    fleet-wide — an explicit `=pil` pin opts into Pillow semantics
+    instead). Remaining formats go to Pillow (BOX-pinned) where
+    present, else the byte-hash fallback."""
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib, png_stdlib
 
     if not payload:
         return 0
@@ -449,6 +492,8 @@ def _phash_real(backend: str, image_mod, payload: bytes) -> int:
         return _phash_pixels_png(payload)
     if backend == "pil":  # pragma: no cover - Pillow absent in this container
         return _phash_pixels(image_mod, payload)
+    if jpeg_stdlib.is_jpeg(bytes(payload)):
+        return _phash_pixels_jpeg(payload)
     return _phash_bytes(payload)
 
 

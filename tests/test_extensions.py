@@ -818,3 +818,48 @@ def test_real_decode_backend_uniform_for_png(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_IMAGE_BACKEND", " PNG ")  # normalized
     assert mm._image_backend() == ("png", None)
     monkeypatch.delenv("SPARK_GRAFT_IMAGE_BACKEND")
+
+
+def test_real_decode_routes_jpeg_through_stdlib(spark):
+    """Round 8: baseline JPEGs get REAL dims + dHash on every worker
+    via jpeg_stdlib (integer IDCT → fleet-identical), no Pillow needed;
+    progressive files still report true dims (SOF header) with the
+    byte-hash fallback for the phash; junk stays loud."""
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib as js
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    def blk(dc):
+        b = [0] * 64
+        b[0] = dc
+        return b
+
+    # 16x8: left block bright, right block dark → known band row
+    p = js.encode_gray_baseline(16, 8, [blk(10), blk(-10)])
+    assert mm._real_decode_dims("png", None, p) == (16, 8)
+    want_bands = js.jpeg_gray_band_row(p, mm._PHASH_BITS + 1)
+    want = 0
+    for i in range(mm._PHASH_BITS):
+        if want_bands[i] < want_bands[i + 1]:
+            want |= 1 << i
+    assert mm._phash_real("png", None, p) == want
+    assert want != mm._phash_bytes(p)  # it's a pixel hash, not the fallback
+    # progressive: dims from SOF, phash falls back to byte-hash
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(20, 10, BI.TYPE_INT_RGB)
+    for y in range(10):
+        for x in range(20):
+            img.setRGB(x, y, (x * 12 % 256) << 16 | (y * 20 % 256) << 8 | 99)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    wr = it.next()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    prm = wr.getDefaultWriteParam()
+    prm.setProgressiveMode(1)
+    wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), prm)
+    wr.dispose()
+    ios.close()
+    prog = bytes(baos.toByteArray())
+    assert mm._real_decode_dims("png", None, prog) == (20, 10)
+    assert mm._phash_real("png", None, prog) == mm._phash_bytes(prog)
