@@ -633,3 +633,118 @@ def encode_gray_baseline(
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_ycbcr_baseline(
+    width: int,
+    height: int,
+    blocks_y,
+    blocks_cb,
+    blocks_cr,
+    sampling: tuple[int, int] = (2, 2),
+    qtable=STD_LUMA_QUANT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline 3-component JPEG from QUANTIZED coefficients — the
+    color sibling of `encode_gray_baseline`, here so the decoder's
+    4:4:4 / 4:2:2 / 4:2:0 interleave+upsample paths can be cross-
+    proven against the JVM decoder (ImageIO's writer only ever emits
+    4:2:0, so those paths are otherwise untestable in-container).
+
+    `sampling` is (h1, v1) for Y; Cb/Cr are 1×1 — (1,1)=4:4:4,
+    (2,1)=4:2:2, (2,2)=4:2:0. Y blocks: (mcux·h1)×(mcuy·v1) in
+    row-major grid order; chroma blocks: mcux×mcuy each. One shared
+    quant table and the std luminance huffman tables serve all three
+    components (spec-legal: SOF/SOS select tables per component, and
+    every selector here points at slot 0)."""
+    h1, v1 = sampling
+    if h1 not in (1, 2) or v1 not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    mcux = (width + 8 * h1 - 1) // (8 * h1)
+    mcuy = (height + 8 * v1 - 1) // (8 * v1)
+    ys = list(blocks_y)
+    cbs = list(blocks_cb)
+    crs = list(blocks_cr)
+    if len(ys) != mcux * h1 * mcuy * v1:
+        raise ValueError(f"need {mcux * h1 * mcuy * v1} Y blocks, got {len(ys)}")
+    if len(cbs) != mcux * mcuy or len(crs) != mcux * mcuy:
+        raise ValueError(f"need {mcux * mcuy} blocks per chroma component")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = bytes([0x00]) + bytes(qtable[ZIGZAG[k]] for k in range(64))
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([3, 1, (h1 << 4) | v1, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    dht_dc = bytes([0x00]) + bytes(STD_DC_BITS) + bytes(STD_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(STD_AC_BITS) + bytes(STD_AC_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    dc_codes = _huff_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _huff_codes(STD_AC_BITS, STD_AC_VALS)
+    bw = _BitWriter()
+
+    def put_block(blk, pred: int) -> int:
+        diff = blk[0] - pred
+        mag = abs(diff)
+        s = mag.bit_length()
+        code, ln = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = blk[ZIGZAG[k]]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l2 = ac_codes[0xF0]
+                bw.put(c, l2)
+                run -= 16
+            mag = abs(v)
+            s = mag.bit_length()
+            if s > 10:
+                raise ValueError("AC coefficient magnitude exceeds baseline range")
+            c, l2 = ac_codes[(run << 4) | s]
+            bw.put(c, l2)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            c, l2 = ac_codes[0x00]
+            bw.put(c, l2)
+        return blk[0]
+
+    preds = [0, 0, 0]
+    rst = 0
+    mcu = 0
+    ybw = mcux * h1  # Y block-grid width
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_align()
+                bw.out.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            for by in range(v1):
+                for bx in range(h1):
+                    preds[0] = put_block(ys[(my * v1 + by) * ybw + mx * h1 + bx], preds[0])
+            preds[1] = put_block(cbs[my * mcux + mx], preds[1])
+            preds[2] = put_block(crs[my * mcux + mx], preds[2])
+            mcu += 1
+    bw.pad_align()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, dqt)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht_dc)
+    out += seg(0xC4, dht_ac)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

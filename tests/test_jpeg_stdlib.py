@@ -271,3 +271,51 @@ def test_band_row_contract():
     right = ((1024 * -10 * 16 + 4096) >> 13) + 128
     bands = js.jpeg_gray_band_row(p, 4)
     assert bands == [left, left, right, right]
+
+
+@pytest.mark.parametrize("sampling,label,bound", [
+    ((1, 1), "4:4:4", 0),
+    ((2, 1), "4:2:2", 1),  # triangle-vs-box at chroma block edges
+    ((2, 2), "4:2:0", 2),
+])
+def test_color_samplings_cross_proven_vs_imageio(spark, sampling, label, bound):
+    """The color encoder unlocks the decoder's 4:4:4 / 4:2:2 paths
+    (ImageIO's writer only emits 4:2:0): DC-only YCbCr files decode
+    bit-identically in both codecs when no upsampling interpolation is
+    involved (4:4:4, and 4:2:2 on flat blocks), and within ±2 for
+    4:2:0. Seeded random DC walks cover the interleave order and the
+    per-component DC predictors."""
+    import random
+
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib as js
+
+    jvm = spark._jvm
+    rnd = random.Random(hash(label) & 0xFFFF)
+
+    def blk(dc):
+        b = [0] * 64
+        b[0] = dc
+        return b
+
+    h1, v1 = sampling
+    mcux, mcuy = 3, 2
+    w, h = 8 * h1 * mcux, 8 * v1 * mcuy
+    ydc = [rnd.randint(-15, 15) for _ in range(mcux * h1 * mcuy * v1)]
+    cbdc = [rnd.randint(-8, 8) for _ in range(mcux * mcuy)]
+    crdc = [rnd.randint(-8, 8) for _ in range(mcux * mcuy)]
+    p = js.encode_ycbcr_baseline(
+        w, h,
+        [blk(d) for d in ydc], [blk(d) for d in cbdc], [blk(d) for d in crdc],
+        sampling=sampling, restart_interval=2,
+    )
+    assert js.jpeg_size(p) == (w, h)
+    gw, gh, g = js.jpeg_decode_gray(p)
+    assert (gw, gh) == (w, h)
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(p))
+    diffs = []
+    for y in range(h):
+        for x in range(w):
+            v = img.getRGB(x, y)
+            r, gg, b = (v >> 16) & 255, (v >> 8) & 255, v & 255
+            diffs.append(abs(g[y * w + x] - (299 * r + 587 * gg + 114 * b) // 1000))
+    assert max(diffs) <= bound, (label, max(diffs), sum(diffs) / len(diffs))
