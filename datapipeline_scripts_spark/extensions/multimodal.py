@@ -171,14 +171,30 @@ def _jpeg_decode_dims(payload: bytes) -> tuple[int, int]:
         return (-1, -1)
 
 
+def _gif_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real (width, height) via the stdlib GIF header scan — same
+    contract as `_pil_decode`: (0, 0) empty, (-1, -1) undecodable.
+    Size comes from the Logical Screen Descriptor alone (O(1))."""
+    from datapipeline_scripts_spark.extensions import gif_stdlib
+
+    if not payload:
+        return (0, 0)
+    try:
+        w, h = gif_stdlib.gif_size(bytes(payload))
+        return (int(w), int(h))
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return (-1, -1)
+
+
 def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int]:
     """PNG payloads take the stdlib path on EVERY worker (identical
     results whether or not Pillow is installed there — ADVICE r06);
-    JPEGs follow the same rule by default (round 8: jpeg_stdlib) —
-    only an explicit `SPARK_GRAFT_IMAGE_BACKEND=pil` pin hands them to
-    Pillow. The backend choice otherwise decides the remaining
-    formats (WebP/GIF/TIFF need Pillow)."""
-    from datapipeline_scripts_spark.extensions import jpeg_stdlib, png_stdlib
+    JPEGs and GIFs follow the same rule by default (round 8:
+    jpeg_stdlib + gif_stdlib) — only an explicit
+    `SPARK_GRAFT_IMAGE_BACKEND=pil` pin hands them to Pillow. The
+    backend choice otherwise decides the remaining formats (WebP/TIFF
+    need Pillow)."""
+    from datapipeline_scripts_spark.extensions import gif_stdlib, jpeg_stdlib, png_stdlib
 
     if payload and png_stdlib.is_png(bytes(payload)):
         return _png_decode_dims(payload)
@@ -186,6 +202,8 @@ def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int
         return _pil_decode(image_mod, payload)
     if payload and jpeg_stdlib.is_jpeg(bytes(payload)):
         return _jpeg_decode_dims(payload)
+    if payload and gif_stdlib.is_gif(bytes(payload)):
+        return _gif_decode_dims(payload)
     return _png_decode_dims(payload)
 
 
@@ -476,15 +494,35 @@ def _phash_pixels_jpeg(payload: bytes) -> int:
     return bits
 
 
+def _phash_pixels_gif(payload: bytes) -> int:
+    """Real dHash via the stdlib GIF decoder (round 8) — same contract
+    as `_phash_pixels_png` (0 for empty, byte-hash fallback for bytes
+    the decoder rejects). GIF decode is lossless, so the hash is
+    bit-identical fleet-wide by construction."""
+    from datapipeline_scripts_spark.extensions import gif_stdlib
+
+    if not payload:
+        return 0
+    try:
+        px = gif_stdlib.gif_gray_band_row(bytes(payload), _PHASH_BITS + 1)
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return _phash_bytes(payload)
+    bits = 0
+    for i in range(_PHASH_BITS):
+        if px[i] < px[i + 1]:
+            bits |= 1 << i
+    return bits
+
+
 def _phash_real(backend: str, image_mod, payload: bytes) -> int:
     """Route by PAYLOAD TYPE, not backend availability: PNGs hash via
     the stdlib bander on every worker (bit-identical fleet-wide —
-    ADVICE r06), JPEGs likewise by default (round 8; the integer-IDCT
-    decoder is deterministic, so one JPEG hashes identically
-    fleet-wide — an explicit `=pil` pin opts into Pillow semantics
-    instead). Remaining formats go to Pillow (BOX-pinned) where
-    present, else the byte-hash fallback."""
-    from datapipeline_scripts_spark.extensions import jpeg_stdlib, png_stdlib
+    ADVICE r06), JPEGs and GIFs likewise by default (round 8; the
+    integer-IDCT JPEG decoder is deterministic and GIF is lossless, so
+    one payload hashes identically fleet-wide — an explicit `=pil` pin
+    opts into Pillow semantics instead). Remaining formats go to
+    Pillow (BOX-pinned) where present, else the byte-hash fallback."""
+    from datapipeline_scripts_spark.extensions import gif_stdlib, jpeg_stdlib, png_stdlib
 
     if not payload:
         return 0
@@ -494,6 +532,8 @@ def _phash_real(backend: str, image_mod, payload: bytes) -> int:
         return _phash_pixels(image_mod, payload)
     if jpeg_stdlib.is_jpeg(bytes(payload)):
         return _phash_pixels_jpeg(payload)
+    if gif_stdlib.is_gif(bytes(payload)):
+        return _phash_pixels_gif(payload)
     return _phash_bytes(payload)
 
 

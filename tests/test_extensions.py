@@ -863,3 +863,35 @@ def test_real_decode_routes_jpeg_through_stdlib(spark):
     prog = bytes(baos.toByteArray())
     assert mm._real_decode_dims("png", None, prog) == (20, 10)
     assert mm._phash_real("png", None, prog) == mm._phash_bytes(prog)
+
+
+def test_real_decode_routes_gif_through_stdlib():
+    """Round 8: GIFs get REAL dims + dHash on every worker via
+    gif_stdlib (lossless LZW decode → fleet-identical by
+    construction), no Pillow needed; junk with a GIF signature stays
+    loud via the (-1,-1) / byte-hash fallbacks."""
+    from datapipeline_scripts_spark.extensions import gif_stdlib as gs
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    pal = bytes([10, 10, 10, 200, 200, 200])
+    idx = (b"\x00" * 8 + b"\x01" * 8) * 4
+    p = gs.encode_gif(16, 4, pal, idx)
+    assert mm._real_decode_dims("png", None, p) == (16, 4)
+    want_bands = gs.gif_gray_band_row(p, mm._PHASH_BITS + 1)
+    want = 0
+    for i in range(mm._PHASH_BITS):
+        if want_bands[i] < want_bands[i + 1]:
+            want |= 1 << i
+    assert mm._phash_real("png", None, p) == want
+    assert want != mm._phash_bytes(p)  # it's a pixel hash, not the fallback
+    # corrupt LZW inside intact framing: dims still real (LSD + block
+    # walk), phash falls back loud
+    sep = p.index(0x2C, 13)
+    dstart, dlen = sep + 12, p[sep + 11]  # sep+10 is the LZW mcs
+    bad = p[:dstart] + b"\xff" * dlen + p[dstart + dlen :]
+    assert mm._real_decode_dims("png", None, bad) == (16, 4)
+    assert mm._phash_real("png", None, bad) == mm._phash_bytes(bad)
+    # truncated framing: both loud
+    cut = p[: len(p) - 6]
+    assert mm._real_decode_dims("png", None, cut) == (-1, -1)
+    assert mm._phash_real("png", None, cut) == mm._phash_bytes(cut)
