@@ -20,9 +20,10 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for the key, add an
+Registration recipe (round 9): move ``@query`` in for BOTH keys
+(``multimodal_real_jpeg``, ``multimodal_real_gif``), add an
 ``_ADDED_R9`` set to ``__spark_entry__.py``'s deferral union, bump the
-freeze-invariant count in tests/test_staged_r9.py (311 → 312), update
+freeze-invariant count in tests/test_staged_r9.py (311 → 313), update
 COVERAGE.md + docs/SCALE.md.
 """
 
@@ -150,3 +151,132 @@ def multimodal_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGED: dict[str, tuple] = {
     "multimodal_real_jpeg": (multimodal_real_jpeg, MULTIMODAL_REAL_JPEG_ORACLE),
 }
+
+
+# ---- multimodal_real_gif ----------------------------------------------------
+#
+# The GIF sibling of multimodal_real_jpeg: per-document GIFs are
+# ENCODED and DECODED executor-side through the production stdlib
+# codec (extensions/gif_stdlib.py — the exact path
+# SPARK_GRAFT_REAL_DECODE routes GIF payloads through), INTERLACED so
+# the 4-pass row reorder sits inside the proof, with the color table
+# alternating global/local per document so both table paths decode
+# under the driver's eye. GIF is lossless, so the DuckDB oracle
+# recomputes every band average ARITHMETICALLY: pixel (x, y) of
+# doc d is gray(lut[(d + 3x + 7y + xy) % 4]) where each lut entry is
+# an integer formula of d — no codec latitude anywhere, a hash match
+# proves the LZW bitstream, interlace reorder, palette lookup and
+# band/dHash chain bit-exact.
+
+_GW, _GH = 16, 8
+
+
+def _gif_pixels(doc_id: int) -> tuple[bytes, bytes]:
+    """(palette, indices) for one document — mirrored by the oracle."""
+    d = int(doc_id)
+    palette = bytes(
+        c
+        for i in range(4)
+        for c in (
+            (d * 3 + 53 * i) % 256,
+            (d * 5 + 97 * i) % 256,
+            (d * 7 + 29 * i) % 256,
+        )
+    )
+    indices = bytes(
+        (d + 3 * x + 7 * y + x * y) % 4 for y in range(_GH) for x in range(_GW)
+    )
+    return palette, indices
+
+
+def _gif_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import gif_stdlib as gs
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    for pdf in batches:
+        widths, heights, phashes = [], [], []
+        for doc_id in pdf["doc_id"]:
+            palette, indices = _gif_pixels(int(doc_id))
+            payload = gs.encode_gif(
+                _GW,
+                _GH,
+                palette,
+                indices,
+                interlace=True,
+                local_table=bool(int(doc_id) % 2),
+            )
+            w, h = mm._real_decode_dims("png", None, payload)
+            widths.append(w)
+            heights.append(h)
+            # the full routing layer, not the bander directly: proves
+            # GIF payloads reach gif_stdlib under the default backend
+            phashes.append(mm._phash_real("png", None, payload))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": widths,
+                "height": heights,
+                "phash": phashes,
+            }
+        )
+
+
+def _real_gif_oracle() -> str:
+    from datapipeline_scripts_spark.extensions.multimodal import _PHASH_BITS
+
+    def gray(x: int, y: int) -> str:
+        m = f"((doc_id + {3 * x + 7 * y + x * y}) % 4)"
+        return (
+            f"((299 * ((doc_id * 3 + 53 * {m}) % 256)"
+            f" + 587 * ((doc_id * 5 + 97 * {m}) % 256)"
+            f" + 114 * ((doc_id * 7 + 29 * {m}) % 256)) // 1000)"
+        )
+
+    bands = []
+    for k in range(_PHASH_BITS + 1):
+        x0 = k * _GW // (_PHASH_BITS + 1)
+        x1 = max((k + 1) * _GW // (_PHASH_BITS + 1), x0 + 1)
+        total = " + ".join(gray(x, y) for x in range(x0, x1) for y in range(_GH))
+        bands.append(f"(({total}) // {(x1 - x0) * _GH})")
+    bits = " + ".join(
+        f"(CASE WHEN {bands[i]} < {bands[i + 1]} THEN {1 << i} ELSE 0 END)"
+        for i in range(_PHASH_BITS)
+    )
+    return f"""
+        SELECT doc_id,
+               {_GW} AS width,
+               {_GH} AS height,
+               CAST({bits} AS INTEGER) AS phash
+        FROM documents
+        WHERE doc_id % 4 = 1
+        ORDER BY doc_id
+    """
+
+
+MULTIMODAL_REAL_GIF_ORACLE = _real_gif_oracle()
+
+
+def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode under the driver harness — see the section
+    comment above for the proof structure. Scale shape: identical to
+    multimodal_real_jpeg (embarrassingly parallel Arrow-batch work,
+    only (doc_id, 3 ints) ever leave the worker)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _gif_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("phash", T.IntegerType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED["multimodal_real_gif"] = (multimodal_real_gif, MULTIMODAL_REAL_GIF_ORACLE)
