@@ -186,15 +186,37 @@ def _gif_decode_dims(payload: bytes) -> tuple[int, int]:
         return (-1, -1)
 
 
+def _tiff_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real (width, height) via the stdlib TIFF IFD walk — same
+    contract as `_pil_decode`: (0, 0) empty, (-1, -1) undecodable.
+    Size comes from the first IFD alone (no strip decode), so even
+    profiles the pixel decoder refuses (16-bit, tiled) report true
+    dims."""
+    from datapipeline_scripts_spark.extensions import tiff_stdlib
+
+    if not payload:
+        return (0, 0)
+    try:
+        w, h = tiff_stdlib.tiff_size(bytes(payload))
+        return (int(w), int(h))
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return (-1, -1)
+
+
 def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int]:
     """PNG payloads take the stdlib path on EVERY worker (identical
     results whether or not Pillow is installed there — ADVICE r06);
-    JPEGs and GIFs follow the same rule by default (round 8:
-    jpeg_stdlib + gif_stdlib) — only an explicit
+    JPEGs, GIFs and TIFFs follow the same rule by default (round 8:
+    jpeg_stdlib + gif_stdlib + tiff_stdlib) — only an explicit
     `SPARK_GRAFT_IMAGE_BACKEND=pil` pin hands them to Pillow. The
-    backend choice otherwise decides the remaining formats (WebP/TIFF
-    need Pillow)."""
-    from datapipeline_scripts_spark.extensions import gif_stdlib, jpeg_stdlib, png_stdlib
+    backend choice otherwise decides the remaining formats (WebP
+    needs Pillow)."""
+    from datapipeline_scripts_spark.extensions import (
+        gif_stdlib,
+        jpeg_stdlib,
+        png_stdlib,
+        tiff_stdlib,
+    )
 
     if payload and png_stdlib.is_png(bytes(payload)):
         return _png_decode_dims(payload)
@@ -204,6 +226,8 @@ def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int
         return _jpeg_decode_dims(payload)
     if payload and gif_stdlib.is_gif(bytes(payload)):
         return _gif_decode_dims(payload)
+    if payload and tiff_stdlib.is_tiff(bytes(payload)):
+        return _tiff_decode_dims(payload)
     return _png_decode_dims(payload)
 
 
@@ -514,15 +538,42 @@ def _phash_pixels_gif(payload: bytes) -> int:
     return bits
 
 
+def _phash_pixels_tiff(payload: bytes) -> int:
+    """Real dHash via the stdlib TIFF decoder (round 8) — same
+    contract as `_phash_pixels_png` (0 for empty, byte-hash fallback
+    for bytes the decoder rejects, e.g. 16-bit or tiled profiles).
+    The supported 8-bit profile is lossless, so the hash is
+    bit-identical fleet-wide by construction."""
+    from datapipeline_scripts_spark.extensions import tiff_stdlib
+
+    if not payload:
+        return 0
+    try:
+        px = tiff_stdlib.tiff_gray_band_row(bytes(payload), _PHASH_BITS + 1)
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return _phash_bytes(payload)
+    bits = 0
+    for i in range(_PHASH_BITS):
+        if px[i] < px[i + 1]:
+            bits |= 1 << i
+    return bits
+
+
 def _phash_real(backend: str, image_mod, payload: bytes) -> int:
     """Route by PAYLOAD TYPE, not backend availability: PNGs hash via
     the stdlib bander on every worker (bit-identical fleet-wide —
-    ADVICE r06), JPEGs and GIFs likewise by default (round 8; the
-    integer-IDCT JPEG decoder is deterministic and GIF is lossless, so
-    one payload hashes identically fleet-wide — an explicit `=pil` pin
-    opts into Pillow semantics instead). Remaining formats go to
-    Pillow (BOX-pinned) where present, else the byte-hash fallback."""
-    from datapipeline_scripts_spark.extensions import gif_stdlib, jpeg_stdlib, png_stdlib
+    ADVICE r06), JPEGs, GIFs and TIFFs likewise by default (round 8;
+    the integer-IDCT JPEG decoder is deterministic and GIF/baseline
+    TIFF are lossless, so one payload hashes identically fleet-wide —
+    an explicit `=pil` pin opts into Pillow semantics instead).
+    Remaining formats go to Pillow (BOX-pinned) where present, else
+    the byte-hash fallback."""
+    from datapipeline_scripts_spark.extensions import (
+        gif_stdlib,
+        jpeg_stdlib,
+        png_stdlib,
+        tiff_stdlib,
+    )
 
     if not payload:
         return 0
@@ -534,6 +585,8 @@ def _phash_real(backend: str, image_mod, payload: bytes) -> int:
         return _phash_pixels_jpeg(payload)
     if gif_stdlib.is_gif(bytes(payload)):
         return _phash_pixels_gif(payload)
+    if tiff_stdlib.is_tiff(bytes(payload)):
+        return _phash_pixels_tiff(payload)
     return _phash_bytes(payload)
 
 

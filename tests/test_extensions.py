@@ -895,3 +895,41 @@ def test_real_decode_routes_gif_through_stdlib():
     cut = p[: len(p) - 6]
     assert mm._real_decode_dims("png", None, cut) == (-1, -1)
     assert mm._phash_real("png", None, cut) == mm._phash_bytes(cut)
+
+
+def test_real_decode_routes_tiff_through_stdlib(spark):
+    """Round 8: TIFFs get REAL dims + dHash on every worker via
+    tiff_stdlib; profiles the pixel decoder refuses (16-bit) still
+    report true dims from the IFD with the byte-hash phash fallback."""
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+    from datapipeline_scripts_spark.extensions import tiff_stdlib as ts
+
+    data = (b"\x0a" * 8 + b"\xc8" * 8) * 4
+    p = ts.encode_tiff(16, 4, data, compression=5)
+    assert mm._real_decode_dims("png", None, p) == (16, 4)
+    want_bands = ts.tiff_gray_band_row(p, mm._PHASH_BITS + 1)
+    want = 0
+    for i in range(mm._PHASH_BITS):
+        if want_bands[i] < want_bands[i + 1]:
+            want |= 1 << i
+    assert mm._phash_real("png", None, p) == want
+    assert want != mm._phash_bytes(p)  # it's a pixel hash, not the fallback
+    # 16-bit canonical file: dims real (IFD), phash falls back loud
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(6, 5, BI.TYPE_USHORT_GRAY)
+    r = img.getRaster()
+    for y in range(5):
+        for x in range(6):
+            r.setSample(x, y, 0, (x * y * 999) % 65536)
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    wr = it.next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), None)
+    wr.dispose()
+    ios.close()
+    deep = bytes(baos.toByteArray())
+    assert mm._real_decode_dims("png", None, deep) == (6, 5)
+    assert mm._phash_real("png", None, deep) == mm._phash_bytes(deep)

@@ -1,0 +1,274 @@
+"""Baseline TIFF stdlib codec vs the canonical JVM ImageIO TIFF
+plugin — both directions, every supported compression. TIFF at this
+profile (8-bit strips) is lossless, so every comparison is exact
+equality; any ±1 would be a real bug."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from datapipeline_scripts_spark.extensions import tiff_stdlib as ts
+
+
+def _gray(r, g, b):
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _noise(n, seed):
+    return bytes(random.Random(seed).randrange(256) for _ in range(n))
+
+
+def _smooth(w, h, spp=1):
+    return bytes(
+        (x * 5 + y * 9 + c * 31) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(spp)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python roundtrips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_roundtrip_gray(compression, big_endian):
+    w, h = 19, 11  # ragged strips below
+    data = _noise(w * h, compression * 2 + big_endian)
+    p = ts.encode_tiff(
+        w, h, data, compression=compression, rows_per_strip=3, big_endian=big_endian
+    )
+    assert ts.is_tiff(p)
+    assert ts.tiff_size(p) == (w, h)
+    assert ts.tiff_decode_gray(p) == (w, h, bytearray(data))
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+def test_roundtrip_rgb(compression):
+    w, h = 13, 7
+    data = _smooth(w, h, 3)
+    p = ts.encode_tiff(w, h, data, rgb=True, compression=compression, rows_per_strip=2)
+    expect = bytearray(
+        _gray(data[3 * i], data[3 * i + 1], data[3 * i + 2]) for i in range(w * h)
+    )
+    assert ts.tiff_decode_gray(p) == (w, h, expect)
+
+
+@pytest.mark.parametrize("compression", [5, 8])
+def test_roundtrip_predictor(compression):
+    w, h = 40, 9
+    data = _smooth(w, h)  # smooth data is what the predictor exists for
+    p = ts.encode_tiff(w, h, data, compression=compression, predictor=True)
+    assert ts.tiff_decode_gray(p) == (w, h, bytearray(data))
+    rgbd = _smooth(w, h, 3)
+    p = ts.encode_tiff(w, h, rgbd, rgb=True, compression=compression, predictor=True)
+    expect = bytearray(
+        _gray(rgbd[3 * i], rgbd[3 * i + 1], rgbd[3 * i + 2]) for i in range(w * h)
+    )
+    assert ts.tiff_decode_gray(p) == (w, h, expect)
+
+
+def test_roundtrip_lzw_dictionary_full():
+    """Enough noise to climb every code width and force a mid-stream
+    CLEAR at 4096 entries."""
+    w = h = 120
+    data = _noise(w * h, 77)
+    p = ts.encode_tiff(w, h, data, compression=5)
+    assert ts.tiff_decode_gray(p) == (w, h, bytearray(data))
+
+
+# ---------------------------------------------------------------------------
+# Our encoder → canonical decoder
+# ---------------------------------------------------------------------------
+
+
+def _imageio_read_gray_samples(jvm, payload: bytes):
+    """Raster samples, NOT getRGB — gray BufferedImages are linear
+    colorspace and getRGB would sRGB-convert the values."""
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(payload))
+    assert img is not None, "ImageIO refused the TIFF"
+    w, h = img.getWidth(), img.getHeight()
+    r = img.getRaster()
+    return w, h, bytes(r.getSample(x, y, 0) for y in range(h) for x in range(w))
+
+
+def _imageio_read_rgb(jvm, payload: bytes):
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(payload))
+    assert img is not None, "ImageIO refused the TIFF"
+    w, h = img.getWidth(), img.getHeight()
+    return w, h, [
+        ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+        for y in range(h)
+        for v in (img.getRGB(0, y, w, 1, None, 0, w) or [])
+    ]
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_our_encoder_bit_exact_in_imageio_gray(spark, compression, big_endian):
+    jvm = spark._jvm
+    w, h = 21, 10
+    data = _noise(w * h, compression + 10 * big_endian)
+    p = ts.encode_tiff(
+        w, h, data, compression=compression, rows_per_strip=4, big_endian=big_endian
+    )
+    iw, ih, samples = _imageio_read_gray_samples(jvm, p)
+    assert (iw, ih) == (w, h)
+    assert samples == data
+
+
+@pytest.mark.parametrize("compression", [5, 8])
+def test_our_encoder_predictor_bit_exact_in_imageio(spark, compression):
+    jvm = spark._jvm
+    w, h = 33, 8
+    data = _smooth(w, h, 3)
+    p = ts.encode_tiff(w, h, data, rgb=True, compression=compression, predictor=True)
+    iw, ih, pix = _imageio_read_rgb(jvm, p)
+    assert (iw, ih) == (w, h)
+    expect = [tuple(data[3 * i : 3 * i + 3]) for i in range(w * h)]
+    assert pix == expect
+
+
+def test_our_encoder_lzw_full_dict_bit_exact_in_imageio(spark):
+    jvm = spark._jvm
+    w = h = 120
+    data = _noise(w * h, 5)
+    p = ts.encode_tiff(w, h, data, compression=5)
+    iw, ih, samples = _imageio_read_gray_samples(jvm, p)
+    assert (iw, ih) == (w, h)
+    assert samples == data
+
+
+# ---------------------------------------------------------------------------
+# Canonical encoder → our decoder
+# ---------------------------------------------------------------------------
+
+
+def _imageio_write_tiff(jvm, img, ctype: str | None) -> bytes:
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    wr = it.next()
+    prm = wr.getDefaultWriteParam()
+    if ctype is not None:
+        prm.setCompressionMode(2)  # ImageWriteParam.MODE_EXPLICIT
+        prm.setCompressionType(ctype)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), prm)
+    wr.dispose()
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+def _gray_img(jvm, w, h, fn):
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(w, h, BI.TYPE_BYTE_GRAY)
+    r = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            r.setSample(x, y, 0, fn(x, y))
+    return img
+
+
+def _rgb_img(jvm, w, h, fn):
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = fn(x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    return img
+
+
+@pytest.mark.parametrize("ctype", [None, "LZW", "ZLib", "PackBits", "Deflate"])
+def test_imageio_writer_gray_bit_exact_here(spark, ctype):
+    jvm = spark._jvm
+    w, h = 37, 23
+    p = _imageio_write_tiff(jvm, _gray_img(jvm, w, h, lambda x, y: (x * 7 + y * 11) % 256), ctype)
+    assert ts.is_tiff(p)
+    iw, ih, samples = _imageio_read_gray_samples(jvm, p)
+    assert ts.tiff_decode_gray(p) == (iw, ih, bytearray(samples))
+    assert (iw, ih) == (w, h)
+
+
+@pytest.mark.parametrize("ctype", [None, "LZW", "ZLib", "PackBits", "Deflate"])
+def test_imageio_writer_rgb_bit_exact_here(spark, ctype):
+    jvm = spark._jvm
+    w, h = 29, 17
+    p = _imageio_write_tiff(
+        jvm,
+        _rgb_img(jvm, w, h, lambda x, y: ((x * 9) % 256, (y * 13) % 256, (x * y) % 256)),
+        ctype,
+    )
+    iw, ih, pix = _imageio_read_rgb(jvm, p)
+    dw, dh, gray = ts.tiff_decode_gray(p)
+    assert (dw, dh) == (iw, ih) == (w, h)
+    assert list(gray) == [_gray(r, g, b) for r, g, b in pix]
+
+
+def test_imageio_writer_palette_bit_exact_here(spark):
+    """TYPE_BYTE_INDEXED writes a palette (photometric 3) TIFF through
+    the default 256-color ICM — our ColorMap high-byte convention must
+    agree with what ImageIO itself reads back."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    w, h = 16, 12
+    img = BI(w, h, BI.TYPE_BYTE_INDEXED)
+    for y in range(h):
+        for x in range(w):
+            v = ((x * 16) % 256, (y * 21) % 256, (x + y) % 256)
+            img.setRGB(x, y, (v[0] << 16) | (v[1] << 8) | v[2])
+    p = _imageio_write_tiff(jvm, img, "LZW")
+    iw, ih, pix = _imageio_read_rgb(jvm, p)
+    dw, dh, gray = ts.tiff_decode_gray(p)
+    assert (dw, dh) == (iw, ih) == (w, h)
+    assert list(gray) == [_gray(r, g, b) for r, g, b in pix]
+
+
+def test_sixteen_bit_refusal_is_loud(spark):
+    """A canonical 16-bit gray TIFF must refuse by name, not decode
+    to garbage bytes."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(8, 8, BI.TYPE_USHORT_GRAY)
+    r = img.getRaster()
+    for y in range(8):
+        for x in range(8):
+            r.setSample(x, y, 0, (x * y * 1000) % 65536)
+    p = _imageio_write_tiff(jvm, img, None)
+    assert ts.tiff_size(p) == (8, 8)  # dims stay readable
+    with pytest.raises(NotImplementedError, match="bits-per-sample"):
+        ts.tiff_decode_gray(p)
+
+
+# ---------------------------------------------------------------------------
+# Contracts and refusals
+# ---------------------------------------------------------------------------
+
+
+def test_corruption_is_loud():
+    data = _noise(8 * 8, 1)
+    p = ts.encode_tiff(8, 8, data, compression=5)
+    with pytest.raises(ValueError, match="signature"):
+        ts.tiff_decode_gray(b"XXXX" + p[4:])
+    with pytest.raises(ValueError):
+        ts.tiff_decode_gray(p[:30])  # IFD is at the tail: offsets dangle
+
+
+def test_encoder_validations():
+    with pytest.raises(ValueError, match="samples"):
+        ts.encode_tiff(4, 4, b"\x00" * 15)
+    with pytest.raises(ValueError, match="predictor"):
+        ts.encode_tiff(2, 2, b"\x00" * 4, compression=32773, predictor=True)
+    with pytest.raises(ValueError, match="compression"):
+        ts.encode_tiff(2, 2, b"\x00" * 4, compression=6)
+
+
+def test_band_row_contract():
+    data = (b"\x0a" * 8 + b"\xc8" * 8) * 4
+    p = ts.encode_tiff(16, 4, data, compression=32773)
+    assert ts.tiff_gray_band_row(p, 4) == [10, 10, 200, 200]
