@@ -20,11 +20,12 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for BOTH keys
-(``multimodal_real_jpeg``, ``multimodal_real_gif``), add an
-``_ADDED_R9`` set to ``__spark_entry__.py``'s deferral union, bump the
-freeze-invariant count in tests/test_staged_r9.py (311 → 313), update
-COVERAGE.md + docs/SCALE.md.
+Registration recipe (round 9): move ``@query`` in for all THREE keys
+(``multimodal_real_jpeg``, ``multimodal_real_gif``,
+``multimodal_real_tiff``), add an ``_ADDED_R9`` set to
+``__spark_entry__.py``'s deferral union, bump the freeze-invariant
+count in tests/test_staged_r9.py (311 → 314), update COVERAGE.md +
+docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -280,3 +281,112 @@ def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["multimodal_real_gif"] = (multimodal_real_gif, MULTIMODAL_REAL_GIF_ORACLE)
+
+
+# ---- multimodal_real_tiff ---------------------------------------------------
+#
+# The TIFF sibling: per-document gray TIFFs are encoded and decoded
+# executor-side through the production stdlib codec
+# (extensions/tiff_stdlib.py), with the codec (None/LZW/Deflate/
+# PackBits), horizontal predictor, byte order and strip height all
+# ROTATING per doc_id — so one driver-green row covers every
+# compression path, both endiannesses, the predictor and the
+# multi-strip reassembly. The profile is lossless, so the DuckDB
+# oracle recomputes the band averages directly from the sample
+# formula pixel(x, y) = (d*3 + 5x + 11y + xy) % 256 — identical
+# regardless of which codec a given document drew.
+
+_TW, _TH = 16, 8
+_TIFF_CODECS = (1, 5, 8, 32773)
+
+
+def _tiff_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+    from datapipeline_scripts_spark.extensions import tiff_stdlib as ts
+
+    for pdf in batches:
+        widths, heights, phashes = [], [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            samples = bytes(
+                (d * 3 + 5 * x + 11 * y + x * y) % 256
+                for y in range(_TH)
+                for x in range(_TW)
+            )
+            comp = _TIFF_CODECS[(d // 4) % 4]
+            payload = ts.encode_tiff(
+                _TW,
+                _TH,
+                samples,
+                compression=comp,
+                predictor=comp in (5, 8) and d % 8 < 4,
+                rows_per_strip=3 if d % 16 < 8 else None,
+                big_endian=bool(d % 2),
+            )
+            w, h = mm._real_decode_dims("png", None, payload)
+            widths.append(w)
+            heights.append(h)
+            phashes.append(mm._phash_real("png", None, payload))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": widths,
+                "height": heights,
+                "phash": phashes,
+            }
+        )
+
+
+def _real_tiff_oracle() -> str:
+    from datapipeline_scripts_spark.extensions.multimodal import _PHASH_BITS
+
+    def gray(x: int, y: int) -> str:
+        return f"((doc_id * 3 + {5 * x + 11 * y + x * y}) % 256)"
+
+    bands = []
+    for k in range(_PHASH_BITS + 1):
+        x0 = k * _TW // (_PHASH_BITS + 1)
+        x1 = max((k + 1) * _TW // (_PHASH_BITS + 1), x0 + 1)
+        total = " + ".join(gray(x, y) for x in range(x0, x1) for y in range(_TH))
+        bands.append(f"(({total}) // {(x1 - x0) * _TH})")
+    bits = " + ".join(
+        f"(CASE WHEN {bands[i]} < {bands[i + 1]} THEN {1 << i} ELSE 0 END)"
+        for i in range(_PHASH_BITS)
+    )
+    return f"""
+        SELECT doc_id,
+               {_TW} AS width,
+               {_TH} AS height,
+               CAST({bits} AS INTEGER) AS phash
+        FROM documents
+        WHERE doc_id % 4 = 2
+        ORDER BY doc_id
+    """
+
+
+MULTIMODAL_REAL_TIFF_ORACLE = _real_tiff_oracle()
+
+
+def multimodal_real_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF decode under the driver harness — see the section
+    comment above for the rotation. Scale shape: identical to the
+    JPEG/GIF siblings (embarrassingly parallel Arrow-batch work)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _tiff_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("phash", T.IntegerType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED["multimodal_real_tiff"] = (multimodal_real_tiff, MULTIMODAL_REAL_TIFF_ORACLE)
