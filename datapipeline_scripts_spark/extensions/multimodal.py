@@ -203,15 +203,32 @@ def _tiff_decode_dims(payload: bytes) -> tuple[int, int]:
         return (-1, -1)
 
 
+def _bmp_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real (width, height) via the stdlib BMP header read — same
+    contract as `_pil_decode`: (0, 0) empty, (-1, -1) undecodable.
+    Size comes from the DIB header alone (O(1)), so even depths the
+    pixel decoder refuses (16-bit) report true dims."""
+    from datapipeline_scripts_spark.extensions import bmp_stdlib
+
+    if not payload:
+        return (0, 0)
+    try:
+        w, h = bmp_stdlib.bmp_size(bytes(payload))
+        return (int(w), int(h))
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return (-1, -1)
+
+
 def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int]:
     """PNG payloads take the stdlib path on EVERY worker (identical
     results whether or not Pillow is installed there — ADVICE r06);
-    JPEGs, GIFs and TIFFs follow the same rule by default (round 8:
-    jpeg_stdlib + gif_stdlib + tiff_stdlib) — only an explicit
+    JPEGs, GIFs, TIFFs and BMPs follow the same rule by default
+    (round 8: jpeg/gif/tiff/bmp_stdlib) — only an explicit
     `SPARK_GRAFT_IMAGE_BACKEND=pil` pin hands them to Pillow. The
     backend choice otherwise decides the remaining formats (WebP
     needs Pillow)."""
     from datapipeline_scripts_spark.extensions import (
+        bmp_stdlib,
         gif_stdlib,
         jpeg_stdlib,
         png_stdlib,
@@ -228,6 +245,8 @@ def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int
         return _gif_decode_dims(payload)
     if payload and tiff_stdlib.is_tiff(bytes(payload)):
         return _tiff_decode_dims(payload)
+    if payload and bmp_stdlib.is_bmp(bytes(payload)):
+        return _bmp_decode_dims(payload)
     return _png_decode_dims(payload)
 
 
@@ -559,16 +578,36 @@ def _phash_pixels_tiff(payload: bytes) -> int:
     return bits
 
 
+def _phash_pixels_bmp(payload: bytes) -> int:
+    """Real dHash via the stdlib BMP decoder (round 8) — same contract
+    as `_phash_pixels_png` (0 for empty, byte-hash fallback for bytes
+    the decoder rejects). Lossless, so bit-identical fleet-wide."""
+    from datapipeline_scripts_spark.extensions import bmp_stdlib
+
+    if not payload:
+        return 0
+    try:
+        px = bmp_stdlib.bmp_gray_band_row(bytes(payload), _PHASH_BITS + 1)
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return _phash_bytes(payload)
+    bits = 0
+    for i in range(_PHASH_BITS):
+        if px[i] < px[i + 1]:
+            bits |= 1 << i
+    return bits
+
+
 def _phash_real(backend: str, image_mod, payload: bytes) -> int:
     """Route by PAYLOAD TYPE, not backend availability: PNGs hash via
     the stdlib bander on every worker (bit-identical fleet-wide —
-    ADVICE r06), JPEGs, GIFs and TIFFs likewise by default (round 8;
-    the integer-IDCT JPEG decoder is deterministic and GIF/baseline
-    TIFF are lossless, so one payload hashes identically fleet-wide —
-    an explicit `=pil` pin opts into Pillow semantics instead).
-    Remaining formats go to Pillow (BOX-pinned) where present, else
-    the byte-hash fallback."""
+    ADVICE r06), JPEGs, GIFs, TIFFs and BMPs likewise by default
+    (round 8; the integer-IDCT JPEG decoder is deterministic and
+    GIF/baseline-TIFF/BMP are lossless, so one payload hashes
+    identically fleet-wide — an explicit `=pil` pin opts into Pillow
+    semantics instead). Remaining formats go to Pillow (BOX-pinned)
+    where present, else the byte-hash fallback."""
     from datapipeline_scripts_spark.extensions import (
+        bmp_stdlib,
         gif_stdlib,
         jpeg_stdlib,
         png_stdlib,
@@ -587,6 +626,8 @@ def _phash_real(backend: str, image_mod, payload: bytes) -> int:
         return _phash_pixels_gif(payload)
     if tiff_stdlib.is_tiff(bytes(payload)):
         return _phash_pixels_tiff(payload)
+    if bmp_stdlib.is_bmp(bytes(payload)):
+        return _phash_pixels_bmp(payload)
     return _phash_bytes(payload)
 
 

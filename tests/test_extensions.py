@@ -933,3 +933,25 @@ def test_real_decode_routes_tiff_through_stdlib(spark):
     deep = bytes(baos.toByteArray())
     assert mm._real_decode_dims("png", None, deep) == (6, 5)
     assert mm._phash_real("png", None, deep) == mm._phash_bytes(deep)
+
+
+def test_real_decode_routes_bmp_through_stdlib():
+    """Round 8: BMPs get REAL dims + dHash on every worker via
+    bmp_stdlib; junk behind the two-byte signature stays loud."""
+    from datapipeline_scripts_spark.extensions import bmp_stdlib as bs
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    pal = bytes([10, 10, 10, 200, 200, 200])
+    idx = (b"\x00" * 8 + b"\x01" * 8) * 4
+    p = bs.encode_bmp(16, 4, idx, palette=pal, rle=True)
+    assert mm._real_decode_dims("png", None, p) == (16, 4)
+    want_bands = bs.bmp_gray_band_row(p, mm._PHASH_BITS + 1)
+    want = 0
+    for i in range(mm._PHASH_BITS):
+        if want_bands[i] < want_bands[i + 1]:
+            want |= 1 << i
+    assert mm._phash_real("png", None, p) == want
+    assert want != mm._phash_bytes(p)
+    junk = b"BM" + b"\x07" * 60
+    assert mm._real_decode_dims("png", None, junk) == (-1, -1)
+    assert mm._phash_real("png", None, junk) == mm._phash_bytes(junk)
