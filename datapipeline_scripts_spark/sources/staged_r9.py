@@ -20,12 +20,12 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for all THREE keys
+Registration recipe (round 9): move ``@query`` in for all FOUR keys
 (``multimodal_real_jpeg``, ``multimodal_real_gif``,
-``multimodal_real_tiff``), add an ``_ADDED_R9`` set to
-``__spark_entry__.py``'s deferral union, bump the freeze-invariant
-count in tests/test_staged_r9.py (311 → 314), update COVERAGE.md +
-docs/SCALE.md.
+``multimodal_real_tiff``, ``multimodal_real_wav``), add an
+``_ADDED_R9`` set to ``__spark_entry__.py``'s deferral union, bump
+the freeze-invariant count in tests/test_staged_r9.py (311 → 315),
+update COVERAGE.md + docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -390,3 +390,94 @@ def multimodal_real_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["multimodal_real_tiff"] = (multimodal_real_tiff, MULTIMODAL_REAL_TIFF_ORACLE)
+
+
+# ---- multimodal_real_wav ----------------------------------------------------
+#
+# The AUDIO sibling: per-document PCM WAVs are encoded and decoded
+# executor-side through the production stdlib codec
+# (extensions/wav_stdlib.py), with channel count (1/2) and bit depth
+# (8/16/24/32) rotating per doc_id so every sample-width decode path
+# and the channel-interleave metadata sit under the driver's eye.
+# Every doc carries the same 96 interleaved samples
+# s_i = ((d·7 + 11i + i²) % 201) − 100 (fits the 8-bit range, so one
+# formula serves all depths); PCM is exact integers, so the DuckDB
+# oracle recomputes n_frames/peak/energy as flat arithmetic —
+# GREATEST over 96 terms and a 96-term squared sum, no codec
+# latitude anywhere.
+
+_WAV_N = 96
+_WAV_BITS = (8, 16, 24, 32)
+
+
+def _wav_samples(doc_id: int) -> list[int]:
+    d = int(doc_id)
+    return [((d * 7 + 11 * i + i * i) % 201) - 100 for i in range(_WAV_N)]
+
+
+def _wav_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import wav_stdlib as ws
+
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"], "channels": [], "n_frames": [], "peak": [], "energy": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            payload = ws.encode_wav(
+                1 + d % 2, 16000, _WAV_BITS[(d // 4) % 4], _wav_samples(d)
+            )
+            channels, _rate, n_frames, peak, energy = ws.wav_features(payload)
+            out["channels"].append(channels)
+            out["n_frames"].append(n_frames)
+            out["peak"].append(peak)
+            out["energy"].append(energy)
+        yield pd.DataFrame(out)
+
+
+def _real_wav_oracle() -> str:
+    def s(i: int) -> str:
+        return f"(((doc_id * 7 + {11 * i + i * i}) % 201) - 100)"
+
+    peak = "GREATEST(" + ", ".join(f"abs({s(i)})" for i in range(_WAV_N)) + ")"
+    energy = " + ".join(f"{s(i)} * {s(i)}" for i in range(_WAV_N))
+    return f"""
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+               CAST({_WAV_N} // (1 + doc_id % 2) AS INTEGER) AS n_frames,
+               CAST({peak} AS INTEGER) AS peak,
+               CAST({energy} AS BIGINT) AS energy
+        FROM documents
+        WHERE doc_id % 4 = 3
+        ORDER BY doc_id
+    """
+
+
+MULTIMODAL_REAL_WAV_ORACLE = _real_wav_oracle()
+
+
+def multimodal_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM-WAV decode under the driver harness — see the section
+    comment above. Scale shape: identical to the image siblings
+    (embarrassingly parallel Arrow-batch work, integers only across
+    the worker boundary); at corpus scale the energy column feeds
+    silence/clipping quality filters whose aggregation must run in
+    DECIMAL(38,0) (32-bit samples square to ~4.6e18 per term)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _wav_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("channels", T.IntegerType()),
+                T.StructField("n_frames", T.IntegerType()),
+                T.StructField("peak", T.IntegerType()),
+                T.StructField("energy", T.LongType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED["multimodal_real_wav"] = (multimodal_real_wav, MULTIMODAL_REAL_WAV_ORACLE)
