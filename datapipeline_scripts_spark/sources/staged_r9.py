@@ -20,12 +20,13 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for all FOUR keys
+Registration recipe (round 9): move ``@query`` in for all FIVE keys
 (``multimodal_real_jpeg``, ``multimodal_real_gif``,
-``multimodal_real_tiff``, ``multimodal_real_wav``), add an
-``_ADDED_R9`` set to ``__spark_entry__.py``'s deferral union, bump
-the freeze-invariant count in tests/test_staged_r9.py (311 → 315),
-update COVERAGE.md + docs/SCALE.md.
+``multimodal_real_tiff``, ``multimodal_real_wav``,
+``multimodal_real_video``), add an ``_ADDED_R9`` set to
+``__spark_entry__.py``'s deferral union, bump the freeze-invariant
+count in tests/test_staged_r9.py (311 → 316), update COVERAGE.md +
+docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -481,3 +482,128 @@ def multimodal_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["multimodal_real_wav"] = (multimodal_real_wav, MULTIMODAL_REAL_WAV_ORACLE)
+
+
+# ---- multimodal_real_video --------------------------------------------------
+#
+# The VIDEO sibling: per-document MJPEG AVIs (1-3 frames, count
+# rotating with doc_id) are MUXED executor-side, then DEMUXED and
+# frame-decoded through the production path (extensions/avi_stdlib.py
+# container walk → jpeg_stdlib pixels → the shared band/dHash) — one
+# row per frame. The frame coefficients derive from (doc_id,
+# frame_idx), so the DuckDB oracle is the JPEG key's arithmetic with
+# the frame index joined in as a column (a VALUES table bounded by
+# doc_id % 3) — a hash match proves the container framing, the frame
+# extraction order AND the per-frame entropy/IDCT chain at once.
+
+_VW, _VH = 16, 8
+
+
+def _video_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import avi_stdlib as av
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib as js
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    def blk(dc: int, ac01: int) -> list[int]:
+        b = [0] * 64
+        b[0], b[1] = dc, ac01
+        return b
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "n_frames": [], "phash": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 1 + d % 3
+            frames = [
+                js.encode_gray_baseline(
+                    _VW,
+                    _VH,
+                    [
+                        blk(((d + 11 * f) % 37) - 18, ((d + f) % 5) - 2),
+                        blk(((d * 7 + 13 * f) % 41) - 20, ((d * 3 + 5 * f) % 7) - 3),
+                    ],
+                    restart_interval=1,
+                )
+                for f in range(n)
+            ]
+            payload = av.encode_avi_mjpeg(_VW, _VH, frames, us_per_frame=40000)
+            got = av.avi_frames(payload)
+            for f, frame in enumerate(got):
+                # production per-frame pixel path (size cross-check
+                # included), then the shared dHash family
+                av.avi_decode_frame_gray(payload, f)
+                out["doc_id"].append(d)
+                out["frame_idx"].append(f)
+                out["n_frames"].append(len(got))
+                out["phash"].append(mm._phash_pixels_jpeg(frame))
+        yield pd.DataFrame(out)
+
+
+def _real_video_oracle() -> str:
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib as js
+    from datapipeline_scripts_spark.extensions.multimodal import _PHASH_BITS
+
+    b01 = [js._IDCT_BASIS[x][1] for x in range(8)]
+    dc = [
+        "(((doc_id + 11 * f.i) % 37) - 18)",
+        "(((doc_id * 7 + 13 * f.i) % 41) - 20)",
+    ]
+    ac = ["(((doc_id + f.i) % 5) - 2)", "(((doc_id * 3 + 5 * f.i) % 7) - 3)"]
+
+    def val(x: int) -> str:
+        blk, col = x // 8, x % 8
+        return (
+            f"((16384 * {dc[blk]} + {b01[col] * _Q01} * {ac[blk]}"
+            f" + 1052672) // 8192)"
+        )
+
+    bands = []
+    for k in range(_PHASH_BITS + 1):
+        x0 = k * _VW // (_PHASH_BITS + 1)
+        x1 = max((k + 1) * _VW // (_PHASH_BITS + 1), x0 + 1)
+        total = " + ".join(val(x) for x in range(x0, x1))
+        bands.append(f"(({total}) // {x1 - x0})")
+    bits = " + ".join(
+        f"(CASE WHEN {bands[i]} < {bands[i + 1]} THEN {1 << i} ELSE 0 END)"
+        for i in range(_PHASH_BITS)
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(f.i AS INTEGER) AS frame_idx,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n_frames,
+               CAST({bits} AS INTEGER) AS phash
+        FROM documents, (VALUES (0), (1), (2)) f(i)
+        WHERE doc_id % 3 = 0 AND f.i <= doc_id % 3
+        ORDER BY doc_id, frame_idx
+    """
+
+
+MULTIMODAL_REAL_VIDEO_ORACLE = _real_video_oracle()
+
+
+def multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MJPEG-AVI demux + frame decode under the driver harness —
+    see the section comment above. Scale shape: demux is O(file) per
+    payload inside mapInPandas; frame decode fans out per frame (the
+    output grain), and only (doc_id, 3 ints) per frame crosses the
+    worker boundary — the shape a 100 TB video-frame extraction would
+    parallelize the same way."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _video_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_idx", T.IntegerType()),
+                T.StructField("n_frames", T.IntegerType()),
+                T.StructField("phash", T.IntegerType()),
+            ]
+        ),
+    ).orderBy("doc_id", "frame_idx")
+
+
+STAGED["multimodal_real_video"] = (multimodal_real_video, MULTIMODAL_REAL_VIDEO_ORACLE)
