@@ -23,7 +23,12 @@ not the encoder's — is what makes the stream canonical), emitting a
 CLEAR whenever the dictionary fills. Cross-proofs in
 tests/test_gif_stdlib.py run both directions against the JVM's
 canonical ImageIO GIF plugin: our files decode bit-identically there,
-and ImageIO-written files decode bit-identically here.
+and ImageIO-written files decode bit-identically here. One measured
+exception, pinned in tests/test_codec_sweeps.py: the JDK reader
+deviates from GIF89a Appendix E for INTERLACED images of height 2-4
+(it consumes a phantom pass-2 row); this codec keeps the spec
+behavior — pass 2 contributes zero rows below height 5 — and agrees
+with ImageIO at every height ≥ 5.
 
 Reference parity: the reference treats media as opaque binary columns
 (SURVEY.md §2.E4); this codec is what lets the Spark-side real-decode
