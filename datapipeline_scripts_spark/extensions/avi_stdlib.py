@@ -89,24 +89,32 @@ def avi_info(payload: bytes) -> tuple[int, int, int, int, bytes]:
     return width, height, n_frames, us_per_frame, bytes(handler)
 
 
-def avi_frames(payload: bytes) -> list[bytes]:
-    """The stream-0 frame payloads ('00dc'/'00db' chunks) in movi
-    order. For an MJPG handler each element is a standalone baseline
-    JPEG decodable by `jpeg_stdlib`."""
+def avi_frame_spans(payload: bytes) -> list[tuple[int, int]]:
+    """(byte_offset, size) of each stream-0 frame body ('00dc'/'00db'
+    chunks) within the payload, in movi order — the zero-copy index a
+    frame-sampling operator slices from."""
     payload = bytes(payload)
     if not is_avi(payload):
         raise ValueError("not an AVI (bad RIFF signature)")
-    frames: list[bytes] = []
+    spans: list[tuple[int, int]] = []
     seen_movi = False
     for cc, start, size in _chunks(payload, 12, len(payload)):
         if cc == b"LIST" and payload[start : start + 4] == b"movi":
             seen_movi = True
             for c2, s2, z2 in _chunks(payload, start + 4, start + size):
                 if c2 in (b"00dc", b"00db"):
-                    frames.append(payload[s2 : s2 + z2])
+                    spans.append((s2, z2))
     if not seen_movi:
         raise ValueError("corrupt AVI: no movi list")
-    return frames
+    return spans
+
+
+def avi_frames(payload: bytes) -> list[bytes]:
+    """The stream-0 frame payloads in movi order. For an MJPG handler
+    each element is a standalone baseline JPEG decodable by
+    `jpeg_stdlib`."""
+    payload = bytes(payload)
+    return [payload[s : s + z] for s, z in avi_frame_spans(payload)]
 
 
 def avi_decode_frame_gray(payload: bytes, index: int) -> tuple[int, int, bytearray]:

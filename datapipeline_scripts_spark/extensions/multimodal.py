@@ -369,18 +369,47 @@ _FRAME_SIZE = 256  # bytes per fake frame
 _SAMPLE_EVERY = 2  # keep every 2nd frame
 
 
+def _sample_frames_real(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The real-container branch of `_sample_frames` (round 8): MJPEG
+    AVIs demux through the stdlib container walk — frame_idx is the
+    TRUE stream index, byte_offset/frame_bytes the frame's span inside
+    the payload, and frame_checksum the decoded-frame dHash through
+    the production JPEG path (integer IDCT → fleet-identical). Any
+    other payload stays a loud gate: silently chunking a real
+    container would fabricate frame structure."""
+    from datapipeline_scripts_spark.extensions import avi_stdlib
+
+    out: dict[str, list] = {k.name: [] for k in _FRAME_SCHEMA}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        p = bytes(payload) if payload is not None else b""
+        if not avi_stdlib.is_avi(p):
+            raise NotImplementedError(
+                f"{_REAL_DECODE_ENV}=1: real frame sampling supports MJPEG "
+                "AVI containers (extensions/avi_stdlib.py); other containers "
+                "need ffmpeg/pyav — unset the flag for the deterministic "
+                "chunking path"
+            )
+        spans = avi_stdlib.avi_frame_spans(p)
+        for idx in range(0, len(spans), _SAMPLE_EVERY):
+            off, size = spans[idx]
+            out["doc_id"].append(doc_id)
+            out["frame_idx"].append(idx)
+            out["byte_offset"].append(off)
+            out["frame_bytes"].append(size)
+            out["frame_checksum"].append(_phash_pixels_jpeg(p[off : off + size]))
+    return pd.DataFrame(out)
+
+
 def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker, 1→N: each binary payload expands to one row
-    per *sampled* frame (UDTF shape). A real video path replaces the
-    fixed-size chunking with container parsing (ffmpeg) and the
-    checksum with a decoded-frame feature; offsets/indices/batching
-    stay identical."""
+    per *sampled* frame (UDTF shape). With SPARK_GRAFT_REAL_DECODE=1
+    MJPEG-AVI payloads demux for real (`_sample_frames_real`); the
+    default is the deterministic fixed-size chunking the registered
+    oracle checks. Offsets/indices/batching keep one shape in both."""
     if _real_decode_requested():
-        raise NotImplementedError(
-            f"{_REAL_DECODE_ENV}=1: real frame sampling needs a video "
-            "container parser (ffmpeg/pyav), which Pillow does not provide — "
-            f"unset {_REAL_DECODE_ENV} for the deterministic chunking path"
-        )
+        for pdf in batches:
+            yield _sample_frames_real(pdf)
+        return
     for pdf in batches:
         out: dict[str, list] = {k.name: [] for k in _FRAME_SCHEMA}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):

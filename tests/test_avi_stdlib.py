@@ -120,3 +120,126 @@ def test_header_frame_size_mismatch_is_loud():
     struct.pack_into("<2I", bad, avih_at + 32, 99, 99)
     with pytest.raises(ValueError, match="header says"):
         av.avi_decode_frame_gray(bytes(bad), 0)
+
+
+def test_sample_frames_real_mjpeg(monkeypatch):
+    """With the real-decode flag, multimodal frame sampling demuxes
+    MJPEG AVIs for real: true stream indices, true byte spans, and a
+    decoded-frame dHash — sampled every _SAMPLE_EVERY frames. Other
+    payloads keep the loud gate."""
+    import pandas as pd
+
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    frames = _frames(5)
+    p = av.encode_avi_mjpeg(16, 8, frames)
+    monkeypatch.setenv(mm._REAL_DECODE_ENV, "1")
+    batch = [pd.DataFrame({"doc_id": [7], "payload": [p]})]
+    out = pd.concat(list(mm._sample_frames(iter(batch))))
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    spans = av.avi_frame_spans(p)
+    assert list(out["byte_offset"]) == [spans[i][0] for i in (0, 2, 4)]
+    assert list(out["frame_bytes"]) == [len(frames[i]) for i in (0, 2, 4)]
+    assert list(out["frame_checksum"]) == [
+        mm._phash_pixels_jpeg(frames[i]) for i in (0, 2, 4)
+    ]
+    # payload spans really slice back to the exact frames
+    for i, off, size in zip((0, 2, 4), out["byte_offset"], out["frame_bytes"]):
+        assert p[off : off + size] == frames[i]
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        list(mm._sample_frames(iter([pd.DataFrame({"doc_id": [1], "payload": [b"xx"]})])))
+
+
+def test_mixed_format_routing_on_executors(spark):
+    """End-to-end executor proof for the whole codec family: one Spark
+    job over a six-format corpus (PNG/JPEG/GIF/TIFF/BMP payloads +
+    junk) through mapInPandas calling the production routing layer —
+    Arrow binary plumbing, worker-side imports and per-format
+    dims/dHash all under a real job, matched against driver-side
+    expectations per payload."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from datapipeline_scripts_spark.extensions import (
+        bmp_stdlib,
+        gif_stdlib,
+        jpeg_stdlib,
+        multimodal as mm,
+        png_stdlib,
+        tiff_stdlib,
+    )
+
+    pal = bytes([9, 9, 9, 201, 202, 203])
+    idx = (b"\x00" * 8 + b"\x01" * 8) * 4
+    gray = bytes((x * 5 + y * 9) % 256 for y in range(4) for x in range(16))
+
+    def jblk(dc):
+        b = [0] * 64
+        b[0] = dc
+        return b
+
+    payloads = {
+        1: _imageio_png_bytes(spark, 16, 4),
+        2: jpeg_stdlib.encode_gray_baseline(16, 8, [jblk(6), jblk(-6)]),
+        3: gif_stdlib.encode_gif(16, 4, pal, idx, interlace=True),
+        4: tiff_stdlib.encode_tiff(16, 4, gray, compression=5, predictor=True),
+        5: bmp_stdlib.encode_bmp(16, 4, idx, palette=pal, rle=True),
+        6: b"not any known format",
+    }
+    expect = {
+        d: (mm._real_decode_dims("png", None, p), mm._phash_real("png", None, p))
+        for d, p in payloads.items()
+    }
+
+    def worker(batches):
+        from datapipeline_scripts_spark.extensions import multimodal as w_mm
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [
+                        w_mm._real_decode_dims("png", None, bytes(p))[0]
+                        for p in pdf["payload"]
+                    ],
+                    "phash": [
+                        w_mm._phash_real("png", None, bytes(p))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    df = spark.createDataFrame(
+        [(d, bytearray(p)) for d, p in payloads.items()],
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    ).repartition(3)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in df.mapInPandas(worker, out_schema).collect()}
+    assert len(rows) == 6
+    for d, ((w, _h), ph) in expect.items():
+        assert rows[d]["width"] == w, d
+        assert rows[d]["phash"] == ph, d
+    assert rows[6]["width"] == -1  # junk stays loud end-to-end
+
+
+def _imageio_png_bytes(spark, w, h):
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            img.setRGB(x, y, ((x * 16) % 256) << 16 | ((y * 60) % 256) << 8 | 77)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    return bytes(baos.toByteArray())
