@@ -20,13 +20,13 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for all FIVE keys
+Registration recipe (round 9): move ``@query`` in for all SIX keys
 (``multimodal_real_jpeg``, ``multimodal_real_gif``,
 ``multimodal_real_tiff``, ``multimodal_real_wav``,
-``multimodal_real_video``), add an ``_ADDED_R9`` set to
-``__spark_entry__.py``'s deferral union, bump the freeze-invariant
-count in tests/test_staged_r9.py (311 → 316), update COVERAGE.md +
-docs/SCALE.md.
+``multimodal_real_video``, ``warc_roundtrip``), add an ``_ADDED_R9``
+set to ``__spark_entry__.py``'s deferral union, bump the
+freeze-invariant count in tests/test_staged_r9.py (311 → 317),
+update COVERAGE.md + docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -607,3 +607,87 @@ def multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["multimodal_real_video"] = (multimodal_real_video, MULTIMODAL_REAL_VIDEO_ORACLE)
+
+
+# ---- warc_roundtrip ---------------------------------------------------------
+#
+# Crawl-corpus ingest under the driver harness: each document's text
+# becomes a spec-conformant WARC `response` record (its own gzip
+# member, the splittable Common Crawl layout) executor-side, then
+# flows back through the PRODUCTION parse path (sources/warc.py
+# gunzip-member walk → record grammar → HTTP split). The oracle
+# recomputes everything from the text column alone — the HTTP
+# preamble is a 45-octet constant, so content_length is
+# 45 + octet_length(text), and the body hash is DuckDB's md5 of the
+# same utf-8 octets Spark hashes — proving the writer/parser pair
+# exact on real fixture data, not just test literals.
+
+_WARC_HTTP_HEAD = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+
+
+def _warc_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.sources import warc
+
+    for pdf in batches:
+        out = {"doc_id": [], "content_length": [], "http_status": [], "body_md5": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            body = (text or "").encode("utf-8")
+            rec_bytes = warc.write_warc_record(
+                "response",
+                f"<urn:uuid:00000000-0000-0000-0000-{d:012d}>",
+                "2026-01-02T03:04:05Z",
+                _WARC_HTTP_HEAD + body,
+                target_uri=f"https://corpus.example/doc/{d}",
+                content_type="application/http;msgtype=response",
+                gzip_member=True,
+            )
+            (rec,) = warc.parse_warc(rec_bytes)
+            status, _headers, parsed_body = warc.split_http(rec["content"])
+            import hashlib
+
+            out["doc_id"].append(d)
+            out["content_length"].append(int(rec["headers"]["content-length"]))
+            out["http_status"].append(status)
+            out["body_md5"].append(hashlib.md5(parsed_body).hexdigest())
+        yield pd.DataFrame(out)
+
+
+WARC_ROUNDTRIP_ORACLE = f"""
+    SELECT doc_id,
+           CAST({len(_WARC_HTTP_HEAD)} + octet_length(encode(text)) AS BIGINT)
+             AS content_length,
+           CAST(200 AS INTEGER) AS http_status,
+           md5(text) AS body_md5
+    FROM documents
+    WHERE doc_id % 5 = 2
+    ORDER BY doc_id
+"""
+
+
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC write→parse roundtrip under the driver harness — see the
+    section comment above. Scale shape: the production `read_warc`
+    parallelizes one task per .warc.gz file (the Common Crawl unit);
+    this key exercises the identical record grammar and gzip-member
+    walk per row inside mapInPandas, integers/strings only across the
+    worker boundary."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        _warc_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content_length", T.LongType()),
+                T.StructField("http_status", T.IntegerType()),
+                T.StructField("body_md5", T.StringType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED["warc_roundtrip"] = (warc_roundtrip, WARC_ROUNDTRIP_ORACLE)
