@@ -20,13 +20,14 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for all SIX keys
+Registration recipe (round 9): move ``@query`` in for all SEVEN keys
 (``multimodal_real_jpeg``, ``multimodal_real_gif``,
 ``multimodal_real_tiff``, ``multimodal_real_wav``,
-``multimodal_real_video``, ``warc_roundtrip``), add an ``_ADDED_R9``
-set to ``__spark_entry__.py``'s deferral union, bump the
-freeze-invariant count in tests/test_staged_r9.py (311 → 317),
-update COVERAGE.md + docs/SCALE.md.
+``multimodal_real_video``, ``warc_roundtrip``,
+``webdataset_roundtrip``), add an ``_ADDED_R9`` set to
+``__spark_entry__.py``'s deferral union, bump the freeze-invariant
+count in tests/test_staged_r9.py (311 → 318), update COVERAGE.md +
+docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -691,3 +692,74 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["warc_roundtrip"] = (warc_roundtrip, WARC_ROUNDTRIP_ORACLE)
+
+
+# ---- webdataset_roundtrip ---------------------------------------------------
+#
+# Training-shard ingest under the driver harness: each document packs
+# into a WebDataset sample (txt + cls members) inside a deterministic
+# tar shard executor-side, then flows back through the PRODUCTION
+# sample walk (sources/webdataset.py adjacency grouping over stdlib
+# tarfile). The oracle recomputes the member inventory and the text
+# hash from the documents table alone.
+
+def _wds_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from datapipeline_scripts_spark.sources import webdataset as wds
+
+    for pdf in batches:
+        out = {"doc_id": [], "sample_key": [], "n_files": [], "txt_md5": [], "cls": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            body = (text or "").encode("utf-8")
+            shard = wds.write_webdataset_shard(
+                [(f"{d:09d}", {"txt": body, "cls": str(d % 10).encode()})]
+            )
+            ((key, files),) = wds.iter_samples(shard)
+            out["doc_id"].append(d)
+            out["sample_key"].append(key)
+            out["n_files"].append(len(files))
+            out["txt_md5"].append(hashlib.md5(files["txt"]).hexdigest())
+            out["cls"].append(int(files["cls"].decode()))
+        yield pd.DataFrame(out)
+
+
+WEBDATASET_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 9, '0') AS sample_key,
+           CAST(2 AS INTEGER) AS n_files,
+           md5(text) AS txt_md5,
+           CAST(doc_id % 10 AS INTEGER) AS cls
+    FROM documents
+    WHERE doc_id % 5 = 3
+    ORDER BY doc_id
+"""
+
+
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset pack→walk roundtrip under the driver harness — see
+    the section comment above. Scale shape: production
+    `read_webdataset` parallelizes one task per shard (the format's
+    native unit); this key exercises the identical member grammar and
+    adjacency walk per row inside mapInPandas."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 3)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        _wds_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("sample_key", T.StringType()),
+                T.StructField("n_files", T.IntegerType()),
+                T.StructField("txt_md5", T.StringType()),
+                T.StructField("cls", T.IntegerType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED["webdataset_roundtrip"] = (webdataset_roundtrip, WEBDATASET_ROUNDTRIP_ORACLE)
