@@ -190,7 +190,7 @@ def _tiff_decode_dims(payload: bytes) -> tuple[int, int]:
     """Real (width, height) via the stdlib TIFF IFD walk — same
     contract as `_pil_decode`: (0, 0) empty, (-1, -1) undecodable.
     Size comes from the first IFD alone (no strip decode), so even
-    profiles the pixel decoder refuses (16-bit, tiled) report true
+    profiles the pixel decoder refuses (16-bit, planar) report true
     dims."""
     from datapipeline_scripts_spark.extensions import tiff_stdlib
 

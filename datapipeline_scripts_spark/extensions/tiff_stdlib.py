@@ -4,13 +4,15 @@ real-image-decode family (`png_stdlib.py`, `jpeg_stdlib.py`,
 corpus where TIFF actually shows up.
 
 Scope — the baseline-TIFF profile every mainstream writer emits:
-both byte orders (II/MM), strip-organized chunky (PlanarConfig 1)
-rasters of 8-bit samples, PhotometricInterpretation 0/1 (gray, either
+both byte orders (II/MM), strip- OR tile-organized chunky
+(PlanarConfig 1) rasters of 8-bit samples (tiles are how large
+scanned TIFFs ship; edge tiles are stored full-size and cropped on
+read, per TIFF 6.0 §15), PhotometricInterpretation 0/1 (gray, either
 polarity), 2 (RGB, extra samples such as alpha ignored per TIFF 6.0
-§7) and 3 (palette via the 16-bit ColorMap), with per-strip
+§7) and 3 (palette via the 16-bit ColorMap), with per-strip/tile
 compression None (1), LZW (5, with the optional horizontal
 predictor, tag 317=2), PackBits (32773), and zlib Deflate (8 and the
-legacy 32946). Everything else — tiles, planar separates, 1/4/16-bit
+legacy 32946). Everything else — planar separates, 1/4/16-bit
 depths, CCITT fax codes, floating samples — refuses loudly by tag
 name rather than decoding wrongly.
 
@@ -191,16 +193,40 @@ def _decode_strip(comp: int, data: bytes, expected: int) -> bytearray:
     )
 
 
+def _row_to_gray(
+    raster, src: int, w: int, spp: int, photo: int, cmap, gray, dst: int
+) -> None:
+    """One raster row → gray, shared by the strip and tile paths."""
+    if photo == 1 and spp == 1:
+        gray[dst : dst + w] = raster[src : src + w]
+    elif photo in (0, 1):  # gray, maybe + alpha; 0 inverts
+        for x in range(w):
+            v = raster[src + x * spp]
+            gray[dst + x] = 255 - v if photo == 0 else v
+    elif photo == 2:
+        for x in range(w):
+            p = src + x * spp
+            gray[dst + x] = (
+                299 * raster[p] + 587 * raster[p + 1] + 114 * raster[p + 2]
+            ) // 1000
+    else:  # palette: 16-bit ColorMap channels, high byte is the 8-bit value
+        for x in range(w):
+            i = raster[src + x]
+            r8, g8, b8 = cmap[i] >> 8, cmap[256 + i] >> 8, cmap[512 + i] >> 8
+            gray[dst + x] = (299 * r8 + 587 * g8 + 114 * b8) // 1000
+
+
 def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
     """Full first-IFD decode → (width, height, row-major 8-bit
-    grayscale), same gray form as the PNG/JPEG/GIF paths."""
+    grayscale), same gray form as the PNG/JPEG/GIF paths. Both strip
+    and tile organizations decode (tiles are how large scanned TIFFs
+    ship; each tile decompresses independently — at scale, the unit a
+    reader parallelizes over)."""
     payload = bytes(payload)
     if not is_tiff(payload):
         raise ValueError("not a TIFF (bad signature)")
     order = "<" if payload[:2] == b"II" else ">"
     tags = _read_ifd(payload, order)
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported by the stdlib decoder")
     w, h = _tag1(tags, 256), _tag1(tags, 257)
     comp = _tag1(tags, 259, 1)
     photo = _tag1(tags, 262)
@@ -232,6 +258,42 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
         if not cmap or len(cmap) != 3 * 256:
             raise ValueError("corrupt TIFF: palette image without a 256-entry ColorMap")
 
+    cmap = tags.get(320) if photo == 3 else None
+    gray = bytearray(w * h)
+
+    if 322 in tags or 323 in tags:  # tile organization
+        tw, tl = _tag1(tags, 322), _tag1(tags, 323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if tw <= 0 or tl <= 0:
+            raise ValueError("corrupt TIFF: non-positive tile size")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if not offsets or not counts or len(offsets) != len(counts) or len(
+            offsets
+        ) != across * down:
+            raise ValueError(
+                "corrupt TIFF: tile offsets/counts missing or not matching the grid"
+            )
+        tstride = tw * spp
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(i, across)
+            if off + cnt > len(payload):
+                raise ValueError("corrupt TIFF: tile beyond file")
+            tile = _decode_strip(comp, payload[off : off + cnt], tl * tstride)
+            if predictor == 2:
+                for r in range(tl):
+                    base = r * tstride
+                    for x in range(spp, tstride):
+                        tile[base + x] = (tile[base + x] + tile[base + x - spp]) & 0xFF
+            x0, y0 = tx * tw, ty * tl
+            ncols = min(tw, w - x0)
+            for r in range(min(tl, h - y0)):
+                _row_to_gray(
+                    tile, r * tstride, ncols, spp, photo, cmap, gray, (y0 + r) * w + x0
+                )
+        return w, h, gray
+
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -239,7 +301,6 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
     rps = _tag1(tags, 278, h)
     stride = w * spp
 
-    gray = bytearray(w * h)
     row0 = 0
     for off, cnt in zip(offsets, counts):
         rows = min(rps, h - row0)
@@ -254,25 +315,7 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
                 for x in range(spp, stride):
                     strip[base + x] = (strip[base + x] + strip[base + x - spp]) & 0xFF
         for r in range(rows):
-            src = r * stride
-            dst = (row0 + r) * w
-            if photo == 1 and spp == 1:
-                gray[dst : dst + w] = strip[src : src + w]
-            elif photo in (0, 1):  # gray, maybe + alpha; 0 inverts
-                for x in range(w):
-                    v = strip[src + x * spp]
-                    gray[dst + x] = 255 - v if photo == 0 else v
-            elif photo == 2:
-                for x in range(w):
-                    p = src + x * spp
-                    gray[dst + x] = (
-                        299 * strip[p] + 587 * strip[p + 1] + 114 * strip[p + 2]
-                    ) // 1000
-            else:  # palette: 16-bit ColorMap channels, high byte is the 8-bit value
-                for x in range(w):
-                    i = strip[src + x]
-                    r8, g8, b8 = cmap[i] >> 8, cmap[256 + i] >> 8, cmap[512 + i] >> 8
-                    gray[dst + x] = (299 * r8 + 587 * g8 + 114 * b8) // 1000
+            _row_to_gray(strip, r * stride, w, spp, photo, cmap, gray, (row0 + r) * w)
         row0 += rows
     if row0 < h:
         raise ValueError(f"corrupt TIFF: strips cover {row0} of {h} rows")

@@ -272,3 +272,53 @@ def test_band_row_contract():
     data = (b"\x0a" * 8 + b"\xc8" * 8) * 4
     p = ts.encode_tiff(16, 4, data, compression=32773)
     assert ts.tiff_gray_band_row(p, 4) == [10, 10, 200, 200]
+
+
+def _imageio_write_tiled(jvm, img, ctype, tw, tl):
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    wr = it.next()
+    prm = wr.getDefaultWriteParam()
+    prm.setTilingMode(2)  # MODE_EXPLICIT
+    prm.setTiling(tw, tl, 0, 0)
+    if ctype is not None:
+        prm.setCompressionMode(2)
+        prm.setCompressionType(ctype)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), prm)
+    wr.dispose()
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+@pytest.mark.parametrize("ctype", [None, "LZW", "Deflate", "PackBits"])
+def test_imageio_tiled_gray_bit_exact_here(spark, ctype):
+    """Tile organization (round 8, canonical-writer direction): a
+    50x41 image over 16x16 tiles has partial tiles on BOTH edges —
+    the full-size-tile crop rule must hold under every codec."""
+    jvm = spark._jvm
+    w, h = 50, 41
+    p = _imageio_write_tiled(
+        jvm, _gray_img(jvm, w, h, lambda x, y: (x * 13 + y * 7) % 256), ctype, 16, 16
+    )
+    assert ts.tiff_size(p) == (w, h)
+    iw, ih, samples = _imageio_read_gray_samples(jvm, p)
+    assert ts.tiff_decode_gray(p) == (iw, ih, bytearray(samples))
+    assert (iw, ih) == (w, h)
+
+
+def test_imageio_tiled_rgb_bit_exact_here(spark):
+    jvm = spark._jvm
+    w, h = 37, 20
+    p = _imageio_write_tiled(
+        jvm,
+        _rgb_img(jvm, w, h, lambda x, y: ((x * 11) % 256, (y * 17) % 256, (x ^ y) % 256)),
+        "LZW",
+        16,
+        16,
+    )
+    iw, ih, pix = _imageio_read_rgb(jvm, p)
+    dw, dh, gray = ts.tiff_decode_gray(p)
+    assert (dw, dh) == (iw, ih) == (w, h)
+    assert list(gray) == [_gray(r, g, b) for r, g, b in pix]
