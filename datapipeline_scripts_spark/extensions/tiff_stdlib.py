@@ -12,9 +12,11 @@ polarity), 2 (RGB, extra samples such as alpha ignored per TIFF 6.0
 §7) and 3 (palette via the 16-bit ColorMap), with per-strip/tile
 compression None (1), LZW (5, with the optional horizontal
 predictor, tag 317=2), PackBits (32773), and zlib Deflate (8 and the
-legacy 32946). Everything else — planar separates, 1/4/16-bit
-depths, CCITT fax codes, floating samples — refuses loudly by tag
-name rather than decoding wrongly.
+legacy 32946). 1-BIT BILEVEL gray (the scanned-fax staple) also
+decodes — MSB-first packed rows, both polarities, any of the above
+codecs. Everything else — planar separates, 4/16-bit depths, CCITT
+fax codes, floating samples — refuses loudly by tag name rather
+than decoding wrongly.
 
 TIFF's LZW differs from GIF's in exactly three ways, all honored
 here: MSB-first bit packing, 9-bit initial width over a 256-literal
@@ -234,15 +236,18 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
     predictor = _tag1(tags, 317, 1)
     planar = _tag1(tags, 284, 1)
     fmt = _tag1(tags, 339, 1)
-    bits = tags.get(258, [8])
+    bits = tags.get(258, [1])  # spec default is 1 (writers omit it for bilevel)
     if planar != 1:
         raise NotImplementedError("planar-separate TIFF not supported")
     if fmt != 1:
         raise NotImplementedError(f"TIFF sample format {fmt} not supported")
-    if any(b != 8 for b in bits):
+    onebit = bits == [1] and photo in (0, 1) and spp == 1
+    if not onebit and any(b != 8 for b in bits):
         raise NotImplementedError(
-            f"TIFF bits-per-sample {bits} not supported (8-bit only)"
+            f"TIFF bits-per-sample {bits} not supported (8-bit, or 1-bit bilevel)"
         )
+    if onebit and predictor == 2:
+        raise NotImplementedError("TIFF horizontal predictor on bilevel data")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     if photo not in (0, 1, 2, 3):
@@ -261,6 +266,14 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
     cmap = tags.get(320) if photo == 3 else None
     gray = bytearray(w * h)
 
+    def expand_bilevel(packed, src_bytes: int, ncols: int, dst: int) -> None:
+        """MSB-first packed bits → 0/255 gray (photometric 0 is the
+        fax WhiteIsZero convention: bit 0 = white)."""
+        on, off_v = (0, 255) if photo == 0 else (255, 0)
+        for x in range(ncols):
+            b = (packed[src_bytes + (x >> 3)] >> (7 - (x & 7))) & 1
+            gray[dst + x] = on if b else off_v
+
     if 322 in tags or 323 in tags:  # tile organization
         tw, tl = _tag1(tags, 322), _tag1(tags, 323)
         offsets = tags.get(324)
@@ -275,12 +288,18 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
             raise ValueError(
                 "corrupt TIFF: tile offsets/counts missing or not matching the grid"
             )
-        tstride = tw * spp
+        tstride = (tw + 7) // 8 if onebit else tw * spp
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             ty, tx = divmod(i, across)
             if off + cnt > len(payload):
                 raise ValueError("corrupt TIFF: tile beyond file")
             tile = _decode_strip(comp, payload[off : off + cnt], tl * tstride)
+            if onebit:
+                x0, y0 = tx * tw, ty * tl
+                ncols = min(tw, w - x0)
+                for r in range(min(tl, h - y0)):
+                    expand_bilevel(tile, r * tstride, ncols, (y0 + r) * w + x0)
+                continue
             if predictor == 2:
                 for r in range(tl):
                     base = r * tstride
@@ -299,7 +318,7 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("corrupt TIFF: strip offsets/counts missing or mismatched")
     rps = _tag1(tags, 278, h)
-    stride = w * spp
+    stride = (w + 7) // 8 if onebit else w * spp
 
     row0 = 0
     for off, cnt in zip(offsets, counts):
@@ -309,6 +328,11 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
         if off + cnt > len(payload):
             raise ValueError("corrupt TIFF: strip beyond file")
         strip = _decode_strip(comp, payload[off : off + cnt], rows * stride)
+        if onebit:
+            for r in range(rows):
+                expand_bilevel(strip, r * stride, w, (row0 + r) * w)
+            row0 += rows
+            continue
         if predictor == 2:
             for r in range(rows):
                 base = r * stride

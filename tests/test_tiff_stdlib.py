@@ -322,3 +322,26 @@ def test_imageio_tiled_rgb_bit_exact_here(spark):
     dw, dh, gray = ts.tiff_decode_gray(p)
     assert (dw, dh) == (iw, ih) == (w, h)
     assert list(gray) == [_gray(r, g, b) for r, g, b in pix]
+
+
+@pytest.mark.parametrize("ctype", [None, "LZW", "Deflate", "PackBits"])
+def test_imageio_bilevel_bit_exact_here(spark, ctype):
+    """1-bit bilevel (round 8): a canonical TYPE_BYTE_BINARY write —
+    MSB-first packed rows at a non-multiple-of-8 width — decodes here
+    to the exact 0/255 raster ImageIO itself reads back (bilevel uses
+    an exact two-entry IndexColorModel, so getRGB is safe)."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    w, h = 21, 9  # 21 bits/row: 3 packed bytes with 3 pad bits
+    img = BI(w, h, BI.TYPE_BYTE_BINARY)
+    r = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            r.setSample(x, y, 0, int((x * y + x) % 3 == 0))
+    p = _imageio_write_tiff(jvm, img, ctype)
+    assert ts.tiff_size(p) == (w, h)
+    iw, ih, pix = _imageio_read_rgb(jvm, p)
+    dw, dh, gray = ts.tiff_decode_gray(p)
+    assert (dw, dh) == (iw, ih) == (w, h)
+    assert list(gray) == [rr for rr, _g, _b in pix]
+    assert set(gray) == {0, 255}
