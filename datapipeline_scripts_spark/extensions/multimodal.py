@@ -219,15 +219,31 @@ def _bmp_decode_dims(payload: bytes) -> tuple[int, int]:
         return (-1, -1)
 
 
+def _avi_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real VIDEO (width, height) via the stdlib AVI header walk —
+    same contract as `_pil_decode`: (0, 0) empty, (-1, -1)
+    undecodable. Dims come from avih/strh alone, no frame decode."""
+    from datapipeline_scripts_spark.extensions import avi_stdlib
+
+    if not payload:
+        return (0, 0)
+    try:
+        w, h, _n, _us, _handler = avi_stdlib.avi_info(bytes(payload))
+        return (int(w), int(h))
+    except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+        return (-1, -1)
+
+
 def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int]:
     """PNG payloads take the stdlib path on EVERY worker (identical
     results whether or not Pillow is installed there — ADVICE r06);
-    JPEGs, GIFs, TIFFs and BMPs follow the same rule by default
-    (round 8: jpeg/gif/tiff/bmp_stdlib) — only an explicit
-    `SPARK_GRAFT_IMAGE_BACKEND=pil` pin hands them to Pillow. The
-    backend choice otherwise decides the remaining formats (WebP
-    needs Pillow)."""
+    JPEGs, GIFs, TIFFs, BMPs and AVI videos follow the same rule by
+    default (round 8: jpeg/gif/tiff/bmp/avi_stdlib) — only an
+    explicit `SPARK_GRAFT_IMAGE_BACKEND=pil` pin hands the image
+    formats to Pillow. The backend choice otherwise decides the
+    remaining formats (WebP needs Pillow)."""
     from datapipeline_scripts_spark.extensions import (
+        avi_stdlib,
         bmp_stdlib,
         gif_stdlib,
         jpeg_stdlib,
@@ -237,6 +253,8 @@ def _real_decode_dims(backend: str, image_mod, payload: bytes) -> tuple[int, int
 
     if payload and png_stdlib.is_png(bytes(payload)):
         return _png_decode_dims(payload)
+    if payload and avi_stdlib.is_avi(bytes(payload)):
+        return _avi_decode_dims(payload)  # Pillow has no AVI path either
     if backend == "pil":  # pragma: no cover - Pillow absent in this container
         return _pil_decode(image_mod, payload)
     if payload and jpeg_stdlib.is_jpeg(bytes(payload)):
@@ -643,10 +661,25 @@ def _phash_real(backend: str, image_mod, payload: bytes) -> int:
         tiff_stdlib,
     )
 
+    from datapipeline_scripts_spark.extensions import avi_stdlib
+
     if not payload:
         return 0
     if png_stdlib.is_png(bytes(payload)):
         return _phash_pixels_png(payload)
+    if avi_stdlib.is_avi(bytes(payload)):
+        # video fingerprint = first-frame dHash for streams DECLARING
+        # MJPEG (the handler fourcc decides, not frame sniffing);
+        # other codecs and corrupt containers fall back to byte-hash
+        try:
+            _w, _h, _n, _us, handler = avi_stdlib.avi_info(bytes(payload))
+            if handler in (b"MJPG", b"mjpg"):
+                frames = avi_stdlib.avi_frames(bytes(payload))
+                if frames:
+                    return _phash_pixels_jpeg(frames[0])
+        except Exception:  # noqa: BLE001 - undecodable payload is a data condition
+            pass
+        return _phash_bytes(payload)
     if backend == "pil":  # pragma: no cover - Pillow absent in this container
         return _phash_pixels(image_mod, payload)
     if jpeg_stdlib.is_jpeg(bytes(payload)):

@@ -243,3 +243,31 @@ def _imageio_png_bytes(spark, w, h):
     baos = jvm.java.io.ByteArrayOutputStream()
     assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
     return bytes(baos.toByteArray())
+
+
+def test_real_decode_routes_avi_through_stdlib():
+    """Round 8: AVI payloads report real VIDEO dims (avih header) and
+    a first-frame dHash through the production routing layer; corrupt
+    or non-MJPEG streams fall back loudly."""
+    from datapipeline_scripts_spark.extensions import multimodal as mm
+
+    frames = _frames(3)
+    p = av.encode_avi_mjpeg(16, 8, frames)
+    assert mm._real_decode_dims("png", None, p) == (16, 8)
+    assert mm._phash_real("png", None, p) == mm._phash_pixels_jpeg(frames[0])
+    # non-MJPEG handler: dims still real, phash = byte-hash fallback
+    q = bytearray(p)
+    h = p.index(b"strh") + 8 + 4
+    q[h : h + 4] = b"XVID"
+    q = bytes(q)
+    assert mm._real_decode_dims("png", None, q) == (16, 8)
+    assert mm._phash_real("png", None, q) == mm._phash_bytes(q)
+    # truncated mid-movi: dims stay real (avi_info is header-only,
+    # like jpeg_size), phash falls back loud
+    cut = p[: len(p) // 3]
+    assert mm._real_decode_dims("png", None, cut) == (16, 8)
+    assert mm._phash_real("png", None, cut) == mm._phash_bytes(cut)
+    # truncated inside the header: both loud
+    head = p[:40]
+    assert mm._real_decode_dims("png", None, head) == (-1, -1)
+    assert mm._phash_real("png", None, head) == mm._phash_bytes(head)
