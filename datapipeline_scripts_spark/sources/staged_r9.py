@@ -20,14 +20,14 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for all SEVEN keys
+Registration recipe (round 9): move ``@query`` in for all EIGHT keys
 (``multimodal_real_jpeg``, ``multimodal_real_gif``,
 ``multimodal_real_tiff``, ``multimodal_real_wav``,
 ``multimodal_real_video``, ``warc_roundtrip``,
-``webdataset_roundtrip``), add an ``_ADDED_R9`` set to
-``__spark_entry__.py``'s deferral union, bump the freeze-invariant
-count in tests/test_staged_r9.py (311 → 318), update COVERAGE.md +
-docs/SCALE.md.
+``webdataset_roundtrip``, ``jsonl_zst_roundtrip``), add an
+``_ADDED_R9`` set to ``__spark_entry__.py``'s deferral union, bump
+the freeze-invariant count in tests/test_staged_r9.py (311 → 319),
+update COVERAGE.md + docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -763,3 +763,72 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["webdataset_roundtrip"] = (webdataset_roundtrip, WEBDATASET_ROUNDTRIP_ORACLE)
+
+
+# ---- jsonl_zst_roundtrip ----------------------------------------------------
+#
+# Text-corpus shard ingest under the driver harness: each document
+# becomes a 3-line .jsonl.zst shard written as THREE zstd frames
+# (frames_of=1 — the append-writer layout), then flows back through
+# the PRODUCTION reader path (sources/jsonl_zst.py multi-frame
+# decompress → line parse), one output row per line. A first-frame-
+# only reader would return a third of the rows; the oracle recomputes
+# every line's hash from the text column, so the frame walk, line
+# order and JSON fidelity are all inside the driver's hash gate.
+
+def _jsonl_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from datapipeline_scripts_spark.sources import jsonl_zst as jz
+
+    for pdf in batches:
+        out = {"doc_id": [], "line_idx": [], "text_md5": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            rows = [{"id": d, "line": i, "text": f"{text or ''}#{i}"} for i in range(3)]
+            shard = jz.write_jsonl_zst(rows, frames_of=1)
+            parsed = jz.iter_jsonl(shard, where=f"doc{d}")
+            for i, obj in enumerate(parsed):
+                assert obj["id"] == d and obj["line"] == i
+                out["doc_id"].append(d)
+                out["line_idx"].append(i)
+                out["text_md5"].append(
+                    hashlib.md5(obj["text"].encode("utf-8")).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+JSONL_ZST_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           CAST(f.i AS BIGINT) AS line_idx,
+           md5(text || '#' || CAST(f.i AS VARCHAR)) AS text_md5
+    FROM documents, (VALUES (0), (1), (2)) f(i)
+    WHERE doc_id % 5 = 4
+    ORDER BY doc_id, line_idx
+"""
+
+
+def jsonl_zst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonl.zst write→read roundtrip under the driver harness — see
+    the section comment above. Scale shape: production
+    `read_jsonl_zst` parallelizes one task per shard (the Dolma/Pile
+    unit); this key exercises the identical frame walk and line
+    grammar per row inside mapInPandas."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        _jsonl_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("line_idx", T.LongType()),
+                T.StructField("text_md5", T.StringType()),
+            ]
+        ),
+    ).orderBy("doc_id", "line_idx")
+
+
+STAGED["jsonl_zst_roundtrip"] = (jsonl_zst_roundtrip, JSONL_ZST_ROUNDTRIP_ORACLE)
