@@ -176,3 +176,53 @@ def test_wav_random_roundtrips(spark, seed):
             if cc == b"data":
                 assert raw == p[start : start + size]
                 break
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_tiff_tiled_and_bilevel_random(spark, seed):
+    """Round-8 late TIFF additions under the same sweep discipline:
+    random geometries through ImageIO's tiled writer (partial edge
+    tiles everywhere) and random bilevel rasters, every codec."""
+    jvm = spark._jvm
+    rnd = random.Random(5000 + seed)
+    BI = jvm.java.awt.image.BufferedImage
+    w, h = rnd.randint(3, 50), rnd.randint(3, 40)
+    ctype = rnd.choice([None, "LZW", "Deflate", "PackBits"])
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    wr = it.next()
+    prm = wr.getDefaultWriteParam()
+    if ctype is not None:
+        prm.setCompressionMode(2)
+        prm.setCompressionType(ctype)
+    if seed % 2 == 0:  # tiled 8-bit gray
+        img = BI(w, h, BI.TYPE_BYTE_GRAY)
+        r = img.getRaster()
+        vals = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+        for y in range(h):
+            for x in range(w):
+                r.setSample(x, y, 0, vals[y][x])
+        prm.setTilingMode(2)
+        prm.setTiling(16, 16, 0, 0)
+    else:  # bilevel (strip or tiled)
+        img = BI(w, h, BI.TYPE_BYTE_BINARY)
+        r = img.getRaster()
+        vals = [[rnd.randrange(2) for _ in range(w)] for _ in range(h)]
+        for y in range(h):
+            for x in range(w):
+                r.setSample(x, y, 0, int(vals[y][x]))
+        if seed % 4 == 1:
+            prm.setTilingMode(2)
+            prm.setTiling(16, 16, 0, 0)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), prm)
+    wr.dispose()
+    ios.close()
+    p = bytes(baos.toByteArray())
+    dw, dh, gray = ts.tiff_decode_gray(p)
+    assert (dw, dh) == (w, h)
+    if seed % 2 == 0:
+        assert list(gray) == [vals[y][x] for y in range(h) for x in range(w)]
+    else:
+        assert list(gray) == [255 * vals[y][x] for y in range(h) for x in range(w)]
