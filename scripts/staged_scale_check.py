@@ -1,0 +1,52 @@
+"""Scale-proxy check for the round-9 STAGED keys: run every staged
+builder against the 10x key-consistent proxy fixtures
+(scripts/scale_experiment.py --regen builds them under /tmp) and
+hash-compare with its DuckDB oracle — the same gate the driver
+applies at sf0.01, at 10x the rows. The media/ingest staged keys are
+per-row Python codec work, so this is both a correctness check on
+50k-document inputs and a wall-clock reading of each codec tier's
+real per-row cost at depth.
+
+Usage: SPARK_GRAFT_CPUS=8 python scripts/staged_scale_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datapipeline_scripts_spark.oracle import compare, duck_connection
+from datapipeline_scripts_spark.session import get_spark
+from datapipeline_scripts_spark.sources.staged_r9 import STAGED
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1_proxy"
+    spark = get_spark("staged-scale")
+    failures = 0
+    for key in sorted(STAGED):
+        build, oracle = STAGED[key]
+        t0 = time.perf_counter()
+        sdf = build(spark, sf_dir)
+        with duck_connection(sf_dir) as con:
+            opdf = con.execute(oracle).fetch_df()
+        report = compare(key, sdf, opdf)
+        dt = time.perf_counter() - t0
+        status = "OK " if report.ok else "FAIL"
+        print(
+            f"{dt:7.1f}s [{status}] {key}: spark={report.spark_rows} "
+            f"oracle={report.oracle_rows}",
+            flush=True,
+        )
+        if not report.ok:
+            failures += 1
+            print(str(report), flush=True)
+    print(f"done: {failures} failures / {len(STAGED)} staged keys at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
