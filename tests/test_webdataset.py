@@ -105,3 +105,65 @@ def test_read_webdataset_shard_parallel(spark, tmp_path):
         got = bytes(rows[k]["files"]["gif"])
         assert got == gif
         assert gs.gif_decode_gray(got)[2][:8] == bytearray([10] * 8)
+
+
+def test_ingest_to_curation_pipeline(spark, tmp_path):
+    """The pipeline story in one job: WebDataset shards in → sample
+    walk → text extraction + exact-normalized dedup + real image dims
+    through the stdlib routing — the ingest surfaces feeding the
+    curation operators with no intermediate materialization."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datapipeline_scripts_spark.extensions import gif_stdlib as gs
+
+    pal = bytes([0, 0, 0, 250, 250, 250])
+    gif_a = gs.encode_gif(16, 4, pal, (b"\x00" * 8 + b"\x01" * 8) * 4)
+    gif_b = gs.encode_gif(8, 2, pal, b"\x01" * 16)
+    shard1 = [
+        ("00", {"txt": b"The Cat Sat.", "gif": gif_a}),
+        ("01", {"txt": b"the cat   sat.", "gif": gif_b}),  # dup after normalize
+        ("02", {"txt": b"a different doc", "gif": gif_a}),
+    ]
+    shard2 = [("03", {"txt": b"THE CAT SAT.", "gif": gif_b})]  # dup again
+    (tmp_path / "s1.tar").write_bytes(wds.write_webdataset_shard(shard1))
+    (tmp_path / "s2.tar").write_bytes(wds.write_webdataset_shard(shard2))
+
+    samples = wds.read_webdataset(spark, str(tmp_path))
+
+    def feat(batches):
+        from datapipeline_scripts_spark.extensions import multimodal as mm
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "text": [bytes(f["txt"]).decode() for f in pdf["files"]],
+                    "width": [
+                        mm._real_decode_dims("png", None, bytes(f["gif"]))[0]
+                        for f in pdf["files"]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+        ]
+    )
+    feats = samples.mapInPandas(feat, schema)
+    # exact-normalized dedup: keep the smallest key per normalized text
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    survivors = (
+        feats.withColumn("norm", norm)
+        .groupBy("norm")
+        .agg(F.min("key").alias("key"), F.count("*").alias("n_dups"))
+    )
+    rows = {r["key"]: r for r in survivors.collect()}
+    assert set(rows) == {"00", "02"}
+    assert rows["00"]["n_dups"] == 3  # 00, 01, 03 collapse
+    widths = {r["key"]: r["width"] for r in feats.collect()}
+    assert widths == {"00": 16, "01": 8, "02": 16, "03": 8}
