@@ -17,9 +17,14 @@ JSON layer is stdlib json. What this module owns and the tests pin:
 - plain uncompressed `.jsonl` reads through the same path (sniffed
   by the zstd magic), so mixed directories work;
 - blank lines are skipped per the JSON-Lines convention; a
-  non-object line, invalid JSON, or a truncated zstd stream refuses
-  loudly with the shard path and line number — silent row drops are
-  how corpus bugs hide;
+  non-object line, invalid JSON, or a MID-FRAME zstd truncation
+  refuses loudly with the shard path and line number — silent row
+  drops are how corpus bugs hide. One honest limitation (inherent to
+  every concatenated-frame format, ADVICE r08): a shard truncated
+  exactly AT a frame boundary is indistinguishable from a shorter
+  shard — the surviving frames parse cleanly. For corpora that ship
+  manifests, `read_jsonl_zst(expected_rows=...)` closes that hole by
+  checking each shard's parsed row count against the manifest;
 - field projection happens at parse time (`fields=`), so only the
   requested columns ever materialize — the worker-side analogue of
   column pruning.
@@ -47,7 +52,10 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 def decompress_zst(payload: bytes) -> bytes:
     """All frames of a zstd stream, concatenated; plain bytes pass
-    through. Loud on truncation."""
+    through. Loud on MID-frame truncation; truncation at a frame
+    boundary cannot be detected from the bytes alone (the stream
+    format carries no trailer) — see ``read_jsonl_zst(expected_rows)``
+    for the manifest-backed check."""
     payload = bytes(payload)
     if payload[:4] != _ZSTD_MAGIC:
         return payload
@@ -106,12 +114,21 @@ def read_jsonl_zst(
     path: str,
     fields: list[str],
     glob: str = "*.jsonl*",
+    expected_rows: dict[str, int] | None = None,
 ) -> DataFrame:
     """Shard-parallel corpus ingest: one executor task per
     .jsonl(.zst) shard, decompress + parse worker-side, projecting
     `fields` (strings; missing fields are null). Row identity is
     (shard, line_idx) — stable across re-reads, the join key a
-    dedup/decontamination pass needs."""
+    dedup/decontamination pass needs.
+
+    ``expected_rows`` (shard basename or full path → row count, e.g.
+    from a corpus manifest) makes frame-boundary truncation loud: a
+    zstd stream cut exactly between frames parses cleanly with fewer
+    rows, which the bytes alone cannot reveal (ADVICE r08) — the
+    worker refuses any shard whose parsed count disagrees. The dict
+    ships to executors inside the task closure (one int per shard —
+    a few MB even at 100k-shard corpus scale)."""
     schema = T.StructType(
         [
             T.StructField("shard", T.StringType()),
@@ -124,7 +141,22 @@ def read_jsonl_zst(
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in schema}
             for p, blob in zip(pdf["path"], pdf["content"]):
-                for i, obj in enumerate(iter_jsonl(bytes(blob), where=str(p))):
+                rows = iter_jsonl(bytes(blob), where=str(p))
+                if expected_rows is not None:
+                    want = expected_rows.get(str(p))
+                    if want is None:
+                        want = expected_rows.get(str(p).rsplit("/", 1)[-1])
+                    if want is None:
+                        raise ValueError(
+                            f"{p}: shard missing from expected_rows manifest"
+                        )
+                    if len(rows) != want:
+                        raise ValueError(
+                            f"{p}: parsed {len(rows)} rows but the manifest "
+                            f"expects {want} — possible frame-boundary "
+                            "truncation or a stale manifest"
+                        )
+                for i, obj in enumerate(rows):
                     out["shard"].append(p)
                     out["line_idx"].append(i)
                     for f in fields:

@@ -60,7 +60,15 @@ def _jpeg_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from datapipeline_scripts_spark.extensions import jpeg_stdlib as js
     from datapipeline_scripts_spark.extensions import multimodal as mm
 
-    assert js.STD_LUMA_QUANT[0] == _Q00 and js.STD_LUMA_QUANT[1] == _Q01
+    # NOT an assert: the oracle SQL bakes _Q00/_Q01 into its integer
+    # arithmetic, so a quant-table edit must fail loudly even under
+    # ``python -O`` (ADVICE r08 item 3).
+    if js.STD_LUMA_QUANT[0] != _Q00 or js.STD_LUMA_QUANT[1] != _Q01:
+        raise ValueError(
+            "jpeg_stdlib.STD_LUMA_QUANT[0:2] diverged from the oracle "
+            f"constants ({_Q00}, {_Q01}); regenerate "
+            "MULTIMODAL_REAL_JPEG_ORACLE / the video oracle to match."
+        )
 
     def blk(dc: int, ac01: int) -> list[int]:
         b = [0] * 64
@@ -656,14 +664,17 @@ def _warc_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 WARC_ROUNDTRIP_ORACLE = f"""
     SELECT doc_id,
-           CAST({len(_WARC_HTTP_HEAD)} + octet_length(encode(text)) AS BIGINT)
+           CAST({len(_WARC_HTTP_HEAD)}
+                + octet_length(encode(coalesce(text, ''))) AS BIGINT)
              AS content_length,
            CAST(200 AS INTEGER) AS http_status,
-           md5(text) AS body_md5
+           md5(coalesce(text, '')) AS body_md5
     FROM documents
     WHERE doc_id % 5 = 2
     ORDER BY doc_id
 """
+# coalesce mirrors the worker's ``(text or "")`` so a NULL-text fixture
+# row hashes identically on both sides (ADVICE r08 item 2).
 
 
 def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +740,7 @@ WEBDATASET_ROUNDTRIP_ORACLE = """
     SELECT doc_id,
            lpad(CAST(doc_id AS VARCHAR), 9, '0') AS sample_key,
            CAST(2 AS INTEGER) AS n_files,
-           md5(text) AS txt_md5,
+           md5(coalesce(text, '')) AS txt_md5,
            CAST(doc_id % 10 AS INTEGER) AS cls
     FROM documents
     WHERE doc_id % 5 = 3
@@ -801,7 +812,7 @@ def _jsonl_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 JSONL_ZST_ROUNDTRIP_ORACLE = """
     SELECT doc_id,
            CAST(f.i AS BIGINT) AS line_idx,
-           md5(text || '#' || CAST(f.i AS VARCHAR)) AS text_md5
+           md5(coalesce(text, '') || '#' || CAST(f.i AS VARCHAR)) AS text_md5
     FROM documents, (VALUES (0), (1), (2)) f(i)
     WHERE doc_id % 5 = 4
     ORDER BY doc_id, line_idx

@@ -19,7 +19,12 @@ Format notes honored here, each pinned by a test:
   `split_http` separates status/headers/body without guessing at
   charsets (bytes in, bytes out).
 - Truncated payloads, missing mandatory headers and non-WARC bytes
-  refuse loudly.
+  refuse loudly. One honest limitation (inherent to every
+  concatenated-member format, ADVICE r08): a file truncated exactly
+  AT a gzip member boundary is indistinguishable from a shorter file
+  — the surviving members parse cleanly. For corpora that ship
+  manifests, `read_warc(expected_records=...)` closes that hole by
+  checking each file's parsed record count against the manifest.
 
 Proof posture, stated honestly: no canonical WARC implementation
 exists inside this container, so the reader/writer pair is proven by
@@ -194,11 +199,29 @@ _WARC_SCHEMA = T.StructType(
 )
 
 
-def _warc_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _warc_worker(
+    batches: Iterator[pd.DataFrame],
+    expected_records: dict[str, int] | None = None,
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {f.name: [] for f in _WARC_SCHEMA}
         for path, blob in zip(pdf["path"], pdf["content"]):
-            for i, rec in enumerate(parse_warc(bytes(blob))):
+            records = parse_warc(bytes(blob))
+            if expected_records is not None:
+                want = expected_records.get(str(path))
+                if want is None:
+                    want = expected_records.get(str(path).rsplit("/", 1)[-1])
+                if want is None:
+                    raise ValueError(
+                        f"{path}: file missing from expected_records manifest"
+                    )
+                if len(records) != want:
+                    raise ValueError(
+                        f"{path}: parsed {len(records)} records but the "
+                        f"manifest expects {want} — possible member-boundary "
+                        "truncation or a stale manifest"
+                    )
+            for i, rec in enumerate(records):
                 h = rec["headers"]
                 status, hct, body = None, None, rec["content"]
                 if h["warc-type"] == "response" and h.get("content-type", "").startswith(
@@ -220,15 +243,30 @@ def _warc_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def read_warc(spark: SparkSession, path: str, glob: str = "*.warc.gz") -> DataFrame:
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    expected_records: dict[str, int] | None = None,
+) -> DataFrame:
     """Crawl-corpus ingest: one executor task per WARC file (the
     Common Crawl parallelism unit), records parsed worker-side. The
     `binaryFile` source prunes to (path, content), so nothing but the
-    file bytes and the projected record columns ever move."""
+    file bytes and the projected record columns ever move.
+
+    ``expected_records`` (file basename or full path → record count,
+    e.g. from a crawl manifest) makes member-boundary truncation loud
+    — a .warc.gz cut exactly between gzip members parses cleanly with
+    fewer records, which the bytes alone cannot reveal (ADVICE r08).
+    The dict ships inside the task closure (one int per file)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("path", "content")
     )
-    return files.mapInPandas(_warc_worker, schema=_WARC_SCHEMA)
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _warc_worker(batches, expected_records)
+
+    return files.mapInPandas(worker, schema=_WARC_SCHEMA)

@@ -69,3 +69,30 @@ def test_read_jsonl_zst_shard_parallel(spark, tmp_path):
     for shard, n in (("s0.jsonl.zst", 5), ("s1.jsonl.zst", 6), ("s2.jsonl", 3)):
         idxs = sorted(k[1] for k in by_key if k[0] == shard)
         assert idxs == list(range(n))
+
+
+def test_expected_rows_manifest_catches_frame_boundary_truncation(spark, tmp_path):
+    """A shard truncated exactly AT a frame boundary parses cleanly
+    with fewer rows — undetectable from the bytes (ADVICE r08). The
+    expected_rows manifest is the loud check for corpora that ship
+    one; a stale/missing manifest entry is loud too."""
+    rows = _rows(3)
+    # frames_of=1 ⇒ the first frame alone IS the boundary-truncated shard
+    (tmp_path / "full.jsonl.zst").write_bytes(jz.write_jsonl_zst(rows, frames_of=1))
+    (tmp_path / "cut.jsonl.zst").write_bytes(jz.write_jsonl_zst(rows[:1]))
+
+    good = {"full.jsonl.zst": 3, "cut.jsonl.zst": 1}
+    df = jz.read_jsonl_zst(spark, str(tmp_path), fields=["text"], expected_rows=good)
+    assert df.count() == 4
+
+    truncated = {"full.jsonl.zst": 3, "cut.jsonl.zst": 3}
+    with pytest.raises(Exception, match="manifest expects 3"):
+        jz.read_jsonl_zst(
+            spark, str(tmp_path), fields=["text"], expected_rows=truncated
+        ).count()
+
+    with pytest.raises(Exception, match="missing from expected_rows manifest"):
+        jz.read_jsonl_zst(
+            spark, str(tmp_path), fields=["text"],
+            expected_rows={"full.jsonl.zst": 3},
+        ).count()

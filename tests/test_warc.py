@@ -127,3 +127,29 @@ def test_read_warc_executor_parallel(spark, tmp_path):
         assert r["record_idx"] in (0, 1, 2)
     info_rows = [r for r in rows if r["warc_type"] == "warcinfo"]
     assert len(info_rows) == 1 and info_rows[0]["http_status"] is None
+
+
+def test_expected_records_manifest_catches_member_boundary_truncation(spark, tmp_path):
+    """A .warc.gz truncated exactly AT a gzip member boundary parses
+    cleanly with fewer records — undetectable from the bytes (ADVICE
+    r08). The expected_records manifest is the loud check for crawls
+    that ship one."""
+    full = _response(1, b"alpha") + _response(2, b"beta") + _response(3, b"gamma")
+    cut = _response(1, b"alpha")  # == full truncated at the first member boundary
+    (tmp_path / "full.warc.gz").write_bytes(full)
+    (tmp_path / "cut.warc.gz").write_bytes(cut)
+
+    good = {"full.warc.gz": 3, "cut.warc.gz": 1}
+    df = warc.read_warc(spark, str(tmp_path), expected_records=good)
+    assert df.count() == 4
+
+    with pytest.raises(Exception, match="manifest expects 3"):
+        warc.read_warc(
+            spark, str(tmp_path),
+            expected_records={"full.warc.gz": 3, "cut.warc.gz": 3},
+        ).count()
+
+    with pytest.raises(Exception, match="missing from expected_records manifest"):
+        warc.read_warc(
+            spark, str(tmp_path), expected_records={"cut.warc.gz": 1}
+        ).count()
