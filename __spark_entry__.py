@@ -67,15 +67,21 @@ _PRIORITY = [
 
 
 def _driver_proven_keys() -> dict[str, int]:
-    """Map key → EARLIEST round whose driver CORRECTNESS file has a
+    """Map key → LATEST round whose driver CORRECTNESS file has a
     fully-green row for it. Parsing the files (instead of hard-coding
     round 1's outcome) makes the checked-set rotation automatic: each
     round the 50-key window lands on the keys with the least driver
-    evidence. With the whole catalog driver-proven (r7), the earliest
-    round doubles as evidence AGE: the proven tail is ordered
-    oldest-evidence-first so spare window slots refresh r1/r2-era
-    proofs instead of re-proving last round's keys (VERDICT r7 item
-    2). Membership semantics (``key in proven``) are unchanged."""
+    evidence. With the whole catalog driver-proven (r7), the round
+    number doubles as evidence AGE: the proven tail is ordered
+    stalest-first so spare window slots refresh the oldest proofs.
+    LATEST (not earliest) is what makes the rotation actually rotate
+    (round-9 fix): a key re-proven last round keeps its earliest round
+    forever, so an earliest-first sort would pin the same ~42 keys in
+    the window every round — measured before the fix, all 42 r9 spare
+    slots landed on keys already refreshed in r8. With latest-first,
+    each round's re-proofs sink to the back and the next-stalest
+    cohort surfaces. Membership semantics (``key in proven``) are
+    unchanged."""
     import glob
     import json
     import re
@@ -96,7 +102,7 @@ def _driver_proven_keys() -> dict[str, int]:
                     and row.get("hash_match")
                     and not row.get("err")
                 ):
-                    proven[key] = min(rnd, proven.get(key, 99))
+                    proven[key] = max(rnd, proven.get(key, 0))
         except Exception:
             continue  # a malformed file must never break the contract
     return proven
@@ -157,7 +163,17 @@ _ADDED_R8 = {
     "jdbc_roundtrip", "avro_logical_roundtrip",
 }
 
-_DEFERRED = _ADDED_R3 | _ADDED_R8
+# Round-9 additions (the eight keys staged through the r8 freeze in
+# sources/staged_r9.py, flipped live after CORRECTNESS_r08 closed the
+# gate 311/311): real JPEG/GIF/TIFF/WAV/MJPEG-video decode plus the
+# WARC/WebDataset/jsonl.zst corpus-ingest roundtrips.
+_ADDED_R9 = {
+    "multimodal_real_jpeg", "multimodal_real_gif", "multimodal_real_tiff",
+    "multimodal_real_wav", "multimodal_real_video",
+    "warc_roundtrip", "webdataset_roundtrip", "jsonl_zst_roundtrip",
+}
+
+_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9
 
 
 def _ordered_keys() -> list[str]:
@@ -167,10 +183,11 @@ def _ordered_keys() -> list[str]:
     seen = set(head)
     mid = [k for k in specs if k not in seen and k not in proven and k not in _DEFERRED]
     new = [k for k in specs if k not in seen and k not in proven and k in _DEFERRED]
-    # Proven tail, OLDEST driver evidence first (VERDICT r7 item 2):
-    # with zero unproven keys left, the window's spare slots land on
-    # the keys whose only green row is rounds old. Registry order
-    # breaks ties so the sort is deterministic.
+    # Proven tail, STALEST driver evidence first (VERDICT r7 item 2,
+    # latest-round fix in r9): with zero unproven keys left, the
+    # window's spare slots land on the keys whose freshest green row
+    # is the most rounds old. Registry order breaks ties so the sort
+    # is deterministic.
     pos = {k: i for i, k in enumerate(specs)}
     tail = sorted(
         (k for k in specs if k not in seen and k in proven),

@@ -1,9 +1,11 @@
-"""Round-9 query keys, STAGED but NOT registered (the staged_r8.py
-pattern, one round later): round 8's driver window is spent on the
-five _ADDED_R8 keys plus oldest-evidence re-proofs (VERDICT r7 items
-1-2), so the round-8 JPEG codec work enters the registry in round 9 —
-already held to the registration bar here: `tests/test_staged_r9.py`
-runs the builder against its DuckDB oracle at both fixture SFs.
+"""Round-9 query keys — staged through the round-8 catalog freeze,
+REGISTERED in round 9 (VERDICT r8 item 1, the staged_r8.py recipe one
+round later): the ``@query`` registrations below plus an ``_ADDED_R9``
+deferral set in ``__spark_entry__.py`` put the round-8 codec/ingest
+work under the driver's own hash gate. Every key was oracle-proven at
+sf0.001 + sf0.01 while staged (`tests/test_staged_r9.py`) AND at the
+10× proxy (`scripts/staged_scale_check.py`), so registration is the
+only change this round.
 
 multimodal_real_jpeg: per-document baseline JPEGs are ENCODED and
 DECODED executor-side through the production stdlib codec
@@ -20,14 +22,9 @@ proves the whole huffman-encode → bitstream → huffman-decode →
 dequantize → integer-IDCT → band-average → dHash chain bit-exact
 under the driver's own eye.
 
-Registration recipe (round 9): move ``@query`` in for all EIGHT keys
-(``multimodal_real_jpeg``, ``multimodal_real_gif``,
-``multimodal_real_tiff``, ``multimodal_real_wav``,
-``multimodal_real_video``, ``warc_roundtrip``,
-``webdataset_roundtrip``, ``jsonl_zst_roundtrip``), add an
-``_ADDED_R9`` set to ``__spark_entry__.py``'s deferral union, bump
-the freeze-invariant count in tests/test_staged_r9.py (311 → 319),
-update COVERAGE.md + docs/SCALE.md.
+The ``STAGED`` dict remains the proof surface for
+tests/test_staged_r9.py, which additionally asserts each key is now
+registered with the SAME builder and oracle the proofs ran.
 """
 
 from __future__ import annotations
@@ -40,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
 
 _W, _H = 16, 8  # two 8×8 blocks side by side
 _Q00, _Q01 = 16, 11  # STD_LUMA_QUANT[0], [1] — asserted in the worker
@@ -135,6 +133,7 @@ def _real_jpeg_oracle() -> str:
 MULTIMODAL_REAL_JPEG_ORACLE = _real_jpeg_oracle()
 
 
+@query("multimodal_real_jpeg", oracle=MULTIMODAL_REAL_JPEG_ORACLE, tier="ext")
 def multimodal_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real baseline-JPEG decode under the driver harness — see the
     module docstring for the proof structure. Scale shape:
@@ -267,6 +266,7 @@ def _real_gif_oracle() -> str:
 MULTIMODAL_REAL_GIF_ORACLE = _real_gif_oracle()
 
 
+@query("multimodal_real_gif", oracle=MULTIMODAL_REAL_GIF_ORACLE, tier="ext")
 def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real GIF decode under the driver harness — see the section
     comment above for the proof structure. Scale shape: identical to
@@ -377,6 +377,7 @@ def _real_tiff_oracle() -> str:
 MULTIMODAL_REAL_TIFF_ORACLE = _real_tiff_oracle()
 
 
+@query("multimodal_real_tiff", oracle=MULTIMODAL_REAL_TIFF_ORACLE, tier="ext")
 def multimodal_real_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real TIFF decode under the driver harness — see the section
     comment above for the rotation. Scale shape: identical to the
@@ -464,6 +465,7 @@ def _real_wav_oracle() -> str:
 MULTIMODAL_REAL_WAV_ORACLE = _real_wav_oracle()
 
 
+@query("multimodal_real_wav", oracle=MULTIMODAL_REAL_WAV_ORACLE, tier="ext")
 def multimodal_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PCM-WAV decode under the driver harness — see the section
     comment above. Scale shape: identical to the image siblings
@@ -590,6 +592,7 @@ def _real_video_oracle() -> str:
 MULTIMODAL_REAL_VIDEO_ORACLE = _real_video_oracle()
 
 
+@query("multimodal_real_video", oracle=MULTIMODAL_REAL_VIDEO_ORACLE, tier="ext")
 def multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real MJPEG-AVI demux + frame decode under the driver harness —
     see the section comment above. Scale shape: demux is O(file) per
@@ -677,6 +680,7 @@ WARC_ROUNDTRIP_ORACLE = f"""
 # row hashes identically on both sides (ADVICE r08 item 2).
 
 
+@query("warc_roundtrip", oracle=WARC_ROUNDTRIP_ORACLE, tier="core")
 def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC write→parse roundtrip under the driver harness — see the
     section comment above. Scale shape: the production `read_warc`
@@ -748,6 +752,7 @@ WEBDATASET_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("webdataset_roundtrip", oracle=WEBDATASET_ROUNDTRIP_ORACLE, tier="core")
 def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset pack→walk roundtrip under the driver harness — see
     the section comment above. Scale shape: production
@@ -819,6 +824,7 @@ JSONL_ZST_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("jsonl_zst_roundtrip", oracle=JSONL_ZST_ROUNDTRIP_ORACLE, tier="core")
 def jsonl_zst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jsonl.zst write→read roundtrip under the driver harness — see
     the section comment above. Scale shape: production

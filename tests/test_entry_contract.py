@@ -41,10 +41,27 @@ def test_added_r8_keys_registered_and_lead_the_window():
     assert not stragglers, f"new keys outside the driver window: {stragglers}"
 
 
-def test_proven_tail_ordered_oldest_evidence_first():
-    """VERDICT r7 item 2: with the backlog empty, the window's spare
-    slots must refresh the STALEST driver evidence — the proven tail
-    is sorted by earliest-proven round, ascending."""
+def test_added_r9_keys_registered_and_lead_the_window():
+    """Round-9 flip (VERDICT r8 item 1): the eight staged keys are
+    registered, named in _ADDED_R9, and — having no driver evidence —
+    occupy the front of the 50-key window."""
+    mod = _entry_module()
+    specs = all_queries()
+    missing = sorted(k for k in mod._ADDED_R9 if k not in specs)
+    assert not missing, f"_ADDED_R9 names unregistered keys: {missing}"
+    proven = mod._driver_proven_keys()
+    head = mod._ordered_keys()[:50]
+    unproven_new = sorted(mod._ADDED_R9 - set(proven))
+    stragglers = [k for k in unproven_new if k not in head]
+    assert not stragglers, f"new keys outside the driver window: {stragglers}"
+
+
+def test_proven_tail_ordered_stalest_evidence_first():
+    """VERDICT r7 item 2 + r9 latest-round fix: with the backlog
+    empty, the window's spare slots must refresh the STALEST driver
+    evidence — the proven tail is sorted by LATEST-proven round,
+    ascending. (Earliest-proven would pin the same keys in the window
+    every round, since a re-proof never changes a key's earliest.)"""
     mod = _entry_module()
     proven = mod._driver_proven_keys()
     ordered = mod._ordered_keys()
@@ -52,10 +69,28 @@ def test_proven_tail_ordered_oldest_evidence_first():
     assert tail_rounds == sorted(tail_rounds), (
         "proven tail is not oldest-evidence-first"
     )
-    # the age map itself must be non-trivial: round-1 evidence exists
-    # and therefore leads the tail
+    # the age map itself must be non-trivial: the stalest evidence
+    # leads the tail
     if tail_rounds:
         assert tail_rounds[0] == min(proven.values())
+
+
+def test_spare_window_slots_land_on_stalest_cohort():
+    """The measurable point of the latest-first fix: the re-proof
+    slots in the 50-key window (whatever remains after the unproven
+    head) must all sit inside the stalest cohort — no slot may hold a
+    key whose evidence is fresher than some key left outside the
+    window."""
+    mod = _entry_module()
+    proven = mod._driver_proven_keys()
+    ordered = mod._ordered_keys()
+    window, outside = ordered[:50], ordered[50:]
+    in_rounds = [proven[k] for k in window if k in proven]
+    out_rounds = [proven[k] for k in outside if k in proven]
+    if in_rounds and out_rounds:
+        assert max(in_rounds) <= min(out_rounds), (
+            "window re-proves fresher evidence than what it leaves out"
+        )
 
 
 def test_every_query_has_an_oracle():

@@ -1,10 +1,10 @@
-"""Oracle proofs for the STAGED round-9 keys (sources/staged_r9.py).
+"""Oracle proofs for the round-9 keys (sources/staged_r9.py).
 
-Round 8's driver window is committed to the _ADDED_R8 keys plus
-oldest-evidence re-proofs, so the JPEG-codec key stages through this
-round exactly as the r8 keys staged through r7 — held to the
-registration bar (the driver's own `oracle.compare` hash gate, both
-fixture SFs) without touching the registry."""
+These keys staged through round 8 (held to the registration bar — the
+driver's own `oracle.compare` hash gate at both fixture SFs — without
+touching the registry) and were REGISTERED in round 9; the proofs
+keep running against the STAGED dict, and the registration test pins
+the registry to the same builder/oracle pair the proofs ran."""
 
 from __future__ import annotations
 
@@ -27,9 +27,14 @@ def test_staged_key_matches_oracle(spark, key, sf_dir):
     assert report.spark_rows > 0
 
 
-def test_staged_r9_keys_not_registered_during_round_8():
-    """The staging invariant: the catalog is 311 this round; the r9
-    key enters the registry only with round 9's deliberate flip."""
-    registered = set(all_queries())
-    assert len(registered) == 311
-    assert not (set(STAGED) & registered)
+def test_r9_keys_registered_with_correct_builders():
+    """Round 9 flipped the staged keys live: every STAGED key must be
+    in the registry, bound to the SAME builder and oracle the proofs
+    above ran (the decorating-the-wrong-function failure mode breaks
+    the driver contract silently), and the catalog is 319."""
+    specs = all_queries()
+    assert len(specs) == 319
+    for key, (fn, oracle) in STAGED.items():
+        assert key in specs, key
+        assert specs[key].build is fn, key
+        assert specs[key].oracle == oracle, key
