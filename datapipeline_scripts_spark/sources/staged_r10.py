@@ -1,0 +1,110 @@
+"""Round-10 query keys, STAGED but NOT registered (the staged_r9.py
+pattern, one round later): round 9's driver window is spent on the
+eight _ADDED_R9 keys plus stalest-evidence re-proofs, so the TFRecord
+ingest surface built in round 9 enters the registry in round 10 —
+already held to the registration bar here: `tests/test_staged_r10.py`
+runs the builder against its DuckDB oracle at both fixture SFs.
+
+tfrecord_roundtrip: each document's text becomes a 2-record TFRecord
+shard (record 0 = the utf-8 text, record 1 = the little-endian
+doc_id) executor-side, gzip-wrapped for odd doc_ids so both
+compression paths sit under the driver's eye, then flows back through
+the PRODUCTION parse path (sources/tfrecord.py — which VERIFIES both
+masked CRC32Cs of every record, so a green row proves the whole
+frame/CRC writer-parser pair, not just the payload bytes). The DuckDB
+oracle recomputes the record inventory and the text hash from the
+documents table alone (md5(coalesce(text,'')) mirrors the worker's
+``(text or "")`` — the ADVICE r08 NULL-text discipline applied from
+the start).
+
+Registration recipe (round 10): ``@query`` below, ``_ADDED_R10`` in
+``__spark_entry__.py``'s deferral union, staged_r10 import in
+``registry._ensure_loaded``, freeze counts 319 → 320
+(tests/test_staged_r8.py, test_staged_r9.py, test_staged_r10.py),
+COVERAGE.md + docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_scripts_spark.catalog import load_table
+
+
+def _tfrecord_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.sources import tfrecord as tfr
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "n_records": [],
+            "text_md5": [],
+            "id_echo": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            body = (text or "").encode("utf-8")
+            shard = tfr.write_tfrecord([body, struct.pack("<q", d)])
+            if d % 2:  # rotate the gzip layer through the same proof
+                shard = gzip.compress(shard)
+            recs = tfr.parse_tfrecord(shard, where=f"doc{d}")
+            out["doc_id"].append(d)
+            out["n_records"].append(len(recs))
+            out["text_md5"].append(hashlib.md5(recs[0]).hexdigest())
+            out["id_echo"].append(struct.unpack("<q", recs[1])[0])
+        yield pd.DataFrame(out)
+
+
+TFRECORD_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_records,
+           md5(coalesce(text, '')) AS text_md5,
+           doc_id AS id_echo
+    FROM documents
+    WHERE doc_id % 5 = 1
+    ORDER BY doc_id
+"""
+
+
+def tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord write→parse roundtrip under the driver harness — see
+    the module docstring for the proof structure. Scale shape: the
+    production `read_tfrecord` parallelizes one task per shard (the
+    format's native unit); this key exercises the identical frame
+    grammar, both masked CRC32Cs per record and the gzip layer per row
+    inside mapInPandas, integers/strings only across the worker
+    boundary."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id", "text")
+        # the fixture parquet loads as ONE partition, which would
+        # serialize the per-row CRC/gzip work — spread it across cores
+        # (at scale the source is already multi-partition and this is
+        # a no-op to drop; same idiom as the r9 keys)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _tfrecord_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_records", T.IntegerType()),
+                T.StructField("text_md5", T.StringType()),
+                T.StructField("id_echo", T.LongType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED: dict[str, tuple] = {
+    "tfrecord_roundtrip": (tfrecord_roundtrip, TFRECORD_ROUNDTRIP_ORACLE),
+}

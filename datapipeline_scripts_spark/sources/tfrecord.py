@@ -1,0 +1,210 @@
+"""TFRecord shard ingest — the TensorFlow training-shard format, the
+one mainstream shard packaging not yet covered next to WARC
+(sources/warc.py), WebDataset (sources/webdataset.py) and .jsonl.zst
+(sources/jsonl_zst.py). The on-disk grammar is public and tiny
+(TensorFlow `tensorflow/core/lib/io/record_writer.cc`):
+
+    u64le length | u32le masked_crc32c(length bytes)
+    | data[length] | u32le masked_crc32c(data)
+
+with ``masked_crc = rotr15(crc32c(bytes)) + 0xa282ead8 (mod 2^32)``
+and CRC32C the Castagnoli polynomial (reflected 0x82F63B78). Python's
+stdlib only ships CRC32/IEEE (zlib.crc32), so the CRC32C here is a
+table-driven pure-Python implementation pinned to the canonical check
+vectors (RFC 3720 §B.4: "123456789" → 0xE3069283, the 32×0x00 and
+32×0xFF vectors) plus a seeded generative sweep — the same
+golden-bytes proof posture as WARC (no canonical TFRecord
+implementation ships in this container; the format is checksummed by
+construction, so every record parse re-proves both CRCs).
+
+What this module owns, each pinned by a test:
+- EVERY record's length-CRC and data-CRC are verified on read — a
+  flipped byte anywhere refuses loudly with the shard path and record
+  index (TFRecord is the only shard format here with per-record
+  checksums, so corruption detection is total, not best-effort);
+- MID-record truncation refuses loudly. Truncation exactly AT a
+  record boundary is indistinguishable from a shorter shard (the
+  format has no trailer — same inherent limitation as WARC/jsonl.zst,
+  ADVICE r08), so ``read_tfrecord(expected_records=...)`` takes the
+  same manifest-backed count check;
+- gzip-compressed shards (.tfrecord.gz — TF's GZIP options) pass
+  through transparently, sniffed by magic;
+- records are opaque bytes (usually tf.Example protos); decoding the
+  payload is the caller's layer (protobuf_pywire covers the wire
+  grammar when needed).
+
+Scale shape: identical to the sibling ingest sources — built-in
+`binaryFile` listing (one executor task per shard, the format's
+native parallelism unit), record walk inside `mapInPandas`, only the
+projected columns cross into the JVM, no shuffle, no driver data
+path. At 100 TB the extrapolation is shard-count division.
+
+Reference parity: the reference snapshots upstream dumps as opaque
+files (SURVEY.md §2.A9/A17); this is the training-shard ingest
+surface beside WARC/WebDataset/jsonl.zst (SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---- CRC32C (Castagnoli), table-driven ---------------------------------------
+
+_CRC32C_POLY = 0x82F63B78  # reflected 0x1EDC6F41
+
+
+def _make_table() -> list[int]:
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ _CRC32C_POLY if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_TABLE = _make_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC32C of ``data`` (Castagnoli, as used by TFRecord/iSCSI/ext4).
+    Pinned to the RFC 3720 check vectors in tests/test_tfrecord.py."""
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_MASK_DELTA = 0xA282EAD8
+
+
+def masked_crc32c(data: bytes) -> int:
+    """TFRecord's masked CRC: rotate right 15, add the mask delta."""
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+# ---- record framing ----------------------------------------------------------
+
+
+def write_tfrecord(records: list[bytes]) -> bytes:
+    """A canonical TFRecord shard: length/CRC-framed records,
+    byte-identical for identical inputs (no timestamps, no padding)."""
+    out = bytearray()
+    for rec in records:
+        rec = bytes(rec)
+        header = struct.pack("<Q", len(rec))
+        out += header
+        out += struct.pack("<I", masked_crc32c(header))
+        out += rec
+        out += struct.pack("<I", masked_crc32c(rec))
+    return bytes(out)
+
+
+def parse_tfrecord(payload: bytes, *, where: str = "<bytes>") -> list[bytes]:
+    """All records of a (possibly gzipped) TFRecord shard, in order.
+    Loud on any CRC mismatch or mid-record truncation, naming the
+    shard and 0-based record index. Truncation exactly at a record
+    boundary parses cleanly (no trailer in the format) — use
+    ``read_tfrecord(expected_records=...)`` when a manifest exists."""
+    payload = bytes(payload)
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            payload = gzip.decompress(payload)
+        except (OSError, EOFError) as exc:
+            raise ValueError(f"{where}: corrupt gzip layer: {exc}") from exc
+    out: list[bytes] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        idx = len(out)
+        if n - pos < 12:
+            raise ValueError(
+                f"{where}: record {idx}: truncated header "
+                f"({n - pos} of 12 octets)"
+            )
+        header = payload[pos : pos + 8]
+        (length,) = struct.unpack("<Q", header)
+        (got_hcrc,) = struct.unpack("<I", payload[pos + 8 : pos + 12])
+        if got_hcrc != masked_crc32c(header):
+            raise ValueError(f"{where}: record {idx}: length CRC mismatch")
+        pos += 12
+        if n - pos < length + 4:
+            raise ValueError(
+                f"{where}: record {idx}: truncated data "
+                f"({n - pos} of {length + 4} octets)"
+            )
+        data = payload[pos : pos + length]
+        (got_dcrc,) = struct.unpack("<I", payload[pos + length : pos + length + 4])
+        if got_dcrc != masked_crc32c(data):
+            raise ValueError(f"{where}: record {idx}: data CRC mismatch")
+        pos += length + 4
+        out.append(data)
+    return out
+
+
+# ---- Spark surface -----------------------------------------------------------
+
+_TFRECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("record_idx", T.LongType()),
+        T.StructField("record", T.BinaryType()),
+    ]
+)
+
+
+def read_tfrecord(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tfrecord*",
+    expected_records: dict[str, int] | None = None,
+) -> DataFrame:
+    """Shard-parallel TFRecord ingest: one executor task per shard,
+    records CRC-verified worker-side, row identity (shard, record_idx)
+    — stable across re-reads, the join key downstream dedup needs.
+
+    ``expected_records`` (shard basename or full path → record count,
+    e.g. from a training manifest) makes record-boundary truncation
+    loud — the worker refuses any shard whose parsed count disagrees
+    and any shard missing from the manifest (same contract as
+    read_warc/read_jsonl_zst). The dict ships inside the task closure
+    (one int per shard)."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in _TFRECORD_SCHEMA}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                records = parse_tfrecord(bytes(blob), where=str(p))
+                if expected_records is not None:
+                    want = expected_records.get(str(p))
+                    if want is None:
+                        want = expected_records.get(str(p).rsplit("/", 1)[-1])
+                    if want is None:
+                        raise ValueError(
+                            f"{p}: shard missing from expected_records manifest"
+                        )
+                    if len(records) != want:
+                        raise ValueError(
+                            f"{p}: parsed {len(records)} records but the "
+                            f"manifest expects {want} — possible "
+                            "record-boundary truncation or a stale manifest"
+                        )
+                for i, rec in enumerate(records):
+                    out["shard"].append(p)
+                    out["record_idx"].append(i)
+                    out["record"].append(rec)
+            yield pd.DataFrame(out)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(worker, schema=_TFRECORD_SCHEMA)

@@ -1,5 +1,7 @@
-"""Scale-proxy check for the round-9 STAGED keys: run every staged
-builder against the 10x key-consistent proxy fixtures
+"""Scale-proxy check for the CURRENTLY STAGED keys (every
+sources/staged_r*.py whose keys are not yet registered, plus the
+already-registered r9 keys for continuity): run each builder against
+the 10x key-consistent proxy fixtures
 (scripts/scale_experiment.py --regen builds them under /tmp) and
 hash-compare with its DuckDB oracle — the same gate the driver
 applies at sf0.01, at 10x the rows. The media/ingest staged keys are
@@ -20,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datapipeline_scripts_spark.oracle import compare, duck_connection
 from datapipeline_scripts_spark.session import get_spark
-from datapipeline_scripts_spark.sources.staged_r9 import STAGED
+from datapipeline_scripts_spark.sources.staged_r9 import STAGED as STAGED_R9
+from datapipeline_scripts_spark.sources.staged_r10 import STAGED as STAGED_R10
+
+STAGED = {**STAGED_R9, **STAGED_R10}
 
 
 def main() -> int:
