@@ -17,9 +17,14 @@ documents table alone (md5(coalesce(text,'')) mirrors the worker's
 ``(text or "")`` — the ADVICE r08 NULL-text discipline applied from
 the start).
 
-Registration recipe (round 10): ``@query`` below, ``_ADDED_R10`` in
-``__spark_entry__.py``'s deferral union, staged_r10 import in
-``registry._ensure_loaded``, freeze counts 319 → 320
+tfexample_dataset_roundtrip: the EXPORT half — documents → tf.Example
+protos (encoder proven bit-exact against the canonical JVM protobuf
+runtime) → executor-written gzip TFRecord shards → typed read-back;
+see the section comment below.
+
+Registration recipe (round 10): ``@query`` for BOTH keys,
+``_ADDED_R10`` in ``__spark_entry__.py``'s deferral union, staged_r10
+import in ``registry._ensure_loaded``, freeze counts 319 → 321
 (tests/test_staged_r8.py, test_staged_r9.py, test_staged_r10.py),
 COVERAGE.md + docs/SCALE.md.
 """
@@ -108,3 +113,101 @@ def tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGED: dict[str, tuple] = {
     "tfrecord_roundtrip": (tfrecord_roundtrip, TFRECORD_ROUNDTRIP_ORACLE),
 }
+
+
+# ---- tfexample_dataset_roundtrip ---------------------------------------------
+#
+# The EXPORT half of the training-shard story under the driver
+# harness: documents become tf.Example protos (int64 doc_id, utf-8
+# text bytes, a binary32-exact float score) encoded by
+# sources/tfexample.py, written as gzip TFRecord shards BY THE
+# EXECUTORS (sources/tfrecord.py write_tfrecord_dataset — one shard
+# per partition, only file names reach the driver), then read back
+# through the typed production reader (read_tfexample: CRC-verified
+# record walk + example decode + feature projection in ONE worker
+# pass). The oracle recomputes everything from the documents table
+# alone, so a hash match proves the full encode → frame/CRC → gzip →
+# parse → decode → project chain lossless — the tf.Example encoder
+# itself is proven bit-exact against the canonical JVM protobuf
+# runtime in tests/test_tfexample.py. Score uses 0.25 steps so the
+# binary32 value is exact in both engines (the repo's
+# integer-quantization exactness idiom).
+
+def _tfexample_encode_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.sources import tfexample as tfe
+
+    for pdf in batches:
+        records = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            records.append(
+                tfe.encode_example(
+                    {
+                        "doc_id": [d],
+                        "text": [(text or "").encode("utf-8")],
+                        "score": ("float", [(d % 1000) * 0.25]),
+                    }
+                )
+            )
+        yield pd.DataFrame({"record": records})
+
+
+TFEXAMPLE_DATASET_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           md5(coalesce(text, '')) AS text_md5,
+           CAST(doc_id % 1000 AS DOUBLE) * 0.25 AS score
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY doc_id
+"""
+
+
+def tfexample_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tf.Example export → typed import under the driver
+    harness — see the section comment above. Scale shape: encode and
+    write are embarrassingly parallel (one shard per partition,
+    executor-side IO, driver sees file names only); read is one task
+    per shard; nothing but the projected columns crosses the worker
+    boundary. This is exactly how a 100 TB corpus ships to a
+    TensorFlow trainer."""
+    import os
+    import tempfile
+
+    from datapipeline_scripts_spark.sources import tfexample as tfe
+    from datapipeline_scripts_spark.sources import tfrecord as tfr
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    records = docs.mapInPandas(
+        _tfexample_encode_worker,
+        schema=T.StructType([T.StructField("record", T.BinaryType())]),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_tfexample_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    tfr.write_tfrecord_dataset(records, out, compress=True, mode="overwrite")
+    read_back = tfe.read_tfexample(
+        spark,
+        out,
+        features={"doc_id": "int64", "text": "string", "score": "float"},
+    )
+    return (
+        read_back.select(
+            "doc_id",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+            "score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+STAGED["tfexample_dataset_roundtrip"] = (
+    tfexample_dataset_roundtrip,
+    TFEXAMPLE_DATASET_ROUNDTRIP_ORACLE,
+)

@@ -150,6 +150,77 @@ def parse_tfrecord(payload: bytes, *, where: str = "<bytes>") -> list[bytes]:
 
 # ---- Spark surface -----------------------------------------------------------
 
+
+def write_tfrecord_dataset(
+    df: DataFrame,
+    path: str,
+    record_col: str = "record",
+    compress: bool = False,
+    mode: str = "error",
+) -> list[str]:
+    """Write a binary column as TFRecord shards, one part-file per
+    partition, written BY THE EXECUTORS (no driver data path — only
+    the file NAMES return, one per partition; the same shape as
+    `write_avro_py`). This is the export half of the training-shard
+    story: pack a corpus in Spark, hand `.tfrecord` shards straight
+    to a trainer. `path` must be a POSIX directory visible to the
+    executors (local mode / shared-FS clusters; object stores want a
+    committer). All four DataFrameWriter save modes apply, matching
+    the Avro sink's semantics: `error`/`errorifexists` refuse a
+    non-empty target, `overwrite` replaces it, `ignore` silently
+    returns [] when the target is non-empty, `append` adds part-files
+    under run-unique names. Empty partitions write no file; an
+    all-empty frame writes one empty shard so reads still work (an
+    empty TFRecord file is valid — zero records)."""
+    import os
+    import shutil
+    import uuid
+
+    mode = "error" if mode == "errorifexists" else mode
+    if mode not in ("error", "overwrite", "append", "ignore"):
+        raise ValueError(
+            f"unknown save mode {mode!r}; expected "
+            "error/errorifexists/overwrite/append/ignore"
+        )
+    if os.path.exists(path):
+        if mode == "overwrite":
+            shutil.rmtree(path)
+        elif os.listdir(path):
+            if mode == "ignore":
+                return []
+            if mode == "error":
+                raise FileExistsError(f"{path!r} exists; pass mode='overwrite'")
+            # append falls through: run-unique part names below
+    os.makedirs(path, exist_ok=True)
+    run_token = f"-{uuid.uuid4().hex[:12]}" if mode == "append" else ""
+    suffix = ".tfrecord.gz" if compress else ".tfrecord"
+
+    def write_partition(pid: int, rows):
+        records = [bytes(r[0]) for r in rows]
+        if not records:
+            return iter(())
+        payload = write_tfrecord(records)
+        if compress:
+            # mtime=0 → deterministic bytes for identical inputs,
+            # matching every other writer in this repo
+            payload = gzip.compress(payload, mtime=0)
+        part_path = os.path.join(path, f"part-{pid:05d}{run_token}{suffix}")
+        with open(part_path, "wb") as fh:
+            fh.write(payload)
+        return iter([part_path])
+
+    files = sorted(
+        df.select(record_col).rdd.mapPartitionsWithIndex(write_partition).collect()
+    )
+    if not files:  # all partitions empty: one empty shard so reads work
+        part_path = os.path.join(path, f"part-00000{run_token}{suffix}")
+        empty = gzip.compress(b"", mtime=0) if compress else b""
+        with open(part_path, "wb") as fh:
+            fh.write(empty)
+        files = [part_path]
+    return files
+
+
 _TFRECORD_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.StringType()),
