@@ -192,8 +192,33 @@ def _shared_set_vs_previous(timings: dict[str, float]) -> dict:
         try:
             with open(path) as fh:
                 prev = json.load(fh)
-            # the driver wraps our JSON line under "parsed" in BENCH_r*.json
-            prev_q = prev.get("parsed", prev).get("queries", {})
+            # the driver wraps our JSON line under "parsed" in BENCH_r*.json;
+            # when its parse failed (BENCH_r08: parsed=null) the raw stdout
+            # survives in "tail" — recover the bench line from there so the
+            # round drops out of the ratio history only if truly unreadable
+            prev_obj = prev.get("parsed", prev) if isinstance(prev, dict) else None
+            if prev_obj is None and isinstance(prev.get("tail"), str):
+                tail = prev["tail"].strip()
+                if tail.startswith("{"):
+                    try:
+                        prev_obj = json.loads(tail.splitlines()[-1])
+                    except json.JSONDecodeError:
+                        prev_obj = None
+                if prev_obj is None:
+                    # the tail is byte-capped and may begin MID-line
+                    # (BENCH_r08), but the per-query pairs inside the
+                    # "queries" object — everything before the first
+                    # closing brace — survive verbatim; a partial key
+                    # set is still a valid same-key comparison because
+                    # both totals below are computed over the shared
+                    # set only
+                    frag = tail.split("}", 1)[0]
+                    pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9][0-9.]*)', frag)
+                    if pairs:
+                        prev_obj = {"queries": {k: float(v) for k, v in pairs}}
+            if not isinstance(prev_obj, dict):
+                continue
+            prev_q = prev_obj.get("queries", {})
             shared = sorted(set(prev_q) & set(timings))
             if not shared:
                 continue
