@@ -946,3 +946,39 @@ def test_r3_join_keys_product_join_budget(spark, sf_dir, key, max_bnlj):
     joins = join_strategies(df)
     assert "CartesianProduct" not in joins, (key, joins)
     assert joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (key, joins)
+
+
+def test_r9_media_ingest_keys_prune_and_stay_shuffle_light(spark, sf_dir):
+    """The eight round-9 keys + the staged r10 keys: the parquet scan
+    must read ONLY the columns the worker consumes (doc_id, or
+    doc_id+text — never the embedding/meta columns), and the only
+    exchange is the explicit spread-the-codec-work repartition
+    (RoundRobin), never a key shuffle or a cartesian."""
+    from datapipeline_scripts_spark.sources.staged_r10 import STAGED as R10
+
+    keys = {
+        "multimodal_real_jpeg": ["doc_id"],
+        "multimodal_real_gif": ["doc_id"],
+        "multimodal_real_tiff": ["doc_id"],
+        "multimodal_real_wav": ["doc_id"],
+        "multimodal_real_video": ["doc_id"],
+        "warc_roundtrip": ["doc_id", "text"],
+        "webdataset_roundtrip": ["doc_id", "text"],
+        "jsonl_zst_roundtrip": ["doc_id", "text"],
+    }
+    for key, want_cols in keys.items():
+        df = get(key).build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        schemas = read_schemas(df)
+        assert schemas and sorted(schemas[0]) == want_cols, (key, schemas)
+        assert "CartesianProduct" not in plan, key
+        assert "hashpartitioning" not in plan, (key, "unexpected key shuffle")
+    # staged r10: same contract, built from the STAGED dict (the keys
+    # register next round; the plan shape must already be right)
+    for key, (build, _oracle) in R10.items():
+        if key == "tfexample_dataset_roundtrip":
+            continue  # write-then-read composite; scan shape checked via r10 proofs
+        df = build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "hashpartitioning" not in plan, key
