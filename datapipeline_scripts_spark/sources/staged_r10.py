@@ -22,9 +22,13 @@ protos (encoder proven bit-exact against the canonical JVM protobuf
 runtime) → executor-written gzip TFRecord shards → typed read-back;
 see the section comment below.
 
-Registration recipe (round 10): ``@query`` for BOTH keys,
+dedup_passage_winnow: the dedup modality the family still lacked —
+shared-passage (substring-level) duplicate pairs via the proven
+winnowing fingerprint; see the section comment below.
+
+Registration recipe (round 10): ``@query`` for all THREE keys,
 ``_ADDED_R10`` in ``__spark_entry__.py``'s deferral union, staged_r10
-import in ``registry._ensure_loaded``, freeze counts 319 → 321
+import in ``registry._ensure_loaded``, freeze counts 319 → 322
 (tests/test_staged_r8.py, test_staged_r9.py, test_staged_r10.py),
 COVERAGE.md + docs/SCALE.md.
 """
@@ -211,3 +215,130 @@ STAGED["tfexample_dataset_roundtrip"] = (
     tfexample_dataset_roundtrip,
     TFEXAMPLE_DATASET_ROUNDTRIP_ORACLE,
 )
+
+
+# ---- dedup_passage_winnow -----------------------------------------------------
+#
+# The dedup modality the family still lacked: SHARED-PASSAGE detection
+# (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" — substring-level duplication between documents whose
+# overall similarity is low). Composition of proven pieces: the
+# text_winnow fingerprint (guarantees any shared run of ≥6 tokens
+# shares a fingerprint — extensions/textstats.py, oracle-proven since
+# r2) feeds an inverted fingerprint index; a doc-frequency cap bounds
+# any fingerprint's pair contribution (the dedup_ngram_jaccard_capped
+# prefix-filtering idiom); pairs sharing ≥2 fingerprints (≈ two
+# independent 6-token runs, or one long passage) are flagged. All
+# hashes are the cross-engine md5_48, so the DuckDB oracle recomputes
+# the exact pair set — values proven, not just counts.
+
+_PW_WINDOW = 4  # winnow window (matches text_winnow)
+_PW_CAP = 32  # max docs per fingerprint (prefix filtering)
+_PW_MIN_SHARED = 2
+
+
+def _winnowed_fps(spark: SparkSession, sf_dir: str):
+    """(doc_id, fp) winnowing fingerprints — text_winnow's exact
+    construction (same window, same md5_48 shingle hash)."""
+    from pyspark.sql import Window as W
+
+    from datapipeline_scripts_spark.functions.text import md5_48, shingles, tokens
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = tok.select(
+        "doc_id", F.posexplode(shingles(F.col("toks"), 3)).alias("pos", "sh")
+    )
+    hashed = sh.select("doc_id", "pos", md5_48(F.col("sh")).alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _PW_WINDOW - 1)
+    wcount = W.partitionBy("doc_id")
+    return (
+        hashed.withColumn("n", F.count("*").over(wcount))
+        .withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - _PW_WINDOW, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def _passage_oracle() -> str:
+    from datapipeline_scripts_spark.functions.text import md5_48_sql
+
+    norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, toks FROM
+        (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             concat(toks[pos + 1], ' ', toks[pos + 2], ' ', toks[pos + 3]) AS sh
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS pos FROM tok)
+    ),
+    hashed AS (SELECT doc_id, pos, {md5_48_sql("sh")} AS h FROM sh),
+    winnowed AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_PW_WINDOW - 1} FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM hashed
+      )
+      WHERE pos <= greatest(n - {_PW_WINDOW}, 0)
+    ),
+    capped AS (
+      SELECT fp FROM winnowed GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND {_PW_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM winnowed a JOIN capped USING (fp) JOIN winnowed b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared
+    FROM pairs
+    WHERE shared >= {_PW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """
+
+
+DEDUP_PASSAGE_WINNOW_ORACLE = _passage_oracle()
+
+
+def dedup_passage_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage pair detection — see the section comment above.
+    Scale shape: the winnow min-window collapses |tokens| →
+    ~|tokens|/{_PW_WINDOW} fingerprints BEFORE the distinct shuffle;
+    the doc-frequency cap (semi-join on the same fp key — no new
+    shuffle key) bounds any fingerprint's pair contribution at
+    C(cap,2), so pair generation is O(|collisions|·cap), never
+    quadratic in corpus size; the final shuffle keys on (doc_a,
+    doc_b) with partial aggregation. No CartesianProduct at any step
+    (plan-asserted)."""
+    fps = _winnowed_fps(spark, sf_dir)
+    capped = (
+        fps.groupBy("fp")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= _PW_CAP))
+        .select("fp")
+    )
+    indexed = fps.join(capped, "fp")
+    a = indexed.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = indexed.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _PW_MIN_SHARED)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+STAGED["dedup_passage_winnow"] = (dedup_passage_winnow, DEDUP_PASSAGE_WINNOW_ORACLE)
