@@ -270,6 +270,73 @@ def decode_example(data: bytes, *, where: str = "<example>") -> dict[str, tuple[
     return out
 
 
+# ---- SequenceExample ----------------------------------------------------------
+#
+# The sequence sibling (same public proto file):
+#   SequenceExample { Features context = 1; FeatureLists feature_lists = 2; }
+#   FeatureLists    { map<string, FeatureList> feature_list = 1; }
+#   FeatureList     { repeated Feature feature = 1; }
+# Context carries per-sequence features (an Example's Features,
+# reused verbatim); each feature_list carries one Feature PER STEP —
+# the shape token/frame sequences ship in.
+
+
+def encode_sequence_example(context: dict, feature_lists: dict) -> bytes:
+    """Wire bytes of one tf.SequenceExample. ``context`` is an
+    `encode_example`-style features dict; ``feature_lists`` maps name
+    → list of per-step feature specs (each a value list with the kind
+    auto-detected, or an explicit ``(kind, values)``). Deterministic:
+    both maps emit in sorted-name order."""
+    ctx = encode_example(context)  # = Features wrapped as field 1 — reuse as-is
+    out = bytearray(ctx)
+    lists = bytearray()
+    for name in sorted(feature_lists):
+        steps = bytearray()
+        for spec in feature_lists[name]:
+            if isinstance(spec, tuple):
+                kind, values = spec
+            else:
+                values = list(spec)
+                kind = _detect_kind(values)
+            steps += _ld(1, encode_feature(kind, values))
+        entry = _ld(1, name.encode("utf-8")) + _ld(2, bytes(steps))
+        lists += _ld(1, entry)
+    out += _ld(2, bytes(lists))
+    return bytes(out)
+
+
+def decode_sequence_example(
+    data: bytes, *, where: str = "<seq-example>"
+) -> tuple[dict, dict]:
+    """(context, feature_lists) of one tf.SequenceExample: context as
+    name → (kind, values); feature_lists as name → [(kind, values)]
+    per step. Same wire discipline as decode_example (duplicate keys
+    last-wins, unknown fields skip, loud truncation)."""
+    context: dict = {}
+    lists: dict = {}
+    for fno, wire, buf in _iter_fields(bytes(data), where):
+        if fno == 1 and wire == 2:  # context: a Features message
+            context = decode_example(_ld(1, buf), where=where)
+        elif fno == 2 and wire == 2:  # FeatureLists
+            for efno, ewire, entry in _iter_fields(buf, where):
+                if efno != 1 or ewire != 2:
+                    continue
+                name, steps = None, []
+                for kfno, kwire, kval in _iter_fields(entry, where):
+                    if kfno == 1 and kwire == 2:
+                        name = kval.decode("utf-8")
+                    elif kfno == 2 and kwire == 2:
+                        steps = [
+                            decode_feature(f, where=where)
+                            for fn2, w2, f in _iter_fields(kval, where)
+                            if fn2 == 1 and w2 == 2
+                        ]
+                if name is None:
+                    raise ValueError(f"{where}: feature_list entry without a key")
+                lists[name] = steps
+    return context, lists
+
+
 # ---- Spark surface -----------------------------------------------------------
 
 _SCALAR_TYPES = {

@@ -157,7 +157,8 @@ def write_tfrecord_dataset(
     record_col: str = "record",
     compress: bool = False,
     mode: str = "error",
-) -> list[str]:
+    manifest: bool = False,
+) -> list:
     """Write a binary column as TFRecord shards, one part-file per
     partition, written BY THE EXECUTORS (no driver data path — only
     the file NAMES return, one per partition; the same shape as
@@ -171,7 +172,16 @@ def write_tfrecord_dataset(
     returns [] when the target is non-empty, `append` adds part-files
     under run-unique names. Empty partitions write no file; an
     all-empty frame writes one empty shard so reads still work (an
-    empty TFRecord file is valid — zero records)."""
+    empty TFRecord file is valid — zero records).
+
+    ``manifest=True`` returns one dict per shard —
+    ``{"path", "n_records", "n_bytes", "md5"}`` (md5 of the on-disk
+    bytes, computed executor-side in the same pass) — instead of bare
+    paths. Feed ``{basename: n_records}`` straight into
+    `read_tfrecord(expected_records=...)` to close the
+    boundary-truncation hole end-to-end: the writer attests what it
+    wrote, the reader refuses anything less."""
+    import hashlib
     import os
     import shutil
     import uuid
@@ -207,18 +217,35 @@ def write_tfrecord_dataset(
         part_path = os.path.join(path, f"part-{pid:05d}{run_token}{suffix}")
         with open(part_path, "wb") as fh:
             fh.write(payload)
-        return iter([part_path])
+        return iter(
+            [
+                {
+                    "path": part_path,
+                    "n_records": len(records),
+                    "n_bytes": len(payload),
+                    "md5": hashlib.md5(payload).hexdigest(),
+                }
+            ]
+        )
 
-    files = sorted(
-        df.select(record_col).rdd.mapPartitionsWithIndex(write_partition).collect()
+    entries = sorted(
+        df.select(record_col).rdd.mapPartitionsWithIndex(write_partition).collect(),
+        key=lambda e: e["path"],
     )
-    if not files:  # all partitions empty: one empty shard so reads work
+    if not entries:  # all partitions empty: one empty shard so reads work
         part_path = os.path.join(path, f"part-00000{run_token}{suffix}")
         empty = gzip.compress(b"", mtime=0) if compress else b""
         with open(part_path, "wb") as fh:
             fh.write(empty)
-        files = [part_path]
-    return files
+        entries = [
+            {
+                "path": part_path,
+                "n_records": 0,
+                "n_bytes": len(empty),
+                "md5": hashlib.md5(empty).hexdigest(),
+            }
+        ]
+    return entries if manifest else [e["path"] for e in entries]
 
 
 _TFRECORD_SCHEMA = T.StructType(

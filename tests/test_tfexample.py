@@ -334,3 +334,162 @@ def test_write_dataset_gzip_and_empty(spark, tmp_path):
     files = tfr.write_tfrecord_dataset(empty_df, empty_out)
     assert len(files) == 1
     assert tfr.read_tfrecord(spark, empty_out).count() == 0
+
+
+def test_write_dataset_manifest_closes_truncation_loop(spark, tmp_path):
+    """Writer-attested manifest → reader verification, end to end:
+    what the writer says it wrote, the reader enforces; truncating a
+    shard at a record boundary then trips the manifest check that the
+    bytes alone cannot."""
+    import hashlib
+    import os
+
+    out = str(tmp_path / "m")
+    entries = tfr.write_tfrecord_dataset(
+        _examples_df(spark, n=6, partitions=2), out, manifest=True
+    )
+    assert sum(e["n_records"] for e in entries) == 6
+    for e in entries:
+        blob = open(e["path"], "rb").read()
+        assert len(blob) == e["n_bytes"]
+        assert hashlib.md5(blob).hexdigest() == e["md5"]
+
+    expected = {os.path.basename(e["path"]): e["n_records"] for e in entries}
+    assert tfr.read_tfrecord(spark, out, expected_records=expected).count() == 6
+
+    # boundary-truncate one shard: drop its last record cleanly
+    victim = entries[0]["path"]
+    records = tfr.parse_tfrecord(open(victim, "rb").read())
+    open(victim, "wb").write(tfr.write_tfrecord(records[:-1]))
+    assert tfr.read_tfrecord(spark, out).count() == 5  # silent without manifest
+    with pytest.raises(Exception, match="manifest expects"):
+        tfr.read_tfrecord(spark, out, expected_records=expected).count()
+
+
+# ---- SequenceExample ----------------------------------------------------------
+
+
+def test_sequence_example_roundtrip():
+    ctx = {"doc_id": [7], "title": [b"t"]}
+    lists = {
+        "tokens": [("bytes", [b"a"]), ("bytes", [b"b", b"c"])],
+        "logits": [[0.5, -1.5], [2.0]],
+        "steps": [("int64", [1]), ("int64", [2]), ("int64", [3])],
+    }
+    data = tfe.encode_sequence_example(ctx, lists)
+    assert tfe.encode_sequence_example(ctx, lists) == data
+    got_ctx, got_lists = tfe.decode_sequence_example(data)
+    assert got_ctx["doc_id"] == ("int64", [7])
+    assert got_ctx["title"] == ("bytes", [b"t"])
+    assert got_lists["tokens"] == [("bytes", [b"a"]), ("bytes", [b"b", b"c"])]
+    assert got_lists["logits"] == [("float", [0.5, -1.5]), ("float", [2.0])]
+    assert got_lists["steps"] == [("int64", [1]), ("int64", [2]), ("int64", [3])]
+
+
+def _extend_with_sequence_example(spark, fdp_builder_fn):
+    """tf.SequenceExample on top of the Example descriptor."""
+    jvm = spark._jvm
+    pb = jvm.org.apache.orc.protobuf
+    DP = pb.DescriptorProtos
+    FT = DP.FieldDescriptorProto.Type
+    FL = DP.FieldDescriptorProto.Label
+    fdp = fdp_builder_fn(spark).toBuilder()
+
+    def field(name, num, ftype, label=None, type_name=None):
+        f = DP.FieldDescriptorProto.newBuilder()
+        f.setName(name)
+        f.setNumber(num)
+        f.setType(ftype)
+        f.setLabel(label or FL.LABEL_OPTIONAL)
+        if type_name:
+            f.setTypeName(type_name)
+        return f
+
+    flist = DP.DescriptorProto.newBuilder()
+    flist.setName("FeatureList")
+    flist.addField(field("feature", 1, FT.TYPE_MESSAGE, label=FL.LABEL_REPEATED,
+                         type_name=".tf.Feature"))
+    fdp.addMessageType(flist)
+
+    flists = DP.DescriptorProto.newBuilder()
+    flists.setName("FeatureLists")
+    entry = DP.DescriptorProto.newBuilder()
+    entry.setName("FeatureListEntry")
+    entry.addField(field("key", 1, FT.TYPE_STRING))
+    entry.addField(field("value", 2, FT.TYPE_MESSAGE, type_name=".tf.FeatureList"))
+    flists.addNestedType(entry)
+    flists.addField(field("feature_list", 1, FT.TYPE_MESSAGE, label=FL.LABEL_REPEATED,
+                          type_name=".tf.FeatureLists.FeatureListEntry"))
+    fdp.addMessageType(flists)
+
+    seq = DP.DescriptorProto.newBuilder()
+    seq.setName("SequenceExample")
+    seq.addField(field("context", 1, FT.TYPE_MESSAGE, type_name=".tf.Features"))
+    seq.addField(field("feature_lists", 2, FT.TYPE_MESSAGE, type_name=".tf.FeatureLists"))
+    fdp.addMessageType(seq)
+    return fdp.build()
+
+
+def test_sequence_example_canonical_jvm_bit_exact(spark):
+    jvm = spark._jvm
+    pb = jvm.org.apache.orc.protobuf
+    fdp = _extend_with_sequence_example(spark, _build_tfexample_descriptor)
+    arr = spark.sparkContext._gateway.new_array(pb.Descriptors.FileDescriptor, 0)
+    fd = pb.Descriptors.FileDescriptor.buildFrom(fdp, arr)
+    seq_t = fd.findMessageTypeByName("SequenceExample")
+
+    text = """
+    context {
+      feature { key: "doc_id" value { int64_list { value: 7 } } }
+    }
+    feature_lists {
+      feature_list { key: "logits" value {
+        feature { float_list { value: 0.5 value: -1.5 } }
+        feature { float_list { value: 2.0 } }
+      } }
+      feature_list { key: "tokens" value {
+        feature { bytes_list { value: "a" } }
+        feature { bytes_list { value: "b" value: "c" } }
+      } }
+    }
+    """
+    b = pb.DynamicMessage.newBuilder(seq_t)
+    pb.TextFormat.merge(text, b)
+    canonical = bytes(b.build().toByteArray())
+
+    ours = tfe.encode_sequence_example(
+        {"doc_id": [7]},
+        {"logits": [[0.5, -1.5], [2.0]],
+         "tokens": [("bytes", [b"a"]), ("bytes", [b"b", b"c"])]},
+    )
+    assert ours == canonical
+    reparsed = pb.DynamicMessage.parseFrom(seq_t, ours)
+    assert bytes(reparsed.toByteArray()) == canonical
+    ctx, lists = tfe.decode_sequence_example(canonical)
+    assert ctx["doc_id"] == ("int64", [7])
+    assert lists["logits"] == [("float", [0.5, -1.5]), ("float", [2.0])]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sequence_example_random_roundtrip(seed):
+    rnd = random.Random(9300 + seed)
+    ctx = {}
+    for i in range(rnd.randint(0, 4)):
+        ctx[f"c{i}"] = ("int64", [rnd.randint(-1000, 1000) for _ in range(rnd.randint(0, 4))])
+    lists = {}
+    for i in range(rnd.randint(0, 4)):
+        kind = rnd.choice(["bytes", "int64", "float"])
+        steps = []
+        for _ in range(rnd.randint(0, 5)):
+            n = rnd.randint(0, 4)
+            if kind == "bytes":
+                steps.append((kind, [bytes(rnd.randrange(256) for _ in range(rnd.randint(0, 10))) for _ in range(n)]))
+            elif kind == "int64":
+                steps.append((kind, [rnd.randint(-(1 << 62), 1 << 62) for _ in range(n)]))
+            else:
+                steps.append((kind, [struct.unpack("<f", struct.pack("<f", rnd.uniform(-10, 10)))[0] for _ in range(n)]))
+        lists[f"l{i}"] = steps
+    data = tfe.encode_sequence_example(ctx, lists)
+    got_ctx, got_lists = tfe.decode_sequence_example(data)
+    assert got_ctx == {k: (kind, list(v)) for k, (kind, v) in ctx.items()}
+    assert got_lists == {k: [(kind, list(v)) for kind, v in steps] for k, steps in lists.items()}
