@@ -175,3 +175,50 @@ def read_jsonl_zst(
         .select("path", "content")
     )
     return files.mapInPandas(worker, schema=schema)
+
+
+def write_jsonl_zst_dataset(
+    df: DataFrame,
+    path: str,
+    frames_of: int | None = None,
+    mode: str = "error",
+    manifest: bool = False,
+) -> list:
+    """Write a DataFrame as .jsonl.zst shards, one shard per
+    partition, written by the executors (the export half of the
+    text-corpus story — the Dolma/Pile packaging, straight from
+    Spark). Every column becomes a JSON field (nested structs/arrays/
+    maps recurse; binary refuses loudly — JSON has no bytes type, put
+    binary corpora in WebDataset/TFRecord shards instead);
+    ``frames_of`` forwards to `write_jsonl_zst` (frame-per-N-rows, the
+    append-writer layout). Save modes + optional writer-attested
+    manifest per the shared shard-sink contract
+    (sources/shard_sink.py) — manifest n_records counts LINES, the
+    unit `read_jsonl_zst(expected_rows=...)` verifies."""
+    from datapipeline_scripts_spark.sources.shard_sink import write_shard_dataset
+
+    def encode_partition(rows):
+        dicts = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            for k, v in d.items():
+                if isinstance(v, (bytes, bytearray)):
+                    raise TypeError(
+                        f"column {k!r} is binary; JSON-Lines shards cannot "
+                        "carry bytes — use write_webdataset_dataset or "
+                        "write_tfrecord_dataset for binary corpora"
+                    )
+            dicts.append(d)
+        if not dicts:
+            return None
+        return write_jsonl_zst(dicts, frames_of=frames_of), len(dicts)
+
+    return write_shard_dataset(
+        df,
+        path,
+        ".jsonl.zst",
+        encode_partition,
+        empty_payload=lambda: write_jsonl_zst([]),
+        mode=mode,
+        manifest=manifest,
+    )

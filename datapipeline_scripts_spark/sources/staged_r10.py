@@ -26,9 +26,13 @@ dedup_passage_winnow: the dedup modality the family still lacked —
 shared-passage (substring-level) duplicate pairs via the proven
 winnowing fingerprint; see the section comment below.
 
-Registration recipe (round 10): ``@query`` for all THREE keys,
+jsonl_export_roundtrip: the text-corpus export half — distributed
+.jsonl.zst sink with its writer-attested manifest feeding the
+reader's truncation check; see the section comment below.
+
+Registration recipe (round 10): ``@query`` for all FOUR keys,
 ``_ADDED_R10`` in ``__spark_entry__.py``'s deferral union, staged_r10
-import in ``registry._ensure_loaded``, freeze counts 319 → 322
+import in ``registry._ensure_loaded``, freeze counts 319 → 323
 (tests/test_staged_r8.py, test_staged_r9.py, test_staged_r10.py),
 COVERAGE.md + docs/SCALE.md.
 """
@@ -342,3 +346,66 @@ def dedup_passage_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["dedup_passage_winnow"] = (dedup_passage_winnow, DEDUP_PASSAGE_WINNOW_ORACLE)
+
+
+# ---- jsonl_export_roundtrip ----------------------------------------------------
+#
+# The text-corpus EXPORT half under the driver harness (the Dolma/Pile
+# packaging, written rather than read): a documents slice goes through
+# the DISTRIBUTED .jsonl.zst sink (sources/jsonl_zst.py
+# write_jsonl_zst_dataset — one multi-frame shard per partition,
+# executor-side, manifest attested in the same pass), then back
+# through the production reader WITH the writer's manifest feeding the
+# frame-boundary-truncation check (`expected_rows`) — the full
+# write→attest→verified-read loop the ADVICE r08 integrity work built,
+# as one driver-gated key. The oracle recomputes the projection from
+# the documents table alone.
+
+def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed .jsonl.zst export → manifest-verified import under
+    the driver harness — see the section comment above. Scale shape:
+    one shard per partition out, one task per shard back, manifest
+    entries are one int per shard; no driver data path either way."""
+    import os
+    import tempfile
+
+    from datapipeline_scripts_spark.sources import jsonl_zst as jz
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_export_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    entries = jz.write_jsonl_zst_dataset(
+        docs, out, frames_of=64, mode="overwrite", manifest=True
+    )
+    expected = {os.path.basename(e["path"]): e["n_records"] for e in entries}
+    read_back = jz.read_jsonl_zst(
+        spark, out, fields=["doc_id", "text"], expected_rows=expected
+    )
+    return read_back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")).alias(
+            "text_md5"
+        ),
+    ).orderBy("doc_id")
+
+
+JSONL_EXPORT_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           md5(coalesce(text, '')) AS text_md5
+    FROM documents
+    WHERE doc_id % 7 = 3
+    ORDER BY doc_id
+"""
+
+STAGED["jsonl_export_roundtrip"] = (
+    jsonl_export_roundtrip,
+    JSONL_EXPORT_ROUNDTRIP_ORACLE,
+)

@@ -181,71 +181,28 @@ def write_tfrecord_dataset(
     `read_tfrecord(expected_records=...)` to close the
     boundary-truncation hole end-to-end: the writer attests what it
     wrote, the reader refuses anything less."""
-    import hashlib
-    import os
-    import shutil
-    import uuid
+    from datapipeline_scripts_spark.sources.shard_sink import write_shard_dataset
 
-    mode = "error" if mode == "errorifexists" else mode
-    if mode not in ("error", "overwrite", "append", "ignore"):
-        raise ValueError(
-            f"unknown save mode {mode!r}; expected "
-            "error/errorifexists/overwrite/append/ignore"
-        )
-    if os.path.exists(path):
-        if mode == "overwrite":
-            shutil.rmtree(path)
-        elif os.listdir(path):
-            if mode == "ignore":
-                return []
-            if mode == "error":
-                raise FileExistsError(f"{path!r} exists; pass mode='overwrite'")
-            # append falls through: run-unique part names below
-    os.makedirs(path, exist_ok=True)
-    run_token = f"-{uuid.uuid4().hex[:12]}" if mode == "append" else ""
-    suffix = ".tfrecord.gz" if compress else ".tfrecord"
-
-    def write_partition(pid: int, rows):
+    def encode_partition(rows):
         records = [bytes(r[0]) for r in rows]
         if not records:
-            return iter(())
+            return None
         payload = write_tfrecord(records)
         if compress:
             # mtime=0 → deterministic bytes for identical inputs,
             # matching every other writer in this repo
             payload = gzip.compress(payload, mtime=0)
-        part_path = os.path.join(path, f"part-{pid:05d}{run_token}{suffix}")
-        with open(part_path, "wb") as fh:
-            fh.write(payload)
-        return iter(
-            [
-                {
-                    "path": part_path,
-                    "n_records": len(records),
-                    "n_bytes": len(payload),
-                    "md5": hashlib.md5(payload).hexdigest(),
-                }
-            ]
-        )
+        return payload, len(records)
 
-    entries = sorted(
-        df.select(record_col).rdd.mapPartitionsWithIndex(write_partition).collect(),
-        key=lambda e: e["path"],
+    return write_shard_dataset(
+        df.select(record_col),
+        path,
+        ".tfrecord.gz" if compress else ".tfrecord",
+        encode_partition,
+        empty_payload=(lambda: gzip.compress(b"", mtime=0)) if compress else (lambda: b""),
+        mode=mode,
+        manifest=manifest,
     )
-    if not entries:  # all partitions empty: one empty shard so reads work
-        part_path = os.path.join(path, f"part-00000{run_token}{suffix}")
-        empty = gzip.compress(b"", mtime=0) if compress else b""
-        with open(part_path, "wb") as fh:
-            fh.write(empty)
-        entries = [
-            {
-                "path": part_path,
-                "n_records": 0,
-                "n_bytes": len(empty),
-                "md5": hashlib.md5(empty).hexdigest(),
-            }
-        ]
-    return entries if manifest else [e["path"] for e in entries]
 
 
 _TFRECORD_SCHEMA = T.StructType(

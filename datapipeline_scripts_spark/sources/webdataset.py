@@ -143,3 +143,59 @@ def read_webdataset(
         .select("path", "content")
     )
     return files.mapInPandas(_wds_worker, schema=_WDS_SCHEMA)
+
+
+def write_webdataset_dataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    file_cols: dict[str, str],
+    gzipped: bool = False,
+    mode: str = "error",
+    manifest: bool = False,
+) -> list:
+    """Write a DataFrame as WebDataset tar shards, one shard per
+    partition, written by the executors (the export half of the
+    multimodal-shard story — pack a corpus in Spark, hand `.tar`
+    shards straight to a trainer's WebDataset loader). ``key_col``
+    supplies each sample's base key (cast to string; must satisfy the
+    no-dot key grammar `base_plus_ext` enforces on read);
+    ``file_cols`` maps tar member extension → column (binary or
+    string; string encodes utf-8; NULL columns are omitted from the
+    sample). Save modes + optional writer-attested manifest: the
+    shared shard-sink contract (sources/shard_sink.py) — manifest
+    n_records counts SAMPLES. Determinism: zeroed tar metadata via
+    `write_webdataset_shard`, so identical partitions give identical
+    shard bytes."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.sources.shard_sink import write_shard_dataset
+
+    exts = sorted(file_cols)
+    cols = [F.col(key_col).cast("string").alias("__key")] + [
+        F.col(file_cols[e]).alias(f"__f_{e}") for e in exts
+    ]
+
+    def encode_partition(rows):
+        samples = []
+        for r in rows:
+            files = {}
+            for e in exts:
+                v = r[f"__f_{e}"]
+                if v is None:
+                    continue
+                files[e] = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            samples.append((r["__key"], files))
+        if not samples:
+            return None
+        return write_webdataset_shard(samples, gzipped=gzipped), len(samples)
+
+    return write_shard_dataset(
+        df.select(*cols),
+        path,
+        ".tar.gz" if gzipped else ".tar",
+        encode_partition,
+        empty_payload=lambda: write_webdataset_shard([], gzipped=gzipped),
+        mode=mode,
+        manifest=manifest,
+    )
