@@ -30,9 +30,13 @@ jsonl_export_roundtrip: the text-corpus export half — distributed
 .jsonl.zst sink with its writer-attested manifest feeding the
 reader's truncation check; see the section comment below.
 
-Registration recipe (round 10): ``@query`` for all FOUR keys,
+webdataset_export_roundtrip: the multimodal-shard export half —
+distributed tar sink → production sample walk, completing driver
+coverage of all three export sinks; see the section comment below.
+
+Registration recipe (round 10): ``@query`` for all FIVE keys,
 ``_ADDED_R10`` in ``__spark_entry__.py``'s deferral union, staged_r10
-import in ``registry._ensure_loaded``, freeze counts 319 → 323
+import in ``registry._ensure_loaded``, freeze counts 319 → 324
 (tests/test_staged_r8.py, test_staged_r9.py, test_staged_r10.py),
 COVERAGE.md + docs/SCALE.md.
 """
@@ -408,4 +412,73 @@ JSONL_EXPORT_ROUNDTRIP_ORACLE = """
 STAGED["jsonl_export_roundtrip"] = (
     jsonl_export_roundtrip,
     JSONL_EXPORT_ROUNDTRIP_ORACLE,
+)
+
+
+# ---- webdataset_export_roundtrip -----------------------------------------------
+#
+# The multimodal-shard EXPORT half under the driver harness
+# (completing driver coverage of all three sinks: TFRecord via
+# tfexample_dataset_roundtrip, .jsonl.zst via jsonl_export_roundtrip,
+# WebDataset here): a documents slice packs into executor-written tar
+# shards via the DISTRIBUTED sink (sources/webdataset.py
+# write_webdataset_dataset — txt member + cls member per sample,
+# deterministic zeroed-metadata members), then flows back through the
+# production sample walk (read_webdataset). The oracle recomputes the
+# member inventory and text hash from the documents table alone.
+
+def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WebDataset export → import under the driver
+    harness — see the section comment above. Scale shape: one tar
+    shard per partition out (executor-side, names-only to the
+    driver), one task per shard back, the sample's members staying
+    co-located in one map column — zero shuffle either way beyond the
+    output sort."""
+    import os
+    import tempfile
+
+    from datapipeline_scripts_spark.sources import webdataset as wds
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 5)
+        .select(
+            F.format_string("%09d", F.col("doc_id")).alias("k"),
+            F.coalesce(F.col("text"), F.lit("")).alias("txt"),
+            (F.col("doc_id") % 10).cast("string").alias("cls"),
+            "doc_id",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wds_export_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    wds.write_webdataset_dataset(
+        docs, out, key_col="k", file_cols={"txt": "txt", "cls": "cls"},
+        mode="overwrite",
+    )
+    read_back = wds.read_webdataset(spark, out)
+    return read_back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.size("files").alias("n_files"),
+        F.md5(F.col("files")["txt"]).alias("txt_md5"),
+        F.col("files")["cls"].cast("string").cast("int").alias("cls"),
+    ).orderBy("doc_id")
+
+
+WEBDATASET_EXPORT_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_files,
+           md5(coalesce(text, '')) AS txt_md5,
+           CAST(doc_id % 10 AS INTEGER) AS cls
+    FROM documents
+    WHERE doc_id % 7 = 5
+    ORDER BY doc_id
+"""
+
+STAGED["webdataset_export_roundtrip"] = (
+    webdataset_export_roundtrip,
+    WEBDATASET_EXPORT_ROUNDTRIP_ORACLE,
 )
