@@ -261,3 +261,85 @@ def test_late_r3_stats_are_partition_invariant(spark, sf_dir):
             assert results[0] == results[1] == results[2], f"{key} drifted with shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+# ---- shard-codec properties (round 9) -----------------------------------------
+
+_BYTES = st.binary(min_size=0, max_size=300)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_BYTES, min_size=0, max_size=10))
+def test_tfrecord_framing_roundtrips_any_records(records):
+    from datapipeline_scripts_spark.sources import tfrecord as tfr
+
+    shard = tfr.write_tfrecord(records)
+    assert tfr.parse_tfrecord(shard) == records
+    # determinism: identical inputs, identical bytes
+    assert tfr.write_tfrecord(records) == shard
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_BYTES, min_size=1, max_size=6), st.data())
+def test_tfrecord_any_single_byte_flip_is_loud(records, data):
+    """Per-record double-CRC makes corruption detection TOTAL: every
+    possible single-byte flip anywhere in the stream refuses."""
+    import pytest
+
+    from datapipeline_scripts_spark.sources import tfrecord as tfr
+
+    shard = bytearray(tfr.write_tfrecord(records))
+    pos = data.draw(st.integers(min_value=0, max_value=len(shard) - 1))
+    bit = data.draw(st.integers(min_value=0, max_value=7))
+    shard[pos] ^= 1 << bit
+    with pytest.raises(ValueError):
+        tfr.parse_tfrecord(bytes(shard), where="prop")
+
+
+_FEATURE = st.one_of(
+    st.tuples(st.just("bytes"), st.lists(_BYTES, max_size=5)),
+    st.tuples(
+        st.just("int64"),
+        st.lists(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1), max_size=5),
+    ),
+    st.tuples(
+        st.just("float"),
+        st.lists(
+            # binary32-exact values so roundtrip equality is exact
+            st.integers(min_value=-(1 << 24), max_value=1 << 24).map(
+                lambda i: float(i) / 4.0
+            ),
+            max_size=5,
+        ),
+    ),
+)
+_FEATURE_NAME = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=1000), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(_FEATURE_NAME, _FEATURE, max_size=6))
+def test_tfexample_roundtrips_any_features(features):
+    from datapipeline_scripts_spark.sources import tfexample as tfe
+
+    data = tfe.encode_example(features)
+    assert tfe.encode_example(features) == data
+    got = tfe.decode_example(data)
+    assert got == {k: (kind, list(v)) for k, (kind, v) in features.items()}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(_FEATURE_NAME, _FEATURE, max_size=3),
+    st.dictionaries(_FEATURE_NAME, st.lists(_FEATURE, max_size=4), max_size=3),
+)
+def test_sequence_example_roundtrips_any_shape(context, feature_lists):
+    from datapipeline_scripts_spark.sources import tfexample as tfe
+
+    data = tfe.encode_sequence_example(context, feature_lists)
+    ctx, lists = tfe.decode_sequence_example(data)
+    assert ctx == {k: (kind, list(v)) for k, (kind, v) in context.items()}
+    assert lists == {
+        k: [(kind, list(v)) for kind, v in steps] for k, steps in feature_lists.items()
+    }
