@@ -134,3 +134,12 @@ def test_expected_records_manifest_catches_boundary_truncation(spark, tmp_path):
         tfr.read_tfrecord(
             spark, str(tmp_path), expected_records={"cut.tfrecord": 1}
         ).count()
+
+
+def test_pure_tier_always_pinned_even_with_native_wheel():
+    """Both CRC tiers must satisfy the canonical vectors — the pure
+    tier explicitly (it is the oracle the native tier is checked
+    against), and whichever tier `crc32c` currently names."""
+    assert tfr._crc32c_py(b"123456789") == 0xE3069283
+    assert tfr._crc32c_py(b"\x00" * 32) == 0x8A9136AA
+    assert tfr.crc32c(b"123456789") == 0xE3069283
