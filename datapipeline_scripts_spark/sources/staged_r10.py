@@ -34,9 +34,13 @@ webdataset_export_roundtrip: the multimodal-shard export half —
 distributed tar sink → production sample walk, completing driver
 coverage of all three export sinks; see the section comment below.
 
-Registration recipe (round 10): ``@query`` for all FIVE keys,
+multimodal_resize: the RESIZE step of the multimodal chain — real
+BMP decode → exact integer box resample, arithmetic oracle; see the
+section comment below.
+
+Registration recipe (round 10): ``@query`` for all SIX keys,
 ``_ADDED_R10`` in ``__spark_entry__.py``'s deferral union, staged_r10
-import in ``registry._ensure_loaded``, freeze counts 319 → 324
+import in ``registry._ensure_loaded``, freeze counts 319 → 325
 (tests/test_staged_r8.py, test_staged_r9.py, test_staged_r10.py),
 COVERAGE.md + docs/SCALE.md.
 """
@@ -482,3 +486,97 @@ STAGED["webdataset_export_roundtrip"] = (
     webdataset_export_roundtrip,
     WEBDATASET_EXPORT_ROUNDTRIP_ORACLE,
 )
+
+
+# ---- multimodal_resize -----------------------------------------------------
+#
+# The RESIZE step of the multimodal chain under the driver harness
+# (SURVEY §2.E4 names decode / feature-extract / resize /
+# frame-sample; the first, second and fourth are driver-gated since
+# r2/r8/r9 — this closes the set): per-document 8-bit palette BMPs
+# (identity grayscale palette, so decoded gray == palette index
+# exactly; RLE8 rotating on odd doc_ids) are encoded and decoded
+# through the production stdlib codec, then box-resized 16×8 → 4×2 by
+# the EXACT integer area resample (extensions/imageops.py). For the
+# 4×4 divisor geometry every output pixel is floor(block_sum/16) of
+# the pixel formula (d·3 + 5x + 11y + xy) % 256, which the DuckDB
+# oracle recomputes term by term — decode, resize arithmetic and
+# pixel order all inside the hash gate.
+
+_RZ_W, _RZ_H, _RZ_TW, _RZ_TH = 16, 8, 4, 2
+
+
+def _resize_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import bmp_stdlib as bs
+    from datapipeline_scripts_spark.extensions.imageops import box_resize_gray
+
+    identity = bytes(c for i in range(256) for c in (i, i, i))
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": []}
+        for i in range(_RZ_TW * _RZ_TH):
+            out[f"p{i}"] = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            indices = bytes(
+                (d * 3 + 5 * x + 11 * y + x * y) % 256
+                for y in range(_RZ_H)
+                for x in range(_RZ_W)
+            )
+            payload = bs.encode_bmp(
+                _RZ_W, _RZ_H, indices, palette=identity, rle=bool(d % 2)
+            )
+            w, h, gray = bs.bmp_decode_gray(payload)
+            small = box_resize_gray(bytes(gray), w, h, _RZ_TW, _RZ_TH)
+            out["doc_id"].append(d)
+            for i, px in enumerate(small):
+                out[f"p{i}"].append(px)
+        yield pd.DataFrame(out)
+
+
+def _resize_oracle() -> str:
+    cols = []
+    bw, bh = _RZ_W // _RZ_TW, _RZ_H // _RZ_TH
+    for ty in range(_RZ_TH):
+        for tx in range(_RZ_TW):
+            terms = " + ".join(
+                f"((doc_id * 3 + {5 * (tx * bw + dx) + 11 * (ty * bh + dy) + (tx * bw + dx) * (ty * bh + dy)}) % 256)"
+                for dy in range(bh)
+                for dx in range(bw)
+            )
+            cols.append(
+                f"CAST(({terms}) // {bw * bh} AS INTEGER) AS p{ty * _RZ_TW + tx}"
+            )
+    sel = ",\n           ".join(cols)
+    return f"""
+        SELECT doc_id,
+           {sel}
+        FROM documents
+        WHERE doc_id % 7 = 1
+        ORDER BY doc_id
+    """
+
+
+MULTIMODAL_RESIZE_ORACLE = _resize_oracle()
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode → exact box resize under the driver harness — see
+    the section comment above. Scale shape: identical to the codec
+    siblings (embarrassingly parallel Arrow-batch work, only (doc_id,
+    8 ints) across the worker boundary — the thumbnail-extraction
+    shape at corpus scale)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 1)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    fields = [T.StructField("doc_id", T.LongType())] + [
+        T.StructField(f"p{i}", T.IntegerType()) for i in range(_RZ_TW * _RZ_TH)
+    ]
+    return docs.mapInPandas(
+        _resize_worker, schema=T.StructType(fields)
+    ).orderBy("doc_id")
+
+
+STAGED["multimodal_resize"] = (multimodal_resize, MULTIMODAL_RESIZE_ORACLE)
