@@ -173,7 +173,18 @@ _ADDED_R9 = {
     "warc_roundtrip", "webdataset_roundtrip", "jsonl_zst_roundtrip",
 }
 
-_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9
+# Round-10 additions (the six keys staged through the r9 freeze in
+# sources/staged_r10.py, flipped live after CORRECTNESS_r09 closed the
+# gate 319/319): TFRecord ingest + tf.Example export roundtrips, the
+# shared-passage winnowing dedup, the .jsonl.zst / WebDataset export
+# sinks, and the exact integer image resize.
+_ADDED_R10 = {
+    "tfrecord_roundtrip", "tfexample_dataset_roundtrip",
+    "dedup_passage_winnow", "jsonl_export_roundtrip",
+    "webdataset_export_roundtrip", "multimodal_resize",
+}
+
+_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9 | _ADDED_R10
 
 
 def _ordered_keys() -> list[str]:

@@ -1,9 +1,11 @@
-"""Round-10 query keys, STAGED but NOT registered (the staged_r9.py
-pattern, one round later): round 9's driver window is spent on the
-eight _ADDED_R9 keys plus stalest-evidence re-proofs, so the TFRecord
-ingest surface built in round 9 enters the registry in round 10 —
-already held to the registration bar here: `tests/test_staged_r10.py`
-runs the builder against its DuckDB oracle at both fixture SFs.
+"""Round-10 query keys — staged through round 9 (the staged_r9.py
+pattern, one round later) and REGISTERED in round 10 via the
+``@query`` decorators below plus the ``_ADDED_R10`` deferral union in
+``__spark_entry__.py``. Each key was held to the registration bar a
+full round before exposure: `tests/test_staged_r10.py` runs every
+builder against its DuckDB oracle at both fixture SFs, and the
+registration test pins the registry to the same builder/oracle pair
+the proofs ran.
 
 tfrecord_roundtrip: each document's text becomes a 2-record TFRecord
 shard (record 0 = the utf-8 text, record 1 = the little-endian
@@ -58,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.registry import query
 
 
 def _tfrecord_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,6 +98,7 @@ TFRECORD_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("tfrecord_roundtrip", oracle=TFRECORD_ROUNDTRIP_ORACLE, tier="core")
 def tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TFRecord write→parse roundtrip under the driver harness — see
     the module docstring for the proof structure. Scale shape: the
@@ -178,6 +182,7 @@ TFEXAMPLE_DATASET_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("tfexample_dataset_roundtrip", oracle=TFEXAMPLE_DATASET_ROUNDTRIP_ORACLE, tier="core")
 def tfexample_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tf.Example export → typed import under the driver
     harness — see the section comment above. Scale shape: encode and
@@ -323,6 +328,7 @@ def _passage_oracle() -> str:
 DEDUP_PASSAGE_WINNOW_ORACLE = _passage_oracle()
 
 
+@query("dedup_passage_winnow", oracle=DEDUP_PASSAGE_WINNOW_ORACLE, tier="ext")
 def dedup_passage_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage pair detection — see the section comment above.
     Scale shape: the winnow min-window collapses |tokens| →
@@ -369,6 +375,15 @@ STAGED["dedup_passage_winnow"] = (dedup_passage_winnow, DEDUP_PASSAGE_WINNOW_ORA
 # as one driver-gated key. The oracle recomputes the projection from
 # the documents table alone.
 
+JSONL_EXPORT_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           md5(coalesce(text, '')) AS text_md5
+    FROM documents
+    WHERE doc_id % 7 = 3
+    ORDER BY doc_id
+"""
+
+@query("jsonl_export_roundtrip", oracle=JSONL_EXPORT_ROUNDTRIP_ORACLE, tier="core")
 def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed .jsonl.zst export → manifest-verified import under
     the driver harness — see the section comment above. Scale shape:
@@ -405,13 +420,6 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-JSONL_EXPORT_ROUNDTRIP_ORACLE = """
-    SELECT doc_id,
-           md5(coalesce(text, '')) AS text_md5
-    FROM documents
-    WHERE doc_id % 7 = 3
-    ORDER BY doc_id
-"""
 
 STAGED["jsonl_export_roundtrip"] = (
     jsonl_export_roundtrip,
@@ -431,6 +439,17 @@ STAGED["jsonl_export_roundtrip"] = (
 # production sample walk (read_webdataset). The oracle recomputes the
 # member inventory and text hash from the documents table alone.
 
+WEBDATASET_EXPORT_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_files,
+           md5(coalesce(text, '')) AS txt_md5,
+           CAST(doc_id % 10 AS INTEGER) AS cls
+    FROM documents
+    WHERE doc_id % 7 = 5
+    ORDER BY doc_id
+"""
+
+@query("webdataset_export_roundtrip", oracle=WEBDATASET_EXPORT_ROUNDTRIP_ORACLE, tier="core")
 def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed WebDataset export → import under the driver
     harness — see the section comment above. Scale shape: one tar
@@ -472,15 +491,6 @@ def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-WEBDATASET_EXPORT_ROUNDTRIP_ORACLE = """
-    SELECT doc_id,
-           CAST(2 AS INTEGER) AS n_files,
-           md5(coalesce(text, '')) AS txt_md5,
-           CAST(doc_id % 10 AS INTEGER) AS cls
-    FROM documents
-    WHERE doc_id % 7 = 5
-    ORDER BY doc_id
-"""
 
 STAGED["webdataset_export_roundtrip"] = (
     webdataset_export_roundtrip,
@@ -559,6 +569,7 @@ def _resize_oracle() -> str:
 MULTIMODAL_RESIZE_ORACLE = _resize_oracle()
 
 
+@query("multimodal_resize", oracle=MULTIMODAL_RESIZE_ORACLE, tier="ext")
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real decode → exact box resize under the driver harness — see
     the section comment above. Scale shape: identical to the codec

@@ -27,9 +27,15 @@ def test_staged_key_matches_oracle(spark, key, sf_dir):
     assert report.spark_rows > 0
 
 
-def test_staged_r10_keys_not_registered_during_round_9():
-    """The staging invariant: the catalog is 319 this round; the r10
-    key enters the registry only with round 10's deliberate flip."""
-    registered = set(all_queries())
-    assert len(registered) == 319
-    assert not (set(STAGED) & registered)
+def test_r10_keys_registered_with_correct_builders():
+    """Round 10 flipped the staged keys live: every STAGED key must be
+    in the registry, bound to the SAME builder and oracle the proofs
+    above ran (the decorating-the-wrong-function failure mode breaks
+    the driver contract silently), and the catalog is 325 (319 + the
+    six r10 keys)."""
+    specs = all_queries()
+    assert len(specs) == 325
+    for key, (fn, oracle) in STAGED.items():
+        assert key in specs, key
+        assert specs[key].build is fn, key
+        assert specs[key].oracle == oracle, key
