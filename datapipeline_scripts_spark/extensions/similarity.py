@@ -683,11 +683,32 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(_PQ_M)
     ]
     adist = sum(terms[1:], terms[0])
-    wadc = W.partitionBy("qid").orderBy("adist_micro", "cid")
-    shortlist = (
+    # Two-level top-k (VERDICT r09 weak item): a single per-qid window
+    # over all N candidates sorts N rows in exactly |Q| reducer
+    # partitions — a fan-in that ignores cluster size at 10⁹
+    # candidates. Level 1 ranks within (qid, chunk) — chunk = the map
+    # partition that produced the ADC row — so the first sort's keys
+    # number |Q|·P and each reducer sorts only one chunk's candidates
+    # (bounded by the scan partition size, never by N). Level 2 then
+    # ranks only the |Q|·P·_PQ_SHORTLIST survivors. Exact for top-k:
+    # every global top-_PQ_SHORTLIST row is its chunk's top-≤ that,
+    # and both levels share the (adist_micro, cid) total order, so the
+    # final set — and the oracle hash — are unchanged.
+    adc = (
         enc_map.crossJoin(F.broadcast(lut_map))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("cid"), adist.alias("adist_micro"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            adist.alias("adist_micro"),
+            F.spark_partition_id().alias("chunk"),
+        )
+    )
+    wlocal = W.partitionBy("qid", "chunk").orderBy("adist_micro", "cid")
+    wadc = W.partitionBy("qid").orderBy("adist_micro", "cid")
+    shortlist = (
+        adc.withColumn("crn", F.row_number().over(wlocal))
+        .filter(F.col("crn") <= _PQ_SHORTLIST)
         .withColumn("arn", F.row_number().over(wadc))
         .filter(F.col("arn") <= _PQ_SHORTLIST)
         .select("qid", "cid")
