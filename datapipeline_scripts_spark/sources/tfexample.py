@@ -75,7 +75,12 @@ def _read_varint(buf: bytes, i: int, where: str) -> tuple[int, int]:
         result |= (b & 0x7F) << shift
         i += 1
         if not b & 0x80:
-            return result, i
+            # canonical 64-bit truncation (ADVICE r09): a 10-byte
+            # varint carries up to 70 payload bits, and canonical
+            # parsers (JVM/C++ runtimes) keep only the low 64 — e.g.
+            # 2^70-1 on the wire decodes as 2^64-1, which _sign64 then
+            # wraps to -1 exactly as TensorFlow's readers do
+            return result & ((1 << 64) - 1), i
         shift += 7
         if shift > 63:
             raise ValueError(f"{where}: varint overflow at offset {start}")
@@ -152,21 +157,6 @@ def encode_example(features: dict) -> bytes:
 # ---- decode ------------------------------------------------------------------
 
 
-def _skip_field(buf: bytes, i: int, wire: int, where: str) -> int:
-    """Skip an unknown field per protobuf convention."""
-    if wire == 0:
-        _, i = _read_varint(buf, i, where)
-        return i
-    if wire == 1:
-        return i + 8
-    if wire == 2:
-        n, i = _read_varint(buf, i, where)
-        return i + n
-    if wire == 5:
-        return i + 4
-    raise ValueError(f"{where}: unsupported wire type {wire} at offset {i}")
-
-
 def _iter_fields(buf: bytes, where: str):
     i = 0
     while i < len(buf):
@@ -227,20 +217,31 @@ def _decode_numeric_list(payload_fields, *, floats: bool, where: str) -> list:
 
 def decode_feature(buf: bytes, *, where: str = "<feature>") -> tuple[str, list]:
     """(kind, values) of one Feature message. An empty Feature (no
-    kind set) decodes as ('', []) — the proto3 unset oneof."""
+    kind set) decodes as ('', []) — the proto3 unset oneof.
+
+    Repeated occurrences of the SAME list field merge by
+    concatenation (ADVICE r09): canonical protobuf merges embedded-
+    message fields, so two `int64_list` chunks in one Feature yield
+    one combined value list — replacing would silently drop the first
+    chunk on wire bytes the JVM/TensorFlow parsers accept. A kind
+    SWITCH (a different oneof member appears later) still replaces,
+    per oneof last-wins semantics."""
     kind, values = "", []
     for fno, wire, val in _iter_fields(buf, where):
         if fno == 1 and wire == 2:  # BytesList
-            kind = "bytes"
-            values = [v for f, w, v in _iter_fields(val, where) if f == 1 and w == 2]
+            if kind != "bytes":
+                kind, values = "bytes", []
+            values += [v for f, w, v in _iter_fields(val, where) if f == 1 and w == 2]
         elif fno == 2 and wire == 2:  # FloatList
-            kind = "float"
-            values = _decode_numeric_list(
+            if kind != "float":
+                kind, values = "float", []
+            values += _decode_numeric_list(
                 _iter_fields(val, where), floats=True, where=where
             )
         elif fno == 3 and wire == 2:  # Int64List
-            kind = "int64"
-            values = _decode_numeric_list(
+            if kind != "int64":
+                kind, values = "int64", []
+            values += _decode_numeric_list(
                 _iter_fields(val, where), floats=False, where=where
             )
         # unknown fields: skip (already consumed by _iter_fields)

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -138,13 +139,28 @@ def parse_tfrecord(payload: bytes, *, where: str = "<bytes>") -> list[bytes]:
     Loud on any CRC mismatch or mid-record truncation, naming the
     shard and 0-based record index. Truncation exactly at a record
     boundary parses cleanly (no trailer in the format) — use
-    ``read_tfrecord(expected_records=...)`` when a manifest exists."""
+    ``read_tfrecord(expected_records=...)`` when a manifest exists.
+
+    Gzip sniff (ADVICE r09): the 2-byte magic alone collides with a
+    raw shard whose first record length's low bytes are 0x8B1F, so
+    the sniff also requires byte 2 == 0x08 (deflate, the only defined
+    gzip method). The remaining collision window (first record length
+    ≡ 0x088B1F in its low 3 bytes) is closed by falling back to a raw
+    frame parse when gzip.decompress fails on a magic-matched payload
+    — the CRC-per-record walk makes a false raw accept impossible."""
     payload = bytes(payload)
-    if payload[:2] == b"\x1f\x8b":
+    if payload[:3] == b"\x1f\x8b\x08":
         try:
             payload = gzip.decompress(payload)
-        except (OSError, EOFError) as exc:
-            raise ValueError(f"{where}: corrupt gzip layer: {exc}") from exc
+        except (OSError, EOFError, zlib.error) as exc:
+            try:
+                return _parse_frames(payload, where)
+            except ValueError:
+                raise ValueError(f"{where}: corrupt gzip layer: {exc}") from exc
+    return _parse_frames(payload, where)
+
+
+def _parse_frames(payload: bytes, where: str) -> list[bytes]:
     out: list[bytes] = []
     pos, n = 0, len(payload)
     while pos < n:

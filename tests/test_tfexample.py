@@ -59,7 +59,7 @@ def _build_tfexample_descriptor(spark):
     FT = DP.FieldDescriptorProto.Type
     FL = DP.FieldDescriptorProto.Label
 
-    def field(name, num, ftype, label=None, type_name=None, packed=False):
+    def field(name, num, ftype, label=None, type_name=None, packed=False, oneof=None):
         f = DP.FieldDescriptorProto.newBuilder()
         f.setName(name)
         f.setNumber(num)
@@ -69,6 +69,8 @@ def _build_tfexample_descriptor(spark):
             f.setTypeName(type_name)
         if packed:
             f.setOptions(DP.FieldOptions.newBuilder().setPacked(True))
+        if oneof is not None:
+            f.setOneofIndex(oneof)
         return f
 
     fdp = DP.FileDescriptorProto.newBuilder()
@@ -87,9 +89,14 @@ def _build_tfexample_descriptor(spark):
 
     feat = DP.DescriptorProto.newBuilder()
     feat.setName("Feature")
-    feat.addField(field("bytes_list", 1, FT.TYPE_MESSAGE, type_name=".tf.BytesList"))
-    feat.addField(field("float_list", 2, FT.TYPE_MESSAGE, type_name=".tf.FloatList"))
-    feat.addField(field("int64_list", 3, FT.TYPE_MESSAGE, type_name=".tf.Int64List"))
+    # the public feature.proto declares `oneof kind { ... }` — the
+    # oneof matters for wire-merge semantics (a later DIFFERENT member
+    # clears the earlier one; repeats of the SAME member merge), so
+    # the oracle descriptor must carry it
+    feat.addOneofDecl(DP.OneofDescriptorProto.newBuilder().setName("kind"))
+    feat.addField(field("bytes_list", 1, FT.TYPE_MESSAGE, type_name=".tf.BytesList", oneof=0))
+    feat.addField(field("float_list", 2, FT.TYPE_MESSAGE, type_name=".tf.FloatList", oneof=0))
+    feat.addField(field("int64_list", 3, FT.TYPE_MESSAGE, type_name=".tf.Int64List", oneof=0))
     fdp.addMessageType(feat)
 
     feats = DP.DescriptorProto.newBuilder()
@@ -493,3 +500,75 @@ def test_sequence_example_random_roundtrip(seed):
     got_ctx, got_lists = tfe.decode_sequence_example(data)
     assert got_ctx == {k: (kind, list(v)) for k, (kind, v) in ctx.items()}
     assert got_lists == {k: [(kind, list(v)) for kind, v in steps] for k, steps in lists.items()}
+
+
+def test_split_list_fields_merge_by_concatenation(spark):
+    """ADVICE r09 (medium): the same list field appearing twice in one
+    Feature merges by CONCATENATION (canonical embedded-message merge
+    — TensorFlow's parsers yield [1,2,3], not [3]); a different oneof
+    member appearing later still replaces (oneof last-wins). Pinned
+    against the JVM DynamicMessage oracle."""
+    jvm = spark._jvm
+    pb = jvm.org.apache.orc.protobuf
+    fdp = _build_tfexample_descriptor(spark)
+    arr = spark.sparkContext._gateway.new_array(pb.Descriptors.FileDescriptor, 0)
+    fd = pb.Descriptors.FileDescriptor.buildFrom(fdp, arr)
+    example_t = fd.findMessageTypeByName("Example")
+
+    # int64_list split across two chunks inside ONE Feature
+    split_feat = tfe.encode_feature("int64", [1, 2]) + tfe.encode_feature("int64", [3])
+    entry = tfe._ld(1, b"k") + tfe._ld(2, split_feat)
+    data = tfe._ld(1, tfe._ld(1, entry))
+    assert tfe.decode_example(data)["k"] == ("int64", [1, 2, 3])
+    # the canonical runtime agrees: its merged reserialization decodes
+    # to the same concatenated list
+    merged = bytes(pb.DynamicMessage.parseFrom(example_t, data).toByteArray())
+    assert tfe.decode_example(merged)["k"] == ("int64", [1, 2, 3])
+
+    # bytes chunks concatenate too
+    split_b = tfe.encode_feature("bytes", [b"a"]) + tfe.encode_feature("bytes", [b"b", b"c"])
+    entry = tfe._ld(1, b"t") + tfe._ld(2, split_b)
+    data = tfe._ld(1, tfe._ld(1, entry))
+    assert tfe.decode_example(data)["t"] == ("bytes", [b"a", b"b", b"c"])
+    merged = bytes(pb.DynamicMessage.parseFrom(example_t, data).toByteArray())
+    assert tfe.decode_example(merged)["t"] == ("bytes", [b"a", b"b", b"c"])
+
+    # a kind SWITCH resets: int64 → float → int64 ends as int64 [7]
+    # (the float occurrence cleared the first chunk), matching the
+    # canonical oneof semantics
+    switch_feat = (
+        tfe.encode_feature("int64", [1])
+        + tfe.encode_feature("float", [0.5])
+        + tfe.encode_feature("int64", [7])
+    )
+    entry = tfe._ld(1, b"s") + tfe._ld(2, switch_feat)
+    data = tfe._ld(1, tfe._ld(1, entry))
+    assert tfe.decode_example(data)["s"] == ("int64", [7])
+    merged = bytes(pb.DynamicMessage.parseFrom(example_t, data).toByteArray())
+    assert tfe.decode_example(merged)["s"] == ("int64", [7])
+
+
+def test_varint_truncates_to_64_bits(spark):
+    """ADVICE r09 (low): a 10-byte varint carrying 70 payload bits
+    (e.g. 2^70-1) decodes as its low 64 bits — 2^64-1, wrapped to the
+    canonical int64 -1 — exactly what the JVM runtime yields, instead
+    of a huge positive Python int."""
+    over = b"\xff" * 9 + b"\x7f"  # 2^70 - 1 on the wire
+    v, i = tfe._read_varint(over, 0, "t")
+    assert (v, i) == ((1 << 64) - 1, 10)
+    assert tfe._sign64(v) == -1
+
+    # end-to-end: an int64_list holding that varint decodes to [-1]
+    # and the canonical runtime reserializes it to our encoding of -1
+    jvm = spark._jvm
+    pb = jvm.org.apache.orc.protobuf
+    fdp = _build_tfexample_descriptor(spark)
+    arr = spark.sparkContext._gateway.new_array(pb.Descriptors.FileDescriptor, 0)
+    fd = pb.Descriptors.FileDescriptor.buildFrom(fdp, arr)
+    example_t = fd.findMessageTypeByName("Example")
+    feat = tfe._ld(3, tfe._ld(1, over))
+    entry = tfe._ld(1, b"x") + tfe._ld(2, feat)
+    data = tfe._ld(1, tfe._ld(1, entry))
+    assert tfe.decode_example(data)["x"] == ("int64", [-1])
+    canon = bytes(pb.DynamicMessage.parseFrom(example_t, data).toByteArray())
+    assert canon == tfe.encode_example({"x": [-1]})

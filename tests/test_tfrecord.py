@@ -143,3 +143,34 @@ def test_pure_tier_always_pinned_even_with_native_wheel():
     assert tfr._crc32c_py(b"123456789") == 0xE3069283
     assert tfr._crc32c_py(b"\x00" * 32) == 0x8A9136AA
     assert tfr.crc32c(b"123456789") == 0xE3069283
+
+
+def test_gzip_magic_collision_with_raw_length_parses_raw():
+    """ADVICE r09 (low): a valid UNCOMPRESSED shard whose first record
+    length has low bytes 0x8B1F starts with the 2-byte gzip magic.
+    The strengthened sniff (byte 2 must be 0x08, the only defined
+    gzip method) must parse it as raw TFRecord, not refuse it."""
+    rec = b"x" * 0x8B1F  # little-endian length bytes: 1F 8B 00 ...
+    shard = tfr.write_tfrecord([rec])
+    assert shard[:2] == b"\x1f\x8b" and shard[2] != 0x08
+    assert tfr.parse_tfrecord(shard, where="collide") == [rec]
+
+
+def test_gzip_three_byte_collision_falls_back_to_raw():
+    """The residual window: first record length ≡ 0x088B1F (~9 MB) —
+    all three sniff bytes match gzip. gzip.decompress fails, and the
+    parser must fall back to the raw CRC-verified walk."""
+    rec = b"y" * 0x088B1F
+    shard = tfr.write_tfrecord([rec])
+    assert shard[:3] == b"\x1f\x8b\x08"
+    got = tfr.parse_tfrecord(shard, where="collide3")
+    assert len(got) == 1 and got[0] == rec
+
+
+def test_corrupt_gzip_still_loud():
+    """A genuinely corrupt gzip payload (magic-matched, raw walk also
+    fails) must still refuse with the gzip error, not mis-parse."""
+    shard = gzip.compress(tfr.write_tfrecord([b"abc"]))
+    broken = shard[:-4] + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="gzip"):
+        tfr.parse_tfrecord(broken, where="g")
