@@ -30,10 +30,10 @@ def test_r8_keys_registered_with_correct_builders():
     """Round 8 flipped the staged keys live: every STAGED key must be
     in the registry, bound to the SAME builder and oracle the proofs
     above ran (the decorating-the-wrong-function failure mode breaks
-    the driver contract silently), and the catalog is 325 (311 + the
+    the driver contract silently), and the catalog is 326 (311 + the
     eight round-9 registrations)."""
     specs = all_queries()
-    assert len(specs) == 325
+    assert len(specs) == 326
     for key, (fn, oracle) in STAGED.items():
         assert key in specs, key
         assert specs[key].build is fn, key
