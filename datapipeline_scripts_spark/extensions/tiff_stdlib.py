@@ -14,9 +14,13 @@ compression None (1), LZW (5, with the optional horizontal
 predictor, tag 317=2), PackBits (32773), and zlib Deflate (8 and the
 legacy 32946). 1-BIT BILEVEL gray (the scanned-fax staple) also
 decodes — MSB-first packed rows, both polarities, any of the above
-codecs. Everything else — planar separates, 4/16-bit depths, CCITT
-fax codes, floating samples — refuses loudly by tag name rather
-than decoding wrongly.
+codecs. 16-BIT UNSIGNED GRAY (the scientific-instrument staple)
+decodes through `tiff_decode_gray16` — both byte orders, strips or
+tiles, all four codecs, with the horizontal predictor applied on
+16-bit SAMPLE values per TIFF 6.0 §14. Everything else — planar
+separates, 4-bit depths, CCITT fax codes, floating samples — refuses
+loudly by tag name rather than decoding wrongly (each refusal class
+pinned by a test, VERDICT r09 item 6).
 
 TIFF's LZW differs from GIF's in exactly three ways, all honored
 here: MSB-first bit packing, 9-bit initial width over a 256-literal
@@ -244,7 +248,8 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
     onebit = bits == [1] and photo in (0, 1) and spp == 1
     if not onebit and any(b != 8 for b in bits):
         raise NotImplementedError(
-            f"TIFF bits-per-sample {bits} not supported (8-bit, or 1-bit bilevel)"
+            f"TIFF bits-per-sample {bits} not supported here "
+            "(8-bit, or 1-bit bilevel; 16-bit gray → tiff_decode_gray16)"
         )
     if onebit and predictor == 2:
         raise NotImplementedError("TIFF horizontal predictor on bilevel data")
@@ -361,6 +366,107 @@ def tiff_gray_band_row(payload: bytes, n: int) -> list[int]:
             total += sum(gray[row + x0 : row + x1])
         out.append(total // ((x1 - x0) * h))
     return out
+
+
+def tiff_decode_gray16(payload: bytes) -> tuple[int, int, list[int]]:
+    """(width, height, row-major 0..65535 samples) of a 16-bit
+    unsigned single-channel gray TIFF — the scientific-instrument
+    profile (VERDICT r09 item 6): both byte orders, strip- or
+    tile-organized, compression None/LZW/PackBits/Deflate, and the
+    horizontal predictor applied on 16-bit SAMPLE values (TIFF 6.0
+    §14 — differencing operates per sample, not per byte). Everything
+    outside that profile refuses loudly by tag name; proven
+    sample-exact against the JVM ImageIO TIFF plugin in
+    tests/test_tiff_stdlib.py."""
+    payload = bytes(payload)
+    if not is_tiff(payload):
+        raise ValueError("not a TIFF (bad signature)")
+    order = "<" if payload[:2] == b"II" else ">"
+    tags = _read_ifd(payload, order)
+    w, h = _tag1(tags, 256), _tag1(tags, 257)
+    comp = _tag1(tags, 259, 1)
+    photo = _tag1(tags, 262)
+    spp = _tag1(tags, 277, 1)
+    predictor = _tag1(tags, 317, 1)
+    planar = _tag1(tags, 284, 1)
+    fmt = _tag1(tags, 339, 1)
+    bits = tags.get(258, [1])
+    if planar != 1:
+        raise NotImplementedError("planar-separate TIFF not supported")
+    if fmt != 1:
+        raise NotImplementedError(f"TIFF sample format {fmt} not supported")
+    if photo not in (0, 1):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} not supported for 16-bit gray"
+        )
+    if spp != 1 or bits != [16]:
+        raise NotImplementedError(
+            f"tiff_decode_gray16 expects one 16-bit sample/pixel, got "
+            f"{spp} × {bits}"
+        )
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+
+    out = [0] * (w * h)
+
+    def put_rows(chunk: bytearray, nrows: int, ncols_stored: int, ncols: int, x0: int, y0: int) -> None:
+        """Decode `nrows`×`ncols_stored` stored samples; write the
+        left `ncols` of each row at (x0, y0+r)."""
+        stride = ncols_stored * 2
+        for r in range(nrows):
+            base = r * stride
+            row = struct.unpack_from(f"{order}{ncols_stored}H", chunk, base)
+            if predictor == 2:
+                acc = list(row)
+                for x in range(1, ncols_stored):
+                    acc[x] = (acc[x] + acc[x - 1]) & 0xFFFF
+                row = acc
+            dst = (y0 + r) * w + x0
+            if photo == 0:  # WhiteIsZero inverts
+                for x in range(ncols):
+                    out[dst + x] = 0xFFFF - row[x]
+            else:
+                out[dst : dst + ncols] = row[:ncols]
+
+    if 322 in tags or 323 in tags:  # tile organization
+        tw, tl = _tag1(tags, 322), _tag1(tags, 323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if tw <= 0 or tl <= 0:
+            raise ValueError("corrupt TIFF: non-positive tile size")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if not offsets or not counts or len(offsets) != len(counts) or len(
+            offsets
+        ) != across * down:
+            raise ValueError(
+                "corrupt TIFF: tile offsets/counts missing or not matching the grid"
+            )
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(i, across)
+            if off + cnt > len(payload):
+                raise ValueError("corrupt TIFF: tile beyond file")
+            tile = _decode_strip(comp, payload[off : off + cnt], tl * tw * 2)
+            x0, y0 = tx * tw, ty * tl
+            put_rows(tile, min(tl, h - y0), tw, min(tw, w - x0), x0, y0)
+        return w, h, out
+
+    offsets, counts = tags.get(273), tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("corrupt TIFF: strip offsets/counts missing or mismatched")
+    rps = _tag1(tags, 278, h)
+    row0 = 0
+    for off, cnt in zip(offsets, counts):
+        rows = min(rps, h - row0)
+        if rows <= 0:
+            break
+        if off + cnt > len(payload):
+            raise ValueError("corrupt TIFF: strip beyond file")
+        strip = _decode_strip(comp, payload[off : off + cnt], rows * w * 2)
+        put_rows(strip, rows, w, w, 0, row0)
+        row0 += rows
+    if row0 < h:
+        raise ValueError(f"corrupt TIFF: strips cover {row0} of {h} rows")
+    return w, h, out
 
 
 # ---------------------------------------------------------------------------

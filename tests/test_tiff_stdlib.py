@@ -345,3 +345,201 @@ def test_imageio_bilevel_bit_exact_here(spark, ctype):
     assert (dw, dh) == (iw, ih) == (w, h)
     assert list(gray) == [rr for rr, _g, _b in pix]
     assert set(gray) == {0, 255}
+
+
+# ---------------------------------------------------------------------------
+# 16-bit unsigned gray (VERDICT r09 item 6) + per-class refusal pins
+# ---------------------------------------------------------------------------
+
+
+def _gray16_img(jvm, w, h, fn):
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(w, h, BI.TYPE_USHORT_GRAY)
+    r = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            r.setSample(x, y, 0, fn(x, y))
+    return img
+
+
+def _imageio_read_gray16(jvm, payload: bytes):
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(payload))
+    assert img is not None, "ImageIO refused the TIFF"
+    r = img.getRaster()
+    w, h = img.getWidth(), img.getHeight()
+    return w, h, [r.getSample(x, y, 0) for y in range(h) for x in range(w)]
+
+
+@pytest.mark.parametrize("ctype", [None, "LZW", "ZLib", "PackBits", "Deflate"])
+def test_imageio_writer_gray16_sample_exact_here(spark, ctype):
+    """The canonical writer's 16-bit gray TIFFs decode sample-exact
+    through tiff_decode_gray16, every compression."""
+    jvm = spark._jvm
+    w, h = 29, 17
+    p = _imageio_write_tiff(
+        jvm, _gray16_img(jvm, w, h, lambda x, y: (x * 2531 + y * 7919) % 65536), ctype
+    )
+    gw, gh, got = ts.tiff_decode_gray16(p)
+    iw, ih, want = _imageio_read_gray16(jvm, p)
+    assert (gw, gh) == (iw, ih) == (w, h)
+    assert got == want
+
+
+def test_imageio_writer_gray16_tiled_sample_exact_here(spark):
+    """Tile-organized 16-bit gray (explicit tiling through the
+    canonical writer) decodes sample-exact, edge tiles cropped."""
+    jvm = spark._jvm
+    w, h = 37, 21
+    img = _gray16_img(jvm, w, h, lambda x, y: (x * 911 + y * 127) % 65536)
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    wr = it.next()
+    prm = wr.getDefaultWriteParam()
+    prm.setCompressionMode(2)
+    prm.setCompressionType("LZW")
+    prm.setTilingMode(2)  # MODE_EXPLICIT
+    prm.setTiling(16, 16, 0, 0)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), prm)
+    wr.dispose()
+    ios.close()
+    p = bytes(baos.toByteArray())
+    gw, gh, got = ts.tiff_decode_gray16(p)
+    iw, ih, want = _imageio_read_gray16(jvm, p)
+    assert (gw, gh) == (iw, ih) == (w, h)
+    assert got == want
+
+
+def _mk_tiff(entries: dict[int, tuple[int, list[int]]], data: bytes = b"") -> bytes:
+    """Hand-assemble a minimal little-endian single-IFD TIFF. Values
+    must fit inline (≤ 4 bytes); strip data (if any) lands right after
+    the IFD — reference it via tag 273 with value `_DATA`."""
+    import struct as st
+
+    n = len(entries)
+    data_off = 8 + 2 + 12 * n + 4
+    out = bytearray(st.pack("<2sHI", b"II", 42, 8))
+    out += st.pack("<H", n)
+    for tag in sorted(entries):
+        typ, vals = entries[tag]
+        vals = [data_off if v == "_DATA" else v for v in vals]
+        out += st.pack("<HHI", tag, typ, len(vals))
+        cell = bytearray(4)
+        fmt = {3: "<H", 4: "<I"}[typ]
+        sz = {3: 2, 4: 4}[typ]
+        for i, v in enumerate(vals):
+            st.pack_into(fmt, cell, i * sz, v)
+        out += cell
+    out += st.pack("<I", 0)  # no next IFD
+    out += data
+    return bytes(out)
+
+
+def _base16(w=4, h=4, over=None):
+    e = {
+        256: (3, [w]),
+        257: (3, [h]),
+        258: (3, [16]),
+        259: (3, [1]),
+        262: (3, [1]),
+        277: (3, [1]),
+        273: (4, ["_DATA"]),
+        279: (4, [w * h * 2]),
+    }
+    e.update(over or {})
+    return e
+
+
+def test_handcrafted_gray16_predictor_decodes_per_spec(spark):
+    """A predictor-2 deflate 16-bit strip TIFF (assembled by hand)
+    decodes with differencing applied on SAMPLES, not bytes (TIFF 6.0
+    §14). The oracle is arithmetic: the stream is hand-differenced
+    from known samples, so recovering those samples IS the
+    per-spec proof. The JVM's bundled ImageIO plugin REFUSES this
+    combination ('16-bit samples are not supported for Horizontal
+    differencing Predictor') — pinned below, so if a future JDK adds
+    support this test flags us to cross-check against it."""
+    import struct as st
+    import zlib
+
+    w, h = 6, 3
+    samples = [(x * 12345 + y * 54321) % 65536 for y in range(h) for x in range(w)]
+    raw = bytearray()
+    for y in range(h):
+        row = samples[y * w : (y + 1) * w]
+        diff = [row[0]] + [(row[x] - row[x - 1]) & 0xFFFF for x in range(1, w)]
+        raw += st.pack(f"<{w}H", *diff)
+    data = zlib.compress(bytes(raw))
+    p = _mk_tiff(
+        _base16(w, h, {259: (3, [8]), 317: (3, [2]), 279: (4, [len(data)])}),
+        data,
+    )
+    gw, gh, got = ts.tiff_decode_gray16(p)
+    assert (gw, gh) == (w, h) and got == samples
+    jvm = spark._jvm
+    try:
+        jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(p))
+        refused = False
+    except Exception as exc:  # Py4JJavaError — IIOException inside
+        refused = "not supported for Horizontal differencing" in str(exc)
+    assert refused, "ImageIO now reads 16-bit+predictor: cross-check against it"
+
+
+def test_refusals_are_loud_per_class():
+    """VERDICT r09 item 6: every residual unsupported TIFF class
+    refuses loudly with its tag named — none may rot into a silent
+    wrong decode."""
+    import zlib
+
+    data8 = bytes(16)
+    base8 = {
+        256: (3, [4]),
+        257: (3, [4]),
+        258: (3, [8]),
+        259: (3, [1]),
+        262: (3, [1]),
+        277: (3, [1]),
+        273: (4, ["_DATA"]),
+        279: (4, [16]),
+    }
+
+    def mk8(over):
+        e = dict(base8)
+        e.update(over)
+        return _mk_tiff(e, data8)
+
+    # planar separates
+    with pytest.raises(NotImplementedError, match="planar"):
+        ts.tiff_decode_gray(mk8({284: (3, [2])}))
+    with pytest.raises(NotImplementedError, match="planar"):
+        ts.tiff_decode_gray16(_mk_tiff(_base16(over={284: (3, [2])}), bytes(32)))
+    # floating samples
+    with pytest.raises(NotImplementedError, match="sample format 3"):
+        ts.tiff_decode_gray(mk8({339: (3, [3])}))
+    with pytest.raises(NotImplementedError, match="sample format 3"):
+        ts.tiff_decode_gray16(_mk_tiff(_base16(over={339: (3, [3])}), bytes(32)))
+    # 4-bit depth
+    with pytest.raises(NotImplementedError, match="bits-per-sample"):
+        ts.tiff_decode_gray(mk8({258: (3, [4])}))
+    # 16-bit through the 8-bit API points at the 16-bit one
+    with pytest.raises(NotImplementedError, match="tiff_decode_gray16"):
+        ts.tiff_decode_gray(_mk_tiff(_base16(), bytes(32)))
+    # CCITT fax codes (compression 3) — refused at the strip codec
+    bilevel = {
+        256: (3, [8]),
+        257: (3, [2]),
+        258: (3, [1]),
+        259: (3, [3]),
+        262: (3, [0]),
+        277: (3, [1]),
+        273: (4, ["_DATA"]),
+        279: (4, [4]),
+    }
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        ts.tiff_decode_gray(_mk_tiff(bilevel, bytes(4)))
+    # RGB 16-bit refuses in gray16 too (one sample only)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        ts.tiff_decode_gray16(
+            _mk_tiff(_base16(over={262: (3, [2]), 277: (3, [3])}), bytes(96))
+        )
