@@ -118,6 +118,21 @@ BENCH_KEYS = (
     "warc_roundtrip",
     "webdataset_roundtrip",
     "jsonl_zst_roundtrip",
+    # round-10 registrations: TFRecord ingest/export roundtrips, the
+    # winnowing passage dedup, the jsonl.zst/WebDataset export sinks,
+    # exact integer resize — all probed warm at sf0.1 before inclusion
+    # (0.5-1.9 s; VERDICT r8 item 3 discipline) — plus the end-to-end
+    # pretraining flagship (~9.4 s warm: the full WARC→gate→dedup×2→
+    # mixture→pack→TFRecord-export→CRC-read-back chain over the whole
+    # documents table; by far the heaviest key and deliberately so —
+    # it IS the product's headline composite).
+    "tfrecord_roundtrip",
+    "tfexample_dataset_roundtrip",
+    "dedup_passage_winnow",
+    "jsonl_export_roundtrip",
+    "webdataset_export_roundtrip",
+    "multimodal_resize",
+    "pretraining_pipeline",
 )
 
 
