@@ -575,6 +575,90 @@ _COMPRESSORS = {
 }
 
 
+def encode_tiff_gray16(
+    width: int,
+    height: int,
+    samples: list[int],
+    *,
+    compression: int = 8,
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Strip-TIFF from a 16-bit unsigned gray raster (row-major
+    0..65535 ints) — the writer twin of `tiff_decode_gray16`. The
+    horizontal predictor differences 16-bit SAMPLE values (TIFF 6.0
+    §14), and sample bytes follow the file's byte order."""
+    if width <= 0 or height <= 0:
+        raise ValueError("empty image")
+    if len(samples) != width * height:
+        raise ValueError(f"need {width * height} samples, got {len(samples)}")
+    if compression not in _COMPRESSORS:
+        raise ValueError(f"unsupported compression {compression}")
+    if predictor and compression not in (5, 8):
+        raise ValueError("the horizontal predictor pairs with LZW/Deflate")
+    order = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+
+    strips: list[bytes] = []
+    for row0 in range(0, height, rps):
+        rows = min(rps, height - row0)
+        raw = bytearray()
+        for r in range(rows):
+            row = samples[(row0 + r) * width : (row0 + r + 1) * width]
+            if predictor:
+                row = [row[0]] + [
+                    (row[x] - row[x - 1]) & 0xFFFF for x in range(1, width)
+                ]
+            raw += struct.pack(f"{order}{width}H", *row)
+        strips.append(_COMPRESSORS[compression](bytes(raw)))
+
+    header = struct.pack(order + "2sHI", b"MM" if big_endian else b"II", 42, 0)
+    data = bytearray(header)
+    offsets = []
+    for s in strips:
+        offsets.append(len(data))
+        data += s
+    if len(data) % 2:
+        data += b"\x00"
+    ifd_off = len(data)
+    data[4:8] = struct.pack(order + "I", ifd_off)
+
+    entries: list[tuple[int, int, list[int]]] = [
+        (256, 4, [width]),
+        (257, 4, [height]),
+        (258, 3, [16]),
+        (259, 3, [compression]),
+        (262, 3, [1]),
+        (273, 4, offsets),
+        (277, 3, [1]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+        (284, 3, [1]),
+        (339, 3, [1]),
+    ]
+    if predictor:
+        entries.append((317, 3, [2]))
+    entries.sort()
+
+    overflow = bytearray()
+    overflow_base = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = bytearray(struct.pack(order + "H", len(entries)))
+    for tag, typ, vals in entries:
+        ch, sz = _TYPES[typ]
+        packed = struct.pack(order + ch * len(vals), *vals)
+        if len(packed) <= 4:
+            field = packed + b"\x00" * (4 - len(packed))
+        else:
+            field = struct.pack(order + "I", overflow_base + len(overflow))
+            overflow += packed
+            if len(overflow) % 2:
+                overflow += b"\x00"
+        ifd += struct.pack(order + "HHI", tag, typ, len(vals)) + field
+    ifd += struct.pack(order + "I", 0)  # no next IFD
+    return bytes(data + ifd + overflow)
+
+
 def encode_tiff(
     width: int,
     height: int,

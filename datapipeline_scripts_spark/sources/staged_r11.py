@@ -1,0 +1,630 @@
+"""Round-11 query keys, STAGED but NOT registered (the staged_r10.py
+pattern, one round later): round 10's driver window is committed to
+the seven _ADDED_R10 keys plus stalest-evidence re-proofs, so the new
+surface built in round 10 enters the registry in round 11 — already
+held to the registration bar here: `tests/test_staged_r11.py` runs
+every builder against its DuckDB oracle at both fixture SFs.
+
+federated_ingest_union: heterogeneous-shard ingest — the situation a
+real corpus build actually faces (crawl dumps in WARC, vision sets in
+WebDataset, text dumps in .jsonl.zst, trainer output in TFRecord) —
+as ONE key: each document roundtrips through the format its
+doc_id % 4 class assigns, every codec the PRODUCTION write/parse
+pair, and the union carries a `fmt` provenance column. A hash match
+proves all four ingest legs lossless side-by-side under one gate.
+
+multimodal_audio_frames: frame-level audio features — the windowed
+form every audio-quality filter runs (silence/clipping detection per
+frame, not per file): deterministic PCM synth → 16-bit WAV encode →
+PRODUCTION decode → per-frame energy / zero-crossings / peak, one
+output row per (doc, frame). The DuckDB oracle recomputes every
+frame's integers from the synth formula in closed form.
+
+multimodal_scene_cuts: shot-boundary detection on real video — MJPEG
+AVIs muxed executor-side, demuxed + frame-decoded through the
+production path, adjacent-frame absolute pixel difference → cut flag.
+The frame pixels are the video key's proven integer-IDCT arithmetic,
+so the oracle recomputes each pair's diff_sum exactly.
+
+multimodal_real_tiff16: the 16-bit gray TIFF roundtrip (the
+scientific-instrument profile round 10 added to tiff_stdlib):
+encode_tiff_gray16 (compression rotating through all four codecs,
+predictor and byte order rotating) → tiff_decode_gray16 → min/max/sum
+features with a closed-form oracle.
+
+quality_train_perceptron: TRAIN a quality classifier in-engine —
+batch perceptron distilling the curation gate (y = "has ≥ 30
+normalized words") into a linear model over surface features (signed
+word-count margin, marker hits, repetition bp), three unrolled
+iterations, integer arithmetic throughout so the weight trajectory is
+hash-exact cross-engine. The data is linearly separable in the margin
+feature, so training genuinely converges (n_mis 500 → ≤1 by
+iteration 2 on the fixtures) rather than oscillating. Each iteration is one aggregate over the (lineage-cut)
+feature table: w_{t+1} = w_t + Σ_{misclassified} y·x — the classic
+distributed-training shape (gradient = one partial-aggregable sum),
+with the DuckDB oracle unrolling the same three iterations as chained
+CTEs (the graph_pagerank idiom applied to model training).
+
+Registration recipe (round 11): ``@query`` for all FIVE keys,
+``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
+import in ``registry._ensure_loaded``, freeze counts 326 → 331
+(tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.text import shingles, stopword_hits, tokens
+
+# ---- federated_ingest_union --------------------------------------------------
+
+_FED_HTTP_HEAD = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+_FED_FMTS = ("warc", "webdataset", "jsonl_zst", "tfrecord")
+
+
+def _federated_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.sources import jsonl_zst as jz
+    from datapipeline_scripts_spark.sources import tfexample as tfe
+    from datapipeline_scripts_spark.sources import tfrecord as tfr
+    from datapipeline_scripts_spark.sources import warc
+    from datapipeline_scripts_spark.sources import webdataset as wds
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "fmt": [], "text_md5": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            body = (text or "").encode("utf-8")
+            cls = d % 4
+            if cls == 0:  # WARC response record, own gzip member
+                rec_bytes = warc.write_warc_record(
+                    "response",
+                    f"<urn:uuid:00000000-0000-0000-0000-{d:012d}>",
+                    "2026-01-02T03:04:05Z",
+                    _FED_HTTP_HEAD + body,
+                    target_uri=f"https://corpus.example/doc/{d}",
+                    content_type="application/http;msgtype=response",
+                    gzip_member=True,
+                )
+                (rec,) = warc.parse_warc(rec_bytes)
+                _s, _h, got = warc.split_http(rec["content"])
+            elif cls == 1:  # WebDataset single-sample tar
+                shard = wds.write_webdataset_shard([(f"{d:09d}", {"txt": body})])
+                ((_key, files),) = wds.iter_samples(shard)
+                got = files["txt"]
+            elif cls == 2:  # .jsonl.zst single-line shard
+                shard = jz.write_jsonl_zst(
+                    [{"doc_id": d, "text": body.decode("utf-8")}], frames_of=1
+                )
+                (row,) = jz.iter_jsonl(shard, where=f"doc{d}")
+                got = row["text"].encode("utf-8")
+            else:  # TFRecord shard of one tf.Example
+                ex = tfe.encode_example({"doc_id": [d], "text": [body]})
+                shard = tfr.write_tfrecord([ex])
+                (rec_b,) = tfr.parse_tfrecord(shard, where=f"doc{d}")
+                decoded = tfe.decode_example(rec_b, where=f"doc{d}")
+                got = decoded["text"][1][0]
+            out["doc_id"].append(d)
+            out["fmt"].append(_FED_FMTS[cls])
+            out["text_md5"].append(hashlib.md5(got).hexdigest())
+        yield pd.DataFrame(out)
+
+
+FEDERATED_INGEST_UNION_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'warc' WHEN 1 THEN 'webdataset'
+                WHEN 2 THEN 'jsonl_zst' ELSE 'tfrecord' END AS fmt,
+           md5(coalesce(text, '')) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def federated_ingest_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-shard ingest union — see the module docstring.
+    Scale shape: per-row codec work inside one Arrow-batched pass
+    (each production reader parallelizes per shard at real scale; the
+    provenance column is what downstream dedup/mixture key on when
+    corpora merge)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # single-file fixture → spread the codec work (no-op at scale)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _federated_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("fmt", T.StringType()),
+                T.StructField("text_md5", T.StringType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED: dict[str, tuple] = {
+    "federated_ingest_union": (federated_ingest_union, FEDERATED_INGEST_UNION_ORACLE),
+}
+
+
+# ---- multimodal_audio_frames --------------------------------------------------
+
+_AF_N = 96  # samples per clip
+_AF_L = 24  # samples per frame → 4 frames
+
+
+def _af_sample(d: int, i: int) -> int:
+    return ((d * 13 + 7 * i + i * i) % 199) - 99
+
+
+def _audio_frames_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import wav_stdlib as ws
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "frame_idx": [],
+            "energy": [],
+            "zero_crossings": [],
+            "peak": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            samples = [_af_sample(d, i) for i in range(_AF_N)]
+            payload = ws.encode_wav(1, 16000, 16, samples)
+            _ch, _rate, _bits, got = ws.wav_decode(payload)
+            if got != samples:
+                raise ValueError(f"doc{d}: WAV roundtrip drift")
+            for f in range(_AF_N // _AF_L):
+                fr = got[f * _AF_L : (f + 1) * _AF_L]
+                out["doc_id"].append(d)
+                out["frame_idx"].append(f)
+                out["energy"].append(sum(s * s for s in fr))
+                out["zero_crossings"].append(
+                    sum(1 for j in range(_AF_L - 1) if fr[j] * fr[j + 1] < 0)
+                )
+                out["peak"].append(max(abs(s) for s in fr))
+        yield pd.DataFrame(out)
+
+
+def _audio_frames_oracle() -> str:
+    def s(i: int) -> str:
+        return f"(((doc_id * 13 + {7 * i + i * i}) % 199) - 99)"
+
+    rows = []
+    for f in range(_AF_N // _AF_L):
+        lo = f * _AF_L
+        energy = " + ".join(f"{s(i)} * {s(i)}" for i in range(lo, lo + _AF_L))
+        zc = " + ".join(
+            f"(CASE WHEN {s(i)} * {s(i + 1)} < 0 THEN 1 ELSE 0 END)"
+            for i in range(lo, lo + _AF_L - 1)
+        )
+        peak = "GREATEST(" + ", ".join(f"abs({s(i)})" for i in range(lo, lo + _AF_L)) + ")"
+        rows.append(
+            f"SELECT doc_id, CAST({f} AS INTEGER) AS frame_idx,"
+            f" CAST({energy} AS BIGINT) AS energy,"
+            f" CAST({zc} AS INTEGER) AS zero_crossings,"
+            f" CAST({peak} AS INTEGER) AS peak"
+            f" FROM documents WHERE doc_id % 4 = 1"
+        )
+    return " UNION ALL ".join(rows) + " ORDER BY doc_id, frame_idx"
+
+
+MULTIMODAL_AUDIO_FRAMES_ORACLE = _audio_frames_oracle()
+
+
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features through the real WAV codec — see the
+    module docstring. Scale shape: per-row codec + O(N) integer
+    feature math inside mapInPandas; output grain is (doc, frame) —
+    the rows a silence/clipping gate filters on. Only integers cross
+    the worker boundary."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _audio_frames_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_idx", T.IntegerType()),
+                T.StructField("energy", T.LongType()),
+                T.StructField("zero_crossings", T.IntegerType()),
+                T.StructField("peak", T.IntegerType()),
+            ]
+        ),
+    ).orderBy("doc_id", "frame_idx")
+
+
+STAGED["multimodal_audio_frames"] = (
+    multimodal_audio_frames,
+    MULTIMODAL_AUDIO_FRAMES_ORACLE,
+)
+
+
+# ---- multimodal_scene_cuts ----------------------------------------------------
+
+_SC_W, _SC_H = 16, 8
+_SC_Q00, _SC_Q01 = 16, 11  # STD_LUMA_QUANT[0], [1] — guarded in the worker
+_SC_THRESHOLD = 4500  # |Δpixel| sum over the frame ⇒ cut (splits the fixture)
+
+
+def _sc_coefs(d: int, f: int) -> tuple[int, int, int, int]:
+    """(dc0, ac0, dc1, ac1) for frame f of doc d — the video key's
+    exact coefficient formulas (staged_r9), so the per-pixel oracle
+    arithmetic is already proven."""
+    return (
+        ((d + 11 * f) % 37) - 18,
+        ((d + f) % 5) - 2,
+        ((d * 7 + 13 * f) % 41) - 20,
+        ((d * 3 + 5 * f) % 7) - 3,
+    )
+
+
+def _scene_cuts_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import avi_stdlib as av
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib as js
+
+    if js.STD_LUMA_QUANT[0] != _SC_Q00 or js.STD_LUMA_QUANT[1] != _SC_Q01:
+        raise ValueError(
+            "jpeg_stdlib quant table drifted from the oracle constants "
+            f"({_SC_Q00}, {_SC_Q01}); regenerate the scene-cut oracle"
+        )
+
+    def blk(dc: int, ac01: int) -> list[int]:
+        b = [0] * 64
+        b[0], b[1] = dc, ac01
+        return b
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "pair_idx": [],
+            "diff_sum": [],
+            "is_cut": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 1 + d % 3
+            frames = []
+            for f in range(n):
+                dc0, ac0, dc1, ac1 = _sc_coefs(d, f)
+                frames.append(
+                    js.encode_gray_baseline(
+                        _SC_W,
+                        _SC_H,
+                        [blk(dc0, ac0), blk(dc1, ac1)],
+                        restart_interval=1,
+                    )
+                )
+            payload = av.encode_avi_mjpeg(_SC_W, _SC_H, frames, us_per_frame=40000)
+            pixels = [
+                av.avi_decode_frame_gray(payload, f)[2] for f in range(n)
+            ]
+            for p in range(n - 1):
+                a, b = pixels[p], pixels[p + 1]
+                diff = sum(abs(a[i] - b[i]) for i in range(_SC_W * _SC_H))
+                out["doc_id"].append(d)
+                out["pair_idx"].append(p)
+                out["diff_sum"].append(diff)
+                out["is_cut"].append(diff > _SC_THRESHOLD)
+        yield pd.DataFrame(out)
+
+
+def _scene_cuts_oracle() -> str:
+    from datapipeline_scripts_spark.extensions import jpeg_stdlib as js
+
+    b01 = [js._IDCT_BASIS[x][1] for x in range(8)]
+
+    def val(x: int, f: str) -> str:
+        blk, col = x // 8, x % 8
+        dc = [
+            f"(((doc_id + 11 * {f}) % 37) - 18)",
+            f"(((doc_id * 7 + 13 * {f}) % 41) - 20)",
+        ][blk]
+        ac = [
+            f"(((doc_id + {f}) % 5) - 2)",
+            f"(((doc_id * 3 + 5 * {f}) % 7) - 3)",
+        ][blk]
+        return f"((16384 * {dc} + {b01[col] * _SC_Q01} * {ac} + 1052672) // 8192)"
+
+    # frames are constant down columns, so the frame diff is
+    # h × Σ_x |val(x, f) − val(x, f+1)|
+    diff = " + ".join(
+        f"abs({val(x, 'p.i')} - {val(x, '(p.i + 1)')})" for x in range(_SC_W)
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(p.i AS INTEGER) AS pair_idx,
+           CAST({_SC_H} * ({diff}) AS BIGINT) AS diff_sum,
+           ({_SC_H} * ({diff}) > {_SC_THRESHOLD}) AS is_cut
+    FROM documents, (VALUES (0), (1)) p(i)
+    WHERE doc_id % 3 <> 0 AND p.i < doc_id % 3
+    ORDER BY doc_id, pair_idx
+    """
+
+
+MULTIMODAL_SCENE_CUTS_ORACLE = _scene_cuts_oracle()
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on real MJPEG video — see the module
+    docstring. Scale shape: demux + per-frame decode + O(pixels)
+    integer diff inside mapInPandas; output grain is the frame PAIR
+    (what a sampling pipeline keys on to pick one representative
+    frame per shot). Only integers cross the worker boundary."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _scene_cuts_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("pair_idx", T.IntegerType()),
+                T.StructField("diff_sum", T.LongType()),
+                T.StructField("is_cut", T.BooleanType()),
+            ]
+        ),
+    ).orderBy("doc_id", "pair_idx")
+
+
+STAGED["multimodal_scene_cuts"] = (multimodal_scene_cuts, MULTIMODAL_SCENE_CUTS_ORACLE)
+
+
+# ---- multimodal_real_tiff16 ---------------------------------------------------
+
+_T16_W, _T16_H = 8, 5
+_T16_COMPS = (1, 5, 8, 32773)
+
+
+def _t16_sample(d: int, x: int, y: int) -> int:
+    return (d * 257 + x * 4099 + y * 1031) % 65536
+
+
+def _tiff16_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.extensions import tiff_stdlib as ts
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "compression": [],
+            "s_min": [],
+            "s_max": [],
+            "s_sum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            samples = [
+                _t16_sample(d, x, y) for y in range(_T16_H) for x in range(_T16_W)
+            ]
+            comp = _T16_COMPS[(d // 4) % 4]
+            payload = ts.encode_tiff_gray16(
+                _T16_W,
+                _T16_H,
+                samples,
+                compression=comp,
+                predictor=comp in (5, 8) and d % 8 >= 4,
+                rows_per_strip=2,
+                big_endian=d % 2 == 1,
+            )
+            w, h, got = ts.tiff_decode_gray16(payload)
+            if (w, h) != (_T16_W, _T16_H) or got != samples:
+                raise ValueError(f"doc{d}: 16-bit TIFF roundtrip drift")
+            out["doc_id"].append(d)
+            out["compression"].append(comp)
+            out["s_min"].append(min(got))
+            out["s_max"].append(max(got))
+            out["s_sum"].append(sum(got))
+        yield pd.DataFrame(out)
+
+
+def _tiff16_oracle() -> str:
+    terms = [
+        f"((doc_id * 257 + {x * 4099 + y * 1031}) % 65536)"
+        for y in range(_T16_H)
+        for x in range(_T16_W)
+    ]
+    return f"""
+    SELECT doc_id,
+           CAST([{", ".join(str(c) for c in _T16_COMPS)}]
+                [(doc_id // 4) % 4 + 1] AS INTEGER) AS compression,
+           CAST(LEAST({", ".join(terms)}) AS INTEGER) AS s_min,
+           CAST(GREATEST({", ".join(terms)}) AS INTEGER) AS s_max,
+           CAST({" + ".join(terms)} AS BIGINT) AS s_sum
+    FROM documents
+    WHERE doc_id % 4 = 2
+    ORDER BY doc_id
+    """
+
+
+MULTIMODAL_REAL_TIFF16_ORACLE = _tiff16_oracle()
+
+
+def multimodal_real_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit gray TIFF roundtrip under the driver harness — see the
+    module docstring. Scale shape: identical to the 8-bit TIFF key
+    (embarrassingly parallel Arrow-batch codec work); the min/max/sum
+    columns are the dynamic-range stats a scientific-imagery quality
+    gate keys on."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _tiff16_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("compression", T.IntegerType()),
+                T.StructField("s_min", T.IntegerType()),
+                T.StructField("s_max", T.IntegerType()),
+                T.StructField("s_sum", T.LongType()),
+            ]
+        ),
+    ).orderBy("doc_id")
+
+
+STAGED["multimodal_real_tiff16"] = (multimodal_real_tiff16, MULTIMODAL_REAL_TIFF16_ORACLE)
+
+
+# ---- quality_train_perceptron --------------------------------------------------
+
+_PT_ITERS = 3
+
+
+def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, x1, x2, x3) per document — surface features, all integers:
+    x1 = n_words − 30 (the signed margin against the curation gate's
+    word floor — what makes the problem linearly separable),
+    x2 = en-marker hits, x3 = 3-gram repetition in basis points;
+    y = +1 iff the gate passes (n_words ≥ 30). The same proven
+    constructions the gate keys use."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    n_words = F.size(toks)
+    hits = stopword_hits(toks, ("the", "a", "of"))
+    sh3 = shingles(toks, 3)
+    n_sh = F.when(n_words >= 3, n_words - 2).otherwise(0)
+    n_rep = F.when(
+        n_words >= 3, n_words - 2 - F.size(F.array_distinct(sh3))
+    ).otherwise(0)
+    return d.select(
+        F.when(n_words >= 30, 1).otherwise(-1).cast("long").alias("y"),
+        (n_words - 30).cast("long").alias("x1"),
+        hits.cast("long").alias("x2"),
+        F.when(n_sh > 0, (n_rep * 10000 - (n_rep * 10000) % n_sh) / n_sh)
+        .otherwise(0)
+        .cast("long")
+        .alias("x3"),
+    )
+
+
+def quality_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-perceptron training in-engine — see the module docstring.
+    Scale shape: the feature build is one scan projection
+    (lineage-cut once, the compute-once/reuse-per-iteration contract
+    every iterative job needs); each iteration is ONE partial-
+    aggregable aggregate (the gradient is a sum), with the 1-row
+    weight vector broadcast back — the exact shape distributed
+    data-parallel training takes at any scale. Integer arithmetic
+    keeps the trajectory hash-exact cross-engine."""
+    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=False)
+    wdf = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
+    )
+    out: DataFrame | None = None
+    for it in range(1, _PT_ITERS + 1):
+        j = feats.crossJoin(F.broadcast(wdf))
+        margin = F.col("y") * (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        agg = (
+            j.filter(margin <= 0)
+            .agg(
+                F.count("*").alias("n_mis"),
+                F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
+                F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0)).alias("d1"),
+                F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
+                F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
+            )
+        )
+        step = wdf.crossJoin(F.broadcast(agg))
+        row = step.select(
+            F.lit(it).alias("iteration"),
+            F.col("n_mis").cast("long").alias("n_mis"),
+            *[(F.col(f"w{k}") + F.col(f"d{k}")).cast("long").alias(f"w{k}") for k in range(4)],
+        )
+        out = row if out is None else out.unionByName(row)
+        wdf = row.select(*[f"w{k}" for k in range(4)])
+    assert out is not None
+    return out.orderBy("iteration")
+
+
+def _perceptron_oracle() -> str:
+    norm = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    hit = (
+        "len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'))"
+    )
+    margins = {
+        1: "0",
+        2: "w1.w0 + w1.w1 * x1 + w1.w2 * x2 + w1.w3 * x3",
+        3: "w2.w0 + w2.w1 * x1 + w2.w2 * x2 + w2.w3 * x3",
+    }
+    its = []
+    for t in (1, 2, 3):
+        src = "feats" if t == 1 else f"feats, w{t - 1}"
+        its.append(
+            f"""it{t} AS (
+  SELECT count(*) AS n_mis,
+         coalesce(sum(y), 0) AS d0,
+         coalesce(sum(y * x1), 0) AS d1,
+         coalesce(sum(y * x2), 0) AS d2,
+         coalesce(sum(y * x3), 0) AS d3
+  FROM {src} WHERE y * ({margins[t]}) <= 0
+),
+w{t} AS (
+  SELECT {"0" if t == 1 else f"w{t - 1}.w0"} + it{t}.d0 AS w0,
+         {"0" if t == 1 else f"w{t - 1}.w1"} + it{t}.d1 AS w1,
+         {"0" if t == 1 else f"w{t - 1}.w2"} + it{t}.d2 AS w2,
+         {"0" if t == 1 else f"w{t - 1}.w3"} + it{t}.d3 AS w3
+  FROM it{t}{"" if t == 1 else f", w{t - 1}"}
+)"""
+        )
+    its_sql = ",\n".join(its)
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INTEGER) AS iteration,"
+        f" CAST((SELECT n_mis FROM it{t}) AS BIGINT) AS n_mis,"
+        f" CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,"
+        f" CAST(w2 AS BIGINT) AS w2, CAST(w3 AS BIGINT) AS w3 FROM w{t}"
+        for t in (1, 2, 3)
+    )
+    return f"""
+WITH tokd AS (
+  SELECT string_split({norm}, ' ') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT CASE WHEN len(toks) >= 30 THEN 1 ELSE -1 END AS y,
+         len(toks) - 30 AS x1,
+         {hit} AS x2,
+         CASE WHEN len(toks) >= 3 THEN
+           ((len(toks) - 2
+             - len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))))
+            * 10000) // (len(toks) - 2)
+         ELSE 0 END AS x3
+  FROM tokd
+),
+{its_sql}
+{rows}
+ORDER BY iteration
+"""
+
+
+QUALITY_TRAIN_PERCEPTRON_ORACLE = _perceptron_oracle()
+
+STAGED["quality_train_perceptron"] = (
+    quality_train_perceptron,
+    QUALITY_TRAIN_PERCEPTRON_ORACLE,
+)

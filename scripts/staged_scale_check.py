@@ -24,8 +24,9 @@ from datapipeline_scripts_spark.oracle import compare, duck_connection
 from datapipeline_scripts_spark.session import get_spark
 from datapipeline_scripts_spark.sources.staged_r9 import STAGED as STAGED_R9
 from datapipeline_scripts_spark.sources.staged_r10 import STAGED as STAGED_R10
+from datapipeline_scripts_spark.sources.staged_r11 import STAGED as STAGED_R11
 
-STAGED = {**STAGED_R9, **STAGED_R10}
+STAGED = {**STAGED_R9, **STAGED_R10, **STAGED_R11}
 
 
 def main() -> int:

@@ -543,3 +543,34 @@ def test_refusals_are_loud_per_class():
         ts.tiff_decode_gray16(
             _mk_tiff(_base16(over={262: (3, [2]), 277: (3, [3])}), bytes(96))
         )
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_gray16_encoder_roundtrips(compression, big_endian):
+    w, h = 13, 9
+    samples = [(x * 4099 + y * 257) % 65536 for y in range(h) for x in range(w)]
+    p = ts.encode_tiff_gray16(
+        w, h, samples, compression=compression, rows_per_strip=4, big_endian=big_endian
+    )
+    assert ts.tiff_decode_gray16(p) == (w, h, samples)
+
+
+@pytest.mark.parametrize("compression", [5, 8])
+def test_gray16_encoder_predictor_roundtrips(compression):
+    w, h = 11, 6
+    samples = [(x * 60000 + y * 31) % 65536 for y in range(h) for x in range(w)]
+    p = ts.encode_tiff_gray16(w, h, samples, compression=compression, predictor=True)
+    assert ts.tiff_decode_gray16(p) == (w, h, samples)
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8])
+def test_gray16_encoder_bit_exact_in_imageio(spark, compression):
+    """Our 16-bit writer's files decode sample-exact in the canonical
+    JVM reader (no predictor — ImageIO refuses that combination)."""
+    jvm = spark._jvm
+    w, h = 19, 7
+    samples = [(x * 33331 + y * 777) % 65536 for y in range(h) for x in range(w)]
+    p = ts.encode_tiff_gray16(w, h, samples, compression=compression, rows_per_strip=3)
+    iw, ih, got = _imageio_read_gray16(jvm, p)
+    assert (iw, ih) == (w, h) and got == samples
