@@ -1007,3 +1007,29 @@ def test_knn_pq_shortlist_is_two_level_topk(spark, sf_dir):
     # the global ADC pass over the |Q|·P·shortlist survivors
     assert plan.count("RunningWindowFunction") in (0, 3)
     assert len(re.findall(r"\bWindow\b", plan)) == 3, plan
+
+
+def test_staged_r11_plan_shapes(spark, sf_dir):
+    """Staged r11 contract (the keys register next round; the plan
+    shape must already be right): every builder cartesian-free; the
+    pure per-row codec keys (federated ingest, audio frames, scene
+    cuts, tiff16) additionally key-shuffle-free — one Arrow pass over
+    the scan, nothing else. The perceptron is an iterative aggregate
+    chain (three keyless aggregates + broadcast-back); keyless
+    partial aggregation shuffles on no key, so it too must carry no
+    hashpartitioning — and no CartesianProduct despite three
+    broadcast crossJoins of 1-row weight tables."""
+    from datapipeline_scripts_spark.sources.staged_r11 import STAGED as R11
+
+    per_row = {
+        "federated_ingest_union",
+        "multimodal_audio_frames",
+        "multimodal_scene_cuts",
+        "multimodal_real_tiff16",
+    }
+    for key, (build, _oracle) in R11.items():
+        df = build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        if key in per_row or key == "quality_train_perceptron":
+            assert "hashpartitioning" not in plan, (key, "unexpected key shuffle")
