@@ -61,3 +61,59 @@ def test_pipeline_is_deterministic_across_builds(spark):
     a = sorted(map(tuple, spec.build(spark, sf).collect()))
     b = sorted(map(tuple, spec.build(spark, sf).collect()))
     assert a == b
+
+
+def test_export_integrity_loop_is_loud(spark, tmp_path):
+    """The flagship's export leg inherits the restore-drill posture:
+    a flipped byte inside any exported shard refuses on the CRC walk,
+    and a record silently dropped at a frame boundary refuses on the
+    writer-attested manifest — neither can reach the inventory."""
+    import glob
+    import os
+
+    from datapipeline_scripts_spark.sources import tfrecord as tfr
+    from datapipeline_scripts_spark.sources.tfexample import read_tfexample
+
+    spec = get("pretraining_pipeline")
+    sf = "/root/testdata/sf0.001"
+    spec.build(spark, sf).count()  # materialize the export
+    out_dir = os.path.join(
+        "/tmp",
+        f"spark_graft_pretraining_sf0.001_{spark.sparkContext.applicationId}",
+    )
+    shards = sorted(glob.glob(os.path.join(out_dir, "*.tfrecord")))
+    assert shards, out_dir
+    victim = shards[0]
+    blob = open(victim, "rb").read()
+    records = tfr.parse_tfrecord(blob, where=victim)
+
+    # copy the corpus to a scratch dir so we can tamper freely
+    work = tmp_path / "shards"
+    work.mkdir()
+    for s in shards:
+        (work / os.path.basename(s)).write_bytes(open(s, "rb").read())
+    manifest = {os.path.basename(s): len(tfr.parse_tfrecord(open(s, "rb").read()))
+                for s in shards}
+
+    # 1) bit-flip inside the victim's first record payload → CRC refusal
+    flipped = bytearray(blob)
+    flipped[12] ^= 0x01  # first payload byte (after len+len-CRC header)
+    (work / os.path.basename(victim)).write_bytes(bytes(flipped))
+    df = read_tfexample(
+        spark, str(work), {"doc_id": "int64", "text": "string"},
+        expected_records=manifest,
+    )
+    with pytest.raises(Exception, match="CRC"):
+        df.count()
+
+    # 2) drop the last record AT the frame boundary (parses cleanly!)
+    #    → only the manifest check catches it
+    assert len(records) >= 1
+    truncated = tfr.write_tfrecord(records[:-1]) if len(records) > 1 else b""
+    (work / os.path.basename(victim)).write_bytes(truncated)
+    df = read_tfexample(
+        spark, str(work), {"doc_id": "int64", "text": "string"},
+        expected_records=manifest,
+    )
+    with pytest.raises(Exception, match="manifest expects"):
+        df.count()
