@@ -45,9 +45,14 @@ distributed-training shape (gradient = one partial-aggregable sum),
 with the DuckDB oracle unrolling the same three iterations as chained
 CTEs (the graph_pagerank idiom applied to model training).
 
-Registration recipe (round 11): ``@query`` for all FIVE keys,
+web_url_canonical_dedup: URL canonicalization — the first dedup any
+crawl pipeline runs (case-folding, default-port stripping, trailing
+slash, utm-param removal, query ordering), pure engine-side string
+algebra with a DuckDB twin; see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all SIX keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 331
+import in ``registry._ensure_loaded``, freeze counts 326 → 332
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -627,4 +632,142 @@ QUALITY_TRAIN_PERCEPTRON_ORACLE = _perceptron_oracle()
 STAGED["quality_train_perceptron"] = (
     quality_train_perceptron,
     QUALITY_TRAIN_PERCEPTRON_ORACLE,
+)
+
+
+# ---- web_url_canonical_dedup ----------------------------------------------------
+#
+# URL canonicalization — the first dedup any crawl pipeline runs
+# (before any content hash): scheme/host case-folding, default-port
+# stripping, trailing-slash normalization, tracking-param removal and
+# query-param ordering all collapse into one canonical form, and docs
+# sharing it are refetch duplicates. The op is PURE engine-side string
+# algebra (regexp extracts + higher-order array ops — no UDF), so the
+# DuckDB twin reproduces it exactly. The messy variants are
+# constructed deterministically from doc_id (four docs share each
+# canonical URL, with case/port/slash/param-order/utm noise rotating),
+# so the oracle both constructs and canonicalizes independently.
+
+
+def _messy_url_col():
+    d = F.col("doc_id")
+    base = (d / 4).cast("long")
+    scheme = F.when(d % 2 == 0, "https").otherwise("HTTPS")
+    host = F.element_at(
+        F.array(
+            F.lit("crawl.example.com"),
+            F.lit("Crawl.Example.COM"),
+            F.lit("CRAWL.EXAMPLE.COM"),
+        ),
+        (d % 3 + 1).cast("int"),
+    )
+    port = F.when(d % 5 == 0, ":443").otherwise("")
+    path = F.concat(F.lit("/docs/"), base.cast("string"),
+                    F.when(d % 2 == 1, "/").otherwise(""))
+    p_id = F.concat(F.lit("id="), base.cast("string"))
+    p_lang = F.lit("lang=en")
+    params = F.when(d % 2 == 0, F.array(p_id, p_lang)).otherwise(F.array(p_lang, p_id))
+    params = F.when(d % 3 == 1, F.concat(params, F.array(F.lit("utm_source=feed")))).otherwise(params)
+    return F.concat(scheme, F.lit("://"), host, port, path,
+                    F.lit("?"), F.array_join(params, "&"))
+
+
+_MESSY_URL_SQL = """
+    concat(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://',
+           (['crawl.example.com', 'Crawl.Example.COM', 'CRAWL.EXAMPLE.COM'])[doc_id % 3 + 1],
+           CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+           '/docs/', CAST(doc_id // 4 AS VARCHAR),
+           CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END,
+           '?',
+           array_to_string(
+             CASE WHEN doc_id % 3 = 1 THEN
+               list_append(CASE WHEN doc_id % 2 = 0
+                 THEN ['id=' || CAST(doc_id // 4 AS VARCHAR), 'lang=en']
+                 ELSE ['lang=en', 'id=' || CAST(doc_id // 4 AS VARCHAR)] END,
+                 'utm_source=feed')
+             ELSE CASE WHEN doc_id % 2 = 0
+                 THEN ['id=' || CAST(doc_id // 4 AS VARCHAR), 'lang=en']
+                 ELSE ['lang=en', 'id=' || CAST(doc_id // 4 AS VARCHAR)] END
+             END, '&'))
+"""
+
+
+WEB_URL_CANONICAL_DEDUP_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             concat(
+               lower(regexp_extract(url, '^([^:]+)://', 1)), '://',
+               regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?]+)', 1)), ':443$', ''),
+               regexp_replace(regexp_extract(url, '^[^:]+://[^/?]+(/[^?]*)', 1), '/+$', ''),
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+             ) AS canonical_url
+      FROM (
+        SELECT doc_id, url,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                 p -> p NOT LIKE 'utm\\_%' ESCAPE '\\')), '&') AS qs
+        FROM raw
+      )
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+"""
+
+
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — see the section comment above.
+    Scale shape: the canonicalization is a codegen'd per-row
+    projection (regexp extracts + one bounded array sort over query
+    params); the only shuffle groups on the canonical-url string —
+    at crawl scale, group on md5(canonical_url) to shuffle 16-byte
+    keys instead (the fingerprint_md5 idiom)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = d.select("doc_id", _messy_url_col().alias("url"))
+    url = F.col("url")
+    qs = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&"),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lower(F.regexp_extract(url, r"^([^:]+)://", 1)),
+            F.lit("://"),
+            F.regexp_replace(
+                F.lower(F.regexp_extract(url, r"^[^:]+://([^/?]+)", 1)), ":443$", ""
+            ),
+            F.regexp_replace(
+                F.regexp_extract(url, r"^[^:]+://[^/?]+(/[^?]*)", 1), "/+$", ""
+            ),
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(""),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("url").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+STAGED["web_url_canonical_dedup"] = (
+    web_url_canonical_dedup,
+    WEB_URL_CANONICAL_DEDUP_ORACLE,
 )
