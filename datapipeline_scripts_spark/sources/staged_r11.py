@@ -50,9 +50,14 @@ crawl pipeline runs (case-folding, default-port stripping, trailing
 slash, utm-param removal, query ordering), pure engine-side string
 algebra with a DuckDB twin; see the section comment below.
 
-Registration recipe (round 11): ``@query`` for all SIX keys,
+text_html_extract: HTML → text extraction (script/style removal, tag
+stripping, entity decode, title pull-out) — the step between crawl
+ingest and every text operator, pure codegen'd regexp/string algebra;
+see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all SEVEN keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 332
+import in ``registry._ensure_loaded``, freeze counts 326 → 333
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -771,3 +776,108 @@ STAGED["web_url_canonical_dedup"] = (
     web_url_canonical_dedup,
     WEB_URL_CANONICAL_DEDUP_ORACLE,
 )
+
+
+# ---- text_html_extract ----------------------------------------------------------
+#
+# HTML → text extraction — the step between crawl ingest and every
+# text operator in this repo: script/style removal, tag stripping,
+# entity decoding, whitespace normalization, title pull-out. Pure
+# engine-side regexp/string algebra (codegen'd, no UDF) with a DuckDB
+# twin. Each document is wrapped in deterministic HTML scaffolding
+# (title, script, style, nav div, an entity sampler paragraph) by
+# BOTH engines, so the oracle independently constructs and extracts —
+# a hash match proves the extraction chain, not the scaffold.
+
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _html_wrap_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit("</title><script>var x = 1 < 2;</script>"
+              "<style>.nav { color: red; }</style></head><body><h1>Doc "),
+        d.cast("string"),
+        F.lit('</h1><p class="main">'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><p>&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>"
+              '<div class="nav"><a href="/x?utm_source=f">nav</a></div></body></html>'),
+    )
+
+
+_HTML_WRAP_SQL = """
+    concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+           '</title><script>var x = 1 < 2;</script>',
+           '<style>.nav { color: red; }</style></head><body><h1>Doc ',
+           CAST(doc_id AS VARCHAR),
+           '</h1><p class="main">', coalesce(text, ''),
+           '</p><p>&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>',
+           '<div class="nav"><a href="/x?utm_source=f">nav</a></div></body></html>')
+"""
+
+
+TEXT_HTML_EXTRACT_ORACLE = f"""
+    WITH raw AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+             len(regexp_extract_all(
+               regexp_replace(regexp_replace(html,
+                 '(?s)<script.*?</script>', ' ', 'g'),
+                 '(?s)<style.*?</style>', ' ', 'g'),
+               '<[^>]+>')) AS n_tags,
+             regexp_replace(regexp_replace(html,
+               '(?s)<script.*?</script>', ' ', 'g'),
+               '(?s)<style.*?</style>', ' ', 'g') AS noscript
+      FROM raw
+    ),
+    decoded AS (
+      SELECT doc_id, title, n_tags,
+             replace(replace(replace(replace(replace(
+               regexp_replace(noscript, '<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&amp;', '&') AS txt
+      FROM stripped
+    )
+    SELECT doc_id, title,
+           CAST(n_tags AS INTEGER) AS n_tags,
+           md5(trim(regexp_replace(txt, '\\s+', ' ', 'g'))) AS text_md5
+    FROM decoded
+    ORDER BY doc_id
+"""
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction — see the section comment above. Scale
+    shape: one codegen'd projection over the scan (five regexp passes
+    + a fixed entity-decode chain), no shuffle, no UDF; at crawl
+    scale this runs fused into the ingest scan before any text
+    operator."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = _html_wrap_col()
+    raw = d.select("doc_id", html.alias("html"))
+    noscript = F.regexp_replace(
+        F.regexp_replace(F.col("html"), r"(?s)<script.*?</script>", " "),
+        r"(?s)<style.*?</style>",
+        " ",
+    )
+    txt = F.regexp_replace(noscript, "<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return (
+        raw.select(
+            "doc_id",
+            F.regexp_extract(F.col("html"), "<title>(.*?)</title>", 1).alias("title"),
+            F.regexp_count(noscript, F.lit("<[^>]+>")).cast("int").alias("n_tags"),
+            F.md5(
+                F.encode(
+                    F.trim(F.regexp_replace(txt, r"\s+", " ")), "UTF-8"
+                )
+            ).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+STAGED["text_html_extract"] = (text_html_extract, TEXT_HTML_EXTRACT_ORACLE)

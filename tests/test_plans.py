@@ -1026,6 +1026,7 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "multimodal_audio_frames",
         "multimodal_scene_cuts",
         "multimodal_real_tiff16",
+        "text_html_extract",
     }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
