@@ -1028,9 +1028,20 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "multimodal_real_tiff16",
         "text_html_extract",
     }
+    want_cols = {
+        "federated_ingest_union": ["doc_id", "text"],
+        "multimodal_audio_frames": ["doc_id"],
+        "multimodal_scene_cuts": ["doc_id"],
+        "multimodal_real_tiff16": ["doc_id"],
+        "text_html_extract": ["doc_id", "text"],
+        "web_url_canonical_dedup": ["doc_id"],
+    }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, key
         if key in per_row or key == "quality_train_perceptron":
             assert "hashpartitioning" not in plan, (key, "unexpected key shuffle")
+        if key in want_cols:
+            schemas = read_schemas(df)
+            assert schemas and sorted(schemas[0]) == want_cols[key], (key, schemas)
