@@ -536,7 +536,13 @@ def quality_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight vector broadcast back — the exact shape distributed
     data-parallel training takes at any scale. Integer arithmetic
     keeps the trajectory hash-exact cross-engine."""
-    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=False)
+    # EAGER: a lazy localCheckpoint never engages inside the single
+    # final job — the three iteration subtrees each recompute the full
+    # feature scan (measured 44.8 s vs 11 s at the 10× proxy). Eager
+    # pays one materialization at build time and every iteration reads
+    # the cached partitions — the compute-once/reuse-per-iteration
+    # contract, actually enforced.
+    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
     wdf = spark.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
     )
