@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table
-from datapipeline_scripts_spark.functions.text import fingerprint_md5, normalize_text, stopword_hits
+from datapipeline_scripts_spark.functions.text import fingerprint_md5, ngram_join, normalize_text, stopword_hits
 from datapipeline_scripts_spark.registry import query
 
 _MIN_WORDS = 30
@@ -249,15 +249,8 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
 
     toks = F.split(F.col("norm_text"), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - _GRAM_N)
-
-    def gram(i):
-        return F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(_GRAM_N)]
-        )
-
     grams_col = F.when(
-        F.size(toks) >= _GRAM_N, F.array_distinct(F.transform(idx, gram))
+        F.size(toks) >= _GRAM_N, F.array_distinct(ngram_join(toks, _GRAM_N))
     ).otherwise(F.array().cast("array<string>"))
 
     bench_grams = (

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.functions.text import ngram_join
 from datapipeline_scripts_spark.registry import query
 
 _N = 8  # gram width
@@ -63,15 +64,8 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     many collide with the benchmark on ≥1 word 8-gram."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - _N)
-
-    def gram(i):
-        return F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(_N)]
-        )
-
     grams_col = F.when(
-        F.size(toks) >= _N, F.array_distinct(F.transform(idx, gram))
+        F.size(toks) >= _N, F.array_distinct(ngram_join(toks, _N))
     ).otherwise(F.array().cast("array<string>"))
     grams = d.select("doc_id", "source", F.explode(grams_col).alias("g"))
     is_bench = F.col("doc_id") % _MOD == 0

@@ -54,6 +54,20 @@ def md5_48_sql(expr: str) -> str:
     )
 
 
+def ngram_join(arr_col: Column, n: int, sep: str = " ") -> Column:
+    """UNGUARDED n-gram fold over an array column: n aligned slices
+    folded pairwise with zip_with (the fast form `shingles` uses —
+    14× over the index-transform + element_at construction). Valid
+    only when size(arr_col) >= n; callers own the short-array guard
+    (shingles wraps the whole array, the 8-gram keys emit empty)."""
+    cnt = F.size(arr_col) - (n - 1)
+    parts = [F.slice(arr_col, j + 1, cnt) for j in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(sep, a, b))
+    return acc
+
+
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (for MinHash / Jaccard).
 
@@ -66,13 +80,10 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
     Output is bit-identical (the r10 switch re-proved every
     shingle-consuming oracle hash unchanged); no UDF either way.
     """
-    # slice(_, j+1, size-n+1) is valid only when size >= n; guard with when().
-    cnt = F.size(tok_col) - (n - 1)
-    parts = [F.slice(tok_col, j + 1, cnt) for j in range(n)]
-    acc = parts[0]
-    for p in parts[1:]:
-        acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
-    return F.when(F.size(tok_col) >= n, acc).otherwise(F.array(F.concat_ws(" ", tok_col)))
+    # ngram_join is valid only when size >= n; guard with when().
+    return F.when(F.size(tok_col) >= n, ngram_join(tok_col, n)).otherwise(
+        F.array(F.concat_ws(" ", tok_col))
+    )
 
 
 def stopword_hits(tok_col: Column, stopwords: tuple[str, ...]) -> Column:

@@ -462,16 +462,10 @@ def events_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = F.transform(F.col("evs"), lambda x: x["event_type"])
     seq = seq.select(types.alias("types")).filter(F.size("types") >= 3)
 
-    def tri(i):
-        return F.concat_ws(
-            ">",
-            F.element_at(F.col("types"), (i + 1).cast("int")),
-            F.element_at(F.col("types"), (i + 2).cast("int")),
-            F.element_at(F.col("types"), (i + 3).cast("int")),
-        )
+    from datapipeline_scripts_spark.functions.text import ngram_join
 
     paths = seq.select(
-        F.explode(F.transform(F.sequence(F.lit(0), F.size("types") - 3), tri)).alias("path")
+        F.explode(ngram_join(F.col("types"), 3, ">")).alias("path")
     )
     return (
         paths.groupBy("path")
