@@ -343,3 +343,49 @@ def test_sequence_example_roundtrips_any_shape(context, feature_lists):
     assert lists == {
         k: [(kind, list(v)) for kind, v in steps] for k, steps in feature_lists.items()
     }
+
+
+_WORD = st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=6)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(_WORD, min_size=0, max_size=20), min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=5))
+def test_ngram_join_matches_python_model(spark, tok_lists, n):
+    """The sliced zip_with fold (the r10 shingles rewrite) must equal
+    the obvious Python n-gram construction for every array length
+    >= n and every n — the property pin under the 14x-faster form."""
+    from datapipeline_scripts_spark.functions.text import ngram_join
+
+    rows = [(toks,) for toks in tok_lists if len(toks) >= n]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, schema=T.StructType([T.StructField("toks", T.ArrayType(T.StringType()))])
+    )
+    got = [r["g"] for r in df.select(ngram_join(F.col("toks"), n).alias("g")).collect()]
+    want = [
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        for (toks,) in rows
+    ]
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(_WORD, min_size=0, max_size=20), min_size=1, max_size=6))
+def test_shingles_matches_python_model(spark, tok_lists):
+    """shingles() semantics incl. the short-array fallback (the whole
+    array joined as ONE shingle when size < 3)."""
+    from datapipeline_scripts_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(t,) for t in tok_lists],
+        schema=T.StructType([T.StructField("toks", T.ArrayType(T.StringType()))]),
+    )
+    got = [r["s"] for r in df.select(shingles(F.col("toks"), 3).alias("s")).collect()]
+    want = [
+        [" ".join(t[i : i + 3]) for i in range(len(t) - 2)] if len(t) >= 3
+        else [" ".join(t)]
+        for t in tok_lists
+    ]
+    assert got == want
