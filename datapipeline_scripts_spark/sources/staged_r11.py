@@ -55,9 +55,14 @@ stripping, entity decode, title pull-out) — the step between crawl
 ingest and every text operator, pure codegen'd regexp/string algebra;
 see the section comment below.
 
-Registration recipe (round 11): ``@query`` for all SEVEN keys,
+web_robots_filter: robots.txt longest-match evaluation (RFC 9309
+semantics: per-host rules, longest matched prefix wins, default
+allow) — generic engine-side matching on BOTH sides; see the section
+comment below.
+
+Registration recipe (round 11): ``@query`` for all EIGHT keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 333
+import in ``registry._ensure_loaded``, freeze counts 326 → 334
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -887,3 +892,105 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["text_html_extract"] = (text_html_extract, TEXT_HTML_EXTRACT_ORACLE)
+
+
+# ---- web_robots_filter ------------------------------------------------------------
+#
+# robots.txt evaluation — the fetch-policy gate every crawler runs
+# before a URL enters the corpus: per-host rule lists, LONGEST-MATCH
+# precedence (the Google/RFC 9309 semantics), default-allow when no
+# rule matches. The rule match is generic engine-side logic on BOTH
+# sides: Spark filters the in-row rule array by prefix and folds to
+# the longest match; the DuckDB oracle runs a correlated
+# longest-match subquery over the same unnested rules — neither side
+# hand-evaluates outcomes. Hosts, rules and request paths derive
+# deterministically from doc_id (one host in five, four path classes:
+# unruled, disallowed subtree, allow-override inside it, and a
+# host-specific disallowed area).
+
+
+def _robots_rules_col():
+    d = F.col("doc_id")
+    return F.array(
+        F.struct(F.lit("/private").alias("rpath"), F.lit(False).alias("allow")),
+        F.struct(F.lit("/private/ok").alias("rpath"), F.lit(True).alias("allow")),
+        F.struct(
+            F.concat(F.lit("/area"), (d % 5).cast("string")).alias("rpath"),
+            F.lit(False).alias("allow"),
+        ),
+    )
+
+
+WEB_ROBOTS_FILTER_ORACLE = """
+    WITH u AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+             (['/public/page', '/private/page', '/private/ok/page',
+               '/area' || CAST(doc_id % 5 AS VARCHAR) || '/page'])[doc_id % 4 + 1] AS path,
+             [struct_pack(rpath := '/private', allow := false),
+              struct_pack(rpath := '/private/ok', allow := true),
+              struct_pack(rpath := '/area' || CAST(doc_id % 5 AS VARCHAR),
+                          allow := false)] AS rules
+      FROM documents
+    )
+    SELECT doc_id, host, path,
+           coalesce((SELECT r.rpath FROM unnest(u.rules) AS t(r)
+                     WHERE starts_with(u.path, r.rpath)
+                     ORDER BY len(r.rpath) DESC LIMIT 1), '') AS matched_rule,
+           coalesce((SELECT r.allow FROM unnest(u.rules) AS t(r)
+                     WHERE starts_with(u.path, r.rpath)
+                     ORDER BY len(r.rpath) DESC LIMIT 1), true) AS allowed
+    FROM u
+    ORDER BY doc_id
+"""
+
+
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt longest-match evaluation — see the section comment.
+    Scale shape: the rule list rides in-row (at crawl scale it arrives
+    via a broadcast host→rules join — rules tables are MB-sized) and
+    the match is a bounded in-row fold: no shuffle, no UDF, codegen'd
+    prefix tests."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 5).cast("string"), F.lit(".example.com"))
+    path = F.element_at(
+        F.array(
+            F.lit("/public/page"),
+            F.lit("/private/page"),
+            F.lit("/private/ok/page"),
+            F.concat(F.lit("/area"), (did % 5).cast("string"), F.lit("/page")),
+        ),
+        (did % 4 + 1).cast("int"),
+    )
+    u = d.select("doc_id", host.alias("host"), path.alias("path"),
+                 _robots_rules_col().alias("rules"))
+    matched = F.filter(F.col("rules"), lambda r: F.col("path").startswith(r["rpath"]))
+    init = F.struct(
+        F.lit(-1).alias("l"), F.lit("").alias("rpath"), F.lit(True).alias("allow")
+    )
+    best = F.aggregate(
+        matched,
+        init,
+        lambda acc, r: F.when(
+            F.length(r["rpath"]) > acc["l"],
+            F.struct(
+                F.length(r["rpath"]).alias("l"),
+                r["rpath"].alias("rpath"),
+                r["allow"].alias("allow"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        u.select(
+            "doc_id",
+            "host",
+            "path",
+            best["rpath"].alias("matched_rule"),
+            best["allow"].alias("allowed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+STAGED["web_robots_filter"] = (web_robots_filter, WEB_ROBOTS_FILTER_ORACLE)

@@ -1027,6 +1027,7 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "multimodal_scene_cuts",
         "multimodal_real_tiff16",
         "text_html_extract",
+        "web_robots_filter",
     }
     want_cols = {
         "federated_ingest_union": ["doc_id", "text"],
@@ -1035,6 +1036,7 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "multimodal_real_tiff16": ["doc_id"],
         "text_html_extract": ["doc_id", "text"],
         "web_url_canonical_dedup": ["doc_id"],
+        "web_robots_filter": ["doc_id"],
     }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
