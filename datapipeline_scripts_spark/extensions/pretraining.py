@@ -125,6 +125,9 @@ def _export_writer(out_dir: str):
         pdf = pdf.sort_values("doc_id")
         source = str(pdf["source"].iloc[0])
         pack = int(pdf["pack_id"].iloc[0])
+        # executor-side: on a shared-FS cluster the driver's makedirs
+        # may race or not be visible yet — same contract as shard_sink
+        os.makedirs(out_dir, exist_ok=True)
         records = [
             tfe.encode_example({"doc_id": [int(d)], "text": [str(t)]})
             for d, t in zip(pdf["doc_id"], pdf["text"])
