@@ -60,9 +60,14 @@ semantics: per-host rules, longest matched prefix wins, default
 allow) — generic engine-side matching on BOTH sides; see the section
 comment below.
 
-Registration recipe (round 11): ``@query`` for all EIGHT keys,
+dedup_survivorship: the keep-the-BEST survivorship policy over
+minhash near-dup clusters (most normalized words, doc_id tiebreak) —
+pure composition of the proven pair/closure machinery plus one
+cluster-partitioned ranking window; see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all NINE keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 334
+import in ``registry._ensure_loaded``, freeze counts 326 → 335
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -994,3 +999,97 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["web_robots_filter"] = (web_robots_filter, WEB_ROBOTS_FILTER_ORACLE)
+
+
+# ---- dedup_survivorship -----------------------------------------------------------
+#
+# The survivorship POLICY on top of near-dup clustering — production
+# dedup keeps the BEST member of each duplicate cluster (here: most
+# normalized words, doc_id tiebreak), not the arbitrary lowest id.
+# Pure composition of proven pieces: dedup_minhash's pair set →
+# connected_components (both registered, both hash-proven) → one
+# ranking window per cluster → the per-cluster survivorship report.
+# The oracle replays the identical chain: the minhash pair SQL, a
+# recursive-CTE closure, and the same ranking.
+
+
+def _survivorship_oracle() -> str:
+    from datapipeline_scripts_spark.extensions.dedup import _minhash_oracle
+
+    norm = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    membership AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ),
+    words AS (
+      SELECT doc_id, len(string_split({norm}, ' ')) AS n_words FROM documents
+    ),
+    ranked AS (
+      SELECT m.cluster_id, m.doc_id, w.n_words,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY w.n_words DESC, m.doc_id) AS rn
+      FROM membership m JOIN words w USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_words END) AS BIGINT) AS survivor_words,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+DEDUP_SURVIVORSHIP_ORACLE = _survivorship_oracle()
+
+
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster survivorship report — see the section comment above.
+    Scale shape: inherits dedup_minhash_clusters' (pairs ≪ corpus,
+    CC on the docs-in-pairs frame only); the ranking window
+    partitions on cluster_id with cluster-bounded sorts, and the
+    report aggregate groups on the same key — one shuffle for both."""
+    from pyspark.sql.window import Window as W
+
+    from datapipeline_scripts_spark.extensions.dedup import (
+        connected_components,
+        dedup_minhash,
+    )
+
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    members = connected_components(spark, pairs).select("doc_id", "cluster_id")
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("n_words"),
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    ranked = members.join(words, "doc_id").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_words"))).alias("survivor_words"),
+            F.count("*").alias("n_members"),
+            (F.count("*") - 1).alias("n_dropped"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+STAGED["dedup_survivorship"] = (dedup_survivorship, DEDUP_SURVIVORSHIP_ORACLE)
