@@ -65,9 +65,14 @@ minhash near-dup clusters (most normalized words, doc_id tiebreak) —
 pure composition of the proven pair/closure machinery plus one
 cluster-partitioned ranking window; see the section comment below.
 
-Registration recipe (round 11): ``@query`` for all NINE keys,
+quality_eval_perceptron: the train/test discipline completing the
+in-engine training story — train on even doc_ids, score the held-out
+odd ones, confusion matrix + integer accuracy; shares the feature
+builder with quality_train_perceptron so the pair cannot fork.
+
+Registration recipe (round 11): ``@query`` for all TEN keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 335
+import in ``registry._ensure_loaded``, freeze counts 326 → 336
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -527,6 +532,7 @@ def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words >= 3, n_words - 2 - F.size(F.array_distinct(sh3))
     ).otherwise(0)
     return d.select(
+        F.col("doc_id"),
         F.when(n_words >= 30, 1).otherwise(-1).cast("long").alias("y"),
         (n_words - 30).cast("long").alias("x1"),
         hits.cast("long").alias("x2"),
@@ -552,7 +558,11 @@ def quality_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pays one materialization at build time and every iteration reads
     # the cached partitions — the compute-once/reuse-per-iteration
     # contract, actually enforced.
-    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
+    feats = (
+        _perceptron_features(spark, sf_dir)
+        .drop("doc_id")
+        .localCheckpoint(eager=True)
+    )
     wdf = spark.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
     )
@@ -1093,3 +1103,147 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["dedup_survivorship"] = (dedup_survivorship, DEDUP_SURVIVORSHIP_ORACLE)
+
+
+# ---- quality_eval_perceptron --------------------------------------------------------
+#
+# The EVALUATION half of the in-engine training story — the
+# train/test discipline every model-backed quality filter needs:
+# train the batch perceptron on the EVEN doc_ids (two unrolled
+# iterations — converged on this data), score the held-out ODD
+# doc_ids, report the confusion matrix and integer basis-point
+# accuracy. Same integer-exact machinery as quality_train_perceptron
+# (shared feature builder, so the two keys cannot fork semantics);
+# the DuckDB oracle unrolls the identical train CTEs and scores the
+# identical held-out set.
+
+_PE_ITERS = 2
+
+
+def quality_eval_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the in-engine perceptron — see the
+    section comment above. Scale shape: training is _PE_ITERS keyless
+    partial-aggregable sums over the (eagerly checkpointed) train
+    split; scoring is one broadcast of the 4-long weight vector and
+    one confusion aggregate over the test split — no shuffle carries
+    anything wider than a handful of longs."""
+    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
+    train = feats.filter(F.col("doc_id") % 2 == 0)
+    test = feats.filter(F.col("doc_id") % 2 == 1)
+    wdf = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
+    )
+    for _ in range(_PE_ITERS):
+        j = train.crossJoin(F.broadcast(wdf))
+        margin = F.col("y") * (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        agg = j.filter(margin <= 0).agg(
+            F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
+            F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0)).alias("d1"),
+            F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
+            F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
+        )
+        wdf = (
+            wdf.crossJoin(F.broadcast(agg))
+            .select(
+                *[(F.col(f"w{k}") + F.col(f"d{k}")).cast("long").alias(f"w{k}") for k in range(4)]
+            )
+        )
+    score = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    pred = F.when(score > 0, 1).otherwise(-1)
+    scored = test.crossJoin(F.broadcast(wdf)).select(
+        "y", pred.alias("pred")
+    )
+    y, p = F.col("y"), F.col("pred")
+    return scored.agg(
+        F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((y == -1) & (p == 1), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((y == -1) & (p == -1), 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when((y == 1) & (p == -1), 1).otherwise(0)).cast("long").alias("fn"),
+        F.count("*").cast("long").alias("n_test"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )
+
+
+def _eval_perceptron_oracle() -> str:
+    norm = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    hit = "len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'))"
+    margins = {
+        1: "0",
+        2: "w1.w0 + w1.w1 * x1 + w1.w2 * x2 + w1.w3 * x3",
+    }
+    its = []
+    for t in (1, 2):
+        src = "train" if t == 1 else f"train, w{t - 1}"
+        its.append(
+            f"""it{t} AS (
+  SELECT coalesce(sum(y), 0) AS d0,
+         coalesce(sum(y * x1), 0) AS d1,
+         coalesce(sum(y * x2), 0) AS d2,
+         coalesce(sum(y * x3), 0) AS d3
+  FROM {src} WHERE y * ({margins[t]}) <= 0
+),
+w{t} AS (
+  SELECT {"0" if t == 1 else f"w{t - 1}.w0"} + it{t}.d0 AS w0,
+         {"0" if t == 1 else f"w{t - 1}.w1"} + it{t}.d1 AS w1,
+         {"0" if t == 1 else f"w{t - 1}.w2"} + it{t}.d2 AS w2,
+         {"0" if t == 1 else f"w{t - 1}.w3"} + it{t}.d3 AS w3
+  FROM it{t}{"" if t == 1 else f", w{t - 1}"}
+)"""
+        )
+    its_sql = ",\n".join(its)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 30 THEN 1 ELSE -1 END AS y,
+         len(toks) - 30 AS x1,
+         {hit} AS x2,
+         CASE WHEN len(toks) >= 3 THEN
+           ((len(toks) - 2
+             - len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))))
+            * 10000) // (len(toks) - 2)
+         ELSE 0 END AS x3
+  FROM tokd
+),
+train AS (SELECT * FROM feats WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM feats WHERE doc_id % 2 = 1),
+{its_sql},
+scored AS (
+  SELECT y,
+         CASE WHEN w2.w0 + w2.w1 * x1 + w2.w2 * x2 + w2.w3 * x3 > 0
+              THEN 1 ELSE -1 END AS pred
+  FROM test, w2
+)
+SELECT CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(sum(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+         AS accuracy_bp
+FROM scored
+"""
+
+
+QUALITY_EVAL_PERCEPTRON_ORACLE = _eval_perceptron_oracle()
+
+STAGED["quality_eval_perceptron"] = (
+    quality_eval_perceptron,
+    QUALITY_EVAL_PERCEPTRON_ORACLE,
+)
