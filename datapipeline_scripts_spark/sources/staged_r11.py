@@ -516,7 +516,9 @@ _PT_ITERS = 3
 
 
 def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(y, x1, x2, x3) per document — surface features, all integers:
+    """(doc_id, y, x1, x2, x3) per document — surface features, all
+    integers (doc_id rides along for the eval key's held-out split;
+    the train key drops it):
     x1 = n_words − 30 (the signed margin against the curation gate's
     word floor — what makes the problem linearly separable),
     x2 = en-marker hits, x3 = 3-gram repetition in basis points;
