@@ -755,6 +755,34 @@ WEB_URL_CANONICAL_DEDUP_ORACLE = f"""
 """
 
 
+def canonical_url(url: F.Column) -> F.Column:
+    """The canonicalization expression itself — scheme/host
+    case-fold, :443 strip, trailing-slash strip, utm_* removal,
+    query-param sort — factored out so edge cases (empty query after
+    utm stripping, bare path, repeated slashes) are unit-testable
+    beyond the fixture's oracle gate."""
+    qs = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&"),
+                lambda p: ~p.startswith("utm_") & (p != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lower(F.regexp_extract(url, r"^([^:]+)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^[^:]+://([^/?]+)", 1)), ":443$", ""
+        ),
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[^:]+://[^/?]+(/[^?]*)", 1), "/+$", ""
+        ),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(""),
+    )
+
+
 def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — see the section comment above.
     Scale shape: the canonicalization is a codegen'd per-row
@@ -764,30 +792,10 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys instead (the fingerprint_md5 idiom)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     raw = d.select("doc_id", _messy_url_col().alias("url"))
-    url = F.col("url")
-    qs = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&"),
-                lambda p: ~p.startswith("utm_"),
-            )
-        ),
-        "&",
-    )
     canon = raw.select(
         "doc_id",
         "url",
-        F.concat(
-            F.lower(F.regexp_extract(url, r"^([^:]+)://", 1)),
-            F.lit("://"),
-            F.regexp_replace(
-                F.lower(F.regexp_extract(url, r"^[^:]+://([^/?]+)", 1)), ":443$", ""
-            ),
-            F.regexp_replace(
-                F.regexp_extract(url, r"^[^:]+://[^/?]+(/[^?]*)", 1), "/+$", ""
-            ),
-            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(""),
-        ).alias("canonical_url"),
+        canonical_url(F.col("url")).alias("canonical_url"),
     )
     return (
         canon.groupBy("canonical_url")

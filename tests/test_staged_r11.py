@@ -33,3 +33,29 @@ def test_staged_r11_keys_not_registered_during_round_10():
     registered = set(all_queries())
     assert len(registered) == 326
     assert not (set(STAGED) & registered)
+
+
+def test_canonical_url_edge_cases(spark):
+    """Edges beyond the fixture's variants: utm-only query collapses
+    to no '?', bare path keeps the root, repeated trailing slashes
+    all strip, mixed-case scheme+host fold, :443 strips only as a
+    port suffix."""
+    from pyspark.sql import types as T
+
+    from datapipeline_scripts_spark.sources.staged_r11 import canonical_url
+
+    cases = [
+        ("HTTPS://Host.COM:443/a/b///?utm_source=x", "https://host.com/a/b"),
+        ("https://host.com/a?utm_a=1&utm_b=2", "https://host.com/a"),
+        ("https://host.com/?z=2&a=1", "https://host.com?a=1&z=2"),
+        ("http://x443.example/p443/q?id=443", "http://x443.example/p443/q?id=443"),
+        ("https://host.com/a/", "https://host.com/a"),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases],
+        schema=T.StructType([T.StructField("url", T.StringType())]),
+    )
+    from pyspark.sql import functions as F
+
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases], got
