@@ -70,9 +70,28 @@ in-engine training story — train on even doc_ids, score the held-out
 odd ones, confusion matrix + integer accuracy; shares the feature
 builder with quality_train_perceptron so the pair cannot fork.
 
-Registration recipe (round 11): ``@query`` for all TEN keys,
+Second batch (built after the round-10 close, same bar):
+
+text_bpe_train: learn the BPE merge table in-engine — six iterations
+of (vocabulary-weighted pair count → deterministic arg-max →
+positional greedy merge), the whole trajectory hash-exact against a
+chained-CTE DuckDB unroll; see the section comment below.
+
+dedup_bloom_incremental: constant-size Bloom membership sketch for
+continuous-crawl dedup — broadcast bit-set probe + exact-verification
+leg, all three verdict classes exercised; see the section comment.
+
+crawl_frontier_schedule: per-host politeness scheduling (priority
+rank → fetch wave → crawl-delay offset, budget-capped backlog); see
+the section comment below.
+
+corpus_token_budget_mixture: token-budgeted best-first selection per
+source (greedy knapsack via a deterministic running-sum window); see
+the section comment below.
+
+Registration recipe (round 11): ``@query`` for all FOURTEEN keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 336
+import in ``registry._ensure_loaded``, freeze counts 326 → 340
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -85,9 +104,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from datapipeline_scripts_spark.catalog import load_table
-from datapipeline_scripts_spark.functions.text import shingles, stopword_hits, tokens
+from datapipeline_scripts_spark.functions.text import (
+    fingerprint_md5,
+    md5_48,
+    md5_48_sql,
+    shingles,
+    stopword_hits,
+    tokens,
+)
 
 # ---- federated_ingest_union --------------------------------------------------
 
@@ -1256,4 +1283,461 @@ QUALITY_EVAL_PERCEPTRON_ORACLE = _eval_perceptron_oracle()
 STAGED["quality_eval_perceptron"] = (
     quality_eval_perceptron,
     QUALITY_EVAL_PERCEPTRON_ORACLE,
+)
+
+
+# ---- second r11 batch (built after the round-10 close) --------------------
+#
+# Four more LLM-corpus operators, held to the same bar: text_bpe_train
+# (in-engine tokenizer-merge learning), dedup_bloom_incremental
+# (constant-size membership sketch for continuous-crawl dedup),
+# crawl_frontier_schedule (per-host politeness scheduling) and
+# corpus_token_budget_mixture (token-budgeted domain mixture).
+
+# ---- text_bpe_train --------------------------------------------------------
+#
+# TRAIN a BPE tokenizer in-engine — the merge-table learning loop
+# itself, not just the application `text_tokens_bpe` already covers.
+# The classic corpus trick bounds the work: pair statistics are
+# computed over the DISTINCT-WORD table weighted by word frequency, so
+# after the one corpus-sized word count every iteration runs on
+# vocabulary-sized data (≤ |vocab| rows) no matter how large the
+# corpus is. Each iteration is (1) one vocabulary-sized pair count —
+# partial-aggregable sum, (2) a deterministic arg-max (count DESC,
+# then lexicographic left/right), (3) a positional greedy merge
+# application, all codegen'd higher-order array ops. Self-pair merges
+# (left == right, e.g. "aa") are excluded by construction — with
+# left ≠ right adjacent matches can never overlap, so greedy
+# left-to-right application is purely positional and both engines
+# express it identically (the standard "aaa" ambiguity never arises).
+# The DuckDB oracle unrolls the same iterations as chained CTEs (the
+# graph_pagerank / quality_train_perceptron idiom), so the whole merge
+# trajectory — not just the final table — is hash-exact.
+
+_BPE_ITERS = 6
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first `_BPE_ITERS` BPE merges from the corpus; one
+    output row per merge: (merge_rank, left_sym, right_sym, pair_freq).
+
+    Scale shape: word-frequency table first (the only corpus-sized
+    aggregate, shuffled once on the word itself), eagerly
+    localCheckpoint'ed so the six iteration subtrees reuse the
+    materialized vocabulary instead of re-scanning the corpus (the
+    compute-once/reuse-per-iteration contract the perceptron key
+    established). Every subsequent stage is vocabulary-bounded; the
+    arg-max is a 1-row limit over the pair-type table, broadcast back
+    into the merge application. On the fixtures rank 6 merges a
+    MULTI-char symbol ("m" + "er"), proving the iterations genuinely
+    compound rather than replaying character statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substr(F.col("w"), i, F.lit(1)),
+    )
+    vocab = wf.select(chars.alias("syms"), "freq").localCheckpoint(eager=True)
+
+    out: DataFrame | None = None
+    for rank in range(1, _BPE_ITERS + 1):
+        n = F.size("syms")
+        top = (
+            vocab.filter(n >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .filter(F.col("p.l") != F.col("p.r"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "l", "r")
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(rank).cast("int").alias("merge_rank"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("pair_freq").cast("long").alias("pair_freq"),
+        )
+        out = row if out is None else out.unionByName(row)
+
+        # Positional greedy merge: with l != r matches cannot overlap,
+        # so position i is consumed iff (syms[i-1], syms[i]) matches,
+        # and emits the merged symbol iff (syms[i], syms[i+1]) does.
+        syms = F.col("syms")
+        left, right = F.col("l"), F.col("r")
+        e = lambda i: F.try_element_at(syms, i)  # noqa: E731 — null-safe indexing
+        keep = F.filter(
+            F.sequence(F.lit(1), F.size(syms)),
+            lambda i: ~(
+                (i > F.lit(1))
+                & F.coalesce((e(i - 1) == left) & (e(i) == right), F.lit(False))
+            ),
+        )
+        newsyms = F.transform(
+            keep,
+            lambda i: F.when(
+                (e(i) == left) & F.coalesce(e(i + 1) == right, F.lit(False)),
+                F.concat(left, right),
+            ).otherwise(e(i)),
+        )
+        vocab = vocab.crossJoin(F.broadcast(top)).select(newsyms.alias("syms"), "freq")
+    assert out is not None
+    return out.orderBy("merge_rank")
+
+
+def _bpe_oracle() -> str:
+    its = []
+    for t in range(1, _BPE_ITERS + 1):
+        v = f"v{t - 1}"
+        its.append(f"""p{t} AS (
+  SELECT l, r, sum(freq) AS pair_freq FROM (
+    SELECT unnest(syms[1:len(syms) - 1]) AS l,
+           unnest(syms[2:len(syms)]) AS r, freq
+    FROM {v} WHERE len(syms) >= 2)
+  WHERE l <> r GROUP BY l, r
+),
+m{t} AS (SELECT l, r, pair_freq FROM p{t} ORDER BY pair_freq DESC, l, r LIMIT 1)""")
+        if t < _BPE_ITERS:
+            its.append(f"""v{t} AS (
+  SELECT list_transform(
+           list_filter(generate_series(1, len(syms)),
+             i -> NOT (i > 1 AND syms[i - 1] = m{t}.l AND syms[i] = m{t}.r)),
+           i -> CASE WHEN syms[i] = m{t}.l AND coalesce(syms[i + 1] = m{t}.r, FALSE)
+                     THEN m{t}.l || m{t}.r ELSE syms[i] END) AS syms,
+         freq
+  FROM v{t - 1}, m{t}
+)""")
+    its_sql = ",\n".join(its)
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" CAST(pair_freq AS BIGINT) AS pair_freq FROM m{t}"
+        for t in range(1, _BPE_ITERS + 1)
+    )
+    norm = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    return f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+v0 AS (
+  SELECT list_transform(generate_series(1, length(w)), i -> w[i]) AS syms, freq
+  FROM wf
+),
+{its_sql}
+{rows}
+ORDER BY merge_rank
+"""
+
+
+TEXT_BPE_TRAIN_ORACLE = _bpe_oracle()
+
+STAGED["text_bpe_train"] = (text_bpe_train, TEXT_BPE_TRAIN_ORACLE)
+
+
+# ---- dedup_bloom_incremental -----------------------------------------------
+#
+# Continuous-crawl membership dedup through a CONSTANT-size Bloom
+# sketch: the historical corpus (even doc_ids) is summarized as the
+# set of distinct bit positions (≤ _BLOOM_M rows, whatever the corpus
+# size), and the incoming batch (odd doc_ids; every 5th one a
+# deterministic REFETCH carrying the text of the historical doc_id-1)
+# probes it with K salted md5 hashes. bloom_hit is exact on both
+# engines because the bit positions are md5_48-derived integers; the
+# exact-membership leg (the verification join any production bloom
+# gate runs behind) classifies each hit as true duplicate or false
+# positive. Bloom's no-false-negative guarantee is visible in the
+# output: every exact_dup row has bloom_hit = 1.
+
+_BLOOM_M = 4096
+_BLOOM_K = 4
+
+
+def _bloom_bits(fp):
+    return F.array(
+        *[(md5_48(F.concat(fp, F.lit(f":{j}"))) % _BLOOM_M) for j in range(_BLOOM_K)]
+    )
+
+
+def _bloom_bit_sql(j: int) -> str:
+    salted = f"fp || ':{j}'"
+    return f"(({md5_48_sql(salted)}) % {_BLOOM_M})"
+
+
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental dedup; one row per incoming doc:
+    (doc_id, bloom_hit, exact_dup, verdict ∈ duplicate /
+    false_positive / new).
+
+    Scale shape: the sketch aggregate produces ≤ M = 4096 distinct
+    bit rows regardless of corpus size, so the probe is a BROADCAST
+    join (map-side only) plus one narrow partial-aggregable min per
+    doc — the historical corpus is never reshuffled against the
+    batch. The exact-verification leg joins on the 32-byte md5
+    fingerprint (the fingerprint-store shape `dedup_incremental`
+    established), touched only to adjudicate; at 100 TB the bloom
+    broadcast prunes the non-hits before that shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    probe_src = F.when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    inc = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", probe_src.alias("src_id"))
+        .join(d.select(F.col("doc_id").alias("src_id"), "fp"), "src_id")
+        .select("doc_id", "fp")
+    )
+    bloom = (
+        hist.select(F.explode(_bloom_bits(F.col("fp"))).alias("bit"))
+        .distinct()
+        .withColumn("set1", F.lit(1))
+    )
+    probe = inc.select("doc_id", "fp", F.explode(_bloom_bits(F.col("fp"))).alias("bit"))
+    hit = (
+        probe.join(F.broadcast(bloom), "bit", "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.min(F.coalesce(F.col("set1"), F.lit(0))).alias("all_set"))
+    )
+    exact = hist.select(F.col("fp").alias("hfp")).distinct()
+    return (
+        hit.join(exact, hit["fp"] == exact["hfp"], "left")
+        .select(
+            "doc_id",
+            F.col("all_set").cast("long").alias("bloom_hit"),
+            F.when(F.col("hfp").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("exact_dup"),
+            F.when((F.col("all_set") == 1) & F.col("hfp").isNotNull(), "duplicate")
+            .when(F.col("all_set") == 1, "false_positive")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_NORM = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+
+DEDUP_BLOOM_INCREMENTAL_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id, md5({_BLOOM_NORM}) AS fp FROM documents
+),
+hist AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 0),
+inc AS (
+  SELECT o.doc_id, s.fp
+  FROM fps o
+  JOIN fps s
+    ON s.doc_id = CASE WHEN o.doc_id % 10 = 1 THEN o.doc_id - 1 ELSE o.doc_id END
+  WHERE o.doc_id % 2 = 1
+),
+bloom AS (
+  SELECT DISTINCT bit FROM (
+    SELECT unnest([{", ".join(_bloom_bit_sql(j) for j in range(_BLOOM_K))}]) AS bit
+    FROM hist)
+),
+probe AS (
+  SELECT doc_id, fp,
+         unnest([{", ".join(_bloom_bit_sql(j) for j in range(_BLOOM_K))}]) AS bit
+  FROM inc
+),
+hit AS (
+  SELECT p.doc_id, p.fp,
+         min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS all_set
+  FROM probe p LEFT JOIN bloom b ON p.bit = b.bit
+  GROUP BY p.doc_id, p.fp
+)
+SELECT h.doc_id,
+       CAST(h.all_set AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       CASE WHEN h.all_set = 1 AND e.fp IS NOT NULL THEN 'duplicate'
+            WHEN h.all_set = 1 THEN 'false_positive' ELSE 'new' END AS verdict
+FROM hit h LEFT JOIN (SELECT DISTINCT fp FROM hist) e ON h.fp = e.fp
+ORDER BY h.doc_id
+"""
+
+STAGED["dedup_bloom_incremental"] = (
+    dedup_bloom_incremental,
+    DEDUP_BLOOM_INCREMENTAL_ORACLE,
+)
+
+
+# ---- crawl_frontier_schedule -----------------------------------------------
+#
+# Frontier scheduling under per-host politeness — the step between
+# `web_robots_filter` (may we fetch it?) and the fetch itself (when?):
+# URLs hash to hosts, each host serializes its fetches (wave =
+# priority rank within host, higher-value pages first), waves convert
+# to fetch offsets through the host's crawl-delay, and a per-host
+# budget cap marks the backlog beyond it unscheduled. Deterministic
+# host/delay assignment from doc_id keeps both engines identical.
+
+_FRONTIER_HOSTS = 7
+_FRONTIER_CAP = 40
+
+
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness schedule; one row per URL: (doc_id, host, wave,
+    scheduled, fetch_at_s — NULL when the cap drops it).
+
+    Scale shape: ONE window partitioned by host — the frontier's
+    inherent unit of order (every fetch slot depends on the host's
+    full queue, so a per-host rank is irreducible); hot hosts are the
+    classic skew case and AQE's skew handling plus the budget cap
+    bound what leaves the operator. The rank feeds pure arithmetic
+    (wave → fetch offset via the host's crawl-delay) — no second
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    host_id = (F.col("doc_id") % _FRONTIER_HOSTS).cast("long")
+    f = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), host_id.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        (F.lit(1) + host_id % 3).cast("long").alias("crawl_delay_s"),
+        F.col("n_chars").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "doc_id")
+    out = f.select("*", F.row_number().over(w).cast("long").alias("wave"))
+    sched = F.col("wave") <= _FRONTIER_CAP
+    return out.select(
+        "doc_id",
+        "host",
+        "wave",
+        F.when(sched, 1).otherwise(0).cast("long").alias("scheduled"),
+        F.when(sched, (F.col("wave") - 1) * F.col("crawl_delay_s"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("fetch_at_s"),
+    ).orderBy("doc_id")
+
+
+CRAWL_FRONTIER_SCHEDULE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         'host' || CAST(doc_id % {_FRONTIER_HOSTS} AS VARCHAR) || '.example.com' AS host,
+         1 + (doc_id % {_FRONTIER_HOSTS}) % 3 AS crawl_delay_s,
+         n_chars AS priority
+  FROM documents
+),
+w AS (
+  SELECT doc_id, host, crawl_delay_s,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, doc_id) AS wave
+  FROM f
+)
+SELECT doc_id, host, CAST(wave AS BIGINT) AS wave,
+       CAST(CASE WHEN wave <= {_FRONTIER_CAP} THEN 1 ELSE 0 END AS BIGINT) AS scheduled,
+       CAST(CASE WHEN wave <= {_FRONTIER_CAP}
+                 THEN (wave - 1) * crawl_delay_s END AS BIGINT) AS fetch_at_s
+FROM w
+ORDER BY doc_id
+"""
+
+STAGED["crawl_frontier_schedule"] = (
+    crawl_frontier_schedule,
+    CRAWL_FRONTIER_SCHEDULE_ORACLE,
+)
+
+
+# ---- corpus_token_budget_mixture -------------------------------------------
+#
+# Token-budgeted mixture selection — `corpus_mixture` answers "what
+# weights rebalance the sources"; this key answers the operational
+# question a trainer actually asks: "which documents fit each
+# source's TOKEN budget?" Budget = total_tokens // (2 · n_sources)
+# (equal shares of half the corpus); within a source, docs are taken
+# best-first (token count DESC, doc_id tiebreak) while the running
+# total stays within budget — the greedy knapsack every
+# budget-capped corpus build runs.
+
+
+def corpus_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source realized mixture under a token budget: (source,
+    budget_tokens, n_selected, selected_tokens).
+
+    Scale shape: one corpus-sized scan projecting (source, n_tokens),
+    a 1-row global budget broadcast back, one per-source running-sum
+    window (explicit ROWS frame; the order is total — doc_id breaks
+    ties — so the cumsum is deterministic), then a partial-aggregable
+    per-source rollup. The window is the only per-source sort, on a
+    2-column projection — the same bounded shape the frontier key
+    argues."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("n_tokens"),
+    )
+    tot = tk.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    ).select(
+        F.floor(F.col("total_tokens") / (2 * F.col("n_sources")))
+        .cast("long")
+        .alias("budget_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tk.select("source", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .groupBy("source", "budget_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("selected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_TBM_NORM = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+
+CORPUS_TOKEN_BUDGET_MIXTURE_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({_TBM_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) // (2 * count(DISTINCT source)) AS BIGINT) AS budget_tokens
+  FROM tk
+),
+cum AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM tk
+)
+SELECT source, budget_tokens,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(n_tokens) AS BIGINT) AS selected_tokens
+FROM cum, tot
+WHERE cum_tokens <= budget_tokens
+GROUP BY source, budget_tokens
+ORDER BY source
+"""
+
+STAGED["corpus_token_budget_mixture"] = (
+    corpus_token_budget_mixture,
+    CORPUS_TOKEN_BUDGET_MIXTURE_ORACLE,
 )
