@@ -89,9 +89,19 @@ corpus_token_budget_mixture: token-budgeted best-first selection per
 source (greedy knapsack via a deterministic running-sum window); see
 the section comment below.
 
-Registration recipe (round 11): ``@query`` for all FOURTEEN keys,
+text_bpe_compression: the train→apply→measure closure — apply the
+learned merges back to the vocabulary and report corpus chars vs
+post-merge symbols (compression in basis points); shares the train
+key's `_bpe_learn` chain so the pair cannot fork.
+
+knn_recall_report: in-engine evaluation of the approximate index —
+recall@5 of knn_ivf against exact knn_brute per query, built ON the
+registered builders (and the oracle on their registered SQL twins)
+so the report can never drift from the operators it grades.
+
+Registration recipe (round 11): ``@query`` for all SIXTEEN keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 340
+import in ``registry._ensure_loaded``, freeze counts 326 → 342
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -107,6 +117,11 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.extensions.similarity import (
+    _IVF_ORACLE,
+    knn_brute,
+    knn_ivf,
+)
 from datapipeline_scripts_spark.functions.text import (
     fingerprint_md5,
     md5_48,
@@ -1317,20 +1332,11 @@ STAGED["quality_eval_perceptron"] = (
 _BPE_ITERS = 6
 
 
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first `_BPE_ITERS` BPE merges from the corpus; one
-    output row per merge: (merge_rank, left_sym, right_sym, pair_freq).
-
-    Scale shape: word-frequency table first (the only corpus-sized
-    aggregate, shuffled once on the word itself), eagerly
-    localCheckpoint'ed so the six iteration subtrees reuse the
-    materialized vocabulary instead of re-scanning the corpus (the
-    compute-once/reuse-per-iteration contract the perceptron key
-    established). Every subsequent stage is vocabulary-bounded; the
-    arg-max is a 1-row limit over the pair-type table, broadcast back
-    into the merge application. On the fixtures rank 6 merges a
-    MULTI-char symbol ("m" + "er"), proving the iterations genuinely
-    compound rather than replaying character statistics."""
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE learning chain: (merge rows, final symbolized
+    vocabulary). The vocabulary carries (syms, freq, n_chars) so the
+    compression key can measure chars→symbols without re-deriving;
+    the train key projects only the merge rows."""
     d = load_table(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("w"))
@@ -1342,7 +1348,9 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.substr(F.col("w"), i, F.lit(1)),
     )
-    vocab = wf.select(chars.alias("syms"), "freq").localCheckpoint(eager=True)
+    vocab = wf.select(
+        chars.alias("syms"), "freq", F.length("w").cast("long").alias("n_chars")
+    ).localCheckpoint(eager=True)
 
     out: DataFrame | None = None
     for rank in range(1, _BPE_ITERS + 1):
@@ -1393,14 +1401,38 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(left, right),
             ).otherwise(e(i)),
         )
-        vocab = vocab.crossJoin(F.broadcast(top)).select(newsyms.alias("syms"), "freq")
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            newsyms.alias("syms"), "freq", "n_chars"
+        )
     assert out is not None
-    return out.orderBy("merge_rank")
+    return out, vocab
 
 
-def _bpe_oracle() -> str:
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first `_BPE_ITERS` BPE merges from the corpus; one
+    output row per merge: (merge_rank, left_sym, right_sym, pair_freq).
+
+    Scale shape: word-frequency table first (the only corpus-sized
+    aggregate, shuffled once on the word itself), eagerly
+    localCheckpoint'ed so the six iteration subtrees reuse the
+    materialized vocabulary instead of re-scanning the corpus (the
+    compute-once/reuse-per-iteration contract the perceptron key
+    established). Every subsequent stage is vocabulary-bounded; the
+    arg-max is a 1-row limit over the pair-type table, broadcast back
+    into the merge application. On the fixtures rank 6 merges a
+    MULTI-char symbol ("m" + "er"), proving the iterations genuinely
+    compound rather than replaying character statistics."""
+    merges, _vocab = _bpe_learn(spark, sf_dir)
+    return merges.orderBy("merge_rank")
+
+
+def _bpe_chain_sql(iters: int) -> str:
+    """WITH-body producing wf, v0..v{iters} (symbolized vocabulary
+    after each merge) and m1..m{iters} (the merges) — shared by the
+    train and compression oracles. DuckDB prunes unreferenced CTEs,
+    so each consumer pays only for the tables it reads."""
     its = []
-    for t in range(1, _BPE_ITERS + 1):
+    for t in range(1, iters + 1):
         v = f"v{t - 1}"
         its.append(f"""p{t} AS (
   SELECT l, r, sum(freq) AS pair_freq FROM (
@@ -1409,43 +1441,93 @@ def _bpe_oracle() -> str:
     FROM {v} WHERE len(syms) >= 2)
   WHERE l <> r GROUP BY l, r
 ),
-m{t} AS (SELECT l, r, pair_freq FROM p{t} ORDER BY pair_freq DESC, l, r LIMIT 1)""")
-        if t < _BPE_ITERS:
-            its.append(f"""v{t} AS (
+m{t} AS (SELECT l, r, pair_freq FROM p{t} ORDER BY pair_freq DESC, l, r LIMIT 1),
+v{t} AS (
   SELECT list_transform(
            list_filter(generate_series(1, len(syms)),
              i -> NOT (i > 1 AND syms[i - 1] = m{t}.l AND syms[i] = m{t}.r)),
            i -> CASE WHEN syms[i] = m{t}.l AND coalesce(syms[i + 1] = m{t}.r, FALSE)
                      THEN m{t}.l || m{t}.r ELSE syms[i] END) AS syms,
-         freq
+         freq, n_chars
   FROM v{t - 1}, m{t}
 )""")
     its_sql = ",\n".join(its)
-    rows = " UNION ALL ".join(
-        f"SELECT CAST({t} AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym,"
-        f" CAST(pair_freq AS BIGINT) AS pair_freq FROM m{t}"
-        for t in range(1, _BPE_ITERS + 1)
-    )
     norm = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
-    return f"""
-WITH wf AS (
+    return f"""wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM documents)
   WHERE w <> '' GROUP BY w
 ),
 v0 AS (
-  SELECT list_transform(generate_series(1, length(w)), i -> w[i]) AS syms, freq
+  SELECT list_transform(generate_series(1, length(w)), i -> w[i]) AS syms, freq,
+         CAST(length(w) AS BIGINT) AS n_chars
   FROM wf
 ),
-{its_sql}
+{its_sql}"""
+
+
+def _bpe_train_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" CAST(pair_freq AS BIGINT) AS pair_freq FROM m{t}"
+        for t in range(1, _BPE_ITERS + 1)
+    )
+    return f"""
+WITH {_bpe_chain_sql(_BPE_ITERS)}
 {rows}
 ORDER BY merge_rank
 """
 
 
-TEXT_BPE_TRAIN_ORACLE = _bpe_oracle()
+TEXT_BPE_TRAIN_ORACLE = _bpe_train_oracle()
 
 STAGED["text_bpe_train"] = (text_bpe_train, TEXT_BPE_TRAIN_ORACLE)
+
+
+# ---- text_bpe_compression --------------------------------------------------
+#
+# The train→apply→measure closure: apply the learned merge table back
+# to the corpus vocabulary and report what the tokenizer buys — total
+# chars vs post-merge symbols and the compression in basis points.
+# This is the number a tokenizer-training pipeline actually gates on
+# (did the merges compress the corpus enough to justify the vocab
+# slots?), computed entirely in-engine off the same proven chain.
+
+
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level tokenizer yield after `_BPE_ITERS` merges — ONE
+    row: (distinct_words, corpus_words, chars_total, symbols_total,
+    compression_bp).
+
+    Scale shape: identical to text_bpe_train (shares `_bpe_learn`) —
+    the measurement itself is one keyless partial-aggregable sum over
+    the vocabulary-sized table, weighted by word frequency, so the
+    corpus-level yield never touches corpus-sized data after the
+    initial word count."""
+    _merges, vocab = _bpe_learn(spark, sf_dir)
+    return vocab.agg(
+        F.count("*").cast("long").alias("distinct_words"),
+        F.sum("freq").cast("long").alias("corpus_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("chars_total"),
+        F.sum(F.col("freq") * F.size("syms")).cast("long").alias("symbols_total"),
+        F.expr(
+            "CAST(sum(freq * size(syms)) * 10000 div sum(freq * n_chars) AS BIGINT)"
+        ).alias("compression_bp"),
+    )
+
+
+TEXT_BPE_COMPRESSION_ORACLE = f"""
+WITH {_bpe_chain_sql(_BPE_ITERS)}
+SELECT CAST(count(*) AS BIGINT) AS distinct_words,
+       CAST(sum(freq) AS BIGINT) AS corpus_words,
+       CAST(sum(freq * n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(freq * len(syms)) AS BIGINT) AS symbols_total,
+       CAST(sum(freq * len(syms)) * 10000 // sum(freq * n_chars) AS BIGINT)
+         AS compression_bp
+FROM v{_BPE_ITERS}
+"""
+
+STAGED["text_bpe_compression"] = (text_bpe_compression, TEXT_BPE_COMPRESSION_ORACLE)
 
 
 # ---- dedup_bloom_incremental -----------------------------------------------
@@ -1741,3 +1823,86 @@ STAGED["corpus_token_budget_mixture"] = (
     corpus_token_budget_mixture,
     CORPUS_TOKEN_BUDGET_MIXTURE_ORACLE,
 )
+
+
+# ---- knn_recall_report -----------------------------------------------------
+#
+# Evaluate the approximate index IN-ENGINE: recall@5 of knn_ivf
+# against the exact knn_brute top-5, per query — the acceptance gate
+# every ANN deployment runs before switching retrieval paths. Both
+# legs are the registered builders themselves (and the oracle wraps
+# their registered SQL twins), so the report can never drift from
+# the operators it grades.
+
+
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ANN recall: (qid, n_hits, recall_bp) for the 5
+    shared query vectors, recall@5 in basis points.
+
+    Scale shape: both legs bound their candidate sets before ranking
+    (brute broadcasts the query block; IVF probes NPROBE lists), the
+    intersection is an equi-join on (qid, cid) — |Q|·k rows a side —
+    and the rollup is partial-aggregable. At real scale the exact leg
+    runs on a held-out sample of queries (recall estimation), which
+    changes only the qid filter."""
+    exact = knn_brute(spark, sf_dir).filter(F.col("rn") <= 5).select("qid", "cid")
+    approx = knn_ivf(spark, sf_dir).filter(F.col("qid") < 5).select("qid", "cid")
+    inter = (
+        exact.join(approx, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.groupBy("qid").agg(F.count("*").alias("k"))
+    return (
+        base.join(inter, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("CAST(coalesce(n_hits, 0) * 10000 div k AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+KNN_RECALL_REPORT_ORACLE = f"""
+WITH exact AS (
+  SELECT qid, cid FROM (
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings),
+         sims AS (
+           SELECT qid, cid,
+                  round(list_dot_product(qe, ce) /
+                        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                        4) AS cos_sim
+           FROM q CROSS JOIN c
+           WHERE qid <> cid
+         ),
+         ranked AS (
+           SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+           FROM sims
+         )
+    SELECT qid, cid FROM ranked WHERE rn <= 5
+  )
+),
+approx AS (
+  SELECT qid, cid FROM ({_IVF_ORACLE}) WHERE qid < 5
+),
+base AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
+inter AS (
+  SELECT e.qid, count(*) AS n_hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid
+)
+SELECT b.qid,
+       CAST(coalesce(i.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(i.n_hits, 0) * 10000 // b.k AS BIGINT) AS recall_bp
+FROM base b LEFT JOIN inter i ON b.qid = i.qid
+ORDER BY b.qid
+"""
+
+STAGED["knn_recall_report"] = (knn_recall_report, KNN_RECALL_REPORT_ORACLE)
