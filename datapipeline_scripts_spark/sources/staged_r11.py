@@ -99,9 +99,24 @@ recall@5 of knn_ivf against exact knn_brute per query, built ON the
 registered builders (and the oracle on their registered SQL twins)
 so the report can never drift from the operators it grades.
 
-Registration recipe (round 11): ``@query`` for all SIXTEEN keys,
+Third batch (same gate):
+
+embedding_pca_power: top principal direction of the embedding table
+by integer-exact power iteration on the int8 Gram matrix — in-engine
+linear algebra with the whole per-dimension trajectory hash-proven;
+see the section comment below.
+
+corpus_curriculum_order: curriculum bucketing (equal-width bins, no
+global sort) + deterministic md5 shuffle within each bucket — the
+trainer-feed ordering step; see the section comment below.
+
+text_bigram_heldout: the LM train/test discipline — bigram model
+trained on even docs scores the held-out odd docs under add-one
+smoothing; see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all NINETEEN keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 342
+import in ``registry._ensure_loaded``, freeze counts 326 → 345
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -1906,3 +1921,310 @@ ORDER BY b.qid
 """
 
 STAGED["knn_recall_report"] = (knn_recall_report, KNN_RECALL_REPORT_ORACLE)
+
+
+# ---- third r11 batch -------------------------------------------------------
+#
+# embedding_pca_power (integer-exact in-engine linear algebra),
+# corpus_curriculum_order (trainer feed ordering) and
+# text_bigram_heldout (LM train/test discipline) — same gate.
+
+# ---- embedding_pca_power ---------------------------------------------------
+#
+# Top principal direction of the embedding table by POWER ITERATION,
+# entirely in-engine and integer-exact: embeddings are int8-quantized
+# (the proven knn_int8 expression), the 64×64 Gram matrix G = QᵀQ is
+# one combiner-bounded outer-product aggregate (exact BIGINTs), and
+# each iteration is v ← rescale(G·v) with an abs-split integer
+# rescale (sign(w)·(|w|·1024 ÷ max|w|)) — floor-on-nonnegative equals
+# truncation, so Spark's `div` and DuckDB's `//` agree exactly. G is
+# PSD by construction, so the iteration converges toward the top
+# eigenvector; the OUTPUT is the whole per-dimension trajectory
+# (v1, v2, v3), hash-exact like the perceptron's weight trajectory.
+# This is the whitening/decorrelation step an embedding pipeline runs
+# before dimensionality reduction or calibrated cosine thresholds.
+
+_PCA_ITERS = 3
+_PCA_VSCALE = 1024
+_PCA_DIMS = 64
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer power iteration on the int8 Gram matrix; 64 rows:
+    (dim, v1, v2, v3) — the iterate after each of three steps,
+    v scaled to max-abs = 1024.
+
+    Scale shape: the ONLY corpus-sized work is the Gram build — a
+    map-side outer-product explode whose partial aggregation is
+    bounded at dim² = 4096 groups per partition (the exchange carries
+    ≤ 4096 rows per map task regardless of N). G is eagerly
+    localCheckpoint'ed; every iteration then runs on 64–4096-row
+    tables with the 64-row iterate broadcast. Overflow headroom:
+    |G| ≤ 127²·N and |w| ≤ 64·|G|·1024, safe in BIGINT to N ≈ 10⁹
+    vectors per partition-group; beyond that production scales G
+    down by a power of two first (same integer semantics)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sc = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    qz = e.select("embedding", sc.alias("sc")).select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") / F.col("sc") + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    e1 = qz.select(F.posexplode("qv").alias("i0", "qi"), F.col("qv"))
+    e2 = e1.select("i0", "qi", F.posexplode("qv").alias("j0", "qj"))
+    g = (
+        e2.groupBy((F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j"))
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("gij"))
+    ).localCheckpoint(eager=True)
+
+    dims = spark.range(1, _PCA_DIMS + 1).select(F.col("id").cast("int").alias("dim"))
+    v = dims.select(
+        "dim",
+        F.when(F.col("dim") == 1, F.lit(_PCA_VSCALE)).otherwise(0).cast("long").alias("vj"),
+    )
+    vs = []
+    for _t in range(1, _PCA_ITERS + 1):
+        w = (
+            g.join(F.broadcast(v.withColumnRenamed("dim", "j")), "j")
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("gij") * F.col("vj")).alias("w"))
+        )
+        m = w.agg(F.greatest(F.max(F.abs("w")), F.lit(1)).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.expr(
+                f"CAST(CASE WHEN w < 0 THEN -((-w) * {_PCA_VSCALE} div m)"
+                f" ELSE (w * {_PCA_VSCALE}) div m END AS BIGINT)"
+            ).alias("vj"),
+        )
+        vs.append(v)
+    out = dims
+    for t, vt in enumerate(vs, start=1):
+        out = out.join(vt.withColumnRenamed("vj", f"v{t}"), "dim")
+    return out.orderBy("dim")
+
+
+def _pca_oracle() -> str:
+    its = []
+    for t in range(1, _PCA_ITERS + 1):
+        its.append(f"""w{t} AS (
+  SELECT g.i AS dim, sum(g.gij * v{t - 1}.vj) AS w
+  FROM g JOIN v{t - 1} ON g.j = v{t - 1}.dim GROUP BY g.i
+),
+m{t} AS (SELECT greatest(max(abs(w)), 1) AS m FROM w{t}),
+v{t} AS (
+  SELECT dim,
+         CASE WHEN w < 0 THEN -((-w * {_PCA_VSCALE}) // m)
+              ELSE (w * {_PCA_VSCALE}) // m END AS vj
+  FROM w{t}, m{t}
+)""")
+    its_sql = ",\n".join(its)
+    sel = ", ".join(f"CAST(v{t}.vj AS BIGINT) AS v{t}" for t in range(1, _PCA_ITERS + 1))
+    joins = " ".join(f"JOIN v{t} ON v{t}.dim = d.dim" for t in range(1, _PCA_ITERS + 1))
+    return f"""
+WITH q AS (
+  SELECT list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv
+  FROM (
+    SELECT v,
+           greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS sc
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  )
+),
+e1 AS (
+  SELECT u.i AS i, u.qi AS qi, qv FROM (
+    SELECT qv,
+           unnest(list_transform(generate_series(1, len(qv)),
+                                 i -> {{'i': i, 'qi': qv[i]}})) AS u
+    FROM q)
+),
+e2 AS (
+  SELECT i, u2.j AS j, qi * u2.qj AS prod FROM (
+    SELECT i, qi,
+           unnest(list_transform(generate_series(1, len(qv)),
+                                 j -> {{'j': j, 'qj': qv[j]}})) AS u2
+    FROM e1)
+),
+g AS (SELECT i, j, sum(prod) AS gij FROM e2 GROUP BY i, j),
+v0 AS (
+  SELECT CAST(unnest(generate_series(1, {_PCA_DIMS})) AS INTEGER) AS dim,
+         CASE WHEN unnest(generate_series(1, {_PCA_DIMS})) = 1
+              THEN {_PCA_VSCALE} ELSE 0 END AS vj
+),
+{its_sql}
+SELECT CAST(d.dim AS INTEGER) AS dim, {sel}
+FROM v0 d {joins}
+ORDER BY d.dim
+"""
+
+
+EMBEDDING_PCA_POWER_ORACLE = _pca_oracle()
+
+STAGED["embedding_pca_power"] = (embedding_pca_power, EMBEDDING_PCA_POWER_ORACLE)
+
+
+# ---- corpus_curriculum_order -----------------------------------------------
+#
+# The trainer-feed ordering step: curriculum bucket by difficulty
+# (token count, equal-WIDTH bins — two broadcast aggregates, no
+# global sort; the equal-frequency ntile variant would force a
+# single-partition window) and a deterministic md5 shuffle WITHIN
+# each bucket (training wants decorrelated batches inside each
+# curriculum stage; md5-ordering is the engine's standard
+# reproducible shuffle, same as split_assign).
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum + reproducible intra-bucket shuffle; one row per
+    doc: (doc_id, n_tokens, bucket ∈ 1..4, shuffle_pos).
+
+    Scale shape: bucket assignment is pure arithmetic against a
+    broadcast (min, max) — no global sort anywhere; the only shuffle
+    is the per-BUCKET md5-order window (4 partitions of the hash
+    space; at real scale sub-salt the window key by md5 prefix and
+    recombine positions arithmetically if a single bucket outgrows a
+    reducer)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("n_tokens"),
+    )
+    rng = tk.agg(F.min("n_tokens").alias("mn"), F.max("n_tokens").alias("mx"))
+    b = tk.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(least(4, 1 + ((n_tokens - mn) * 4) div (mx - mn + 1)) AS BIGINT)"
+        ).alias("bucket"),
+    )
+    ws = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return b.select(
+        "doc_id", "n_tokens", "bucket",
+        F.row_number().over(ws).cast("long").alias("shuffle_pos"),
+    ).orderBy("doc_id")
+
+
+_CCO_NORM = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+
+CORPUS_CURRICULUM_ORDER_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(len(string_split({_CCO_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+rng AS (SELECT min(n_tokens) AS mn, max(n_tokens) AS mx FROM tk),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(least(4, 1 + ((n_tokens - mn) * 4) // (mx - mn + 1)) AS BIGINT) AS bucket
+  FROM tk, rng
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(row_number() OVER (PARTITION BY bucket
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos
+FROM b
+ORDER BY doc_id
+"""
+
+STAGED["corpus_curriculum_order"] = (
+    corpus_curriculum_order,
+    CORPUS_CURRICULUM_ORDER_ORACLE,
+)
+
+
+# ---- text_bigram_heldout ---------------------------------------------------
+#
+# The LM analog of the perceptron's train/test discipline: the bigram
+# model is TRAINED on even doc_ids only and scores the HELD-OUT odd
+# docs, which forces the smoothing question the in-corpus
+# `text_bigram_lm` never faces (unseen bigrams and unseen contexts).
+# Add-one (Laplace) smoothing over the train vocabulary keeps every
+# held-out bigram's probability defined: P(w2|w1) = (c2+1)/(c1+V).
+# Same float discipline as text_bigram_lm: both engines compute
+# identical IEEE doubles from identical integer counts, mean ln P
+# rounded to 3 dp.
+
+
+def text_bigram_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring; one row per odd doc: (doc_id, n_bigrams,
+    heldout_lm_score = round(mean ln P_laplace, 3)).
+
+    Scale shape: identical to text_bigram_lm — two partial-aggregated
+    count tables bounded by observed vocabulary (± its square), the
+    train/test split is a row-level filter on the same scan, the
+    vocabulary size is a 1-row broadcast, and the scoring joins key
+    on (w1[,w2]) with AQE choosing broadcast vs shuffle per side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    big = (
+        d.select(
+            "doc_id",
+            F.slice(toks, 1, n - 1).alias("w1s"),
+            F.slice(toks, 2, n - 1).alias("w2s"),
+        )
+        .select("doc_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("b"))
+        .select("doc_id", F.col("b.w1s").alias("w1"), F.col("b.w2s").alias("w2"))
+    )
+    train = big.filter(F.col("doc_id") % 2 == 0)
+    test = big.filter(F.col("doc_id") % 2 == 1)
+    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("vsize"))
+    )
+    return (
+        test.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("n2"), F.lit(0)) + 1) * 1.0
+                        / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vsize"))
+                    )
+                ),
+                3,
+            ).alias("heldout_lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_HELDOUT_ORACLE = """
+WITH big AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+train AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM big WHERE doc_id % 2 = 1),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM train GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM train GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w) AS vsize FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 0)
+)
+SELECT t.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln((coalesce(c2.n2, 0) + 1) * 1.0
+                    / (coalesce(c1.n1, 0) + vocab.vsize))), 3) AS heldout_lm_score
+FROM test t
+LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+LEFT JOIN c1 ON t.w1 = c1.w1
+CROSS JOIN vocab
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+STAGED["text_bigram_heldout"] = (text_bigram_heldout, TEXT_BIGRAM_HELDOUT_ORACLE)

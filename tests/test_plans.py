@@ -1042,6 +1042,10 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "dedup_bloom_incremental": ["doc_id", "text"],
         "crawl_frontier_schedule": ["doc_id", "n_chars"],
         "corpus_token_budget_mixture": ["doc_id", "source", "text"],
+        # embedding_pca_power's scan hides behind its eager Gram
+        # checkpoint, like the BPE pair.
+        "corpus_curriculum_order": ["doc_id", "text"],
+        "text_bigram_heldout": ["doc_id", "text"],
     }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
