@@ -59,3 +59,82 @@ def test_canonical_url_edge_cases(spark):
 
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases], got
+
+
+def _py_greedy_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Reference greedy leftmost BPE merge application (the standard
+    sequential fold) — the positional engine form must equal it
+    whenever left != right."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_positional_merge_equals_sequential_greedy():
+    """Property pin for the shared merge-application lambda (identical
+    text in the Spark builder and the DuckDB oracle): for left !=
+    right the positional form — drop position i if (i-1, i) matches,
+    emit merged if (i, i+1) matches — equals the sequential greedy
+    fold. Exercised via DuckDB (cheap, no Spark session) over an
+    exhaustive small-alphabet sweep that includes adjacent and
+    repeated occurrences ('abab', 'aabba', ...)."""
+    import itertools
+
+    import duckdb
+
+    con = duckdb.connect()
+    words = [
+        "".join(t)
+        for n in (1, 2, 3, 4, 5)
+        for t in itertools.product("ab", repeat=n)
+    ] + ["abcabc", "bcbcbc", "cabcab"]
+    for left, right in [("a", "b"), ("b", "a"), ("b", "c"), ("ab", "a")]:
+        got = con.execute(
+            """
+            SELECT w, list_transform(
+                     list_filter(generate_series(1, len(syms)),
+                       i -> NOT (i > 1 AND syms[i - 1] = $l AND syms[i] = $r)),
+                     i -> CASE WHEN syms[i] = $l AND coalesce(syms[i + 1] = $r, FALSE)
+                               THEN $l || $r ELSE syms[i] END) AS merged
+            FROM (
+              SELECT w, list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+              FROM (SELECT unnest($words) AS w)
+            )
+            ORDER BY w
+            """,
+            {"l": left, "r": right, "words": words},
+        ).fetchall()
+        for w, merged in got:
+            assert merged == _py_greedy_merge(list(w), left, right), (
+                w, left, right, merged,
+            )
+
+
+def test_bloom_has_no_false_negatives_and_pca_rescale_invariant():
+    """Two DuckDB-side semantic invariants on the staged oracles:
+    (1) Bloom's defining guarantee — every exact duplicate is a bloom
+    hit (no false negatives) and the 'duplicate' refetch class is
+    non-empty; (2) the PCA iterate is rescaled to max-abs EXACTLY
+    _PCA_VSCALE after every iteration (the invariant that keeps the
+    integer arithmetic in BIGINT range)."""
+    from datapipeline_scripts_spark.sources.staged_r11 import (
+        _PCA_VSCALE,
+        DEDUP_BLOOM_INCREMENTAL_ORACLE,
+        EMBEDDING_PCA_POWER_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(DEDUP_BLOOM_INCREMENTAL_ORACLE).fetch_df()
+            assert ((b.exact_dup == 1) <= (b.bloom_hit == 1)).all()
+            assert (b.verdict == "duplicate").sum() > 0
+            p = con.execute(EMBEDDING_PCA_POWER_ORACLE).fetch_df()
+            for c in ("v1", "v2", "v3"):
+                assert p[c].abs().max() == _PCA_VSCALE, (sf_dir, c)
