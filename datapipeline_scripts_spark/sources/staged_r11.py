@@ -114,9 +114,16 @@ text_bigram_heldout: the LM train/test discipline — bigram model
 trained on even docs scores the held-out odd docs under add-one
 smoothing; see the section comment below.
 
-Registration recipe (round 11): ``@query`` for all NINETEEN keys,
+crawl_pipeline: the crawl-side FLAGSHIP — messy fetch records →
+canonical-URL refetch dedup → robots longest-match → HTML extraction
+→ quality gate → per-host politeness schedule, as ONE hash-gated
+per-host funnel report; every stage reuses its standalone key's
+semantics (shared expressions, not re-derivations); see the section
+comment below.
+
+Registration recipe (round 11): ``@query`` for all TWENTY keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 345
+import in ``registry._ensure_loaded``, freeze counts 326 → 346
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
 """
 
@@ -2228,3 +2235,275 @@ ORDER BY t.doc_id
 """
 
 STAGED["text_bigram_heldout"] = (text_bigram_heldout, TEXT_BIGRAM_HELDOUT_ORACLE)
+
+
+# ---- crawl_pipeline (the crawl-side flagship) ------------------------------
+#
+# The end-to-end CRAWL counterpart to `pretraining_pipeline`: every
+# stage a production crawler runs between raw fetch records and the
+# corpus handoff, chained as ONE key and hash-proven per host:
+#
+#     messy fetch records (4 URL variants per logical page)
+#     → canonical-URL refetch dedup (survivor = min doc_id)
+#     → robots longest-match gate on the canonical path
+#     → HTML → text extraction of the surviving fetch
+#     → quality gate (word floor) on the EXTRACTED text
+#     → per-host politeness schedule of the kept set
+#     → per-host funnel report (pages → allowed → kept) with
+#       schedule stats and an md5_48 content checksum
+#
+# Every stage reuses the SEMANTICS of its proven standalone key:
+# canonicalization is `canonical_url` itself (the shared expression),
+# the robots fold is `web_robots_filter`'s longest-match aggregate,
+# the extraction chain is `text_html_extract`'s scaffold + passes
+# (_html_wrap_col is the shared constructor), the word floor is the
+# curation gate's, and the schedule is `crawl_frontier_schedule`'s
+# wave arithmetic. A hash match on the per-host report therefore
+# proves the whole chain end to end — the fetch-side analog of the
+# pretraining flagship's ingest→export proof.
+
+_CP_MIN_WORDS = 30
+
+
+def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side flagship; one row per host: (host, n_pages,
+    n_allowed, n_kept, max_wave, sum_fetch_at, doc_id_sum,
+    text_hash_sum).
+
+    Scale shape (each inherited from the standalone key's audited
+    plan): canonicalization/robots/extraction/gating are all
+    codegen'd per-row projections fused into the scan — the only
+    shuffles are the canonical-URL group (32-byte-ish keys; group on
+    md5(curl) at crawl scale), the per-host schedule window (the
+    frontier's irreducible per-host order), and the per-host rollup.
+    No UDF anywhere; the robots rules ride in-row (broadcast
+    host→rules join at real scale)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # S0: messy fetch records — 4 variants per logical page (base),
+    # host and robots path class derived from base.
+    did = F.col("doc_id")
+    base = (did / 4).cast("long")
+    hid = (base % 5).cast("long")
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com"))
+    cls = F.element_at(
+        F.array(
+            F.lit("/public"),
+            F.lit("/private"),
+            F.lit("/private/ok"),
+            F.concat(F.lit("/area"), hid.cast("string")),
+        ),
+        (base % 4 + 1).cast("int"),
+    )
+    path = F.concat(cls, F.lit("/docs/"), base.cast("string"),
+                    F.when(did % 2 == 1, "/").otherwise(""))
+    scheme = F.when(did % 2 == 0, "https").otherwise("HTTPS")
+    port = F.when(did % 5 == 0, ":443").otherwise("")
+    p_id = F.concat(F.lit("id="), base.cast("string"))
+    params = F.when(did % 2 == 0, F.array(p_id, F.lit("lang=en"))).otherwise(
+        F.array(F.lit("lang=en"), p_id)
+    )
+    params = F.when(did % 3 == 1,
+                    F.concat(params, F.array(F.lit("utm_source=feed")))).otherwise(params)
+    url = F.concat(scheme, F.lit("://"), host, port, path,
+                   F.lit("?"), F.array_join(params, "&"))
+    raw = d.select("doc_id", host.alias("host"), url.alias("url"))
+
+    # S1: canonical-URL refetch dedup — survivor = min doc_id.
+    canon = raw.select("doc_id", "host", canonical_url(F.col("url")).alias("curl"))
+    pages = canon.groupBy("host", "curl").agg(F.min("doc_id").alias("doc_id"))
+
+    # S2: robots longest-match on the canonical path.
+    cpath = F.regexp_extract(F.col("curl"), "^[^:]+://[^/?]+(/[^?]*)", 1)
+    rules = F.array(
+        F.struct(F.lit("/private").alias("rpath"), F.lit(False).alias("allow")),
+        F.struct(F.lit("/private/ok").alias("rpath"), F.lit(True).alias("allow")),
+        F.struct(
+            F.concat(F.lit("/area"),
+                     F.regexp_extract(F.col("host"), "^h(\\d)\\.", 1)).alias("rpath"),
+            F.lit(False).alias("allow"),
+        ),
+    )
+    withp = pages.select("host", "doc_id", cpath.alias("path"), rules.alias("rules"))
+    matched = F.filter(F.col("rules"), lambda r: F.col("path").startswith(r["rpath"]))
+    init = F.struct(F.lit(-1).alias("l"), F.lit(True).alias("allow"))
+    best = F.aggregate(
+        matched,
+        init,
+        lambda acc, r: F.when(
+            F.length(r["rpath"]) > acc["l"],
+            F.struct(F.length(r["rpath"]).alias("l"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    robo = withp.select("host", "doc_id", best["allow"].alias("allowed"))
+
+    # S3+S4: HTML extraction of the surviving fetch, quality gate on
+    # the extracted text.
+    surv = robo.join(d, "doc_id")
+    html = _html_wrap_col()
+    noscript = F.regexp_replace(
+        F.regexp_replace(html, r"(?s)<script.*?</script>", " "),
+        r"(?s)<style.*?</style>", " ",
+    )
+    txt = F.regexp_replace(noscript, "<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    etext = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    flags = surv.select(
+        "host", "doc_id", "allowed",
+        F.size(tokens(etext)).cast("long").alias("n_words"),
+        md5_48(F.lower(etext)).alias("thash"),
+    ).select(
+        "*",
+        (F.col("allowed") & (F.col("n_words") >= _CP_MIN_WORDS)).alias("kept"),
+    )
+
+    # S5: frontier schedule of the kept set; S6: per-host funnel.
+    delay = (F.lit(1) + F.regexp_extract(F.col("host"), "^h(\\d)\\.", 1).cast("long") % 3)
+    ws = Window.partitionBy("host").orderBy(F.desc("n_words"), "doc_id")
+    sched = (
+        flags.filter(F.col("kept"))
+        .select("host", "doc_id", "n_words", "thash", delay.alias("delay"))
+        .select("*", F.row_number().over(ws).cast("long").alias("wave"))
+    )
+    per_host_sched = sched.groupBy("host").agg(
+        F.max("wave").alias("max_wave"),
+        F.sum((F.col("wave") - 1) * F.col("delay")).alias("sum_fetch_at"),
+        F.sum("doc_id").alias("doc_id_sum"),
+        F.sum("thash").alias("text_hash_sum"),
+    )
+    per_host = flags.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0)).cast("long").alias("n_allowed"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return (
+        per_host.join(per_host_sched, "host", "left")
+        .select(
+            "host", "n_pages", "n_allowed", "n_kept",
+            F.coalesce("max_wave", F.lit(0)).cast("long").alias("max_wave"),
+            F.coalesce("sum_fetch_at", F.lit(0)).cast("long").alias("sum_fetch_at"),
+            F.coalesce("doc_id_sum", F.lit(0)).cast("long").alias("doc_id_sum"),
+            F.coalesce("text_hash_sum", F.lit(0)).cast("long").alias("text_hash_sum"),
+        )
+        .orderBy("host")
+    )
+
+
+CRAWL_PIPELINE_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         'h' || CAST((doc_id // 4) % 5 AS VARCHAR) || '.example.com' AS host,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://',
+           'h' || CAST((doc_id // 4) % 5 AS VARCHAR) || '.example.com',
+           CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+           (['/public', '/private', '/private/ok',
+             '/area' || CAST((doc_id // 4) % 5 AS VARCHAR)])[(doc_id // 4) % 4 + 1],
+           '/docs/', CAST(doc_id // 4 AS VARCHAR),
+           CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END,
+           '?',
+           array_to_string(
+             CASE WHEN doc_id % 3 = 1 THEN
+               list_append(CASE WHEN doc_id % 2 = 0
+                 THEN ['id=' || CAST(doc_id // 4 AS VARCHAR), 'lang=en']
+                 ELSE ['lang=en', 'id=' || CAST(doc_id // 4 AS VARCHAR)] END,
+                 'utm_source=feed')
+             ELSE CASE WHEN doc_id % 2 = 0
+                 THEN ['id=' || CAST(doc_id // 4 AS VARCHAR), 'lang=en']
+                 ELSE ['lang=en', 'id=' || CAST(doc_id // 4 AS VARCHAR)] END
+             END, '&'))
+         AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, host,
+         concat(
+           lower(regexp_extract(url, '^([^:]+)://', 1)), '://',
+           regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?]+)', 1)), ':443$', ''),
+           regexp_replace(regexp_extract(url, '^[^:]+://[^/?]+(/[^?]*)', 1), '/+$', ''),
+           CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+         ) AS curl
+  FROM (
+    SELECT doc_id, host, url,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+             p -> p NOT LIKE 'utm\\_%' ESCAPE '\\')), '&') AS qs
+    FROM raw
+  )
+),
+pages AS (
+  SELECT host, curl, min(doc_id) AS doc_id FROM canon GROUP BY host, curl
+),
+robo AS (
+  SELECT host, doc_id,
+         coalesce((SELECT r.allow FROM unnest(rules) AS t(r)
+                   WHERE starts_with(path, r.rpath)
+                   ORDER BY len(r.rpath) DESC LIMIT 1), true) AS allowed
+  FROM (
+    SELECT host, doc_id,
+           regexp_extract(curl, '^[^:]+://[^/?]+(/[^?]*)', 1) AS path,
+           [struct_pack(rpath := '/private', allow := false),
+            struct_pack(rpath := '/private/ok', allow := true),
+            struct_pack(rpath := '/area' || regexp_extract(host, '^h(\\d)\\.', 1),
+                        allow := false)] AS rules
+    FROM pages
+  )
+),
+ex AS (
+  SELECT host, doc_id, allowed,
+         CAST(len(string_split(
+           regexp_replace(trim(lower(etext)), '\\s+', ' ', 'g'), ' ')) AS BIGINT)
+           AS n_words,
+         {md5_48_sql("lower(etext)")} AS thash
+  FROM (
+    SELECT host, doc_id, allowed,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(regexp_replace({_HTML_WRAP_SQL},
+                   '(?s)<script.*?</script>', ' ', 'g'),
+                   '(?s)<style.*?</style>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS etext
+    FROM (SELECT r.host, r.allowed, d.doc_id, d.text
+          FROM robo r JOIN documents d ON r.doc_id = d.doc_id)
+  )
+),
+flags AS (
+  SELECT host, doc_id, allowed, n_words, thash,
+         (allowed AND n_words >= {_CP_MIN_WORDS}) AS kept
+  FROM ex
+),
+sched AS (
+  SELECT host, doc_id, n_words, thash,
+         1 + CAST(regexp_extract(host, '^h(\\d)\\.', 1) AS BIGINT) % 3 AS delay,
+         row_number() OVER (PARTITION BY host ORDER BY n_words DESC, doc_id) AS wave
+  FROM flags WHERE kept
+),
+per_host_sched AS (
+  SELECT host, max(wave) AS max_wave,
+         sum((wave - 1) * delay) AS sum_fetch_at,
+         sum(doc_id) AS doc_id_sum,
+         sum(thash) AS text_hash_sum
+  FROM sched GROUP BY host
+),
+per_host AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM flags GROUP BY host
+)
+SELECT p.host, p.n_pages, p.n_allowed, p.n_kept,
+       CAST(coalesce(s.max_wave, 0) AS BIGINT) AS max_wave,
+       CAST(coalesce(s.sum_fetch_at, 0) AS BIGINT) AS sum_fetch_at,
+       CAST(coalesce(s.doc_id_sum, 0) AS BIGINT) AS doc_id_sum,
+       CAST(coalesce(s.text_hash_sum, 0) AS BIGINT) AS text_hash_sum
+FROM per_host p LEFT JOIN per_host_sched s ON p.host = s.host
+ORDER BY p.host
+"""
+
+STAGED["crawl_pipeline"] = (crawl_pipeline, CRAWL_PIPELINE_ORACLE)
