@@ -124,7 +124,11 @@ comment below.
 Registration recipe (round 11): ``@query`` for all TWENTY keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
 import in ``registry._ensure_loaded``, freeze counts 326 → 346
-(tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md.
+(tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md. At
+the same flip add the four heavy new keys to ``bench.py``'s
+BENCH_KEYS (`crawl_pipeline`, `text_bpe_train`,
+`embedding_pca_power`, `dedup_bloom_incremental`) so the driver's
+per-round bench covers the new surface.
 """
 
 from __future__ import annotations

@@ -138,3 +138,43 @@ def test_bloom_has_no_false_negatives_and_pca_rescale_invariant():
             p = con.execute(EMBEDDING_PCA_POWER_ORACLE).fetch_df()
             for c in ("v1", "v2", "v3"):
                 assert p[c].abs().max() == _PCA_VSCALE, (sf_dir, c)
+
+
+def test_crawl_pipeline_stage_fire_checks():
+    """Tamper drill for the crawl flagship (the pretraining
+    flagship's pattern): mutate ONE stage of the oracle at a time and
+    assert the per-host funnel CHANGES — i.e. every stage is
+    load-bearing in the hash gate, none is dead weight the compare
+    would miss. DuckDB-only (cheap): the Spark side is already
+    hash-locked to the unmutated oracle by the staged proofs."""
+    from datapipeline_scripts_spark.sources.staged_r11 import CRAWL_PIPELINE_ORACLE
+
+    mutations = {
+        "canonical: keep utm params": (
+            "p NOT LIKE 'utm\\_%' ESCAPE '\\'",
+            "true",
+        ),
+        "robots: default deny": (
+            "LIMIT 1), true) AS allowed",
+            "LIMIT 1), false) AS allowed",
+        ),
+        "gate: word floor lowered": (
+            f"n_words >= {30}",
+            "n_words >= 10",
+        ),
+        "extract: entity decode disabled": (
+            "'&lt;', '<')",
+            "'&lt;', '&lt;')",
+        ),
+        "schedule: politeness delay flattened": (
+            "% 3 AS delay",
+            "% 3 * 0 AS delay",
+        ),
+    }
+    with duck_connection("/root/testdata/sf0.01") as con:
+        base = con.execute(CRAWL_PIPELINE_ORACLE).fetch_df()
+        for label, (old, new) in mutations.items():
+            assert old in CRAWL_PIPELINE_ORACLE, (label, "anchor drifted")
+            mutated = CRAWL_PIPELINE_ORACLE.replace(old, new)
+            got = con.execute(mutated).fetch_df()
+            assert not got.equals(base), (label, "mutation did not fire")
