@@ -2272,7 +2272,7 @@ _CP_MIN_WORDS = 30
 def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-side flagship; one row per host: (host, n_pages,
     n_allowed, n_kept, max_wave, sum_fetch_at, doc_id_sum,
-    text_hash_sum).
+    text_hash_xor).
 
     Scale shape (each inherited from the standalone key's audited
     plan): canonicalization/robots/extraction/gating are all
@@ -2370,11 +2370,17 @@ def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "doc_id", "n_words", "thash", delay.alias("delay"))
         .select("*", F.row_number().over(ws).cast("long").alias("wave"))
     )
+    # XOR-fold, not sum, for the content checksum: a SUM of 48-bit
+    # md5 values overflows BIGINT at 2^15 rows per group — Spark
+    # (ANSI) throws while DuckDB silently promotes to HUGEINT, so the
+    # engines would diverge exactly when the data gets big. Caught by
+    # the 1000x proxy run (5M docs, ~500k kept per host); bit_xor is
+    # order-independent and closed over 64 bits on both engines.
     per_host_sched = sched.groupBy("host").agg(
         F.max("wave").alias("max_wave"),
         F.sum((F.col("wave") - 1) * F.col("delay")).alias("sum_fetch_at"),
         F.sum("doc_id").alias("doc_id_sum"),
-        F.sum("thash").alias("text_hash_sum"),
+        F.bit_xor("thash").alias("text_hash_xor"),
     )
     per_host = flags.groupBy("host").agg(
         F.count("*").cast("long").alias("n_pages"),
@@ -2388,7 +2394,7 @@ def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_wave", F.lit(0)).cast("long").alias("max_wave"),
             F.coalesce("sum_fetch_at", F.lit(0)).cast("long").alias("sum_fetch_at"),
             F.coalesce("doc_id_sum", F.lit(0)).cast("long").alias("doc_id_sum"),
-            F.coalesce("text_hash_sum", F.lit(0)).cast("long").alias("text_hash_sum"),
+            F.coalesce("text_hash_xor", F.lit(0)).cast("long").alias("text_hash_xor"),
         )
         .orderBy("host")
     )
@@ -2491,7 +2497,7 @@ per_host_sched AS (
   SELECT host, max(wave) AS max_wave,
          sum((wave - 1) * delay) AS sum_fetch_at,
          sum(doc_id) AS doc_id_sum,
-         sum(thash) AS text_hash_sum
+         bit_xor(thash) AS text_hash_xor
   FROM sched GROUP BY host
 ),
 per_host AS (
@@ -2505,7 +2511,7 @@ SELECT p.host, p.n_pages, p.n_allowed, p.n_kept,
        CAST(coalesce(s.max_wave, 0) AS BIGINT) AS max_wave,
        CAST(coalesce(s.sum_fetch_at, 0) AS BIGINT) AS sum_fetch_at,
        CAST(coalesce(s.doc_id_sum, 0) AS BIGINT) AS doc_id_sum,
-       CAST(coalesce(s.text_hash_sum, 0) AS BIGINT) AS text_hash_sum
+       CAST(coalesce(s.text_hash_xor, 0) AS BIGINT) AS text_hash_xor
 FROM per_host p LEFT JOIN per_host_sched s ON p.host = s.host
 ORDER BY p.host
 """
