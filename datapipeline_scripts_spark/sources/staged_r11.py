@@ -121,9 +121,14 @@ per-host funnel report; every stage reuses its standalone key's
 semantics (shared expressions, not re-derivations); see the section
 comment below.
 
-Registration recipe (round 11): ``@query`` for all TWENTY keys,
+arrow_ipc_roundtrip: Arrow IPC (Feather V2) typed shard roundtrip —
+the fifth corpus shard format (sources/arrow_ipc.py), int64 + string
++ BINARY columns through all three buffer codecs, footer-enforced
+truncation loudness; see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all TWENTY-ONE keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 346
+import in ``registry._ensure_loaded``, freeze counts 326 → 347
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md. At
 the same flip add the four heavy new keys to ``bench.py``'s
 BENCH_KEYS (`crawl_pipeline`, `text_bpe_train`,
@@ -2517,3 +2522,92 @@ ORDER BY p.host
 """
 
 STAGED["crawl_pipeline"] = (crawl_pipeline, CRAWL_PIPELINE_ORACLE)
+
+
+# ---- arrow_ipc_roundtrip ---------------------------------------------------
+#
+# Arrow IPC (Feather V2) shard roundtrip under the driver harness —
+# the typed-interchange lane (sources/arrow_ipc.py: HuggingFace
+# Datasets' cache format, Arrow Flight payloads) beside WARC /
+# WebDataset / jsonl.zst / TFRecord. Each selected document becomes a
+# 3-row shard with an int64, a string AND a BINARY column (the lane
+# JSON-Lines refuses by design), written as one record batch per row
+# with the buffer compression rotating none/zstd/lz4 by doc_id, then
+# read back through the production byte reader. The oracle recomputes
+# every row's hashes from the text column, so typed fidelity — incl.
+# the bytes column — the batch walk and row order all sit inside the
+# driver's hash gate.
+
+
+def _arrow_ipc_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from datapipeline_scripts_spark.sources import arrow_ipc as aipc
+
+    comps = (None, "zstd", "lz4")
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "row_idx": [], "text_md5": [], "blob_md5": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            rows = [
+                {
+                    "id": d,
+                    "text": f"{text or ''}#{i}",
+                    "blob": f"{text or ''}#bin{i}".encode("utf-8"),
+                }
+                for i in range(3)
+            ]
+            shard = aipc.write_arrow_ipc(rows, compression=comps[d % 3], batches_of=1)
+            table = aipc.read_arrow_ipc_bytes(shard, where=f"doc{d}")
+            assert table.num_rows == 3
+            got = table.to_pylist()
+            for i, obj in enumerate(got):
+                assert obj["id"] == d
+                out["doc_id"].append(d)
+                out["row_idx"].append(i)
+                out["text_md5"].append(
+                    hashlib.md5(obj["text"].encode("utf-8")).hexdigest()
+                )
+                out["blob_md5"].append(hashlib.md5(obj["blob"]).hexdigest())
+        yield pd.DataFrame(out)
+
+
+ARROW_IPC_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           CAST(f.i AS BIGINT) AS row_idx,
+           md5(coalesce(text, '') || '#' || CAST(f.i AS VARCHAR)) AS text_md5,
+           md5(coalesce(text, '') || '#bin' || CAST(f.i AS VARCHAR)) AS blob_md5
+    FROM documents, (VALUES (0), (1), (2)) f(i)
+    WHERE doc_id % 5 = 3
+    ORDER BY doc_id, row_idx
+"""
+
+
+def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC write→read roundtrip — see the section comment.
+    Scale shape: production `read_arrow_ipc` parallelizes one task
+    per shard; this key exercises the identical batch walk, typed
+    decode (incl. binary) and all three buffer codecs per row inside
+    mapInPandas."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 3)
+        .select("doc_id", "text")
+        # single-file fixture → spread the per-row codec work (no-op
+        # at real multi-partition scale; the jsonl_zst idiom)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        _arrow_ipc_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("row_idx", T.LongType()),
+                T.StructField("text_md5", T.StringType()),
+                T.StructField("blob_md5", T.StringType()),
+            ]
+        ),
+    ).orderBy("doc_id", "row_idx")
+
+
+STAGED["arrow_ipc_roundtrip"] = (arrow_ipc_roundtrip, ARROW_IPC_ROUNDTRIP_ORACLE)

@@ -1,0 +1,88 @@
+"""Arrow IPC shard module (sources/arrow_ipc.py): typed roundtrip
+including the binary lane, footer-enforced truncation loudness,
+manifest defense-in-depth, projection, and shard-sink save modes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datapipeline_scripts_spark.sources.arrow_ipc import (
+    read_arrow_ipc,
+    read_arrow_ipc_bytes,
+    write_arrow_ipc,
+    write_arrow_ipc_dataset,
+)
+
+ROWS = [
+    {"id": i, "text": f"t{i}", "blob": bytes([i, 255 - i, 7])} for i in range(7)
+]
+
+
+@pytest.mark.parametrize("compression", [None, "zstd", "lz4"])
+@pytest.mark.parametrize("batches_of", [None, 1, 3])
+def test_bytes_roundtrip_typed(compression, batches_of):
+    payload = write_arrow_ipc(ROWS, compression=compression, batches_of=batches_of)
+    table = read_arrow_ipc_bytes(payload)
+    assert table.to_pylist() == ROWS
+
+
+def test_truncation_is_loud_at_every_cut():
+    """The IPC file format ends in footer+magic: a shard cut at ANY
+    byte — including clean record-batch boundaries — must refuse.
+    (This is the property the zstd-frame formats lack.)"""
+    payload = write_arrow_ipc(ROWS, batches_of=1)
+    for cut in range(0, len(payload), max(1, len(payload) // 23)):
+        with pytest.raises(ValueError, match="not a valid Arrow IPC file"):
+            read_arrow_ipc_bytes(payload[:cut], where="trunc")
+
+
+def test_empty_table_roundtrip():
+    assert read_arrow_ipc_bytes(write_arrow_ipc([])).num_rows == 0
+
+
+def test_dataset_roundtrip_with_manifest_and_projection(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", bytes([i])) for i in range(10)],
+        schema="id long, text string, blob binary",
+    ).repartition(3)
+    manifest = write_arrow_ipc_dataset(df, out, compression="zstd", manifest=True)
+    assert sum(m["n_records"] for m in manifest) == 10
+    expected = {os.path.basename(m["path"]): m["n_records"] for m in manifest}
+    back = read_arrow_ipc(
+        spark, out, {"id": "int64", "blob": "binary"}, expected_rows=expected
+    )
+    got = {r["id"]: bytes(r["blob"]) for r in back.collect()}
+    assert got == {i: bytes([i]) for i in range(10)}
+    # a field absent from the shards projects as null, not an error
+    withmiss = read_arrow_ipc(spark, out, {"id": "int64", "nope": "string"})
+    assert all(r["nope"] is None for r in withmiss.collect())
+
+
+def test_manifest_mismatch_refuses(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame([(1, "a")], schema="id long, text string").coalesce(1)
+    manifest = write_arrow_ipc_dataset(df, out, manifest=True)
+    bad = {os.path.basename(m["path"]): m["n_records"] + 1 for m in manifest}
+    with pytest.raises(Exception, match="manifest"):
+        read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=bad).collect()
+
+
+def test_save_modes(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame([(1, "a")], schema="id long, text string").coalesce(1)
+    write_arrow_ipc_dataset(df, out)
+    with pytest.raises(Exception):
+        write_arrow_ipc_dataset(df, out)  # mode=error on non-empty target
+    assert write_arrow_ipc_dataset(df, out, mode="ignore") == []
+    write_arrow_ipc_dataset(df, out, mode="append")
+    write_arrow_ipc_dataset(df, out, mode="overwrite")
+    n = len([f for f in os.listdir(out) if f.endswith(".arrow")])
+    assert n == 1  # overwrite replaced the appended pair
+
+
+def test_unsupported_field_type_refuses(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported type"):
+        read_arrow_ipc(spark, str(tmp_path), {"id": "decimal"})

@@ -1047,6 +1047,7 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "corpus_curriculum_order": ["doc_id", "text"],
         "text_bigram_heldout": ["doc_id", "text"],
         "crawl_pipeline": ["doc_id", "text"],
+        "arrow_ipc_roundtrip": ["doc_id", "text"],
     }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
