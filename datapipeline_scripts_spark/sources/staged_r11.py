@@ -9,9 +9,10 @@ federated_ingest_union: heterogeneous-shard ingest — the situation a
 real corpus build actually faces (crawl dumps in WARC, vision sets in
 WebDataset, text dumps in .jsonl.zst, trainer output in TFRecord) —
 as ONE key: each document roundtrips through the format its
-doc_id % 4 class assigns, every codec the PRODUCTION write/parse
-pair, and the union carries a `fmt` provenance column. A hash match
-proves all four ingest legs lossless side-by-side under one gate.
+doc_id % 5 class assigns (WARC / WebDataset / jsonl.zst / TFRecord /
+Arrow IPC), every codec the PRODUCTION write/parse pair, and the
+union carries a `fmt` provenance column. A hash match proves all
+FIVE ingest legs lossless side-by-side under one gate.
 
 multimodal_audio_frames: frame-level audio features — the windowed
 form every audio-quality filter runs (silence/clipping detection per
@@ -165,10 +166,11 @@ from datapipeline_scripts_spark.functions.text import (
 # ---- federated_ingest_union --------------------------------------------------
 
 _FED_HTTP_HEAD = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-_FED_FMTS = ("warc", "webdataset", "jsonl_zst", "tfrecord")
+_FED_FMTS = ("warc", "webdataset", "jsonl_zst", "tfrecord", "arrow_ipc")
 
 
 def _federated_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from datapipeline_scripts_spark.sources import arrow_ipc as aipc
     from datapipeline_scripts_spark.sources import jsonl_zst as jz
     from datapipeline_scripts_spark.sources import tfexample as tfe
     from datapipeline_scripts_spark.sources import tfrecord as tfr
@@ -180,7 +182,7 @@ def _federated_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             d = int(doc_id)
             body = (text or "").encode("utf-8")
-            cls = d % 4
+            cls = d % 5
             if cls == 0:  # WARC response record, own gzip member
                 rec_bytes = warc.write_warc_record(
                     "response",
@@ -203,12 +205,20 @@ def _federated_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 )
                 (row,) = jz.iter_jsonl(shard, where=f"doc{d}")
                 got = row["text"].encode("utf-8")
-            else:  # TFRecord shard of one tf.Example
+            elif cls == 3:  # TFRecord shard of one tf.Example
                 ex = tfe.encode_example({"doc_id": [d], "text": [body]})
                 shard = tfr.write_tfrecord([ex])
                 (rec_b,) = tfr.parse_tfrecord(shard, where=f"doc{d}")
                 decoded = tfe.decode_example(rec_b, where=f"doc{d}")
                 got = decoded["text"][1][0]
+            else:  # Arrow IPC single-row shard, binary column native
+                shard = aipc.write_arrow_ipc(
+                    [{"doc_id": d, "text": body}], compression="zstd"
+                )
+                table = aipc.read_arrow_ipc_bytes(shard, where=f"doc{d}")
+                (row_a,) = table.to_pylist()
+                assert row_a["doc_id"] == d
+                got = row_a["text"]
             out["doc_id"].append(d)
             out["fmt"].append(_FED_FMTS[cls])
             out["text_md5"].append(hashlib.md5(got).hexdigest())
@@ -217,8 +227,9 @@ def _federated_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 FEDERATED_INGEST_UNION_ORACLE = """
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'warc' WHEN 1 THEN 'webdataset'
-                WHEN 2 THEN 'jsonl_zst' ELSE 'tfrecord' END AS fmt,
+           CASE doc_id % 5 WHEN 0 THEN 'warc' WHEN 1 THEN 'webdataset'
+                WHEN 2 THEN 'jsonl_zst' WHEN 3 THEN 'tfrecord'
+                ELSE 'arrow_ipc' END AS fmt,
            md5(coalesce(text, '')) AS text_md5
     FROM documents
     ORDER BY doc_id
