@@ -127,9 +127,15 @@ the fifth corpus shard format (sources/arrow_ipc.py), int64 + string
 + BINARY columns through all three buffer codecs, footer-enforced
 truncation loudness; see the section comment below.
 
-Registration recipe (round 11): ``@query`` for all TWENTY-ONE keys,
+corpus_pack_offsets: the per-document [begin, end) spans inside each
+packed training sequence — the attention-mask / boundary-loss
+metadata the shard-grain corpus_pack report aggregates away; shares
+_PACK_BUDGET and the partitioned window with the registered pack
+keys; see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all TWENTY-TWO keys,
 ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 347
+import in ``registry._ensure_loaded``, freeze counts 326 → 348
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md. At
 the same flip add the four heavy new keys to ``bench.py``'s
 BENCH_KEYS (`crawl_pipeline`, `text_bpe_train`,
@@ -2622,3 +2628,79 @@ def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED["arrow_ipc_roundtrip"] = (arrow_ipc_roundtrip, ARROW_IPC_ROUNDTRIP_ORACLE)
+
+
+# ---- corpus_pack_offsets ---------------------------------------------------
+#
+# The per-document BOUNDARY metadata trainers actually consume from a
+# packed corpus: for each doc, which training sequence it landed in
+# and its [begin, end) character span inside that sequence — what an
+# attention mask / document-boundary loss reset is built from.
+# Same deterministic greedy pack as the registered corpus_pack keys
+# (shared _PACK_BUDGET, the partitioned 100 TB form: per-source
+# exclusive running sum, no single-partition funnel); this key emits
+# the doc-grain offsets the shard-grain fill report aggregates away.
+# end_off > _PACK_BUDGET marks the shard-crossing doc (standard
+# greedy-pack overflow), visible per doc rather than folded into a
+# fill ratio.
+
+
+def corpus_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc packing offsets; one row per doc: (doc_id, source,
+    shard_id, begin_off, end_off).
+
+    Scale shape: identical to corpus_pack_partitioned — ONE
+    per-source running-sum window over a 3-column projection, then
+    pure arithmetic (div/mod against the budget); no second shuffle,
+    no funnel."""
+    from datapipeline_scripts_spark.extensions.mixture import _PACK_BUDGET
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("cum") / F.lit(_PACK_BUDGET)).cast("long").alias("shard_id"),
+        (F.col("cum") % F.lit(_PACK_BUDGET)).cast("long").alias("begin_off"),
+    )
+    return binned.select(
+        "doc_id",
+        "source",
+        "shard_id",
+        "begin_off",
+        (F.col("begin_off") + F.col("n_chars")).cast("long").alias("end_off"),
+    ).orderBy("doc_id")
+
+
+def _pack_offsets_oracle() -> str:
+    from datapipeline_scripts_spark.extensions.mixture import _PACK_BUDGET
+
+    return f"""
+WITH cumd AS (
+  SELECT doc_id, source, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(cum // {_PACK_BUDGET} AS BIGINT) AS shard_id,
+       CAST(cum % {_PACK_BUDGET} AS BIGINT) AS begin_off,
+       CAST(cum % {_PACK_BUDGET} + n_chars AS BIGINT) AS end_off
+FROM cumd
+ORDER BY doc_id
+"""
+
+
+CORPUS_PACK_OFFSETS_ORACLE = _pack_offsets_oracle()
+
+STAGED["corpus_pack_offsets"] = (corpus_pack_offsets, CORPUS_PACK_OFFSETS_ORACLE)

@@ -1048,6 +1048,7 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "text_bigram_heldout": ["doc_id", "text"],
         "crawl_pipeline": ["doc_id", "text"],
         "arrow_ipc_roundtrip": ["doc_id", "text"],
+        "corpus_pack_offsets": ["doc_id", "n_chars", "source"],
     }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
