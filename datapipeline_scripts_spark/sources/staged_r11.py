@@ -133,9 +133,15 @@ metadata the shard-grain corpus_pack report aggregates away; shares
 _PACK_BUDGET and the partitioned window with the registered pack
 keys; see the section comment below.
 
-Registration recipe (round 11): ``@query`` for all TWENTY-TWO keys,
-``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union, staged_r11
-import in ``registry._ensure_loaded``, freeze counts 326 → 348
+text_char_entropy: Shannon character entropy per doc — the
+compression-proxy junk filter, with the float fold pinned to sorted
+character order on both engines (bit-identical by construction, not
+rounding luck); see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all TWENTY-THREE
+keys, ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union,
+staged_r11 import in ``registry._ensure_loaded``, freeze counts
+326 → 349
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md. At
 the same flip add the four heavy new keys to ``bench.py``'s
 BENCH_KEYS (`crawl_pipeline`, `text_bpe_train`,
@@ -2704,3 +2710,96 @@ ORDER BY doc_id
 CORPUS_PACK_OFFSETS_ORACLE = _pack_offsets_oracle()
 
 STAGED["corpus_pack_offsets"] = (corpus_pack_offsets, CORPUS_PACK_OFFSETS_ORACLE)
+
+
+# ---- text_char_entropy -----------------------------------------------------
+#
+# Character-entropy quality signal — the compression-proxy junk
+# filter (published corpus pipelines gate on compression ratio /
+# entropy to drop binary spew, repeated-char padding and
+# template-degenerate text; Shannon character entropy is the
+# SQL-expressible form of that signal, low = degenerate). Float
+# determinism here is STRONGER than the avg-of-ln idiom the LM keys
+# use: the per-doc entropy is folded over the character histogram in
+# SORTED character order on BOTH engines (sort_array + aggregate on
+# Spark, list_sort + list_sum on DuckDB), so the IEEE sum order is
+# pinned and the doubles are bit-identical by construction, not by
+# rounding luck.
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy over the normalized text;
+    one row per non-empty doc: (doc_id, n_chars_norm,
+    n_distinct_chars, char_entropy [nats, 4 dp]).
+
+    Scale shape: the char explode is map-side; both aggregations key
+    on doc_id (the second reuses the first's partitioning), and the
+    per-doc histogram is alphabet-bounded (≤ a few hundred structs),
+    so the sorted fold is O(alphabet) per doc. At 100 TB this is one
+    narrow shuffle of (doc_id, char, count) triples."""
+    from datapipeline_scripts_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("s")),
+        lambda i: F.substr(F.col("s"), i, F.lit(1)),
+    )
+    ex = (
+        d.select(
+            "doc_id", normalize_text(F.coalesce(F.col("text"), F.lit(""))).alias("s")
+        )
+        .filter(F.length("s") > 0)
+        .select("doc_id", F.explode(chars).alias("ch"))
+    )
+    cnts = ex.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.sort_array(F.collect_list(F.struct(F.col("ch"), F.col("c")))).alias("arr"),
+    )
+    ent = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        - (s["c"].cast("double") / F.col("n"))
+        * F.log(s["c"].cast("double") / F.col("n")),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_norm"),
+        "n_distinct_chars",
+        F.round(ent, 4).alias("char_entropy"),
+    ).orderBy("doc_id")
+
+
+_TCE_NORM = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+
+TEXT_CHAR_ENTROPY_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_TCE_NORM} AS s FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, length(s)), i -> s[i])) AS ch
+  FROM s WHERE length(s) > 0
+),
+cnts AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY doc_id, ch
+),
+per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         list_sort(list(struct_pack(ch := ch, c := c))) AS arr
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id,
+       n AS n_chars_norm,
+       n_distinct_chars,
+       round(list_sum(list_transform(arr,
+             s -> -(CAST(s.c AS DOUBLE) / n) * ln(CAST(s.c AS DOUBLE) / n))), 4)
+         AS char_entropy
+FROM per
+ORDER BY doc_id
+"""
+
+STAGED["text_char_entropy"] = (text_char_entropy, TEXT_CHAR_ENTROPY_ORACLE)

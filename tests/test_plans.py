@@ -1049,6 +1049,7 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "crawl_pipeline": ["doc_id", "text"],
         "arrow_ipc_roundtrip": ["doc_id", "text"],
         "corpus_pack_offsets": ["doc_id", "n_chars", "source"],
+        "text_char_entropy": ["doc_id", "text"],
     }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
