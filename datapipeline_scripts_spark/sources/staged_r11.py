@@ -138,10 +138,16 @@ compression-proxy junk filter, with the float fold pinned to sorted
 character order on both engines (bit-identical by construction, not
 rounding luck); see the section comment below.
 
-Registration recipe (round 11): ``@query`` for all TWENTY-THREE
+embedding_pca_project: the APPLY half of the PCA story — project
+every embedding onto the learned dominant direction (integer dot of
+int8 codes × the scaled iterate) and report the top-|projection|
+outliers; shares `_pca_learn`/`_pca_chain_sql` with the power key so
+the pair cannot fork; see the section comment below.
+
+Registration recipe (round 11): ``@query`` for all TWENTY-FOUR
 keys, ``_ADDED_R11`` in ``__spark_entry__.py``'s deferral union,
 staged_r11 import in ``registry._ensure_loaded``, freeze counts
-326 → 349
+326 → 350
 (tests/test_staged_r8/9/10/11.py), COVERAGE.md + docs/SCALE.md. At
 the same flip add the four heavy new keys to ``bench.py``'s
 BENCH_KEYS (`crawl_pipeline`, `text_bpe_train`,
@@ -2002,12 +2008,27 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     |G| ≤ 127²·N and |w| ≤ 64·|G|·1024, safe in BIGINT to N ≈ 10⁹
     vectors per partition-group; beyond that production scales G
     down by a power of two first (same integer semantics)."""
+    vs, _qz, dims = _pca_learn(spark, sf_dir)
+    out = dims
+    for t, vt in enumerate(vs, start=1):
+        out = out.join(vt.withColumnRenamed("vj", f"v{t}"), "dim")
+    return out.orderBy("dim")
+
+
+def _pca_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame, DataFrame]:
+    """Shared PCA chain: ([v after each iteration], quantized vectors
+    (vec_id, qv), dims frame). The power key reads the trajectory;
+    the projection key reuses the quantized table and the final
+    iterate — shared code, so the pair cannot fork."""
     e = load_table(spark, sf_dir, "embeddings")
     sc = F.greatest(
         F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))),
         F.lit(1e-30),
     ) / F.lit(127.0)
-    qz = e.select("embedding", sc.alias("sc")).select(
+    qz = e.select("vec_id", "embedding", sc.alias("sc")).select(
+        "vec_id",
         F.transform(
             F.col("embedding"),
             lambda v: F.floor(v.cast("double") / F.col("sc") + F.lit(0.5)).cast("long"),
@@ -2041,13 +2062,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vj"),
         )
         vs.append(v)
-    out = dims
-    for t, vt in enumerate(vs, start=1):
-        out = out.join(vt.withColumnRenamed("vj", f"v{t}"), "dim")
-    return out.orderBy("dim")
+    return vs, qz, dims
 
 
-def _pca_oracle() -> str:
+def _pca_chain_sql() -> str:
+    """Shared WITH-body for the PCA oracles: q (vec_id, qv), the Gram
+    build, and v0..v{_PCA_ITERS}. DuckDB prunes unreferenced CTEs, so
+    each consumer pays only for what it reads."""
     its = []
     for t in range(1, _PCA_ITERS + 1):
         its.append(f"""w{t} AS (
@@ -2062,15 +2083,13 @@ v{t} AS (
   FROM w{t}, m{t}
 )""")
     its_sql = ",\n".join(its)
-    sel = ", ".join(f"CAST(v{t}.vj AS BIGINT) AS v{t}" for t in range(1, _PCA_ITERS + 1))
-    joins = " ".join(f"JOIN v{t} ON v{t}.dim = d.dim" for t in range(1, _PCA_ITERS + 1))
-    return f"""
-WITH q AS (
-  SELECT list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv
+    return f"""q AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv
   FROM (
-    SELECT v,
+    SELECT vec_id, v,
            greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS sc
-    FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
   )
 ),
 e1 AS (
@@ -2093,7 +2112,14 @@ v0 AS (
          CASE WHEN unnest(generate_series(1, {_PCA_DIMS})) = 1
               THEN {_PCA_VSCALE} ELSE 0 END AS vj
 ),
-{its_sql}
+{its_sql}"""
+
+
+def _pca_oracle() -> str:
+    sel = ", ".join(f"CAST(v{t}.vj AS BIGINT) AS v{t}" for t in range(1, _PCA_ITERS + 1))
+    joins = " ".join(f"JOIN v{t} ON v{t}.dim = d.dim" for t in range(1, _PCA_ITERS + 1))
+    return f"""
+WITH {_pca_chain_sql()}
 SELECT CAST(d.dim AS INTEGER) AS dim, {sel}
 FROM v0 d {joins}
 ORDER BY d.dim
@@ -2803,3 +2829,76 @@ ORDER BY doc_id
 """
 
 STAGED["text_char_entropy"] = (text_char_entropy, TEXT_CHAR_ENTROPY_ORACLE)
+
+
+# ---- embedding_pca_project -------------------------------------------------
+#
+# The APPLY half of the PCA story (the bpe train→compression idiom):
+# project every embedding onto the learned dominant direction and
+# report the top-|projection| outliers — what an embedding-quality
+# pass actually inspects (vectors dominated by the corpus's principal
+# axis are the cluster-collapsed / boilerplate embeddings worth
+# auditing before dedup thresholds are calibrated). Integer-exact end
+# to end: the projection is Σ qv_i · v3_i over the int8 codes and the
+# scaled integer iterate (|proj| ≤ 64·127·1024 — no overflow), shared
+# `_pca_learn`/`_pca_chain_sql` so the pair cannot fork.
+
+_PCA_TOPK = 20
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 dominant-direction outliers; (out_rank, vec_id,
+    projection) ordered by |projection| DESC, vec_id tiebreak.
+
+    Scale shape: the projection is one posexplode + broadcast join on
+    the 64-row iterate + a partial-aggregable per-vector sum; the
+    top-k is orderBy+limit (TakeOrdered — per-partition heaps, no
+    global sort materialization), then a 20-row window for the rank."""
+    from pyspark.sql.window import Window as W
+
+    vs, qz, _dims = _pca_learn(spark, sf_dir)
+    v_final = vs[-1].withColumnRenamed("dim", "j0dim")
+    pe = qz.select("vec_id", F.posexplode("qv").alias("i0", "qi"))
+    proj = (
+        pe.join(F.broadcast(v_final), pe["i0"] + 1 == v_final["j0dim"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qi") * F.col("vj")).alias("projection"))
+    )
+    top = proj.orderBy(F.abs(F.col("projection")).desc(), "vec_id").limit(_PCA_TOPK)
+    w = W.orderBy(F.abs(F.col("projection")).desc(), "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("out_rank"),
+        "vec_id",
+        F.col("projection").cast("long").alias("projection"),
+    ).orderBy("out_rank")
+
+
+EMBEDDING_PCA_PROJECT_ORACLE = f"""
+WITH {{chain}},
+pe AS (
+  SELECT vec_id, u.i AS dim, u.qi AS qi FROM (
+    SELECT vec_id,
+           unnest(list_transform(generate_series(1, len(qv)),
+                                 i -> {{{{'i': i, 'qi': qv[i]}}}})) AS u
+    FROM q)
+),
+proj AS (
+  SELECT pe.vec_id, sum(pe.qi * v{_PCA_ITERS}.vj) AS projection
+  FROM pe JOIN v{_PCA_ITERS} ON v{_PCA_ITERS}.dim = pe.dim
+  GROUP BY pe.vec_id
+),
+ranked AS (
+  SELECT vec_id, projection,
+         row_number() OVER (ORDER BY abs(projection) DESC, vec_id) AS rn
+  FROM proj
+)
+SELECT CAST(rn AS INTEGER) AS out_rank, vec_id,
+       CAST(projection AS BIGINT) AS projection
+FROM ranked WHERE rn <= {_PCA_TOPK}
+ORDER BY out_rank
+""".format(chain=_pca_chain_sql())
+
+STAGED["embedding_pca_project"] = (
+    embedding_pca_project,
+    EMBEDDING_PCA_PROJECT_ORACLE,
+)
