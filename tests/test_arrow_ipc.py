@@ -86,3 +86,29 @@ def test_save_modes(spark, tmp_path):
 def test_unsupported_field_type_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported type"):
         read_arrow_ipc(spark, str(tmp_path), {"id": "decimal"})
+
+
+def test_property_roundtrip_nulls_unicode_and_empties():
+    """Property pin: arbitrary rows with nulls in every column,
+    unicode text, empty strings/bytes and empty batches roundtrip
+    exactly (hypothesis-driven over the bytes API)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.fixed_dictionaries(
+        {
+            "id": st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            "text": st.one_of(st.none(), st.text(max_size=40)),
+            "blob": st.one_of(st.none(), st.binary(max_size=40)),
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=st.lists(row, min_size=1, max_size=12),
+           comp=st.sampled_from([None, "zstd", "lz4"]),
+           bsz=st.sampled_from([None, 1, 5]))
+    def check(rows, comp, bsz):
+        payload = write_arrow_ipc(rows, compression=comp, batches_of=bsz)
+        assert read_arrow_ipc_bytes(payload).to_pylist() == rows
+
+    check()
