@@ -153,6 +153,14 @@ the same flip add the four heavy new keys to ``bench.py``'s
 BENCH_KEYS (`crawl_pipeline`, `text_bpe_train`,
 `embedding_pca_power`, `dedup_bloom_incremental`) so the driver's
 per-round bench covers the new surface.
+
+The flip was DRY-RUN in a throwaway clone at the end of round 10:
+registering all 24 keys (programmatic stand-in for the decorators) +
+the registry import + the `_ADDED_R11` union took the catalog to 350
+with no import-order issues (this module's imports from
+extensions.similarity resolve cleanly inside `_ensure_loaded`), and
+`scripts/driver_sim.py sf0.01 30` over the flipped surface passed
+0/30 including every new key through the driver's own adapter path.
 """
 
 from __future__ import annotations
