@@ -184,7 +184,29 @@ _ADDED_R10 = {
     "webdataset_export_roundtrip", "multimodal_resize",
 }
 
-_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9 | _ADDED_R10
+# Round-11 additions (the twenty-four keys staged through the r10
+# freeze in sources/staged_r11.py, flipped live after CORRECTNESS_r10
+# closed the gate 326/326): federated five-format ingest, audio
+# frames, scene cuts, 16-bit TIFF, perceptron train/eval, the
+# crawl-side surface (URL canonicalization, HTML extraction, robots,
+# frontier scheduling, the crawl flagship), survivorship, data-sized
+# bloom dedup, BPE train/compression, bigram held-out, token-budget
+# mixture, curriculum ordering, recall@k report, integer PCA
+# power/project, Arrow IPC roundtrip, pack offsets, char entropy.
+_ADDED_R11 = {
+    "federated_ingest_union", "multimodal_audio_frames",
+    "multimodal_scene_cuts", "multimodal_real_tiff16",
+    "quality_train_perceptron", "quality_eval_perceptron",
+    "web_url_canonical_dedup", "text_html_extract", "web_robots_filter",
+    "dedup_survivorship", "text_bpe_train", "text_bpe_compression",
+    "dedup_bloom_incremental", "crawl_frontier_schedule",
+    "corpus_token_budget_mixture", "knn_recall_report",
+    "embedding_pca_power", "embedding_pca_project",
+    "corpus_curriculum_order", "text_bigram_heldout", "crawl_pipeline",
+    "arrow_ipc_roundtrip", "corpus_pack_offsets", "text_char_entropy",
+}
+
+_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9 | _ADDED_R10 | _ADDED_R11
 
 
 def _ordered_keys() -> list[str]:

@@ -133,6 +133,17 @@ BENCH_KEYS = (
     "webdataset_export_roundtrip",
     "multimodal_resize",
     "pretraining_pipeline",
+    # round-11 registrations (VERDICT r10 order 1): the four heavy new
+    # keys so the driver's per-round bench covers the new surface —
+    # the crawl-side flagship composite, in-engine BPE merge-table
+    # training, integer power-iteration PCA, and the data-sized bloom
+    # membership gate. Probed warm at sf0.1 before inclusion (the
+    # VERDICT r8 item 3 discipline; numbers in docs/BENCH_NOTES.md
+    # round-11).
+    "crawl_pipeline",
+    "text_bpe_train",
+    "embedding_pca_power",
+    "dedup_bloom_incremental",
 )
 
 

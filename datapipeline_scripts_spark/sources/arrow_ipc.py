@@ -52,6 +52,23 @@ _SPARK_TYPES = {
 }
 
 
+def _norm_path(p: str) -> str:
+    """Canonical filesystem path for manifest lookups. Spark's
+    binaryFile source reports URI-form paths (``file:/a/b``,
+    ``file:///a/b``) while writer manifests record plain local paths
+    (``/a/b``) — without normalizing both sides the full-path lookup
+    never matched and every read silently fell through to the
+    basename map (ADVICE r10)."""
+    import os.path
+
+    if p.startswith("file:"):
+        p = p[5:]
+        # file:///a/b and file://host/a/b collapse to one leading /
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.normpath(p)
+
+
 def write_arrow_ipc(
     rows: list[dict],
     compression: str | None = None,
@@ -103,6 +120,16 @@ def read_arrow_ipc(
     for f, t in fields.items():
         if t not in _SPARK_TYPES:
             raise ValueError(f"field {f!r}: unsupported type {t!r}")
+    if expected_rows is not None:
+        # normalize once driver-side; basenames that collide across
+        # directories make the fallback lookup unsafe — poison them.
+        _full_rows = {_norm_path(k): v for k, v in expected_rows.items()}
+        _base_rows: dict[str, int | None] = {}
+        for k, v in expected_rows.items():
+            b = k.rsplit("/", 1)[-1]
+            _base_rows[b] = None if b in _base_rows else v
+    else:
+        _full_rows, _base_rows = {}, {}
     schema = T.StructType(
         [
             T.StructField("shard", T.StringType()),
@@ -118,9 +145,17 @@ def read_arrow_ipc(
                 table = read_arrow_ipc_bytes(bytes(blob), where=str(p))
                 n = table.num_rows
                 if expected_rows is not None:
-                    want = expected_rows.get(str(p))
+                    norm = _norm_path(str(p))
+                    want = _full_rows.get(norm)
                     if want is None:
-                        want = expected_rows.get(str(p).rsplit("/", 1)[-1])
+                        base = norm.rsplit("/", 1)[-1]
+                        if base in _base_rows and _base_rows[base] is None:
+                            raise ValueError(
+                                f"{p}: basename {base!r} is ambiguous across "
+                                "manifest entries — record full paths in the "
+                                "manifest to disambiguate"
+                            )
+                        want = _base_rows.get(base)
                     if want is None:
                         raise ValueError(
                             f"{p}: shard missing from expected_rows manifest"

@@ -1600,31 +1600,44 @@ STAGED["text_bpe_compression"] = (text_bpe_compression, TEXT_BPE_COMPRESSION_ORA
 
 # ---- dedup_bloom_incremental -----------------------------------------------
 #
-# Continuous-crawl membership dedup through a CONSTANT-size Bloom
+# Continuous-crawl membership dedup through a DATA-SIZED Bloom
 # sketch: the historical corpus (even doc_ids) is summarized as the
-# set of distinct bit positions (≤ _BLOOM_M rows, whatever the corpus
-# size), and the incoming batch (odd doc_ids; every 5th one a
-# deterministic REFETCH carrying the text of the historical doc_id-1)
-# probes it with K salted md5 hashes. bloom_hit is exact on both
-# engines because the bit positions are md5_48-derived integers; the
+# set of distinct bit positions of an M-bit filter, with M derived
+# from the historical distinct-fingerprint count at ~10 bits/key
+# (the production sizing docs/SCALE.md documents; the round-10 1000×
+# sweep showed a fixed 4096-bit sketch saturating at 2.5M probes —
+# every key a hit, the bloom leg pure overhead). The incoming batch
+# (odd doc_ids; every 5th one a deterministic REFETCH carrying the
+# text of the historical doc_id-1) probes it with K salted md5
+# hashes. bloom_hit is exact on both engines because M is the same
+# integer (GREATEST(4096, 10·n) computed from the data by BOTH
+# engines) and the bit positions are md5_48-derived integers; the
 # exact-membership leg (the verification join any production bloom
 # gate runs behind) classifies each hit as true duplicate or false
 # positive. Bloom's no-false-negative guarantee is visible in the
 # output: every exact_dup row has bloom_hit = 1.
+#
+# NULL text: fingerprints hash COALESCE(text, '') on BOTH engines —
+# unlike the established dedup keys' _NORM_SQL (which keeps NULL on
+# both sides and lets joins drop it), this key's explode/groupBy
+# plumbing would silently LOSE a NULL-fp incoming row on the Spark
+# side only (explode of a null array yields no rows), so NULL must be
+# canonicalized before hashing (ADVICE r10, medium).
 
-_BLOOM_M = 4096
+_BLOOM_M_FLOOR = 4096
+_BLOOM_BITS_PER_KEY = 10
 _BLOOM_K = 4
 
 
-def _bloom_bits(fp):
+def _bloom_bits(fp, m):
     return F.array(
-        *[(md5_48(F.concat(fp, F.lit(f":{j}"))) % _BLOOM_M) for j in range(_BLOOM_K)]
+        *[(md5_48(F.concat(fp, F.lit(f":{j}"))) % m) for j in range(_BLOOM_K)]
     )
 
 
 def _bloom_bit_sql(j: int) -> str:
     salted = f"fp || ':{j}'"
-    return f"(({md5_48_sql(salted)}) % {_BLOOM_M})"
+    return f"(({md5_48_sql(salted)}) % bloom_m)"
 
 
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1632,18 +1645,31 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, bloom_hit, exact_dup, verdict ∈ duplicate /
     false_positive / new).
 
-    Scale shape: the sketch aggregate produces ≤ M = 4096 distinct
-    bit rows regardless of corpus size, so the probe is a BROADCAST
-    join (map-side only) plus one narrow partial-aggregable min per
-    doc — the historical corpus is never reshuffled against the
-    batch. The exact-verification leg joins on the 32-byte md5
+    Scale shape: M is sized from the data — GREATEST(4096,
+    10·distinct historical fingerprints), ~10 bits/key, pinning the
+    false-positive rate near (1-e^{-K/10})^K ≈ 1.2% at ANY corpus
+    size instead of saturating. The sketch aggregate produces ≤
+    min(M, K·n) distinct bit rows — 25× smaller than broadcasting
+    the 32-byte fingerprint store itself, and at deploy scale the
+    same bit positions pack into a true M/8-byte bitmap (Spark's
+    JVM-side `DataFrame.stat.bloomFilter` shape; the row form here
+    is what stays hash-provable cross-engine). The probe is a
+    BROADCAST join (map-side only) plus one narrow partial-aggregable
+    min per doc — the historical corpus is never reshuffled against
+    the batch. The exact-verification leg joins on the 32-byte md5
     fingerprint (the fingerprint-store shape `dedup_incremental`
     established), touched only to adjudicate; at 100 TB the bloom
     broadcast prunes the non-hits before that shuffle."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", fingerprint_md5(F.col("text")).alias("fp")
+        "doc_id",
+        fingerprint_md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
     )
     hist = d.filter(F.col("doc_id") % 2 == 0)
+    m_df = hist.select("fp").distinct().agg(
+        F.greatest(
+            F.lit(_BLOOM_M_FLOOR), F.count("*") * _BLOOM_BITS_PER_KEY
+        ).alias("bloom_m")
+    )
     probe_src = F.when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1).otherwise(
         F.col("doc_id")
     )
@@ -1654,11 +1680,16 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
     )
     bloom = (
-        hist.select(F.explode(_bloom_bits(F.col("fp"))).alias("bit"))
+        hist.crossJoin(F.broadcast(m_df))
+        .select(F.explode(_bloom_bits(F.col("fp"), F.col("bloom_m"))).alias("bit"))
         .distinct()
         .withColumn("set1", F.lit(1))
     )
-    probe = inc.select("doc_id", "fp", F.explode(_bloom_bits(F.col("fp"))).alias("bit"))
+    probe = inc.crossJoin(F.broadcast(m_df)).select(
+        "doc_id",
+        "fp",
+        F.explode(_bloom_bits(F.col("fp"), F.col("bloom_m"))).alias("bit"),
+    )
     hit = (
         probe.join(F.broadcast(bloom), "bit", "left")
         .groupBy("doc_id", "fp")
@@ -1690,6 +1721,11 @@ WITH fps AS (
   SELECT doc_id, md5({_BLOOM_NORM}) AS fp FROM documents
 ),
 hist AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 0),
+m AS (
+  SELECT greatest({_BLOOM_M_FLOOR}, {_BLOOM_BITS_PER_KEY} * count(DISTINCT fp))
+           AS bloom_m
+  FROM hist
+),
 inc AS (
   SELECT o.doc_id, s.fp
   FROM fps o
@@ -1700,12 +1736,12 @@ inc AS (
 bloom AS (
   SELECT DISTINCT bit FROM (
     SELECT unnest([{", ".join(_bloom_bit_sql(j) for j in range(_BLOOM_K))}]) AS bit
-    FROM hist)
+    FROM hist CROSS JOIN m)
 ),
 probe AS (
   SELECT doc_id, fp,
          unnest([{", ".join(_bloom_bit_sql(j) for j in range(_BLOOM_K))}]) AS bit
-  FROM inc
+  FROM inc CROSS JOIN m
 ),
 hit AS (
   SELECT p.doc_id, p.fp,
@@ -2910,3 +2946,23 @@ STAGED["embedding_pca_project"] = (
     embedding_pca_project,
     EMBEDDING_PCA_PROJECT_ORACLE,
 )
+
+
+# ---- round-11 registration flip ---------------------------------------------
+#
+# The deliberate flip (this module's docstring "Registration recipe"):
+# every staged key enters the registry, catalog 326 → 350. Programmatic
+# registration over STAGED is the decorator applied in a loop — the
+# oracles live below their builders in this module, so decorating at
+# definition sites would force every oracle above its function. The
+# STAGED dict stays authoritative for tests/test_staged_r11.py's
+# both-SF hash gate; registering from it guarantees the registry and
+# the staged proofs can never cover different (builder, oracle) pairs.
+
+_R11_CORE = {"federated_ingest_union", "arrow_ipc_roundtrip"}
+
+from datapipeline_scripts_spark.registry import query as _query  # noqa: E402
+
+for _key, (_fn, _oracle) in STAGED.items():
+    _query(_key, oracle=_oracle, tier="core" if _key in _R11_CORE else "ext")(_fn)
+del _key, _fn, _oracle

@@ -112,3 +112,34 @@ def test_property_roundtrip_nulls_unicode_and_empties():
         assert read_arrow_ipc_bytes(payload).to_pylist() == rows
 
     check()
+
+
+def test_manifest_full_path_lookup_actually_matches(spark, tmp_path):
+    """ADVICE r10: binaryFile reports file:-URI paths, manifests record
+    plain local paths — the full-path lookup must match after
+    normalization, not silently fall through to basenames. Proven by
+    keying the manifest with FULL local paths and tampering one count:
+    the read must refuse (pre-fix this refusal only worked by luck of
+    the basename fallback; the ambiguity test below closes that)."""
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema="id long, text string").coalesce(1)
+    manifest = write_arrow_ipc_dataset(df, out, manifest=True)
+    good = {m["path"]: m["n_records"] for m in manifest}
+    got = read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=good).collect()
+    assert len(got) == 2
+    bad = {m["path"]: m["n_records"] + 5 for m in manifest}
+    with pytest.raises(Exception, match="manifest"):
+        read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=bad).collect()
+
+
+def test_manifest_ambiguous_basename_refuses(spark, tmp_path):
+    """Two manifest entries sharing a basename in different directories
+    must make the basename fallback refuse loudly instead of
+    validating the shard against whichever entry won the dict race."""
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame([(1, "a")], schema="id long, text string").coalesce(1)
+    manifest = write_arrow_ipc_dataset(df, out, manifest=True)
+    base = os.path.basename(manifest[0]["path"])
+    ambiguous = {f"runA/{base}": 1, f"runB/{base}": 1}
+    with pytest.raises(Exception, match="ambiguous"):
+        read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=ambiguous).collect()

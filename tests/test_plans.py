@@ -1029,27 +1029,39 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         "text_html_extract",
         "web_robots_filter",
     }
-    want_cols = {
-        "federated_ingest_union": ["doc_id", "text"],
-        "multimodal_audio_frames": ["doc_id"],
-        "multimodal_scene_cuts": ["doc_id"],
-        "multimodal_real_tiff16": ["doc_id"],
-        "text_html_extract": ["doc_id", "text"],
-        "web_url_canonical_dedup": ["doc_id"],
-        "web_robots_filter": ["doc_id"],
+    # Exact per-scan pinning (ADVICE r10): the earlier union-across-
+    # scans form let one scan of a multi-scan key over-read a column
+    # another scan legitimately needs. Each value is the MULTISET of
+    # scan schemas the optimized plan must show — every scan minimal,
+    # not just the union.
+    want_scans = {
+        "federated_ingest_union": [("doc_id", "text")],
+        "multimodal_audio_frames": [("doc_id",)],
+        "multimodal_scene_cuts": [("doc_id",)],
+        "multimodal_real_tiff16": [("doc_id",)],
+        "text_html_extract": [("doc_id", "text")],
+        "web_url_canonical_dedup": [("doc_id",)],
+        "web_robots_filter": [("doc_id",)],
         # text_bpe_train's scan sits behind its eager localCheckpoint
         # (the perceptron precedent) — no FileScan in the final plan.
-        "dedup_bloom_incremental": ["doc_id", "text"],
-        "crawl_frontier_schedule": ["doc_id", "n_chars"],
-        "corpus_token_budget_mixture": ["doc_id", "source", "text"],
+        # bloom: the incoming-batch left leg needs only doc_id; the
+        # hist / fp / sizing legs all need the fingerprint (text).
+        "dedup_bloom_incremental": [("doc_id",)] + [("doc_id", "text")] * 5,
+        "crawl_frontier_schedule": [("doc_id", "n_chars")],
+        "corpus_token_budget_mixture": [
+            ("doc_id", "source", "text"),
+            ("source", "text"),  # the per-source budget aggregate
+        ],
         # embedding_pca_power's scan hides behind its eager Gram
         # checkpoint, like the BPE pair.
-        "corpus_curriculum_order": ["doc_id", "text"],
-        "text_bigram_heldout": ["doc_id", "text"],
-        "crawl_pipeline": ["doc_id", "text"],
-        "arrow_ipc_roundtrip": ["doc_id", "text"],
-        "corpus_pack_offsets": ["doc_id", "n_chars", "source"],
-        "text_char_entropy": ["doc_id", "text"],
+        "corpus_curriculum_order": [("doc_id", "text"), ("text",)],
+        "text_bigram_heldout": [("doc_id", "text")] * 4,
+        # crawl: robots + schedule legs are doc_id-only; extract +
+        # quality legs carry text.
+        "crawl_pipeline": [("doc_id",)] * 2 + [("doc_id", "text")] * 2,
+        "arrow_ipc_roundtrip": [("doc_id", "text")],
+        "corpus_pack_offsets": [("doc_id", "n_chars", "source")],
+        "text_char_entropy": [("doc_id", "text")],
     }
     for key, (build, _oracle) in R11.items():
         df = build(spark, sf_dir)
@@ -1057,10 +1069,7 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
         if key in per_row or key == "quality_train_perceptron":
             assert "hashpartitioning" not in plan, (key, "unexpected key shuffle")
-        if key in want_cols:
-            # union across scans: multi-scan keys (bloom reuses the
-            # documents scan four ways) may prune different columns
-            # per scan; no scan may read beyond the declared set.
+        if key in want_scans:
             schemas = read_schemas(df)
-            got = sorted(set().union(*[set(s) for s in schemas])) if schemas else []
-            assert schemas and got == want_cols[key], (key, schemas)
+            got = sorted(tuple(sorted(s)) for s in schemas)
+            assert got == sorted(want_scans[key]), (key, got)

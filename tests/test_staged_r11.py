@@ -27,12 +27,18 @@ def test_staged_key_matches_oracle(spark, key, sf_dir):
     assert report.spark_rows > 0
 
 
-def test_staged_r11_keys_not_registered_during_round_10():
-    """The staging invariant: the catalog is 326 this round; the r11
-    keys enter the registry only with round 11's deliberate flip."""
-    registered = set(all_queries())
-    assert len(registered) == 326
-    assert not (set(STAGED) & registered)
+def test_r11_keys_registered_with_correct_builders():
+    """Round 11 flipped the staged keys live: every STAGED key must be
+    in the registry, bound to the SAME builder and oracle the proofs
+    above ran (the decorating-the-wrong-function failure mode breaks
+    the driver contract silently), and the catalog is 350 (326 + the
+    twenty-four round-11 registrations)."""
+    specs = all_queries()
+    assert len(specs) == 350
+    for key, (fn, oracle) in STAGED.items():
+        assert key in specs, key
+        assert specs[key].build is fn, key
+        assert specs[key].oracle == oracle, key
 
 
 def test_canonical_url_edge_cases(spark):
@@ -178,3 +184,102 @@ def test_crawl_pipeline_stage_fire_checks():
             mutated = CRAWL_PIPELINE_ORACLE.replace(old, new)
             got = con.execute(mutated).fetch_df()
             assert not got.equals(base), (label, "mutation did not fire")
+
+
+def test_bloom_sizing_tracks_data_and_false_positive_band():
+    """VERDICT r10 order 2: the round-10 1000x sweep showed a FIXED
+    4096-bit sketch saturating at 2.5M probes (every key a hit, the
+    bloom leg pure overhead), so M is now derived from the historical
+    distinct-fingerprint count at ~10 bits/key. Pin (a) that the
+    sizing actually engages above the floor at sf0.01, (b) the
+    false-positive band at fixture scale (theory: (1-e^{-K/10})^K
+    ~= 1.2% at 10 bits/key), and (c) that the bloom leg actually
+    FILTERS — a majority of incoming docs are clean misses, which is
+    exactly what the saturated sketch could not deliver."""
+    from datapipeline_scripts_spark.sources.staged_r11 import (
+        _BLOOM_BITS_PER_KEY,
+        _BLOOM_M_FLOOR,
+        _BLOOM_NORM,
+        DEDUP_BLOOM_INCREMENTAL_ORACLE,
+    )
+
+    for sf_dir, expect_above_floor in (
+        ("/root/testdata/sf0.001", False),
+        ("/root/testdata/sf0.01", False),
+        # both fixture SFs hold 500 docs (250 hist keys -> the 4096
+        # floor); the bench SF's 5000 docs push M past the floor, which
+        # is the sizing actually engaging. DuckDB-only, so cheap.
+        ("/root/testdata/sf0.1", True),
+    ):
+        with duck_connection(sf_dir) as con:
+            n = con.execute(
+                f"SELECT count(DISTINCT md5({_BLOOM_NORM})) FROM documents "
+                "WHERE doc_id % 2 = 0"
+            ).fetchone()[0]
+            b = con.execute(DEDUP_BLOOM_INCREMENTAL_ORACLE).fetch_df()
+        m = max(_BLOOM_M_FLOOR, _BLOOM_BITS_PER_KEY * n)
+        assert (m > _BLOOM_M_FLOOR) == expect_above_floor, (sf_dir, n, m)
+        fp_rate = ((b.bloom_hit == 1) & (b.exact_dup == 0)).mean()
+        assert fp_rate <= 0.05, (sf_dir, fp_rate)
+        assert (b.verdict == "new").mean() > 0.5, (sf_dir, "bloom leg not filtering")
+
+
+def test_bloom_null_text_classifies_identically_cross_engine(spark, tmp_path):
+    """ADVICE r10 (medium): the fixtures contain no NULL text, so the
+    staged hash gate could never catch a NULL-semantics fork. Build an
+    augmented documents table with NULL-text rows on BOTH legs: an
+    incoming NULL-text doc must classify as a DUPLICATE of the
+    historical empty-string doc (both engines hash coalesce(text,'')),
+    not vanish from the Spark side (explode of a null bit array) or
+    diverge into 'new'."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipeline_scripts_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_null"
+    d.mkdir()
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{src}/{name}.parquet", d / f"{name}.parquet")
+    t = pq.read_table(f"{src}/documents.parquet")
+    schema = pa.schema(
+        [(f.name, f.type) for f in t.schema]
+    )  # drop pandas metadata so concat schemas align
+    extra = pa.table(
+        {
+            # 600: historical, text NULL; 604: historical, text '';
+            # 601: incoming refetch (%10==1) of 600's NULL text;
+            # 603: incoming NULL text probing its own fp.
+            "doc_id": [600, 601, 603, 604],
+            "text": [None, "refetch body ignored", None, ""],
+            "lang": ["en"] * 4,
+            "source": ["null-drill"] * 4,
+            "n_chars": [0, 0, 0, 0],
+        },
+        schema=schema,
+    )
+    pq.write_table(
+        pa.concat_tables([t.cast(schema), extra]), d / "documents.parquet"
+    )
+
+    build, oracle = STAGED["dedup_bloom_incremental"]
+    sdf = build(spark, str(d))
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    opdf = con.execute(oracle).fetch_df()
+    con.close()
+    report = compare("dedup_bloom_incremental", sdf, opdf)
+    assert report.ok, str(report)
+    got = {int(r["doc_id"]): r["verdict"] for r in sdf.collect() if r["doc_id"] >= 600}
+    # 603's NULL text == 604's '' and 600's NULL under coalesce -> true dup;
+    # 601 refetches 600's fp -> true dup. Neither row may be missing.
+    assert got[603] == "duplicate", got
+    assert got[601] == "duplicate", got
