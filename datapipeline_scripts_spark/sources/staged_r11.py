@@ -625,7 +625,9 @@ STAGED["multimodal_real_tiff16"] = (multimodal_real_tiff16, MULTIMODAL_REAL_TIFF
 _PT_ITERS = 3
 
 
-def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _perceptron_features(
+    spark: SparkSession, sf_dir: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, y, x1, x2, x3) per document — surface features, all
     integers (doc_id rides along for the eval key's held-out split;
     the train key drops it):
@@ -633,7 +635,10 @@ def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     word floor — what makes the problem linearly separable),
     x2 = en-marker hits, x3 = 3-gram repetition in basis points;
     y = +1 iff the gate passes (n_words ≥ 30). The same proven
-    constructions the gate keys use."""
+    constructions the gate keys use. ``extra`` appends passthrough
+    document columns (the r12 inference keys carry `source` for the
+    per-source acceptance report; the registered r11 keys pass
+    nothing, so their plans are untouched)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.coalesce(F.col("text"), F.lit("")))
     n_words = F.size(toks)
@@ -645,6 +650,7 @@ def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
     return d.select(
         F.col("doc_id"),
+        *[F.col(c) for c in extra],
         F.when(n_words >= 30, 1).otherwise(-1).cast("long").alias("y"),
         (n_words - 30).cast("long").alias("x1"),
         hits.cast("long").alias("x2"),

@@ -1,0 +1,803 @@
+"""Round-12 query keys, STAGED but NOT registered (the staged_r10/r11
+pattern, one round later): round 11's driver window is committed to the
+twenty-four _ADDED_R11 keys plus stalest-evidence re-proofs, so the new
+surface built in round 11 enters the registry in round 12 — already
+held to the registration bar here: `tests/test_staged_r12.py` runs
+every builder against its DuckDB oracle at both fixture SFs.
+
+The round-11 steer (VERDICT r10 item 8) named the two frontier gaps
+this module closes first, then widens around them:
+
+quality_score_inference: the INFERENCE half of the in-engine
+classifier story at scale — train the perceptron on the even-doc_id
+split (the registered eval key's exact two-iteration chain, shared
+`_perceptron_features` + `_PE_ITERS` so the keys cannot fork), then
+run the broadcast-weights scoring pass over the WHOLE corpus and
+report per-source acceptance: n_docs, n_accept, accept basis points,
+and a bit_xor margin checksum (the overflow-safe hash-rollup idiom
+docs/SCALE.md mandates). This is the shape model-based quality
+filtering takes on 100 TB: the model is 4 longs broadcast to every
+executor, scoring is map-side, the report is partial-aggregable.
+
+quality_score_calibration: the reliability report for that model —
+held-out (odd doc_id) margins bucketed into fixed-width bins, per-bin
+count / positives / positive basis points. The monotone pos_bp curve
+is what tells a pipeline owner whether a margin threshold transfers
+across crawls; integer arithmetic end-to-end.
+
+dedup_store_merge: cross-snapshot fingerprint-store compaction — the
+maintenance operation a continuous crawl runs between ingests: three
+crawl snapshots (doc_id mod 3) each summarize to a fingerprint store
+(distinct fps + occurrence counts), the stores MERGE keyed on fp
+(min-crawl provenance survives, counts add), and the report gives
+per-crawl novelty: store size, first-seen fps, repeats, novelty basis
+points, and a bit_xor store checksum.
+
+text_code_detect: code-vs-prose gating — the curation split every
+mixed-corpus pretraining pipeline runs before language-specific
+filters. Deterministic synthetic code bodies are injected for
+doc_id % 5 == 0 (the bloom/url keys' construct-the-variant idiom), and
+the detector is pure codegen'd string algebra: marker occurrence
+counts (semicolons, braces, `def `/`return `) weighed against prose
+markers (` the `), integer score, thresholded label.
+
+knn_ivf_append: incremental ANN index maintenance — append a NEW
+vector batch (vec_id % 4 == 3) to the EXISTING coarse index (centroids
+frozen from the old corpus, the registered knn_ivf deterministic
+quantizer) WITHOUT retraining: assignment is one broadcast of the
+centroid table and a map-side argmax (`_centroid_frame`, the exact
+registered helper), and the report shows per-list growth + balance.
+
+dedup_minhash_store_incremental: the near-dup half of the incremental
+dedup story (dedup_store_merge is the exact half): a NEW batch
+(doc_id % 10 >= 7) probes the REFERENCE corpus's persisted MinHash
+signature store through the banded-LSH bucket join, candidates are
+verified by signature-overlap estimate, and every batch doc gets a
+verdict. Shares `_N_HASHES`/`_BANDS` and the Kirsch-Mitzenmacher
+md5-slice hash family with the registered dedup_minhash via import,
+so the stores cannot fork.
+
+Registration recipe (round 12): register all keys from ``STAGED``
+(the staged_r11 programmatic flip), ``_ADDED_R12`` in
+``__spark_entry__.py``'s deferral union, staged_r12 import in
+``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED)
+across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
+heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.extensions.dedup import (
+    _BANDS,
+    _N_HASHES,
+    _SHINGLE_SQL,
+    _minhash_hex32_sql,
+)
+from datapipeline_scripts_spark.extensions.similarity import _centroid_frame
+from datapipeline_scripts_spark.functions.text import (
+    fingerprint_md5,
+    md5_48,
+    md5_48_sql,
+    shingles,
+    tokens,
+)
+from datapipeline_scripts_spark.sources.staged_r11 import (
+    _PE_ITERS,
+    _perceptron_features,
+)
+
+STAGED: dict[str, tuple] = {}
+
+
+# ---- shared perceptron-training chain ---------------------------------------
+#
+# The registered quality_eval_perceptron's two-iteration train loop,
+# factored so the r12 inference/calibration keys run the IDENTICAL
+# weight trajectory (same _PE_ITERS, same feature builder, same
+# update rule). The oracle twin below unrolls the same CTEs.
+
+_PE_FEATS_SQL = """
+tokd AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= 30 THEN 1 ELSE -1 END AS y,
+         len(toks) - 30 AS x1,
+         len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of')) AS x2,
+         CASE WHEN len(toks) >= 3 THEN
+           ((len(toks) - 2
+             - len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))))
+            * 10000) // (len(toks) - 2)
+         ELSE 0 END AS x3
+  FROM tokd
+),
+train AS (SELECT * FROM feats WHERE doc_id % 2 = 0)
+"""
+
+
+def _pe_train_sql() -> str:
+    """The registered eval key's two unrolled train iterations as
+    chained CTEs (w{_PE_ITERS} holds the final weights)."""
+    margins = {1: "0"}
+    for t in range(2, _PE_ITERS + 1):
+        p = t - 1
+        margins[t] = f"w{p}.w0 + w{p}.w1 * x1 + w{p}.w2 * x2 + w{p}.w3 * x3"
+    its = []
+    for t in range(1, _PE_ITERS + 1):
+        src = "train" if t == 1 else f"train, w{t - 1}"
+        its.append(
+            f"""it{t} AS (
+  SELECT coalesce(sum(y), 0) AS d0,
+         coalesce(sum(y * x1), 0) AS d1,
+         coalesce(sum(y * x2), 0) AS d2,
+         coalesce(sum(y * x3), 0) AS d3
+  FROM {src} WHERE y * ({margins[t]}) <= 0
+),
+w{t} AS (
+  SELECT {"0" if t == 1 else f"w{t - 1}.w0"} + it{t}.d0 AS w0,
+         {"0" if t == 1 else f"w{t - 1}.w1"} + it{t}.d1 AS w1,
+         {"0" if t == 1 else f"w{t - 1}.w2"} + it{t}.d2 AS w2,
+         {"0" if t == 1 else f"w{t - 1}.w3"} + it{t}.d3 AS w3
+  FROM it{t}{"" if t == 1 else f", w{t - 1}"}
+)"""
+        )
+    return ",\n".join(its)
+
+
+def _pe_weights(spark: SparkSession, train: DataFrame) -> DataFrame:
+    """Run the registered eval key's _PE_ITERS-iteration batch
+    perceptron over `train` (columns y, x1..x3); returns the 1-row
+    (w0..w3) weight frame. Each iteration is one keyless
+    partial-aggregable sum with the weights broadcast back."""
+    wdf = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
+    )
+    for _ in range(_PE_ITERS):
+        j = train.crossJoin(F.broadcast(wdf))
+        margin = F.col("y") * (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        agg = j.filter(margin <= 0).agg(
+            F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
+            F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0)).alias("d1"),
+            F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
+            F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
+        )
+        wdf = wdf.crossJoin(F.broadcast(agg)).select(
+            *[
+                (F.col(f"w{k}") + F.col(f"d{k}")).cast("long").alias(f"w{k}")
+                for k in range(4)
+            ]
+        )
+    return wdf
+
+
+def _pe_score():
+    """The margin column (built lazily — Column construction needs an
+    active session)."""
+    return (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+
+
+_PE_SCORE_SQL = "w0 + w1 * x1 + w2 * x2 + w3 * x3"
+
+
+# ---- quality_score_inference ------------------------------------------------
+
+
+def quality_score_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-weights corpus scoring — the inference pass of the
+    in-engine quality classifier; one row per source:
+    (source, n_docs, n_accept, accept_bp, margin_xor).
+
+    Scale shape: training touches only the sampled split (two keyless
+    partial-aggregable sums — gradients are sums); the corpus pass is
+    the part that sees 100 TB and it is embarrassingly parallel: the
+    model is FOUR LONGS broadcast to every executor, the margin is a
+    codegen'd projection, and the per-source report is a partial-
+    aggregable groupBy — the only shuffle carries |sources| rows of
+    counters. margin_xor is bit_xor, the 64-bit-closed order-
+    independent checksum (docs/SCALE.md round-10 lesson: SUMs of
+    hash-sized ints overflow divergently cross-engine)."""
+    feats = _perceptron_features(spark, sf_dir, extra=("source",)).localCheckpoint(
+        eager=True
+    )
+    train = feats.filter(F.col("doc_id") % 2 == 0).drop("source")
+    w = _pe_weights(spark, train)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "source", _pe_score().alias("margin")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_accept"),
+            F.expr(
+                "CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("accept_bp"),
+            F.expr("bit_xor(margin)").cast("long").alias("margin_xor"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_SCORE_INFERENCE_ORACLE = f"""
+WITH {_PE_FEATS_SQL},
+{_pe_train_sql()},
+scored AS (
+  SELECT f.source, {_PE_SCORE_SQL} AS margin
+  FROM feats f CROSS JOIN w{_PE_ITERS}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS accept_bp,
+       CAST(bit_xor(margin) AS BIGINT) AS margin_xor
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+STAGED["quality_score_inference"] = (
+    quality_score_inference,
+    QUALITY_SCORE_INFERENCE_ORACLE,
+)
+
+
+# ---- quality_score_calibration ----------------------------------------------
+#
+# Reliability of the trained margin on the HELD-OUT split: margins
+# bucket into fixed-width bins (width _CAL_W, clamped to ±_CAL_CLAMP)
+# and each bin reports how often the gate label is actually positive.
+# Monotone pos_bp across bins is what justifies thresholding the
+# margin; the integer bin arithmetic (floor of an exact double
+# quotient, |margin| < 2^40 << 2^53) is bit-identical cross-engine.
+
+_CAL_W = 200_000
+_CAL_CLAMP = 5
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out calibration curve; one row per non-empty margin bin:
+    (bin, n, n_pos, pos_bp). Scale shape: same broadcast-weights
+    pass as inference, then one partial-aggregable groupBy over ≤
+    (2·_CAL_CLAMP+1) bins — the exchange carries 11 counter rows."""
+    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
+    train = feats.filter(F.col("doc_id") % 2 == 0)
+    test = feats.filter(F.col("doc_id") % 2 == 1)
+    w = _pe_weights(spark, train)
+    c = F.lit(_CAL_CLAMP)
+    scored = test.crossJoin(F.broadcast(w)).select(
+        "y",
+        F.greatest(-c, F.least(c, F.floor(_pe_score() / F.lit(float(_CAL_W)))))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.expr(
+                "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("pos_bp"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUALITY_SCORE_CALIBRATION_ORACLE = f"""
+WITH {_PE_FEATS_SQL},
+{_pe_train_sql()},
+test AS (SELECT * FROM feats WHERE doc_id % 2 = 1),
+scored AS (
+  SELECT y,
+         greatest(-{_CAL_CLAMP}, least({_CAL_CLAMP},
+             CAST(floor(({_PE_SCORE_SQL}) / {_CAL_W}.0) AS BIGINT))) AS bin
+  FROM test CROSS JOIN w{_PE_ITERS}
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS pos_bp
+FROM scored
+GROUP BY bin
+ORDER BY bin
+"""
+
+STAGED["quality_score_calibration"] = (
+    quality_score_calibration,
+    QUALITY_SCORE_CALIBRATION_ORACLE,
+)
+
+
+# ---- dedup_store_merge ------------------------------------------------------
+
+_STORE_CRAWLS = 3
+
+
+def dedup_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot fingerprint-store compaction; one row per crawl:
+    (crawl_id, store_fps, novel_fps, repeat_fps, novelty_bp,
+    store_xor).
+
+    The operation a continuous crawl runs between ingests: each
+    snapshot's store holds its distinct content fingerprints; merging
+    keyed on fp keeps first-seen provenance (min crawl) and the
+    per-crawl novelty report falls out of one join back.
+
+    Scale shape: stores carry 32-byte md5 hex fps, never bodies — the
+    merge is ONE shuffle keyed on fp (partial aggregation collapses
+    each map side to its distinct fps first), and the report is a
+    partial-aggregable groupBy over crawl ids. At 100 TB the stores
+    are the persisted artifact (the `dedup_incremental` fingerprint-
+    store shape); compaction cost is O(Σ store sizes), independent of
+    corpus bytes. store_xor is the bit_xor checksum of the md5_48 of
+    each member fp — the order-independent 64-bit-closed rollup that
+    lets two store replicas be compared without moving them."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _STORE_CRAWLS).alias("crawl_id"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    # the store is the persisted artifact between crawls; materialize
+    # it once (eager, the perceptron precedent) — without this the
+    # min-crawl leg and the join-back leg each re-scan the corpus
+    # (verified: 2 FileScans, 0 ReusedExchange in the un-checkpointed
+    # plan), which is exactly the rescan compaction exists to avoid
+    store = (
+        d.groupBy("crawl_id", "fp")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    first = store.groupBy("fp").agg(F.min("crawl_id").alias("first_crawl"))
+    joined = store.join(first, "fp").withColumn("fp48", md5_48(F.col("fp")))
+    return (
+        joined.groupBy("crawl_id")
+        .agg(
+            F.count("*").cast("long").alias("store_fps"),
+            F.sum(F.when(F.col("first_crawl") == F.col("crawl_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_fps"),
+            F.sum(F.when(F.col("first_crawl") != F.col("crawl_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("repeat_fps"),
+            F.expr(
+                "CAST(sum(CASE WHEN first_crawl = crawl_id THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("novelty_bp"),
+            F.expr("bit_xor(fp48)").cast("long").alias("store_xor"),
+        )
+        .orderBy("crawl_id")
+    )
+
+
+_STORE_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+DEDUP_STORE_MERGE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id % {_STORE_CRAWLS} AS crawl_id, md5({_STORE_NORM}) AS fp
+  FROM documents
+),
+store AS (
+  SELECT crawl_id, fp, count(*) AS n_docs FROM d GROUP BY crawl_id, fp
+),
+first AS (
+  SELECT fp, min(crawl_id) AS first_crawl FROM store GROUP BY fp
+)
+SELECT s.crawl_id,
+       CAST(count(*) AS BIGINT) AS store_fps,
+       CAST(sum(CASE WHEN f.first_crawl = s.crawl_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_fps,
+       CAST(sum(CASE WHEN f.first_crawl <> s.crawl_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS repeat_fps,
+       CAST(sum(CASE WHEN f.first_crawl = s.crawl_id THEN 1 ELSE 0 END)
+            * 10000 // count(*) AS BIGINT) AS novelty_bp,
+       CAST(bit_xor({md5_48_sql("s.fp")}) AS BIGINT) AS store_xor
+FROM store s JOIN first f USING (fp)
+GROUP BY s.crawl_id
+ORDER BY s.crawl_id
+"""
+
+STAGED["dedup_store_merge"] = (dedup_store_merge, DEDUP_STORE_MERGE_ORACLE)
+
+
+# ---- text_code_detect -------------------------------------------------------
+
+_CODE_THRESHOLD = 60
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose gate; one row per document:
+    (doc_id, code_score, label ∈ code/prose).
+
+    Deterministic synthetic code bodies are injected for
+    doc_id % 5 == 0 (construct-the-variant idiom) so both classes are
+    exercised; the detector weighs code markers (`;`, `{`, `def `,
+    `return `, `_`) against the prose marker (` the `), all counted
+    by the length-difference-after-replace identity — pure codegen'd
+    string expressions, no UDF, no regex engine divergence risk.
+
+    Scale shape: a single scan projection — embarrassingly parallel,
+    zero shuffles (the per-doc verdict IS the output; a per-source
+    rollup composes as one partial-aggregable groupBy downstream)."""
+    d = load_table(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit("def fn_"),
+            F.col("doc_id").cast("string"),
+            F.lit("(a_x, b_y): { v_z = a_x * "),
+            F.col("doc_id").cast("string"),
+            F.lit("; return v_z + b_y; }"),
+        ),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+
+    def occ(col, needle: str):
+        # the length-difference identity counts occurrences exactly;
+        # the diff is a multiple of len(needle), so the division is
+        # integer-exact on both engines
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))
+        ).cast("long")
+
+    score = (
+        occ(body, ";") * 20
+        + occ(body, "{") * 15
+        + occ(body, "def ") * 25
+        + occ(body, "return ") * 25
+        + occ(body, "_") * 5
+        - occ(body, " the ") * 10
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        score.alias("code_score"),
+        F.when(score >= _CODE_THRESHOLD, "code").otherwise("prose").alias("label"),
+    ).orderBy("doc_id")
+
+
+def _occ_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"((length({expr}) - length(replace({expr}, '{esc}', ''))) // {len(needle)})"
+
+
+_CODE_BODY_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "concat('def fn_', CAST(doc_id AS VARCHAR), '(a_x, b_y): { v_z = a_x * ', "
+    "CAST(doc_id AS VARCHAR), '; return v_z + b_y; }') "
+    "ELSE coalesce(text, '') END"
+)
+
+TEXT_CODE_DETECT_ORACLE = f"""
+WITH b AS (SELECT doc_id, {_CODE_BODY_SQL} AS body FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST({_occ_sql("body", ";")} * 20
+            + {_occ_sql("body", "{")} * 15
+            + {_occ_sql("body", "def ")} * 25
+            + {_occ_sql("body", "return ")} * 25
+            + {_occ_sql("body", "_")} * 5
+            - {_occ_sql("body", " the ")} * 10 AS BIGINT) AS code_score
+  FROM b
+)
+SELECT doc_id, code_score,
+       CASE WHEN code_score >= {_CODE_THRESHOLD} THEN 'code' ELSE 'prose' END AS label
+FROM s ORDER BY doc_id
+"""
+
+STAGED["text_code_detect"] = (text_code_detect, TEXT_CODE_DETECT_ORACLE)
+
+
+# ---- knn_ivf_append ---------------------------------------------------------
+
+_APPEND_SEED_MAX = 21  # vec_id < 21 ∧ vec_id % 4 != 3 → exactly 16 old seeds
+
+
+def knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance; one row per inverted list:
+    (list_id, n_old, n_new, growth_bp).
+
+    The existing index: centroids frozen from the OLD corpus
+    (vec_id % 4 != 3; seeds are the registered knn_ivf deterministic
+    quantizer restricted to old ids). Appending the NEW batch
+    (vec_id % 4 == 3) retrains NOTHING: each new vector broadcasts
+    against the 16-row centroid table and joins its argmax list —
+    `_centroid_frame`, the exact registered assignment helper, so the
+    append and the index cannot fork semantics.
+
+    Scale shape: assignment is map-side only (centroids ≤ 2^16 rows
+    broadcast; one row_number over the per-vector K candidates), and
+    the growth report is a partial-aggregable groupBy over K lists —
+    appending a day of vectors to a 10⁹-vector index costs
+    O(batch · K) comparisons and shuffles K counter rows. The report
+    is the re-balance trigger: growth_bp spread across lists tells
+    the owner when the frozen quantizer has drifted from the data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        (F.col("vec_id") < _APPEND_SEED_MAX) & (F.col("vec_id") % 4 != 3)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    asg = _centroid_frame(e, cent)
+    return (
+        asg.groupBy(F.col("cid").alias("list_id"))
+        .agg(
+            F.sum(F.when(F.col("vec_id") % 4 != 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_old"),
+            F.sum(F.when(F.col("vec_id") % 4 == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.expr(
+                "CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) * 10000"
+                " div sum(CASE WHEN vec_id % 4 != 3 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("growth_bp"),
+        )
+        .orderBy("list_id")
+    )
+
+
+KNN_IVF_APPEND_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS ccid, v AS cv FROM e
+  WHERE vec_id < {_APPEND_SEED_MAX} AND vec_id % 4 <> 3
+),
+asg AS (
+  SELECT vec_id, ccid AS list_id FROM (
+    SELECT e.vec_id, c.ccid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+               c.ccid) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT list_id,
+       CAST(sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) * 10000
+            // sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS growth_bp
+FROM asg
+GROUP BY list_id
+ORDER BY list_id
+"""
+
+STAGED["knn_ivf_append"] = (knn_ivf_append, KNN_IVF_APPEND_ORACLE)
+
+
+# ---- dedup_minhash_store_incremental -----------------------------------------
+#
+# Near-dup INCREMENTAL dedup against a persisted signature store —
+# dedup_store_merge's exact-fp story extended to the fuzzy family:
+# the REFERENCE corpus (doc_id % 10 < 7, dedup_incremental's split)
+# persists per-doc MinHash signatures + banded LSH buckets; the NEW
+# batch (doc_id % 10 >= 7) probes the bucket store, and candidates
+# are adjudicated by signature-overlap estimate exactly as the
+# registered dedup_minhash does — _N_HASHES/_BANDS and the
+# Kirsch-Mitzenmacher md5-slice hash family are IMPORTED from
+# extensions/dedup.py, so the incremental store and the batch dedup
+# key cannot fork hash families. Batch docs too short to shingle
+# (< 3 tokens) surface loudly as 'no_signature', not silently.
+
+_MSTORE_THRESH = 0.5  # the registered dedup_minhash near-dup bar
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (h0..h15 + sig array) — the
+    registered dedup_minhash construction, one md5 per distinct
+    3-shingle, 16 Kirsch-Mitzenmacher double hashes."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = tok.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh")
+    )
+    hh = sh.select("doc_id", F.md5("sh").alias("m")).select(
+        "doc_id",
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    two32 = F.lit(4294967296)
+    return (
+        hh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h1") + F.lit(i) * F.col("h2")) % two32).alias(f"h{i}")
+                for i in range(_N_HASHES)
+            ]
+        )
+        .withColumn("sig", F.array(*[f"h{i}" for i in range(_N_HASHES)]))
+    )
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    rows_per_band = _N_HASHES // _BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("bucket"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    return sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def dedup_minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the reference MinHash store with a new batch; one row per
+    batch doc: (doc_id, n_cand, n_near, best_ref, best_est, verdict ∈
+    near_dup / unique / no_signature).
+
+    Scale shape: the persisted store is (doc_id, band, bucket) plus
+    the 16-long signatures — 4 band rows and 128 signature bytes per
+    reference doc, never bodies. The probe is an equi-join on
+    (band, bucket) — banding bounds candidates exactly as the
+    registered dedup_minhash's self-join does (hot buckets are the
+    same doc-frequency-capped story), the signatures ride the join so
+    adjudication needs no second pass, and the per-batch-doc verdict
+    is one partial-aggregable groupBy. Appending a crawl's batch to a
+    10⁹-doc store costs O(batch bands + collisions), never a
+    corpus-wide re-shingle — the store IS the incremental artifact."""
+    sig = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    ref_b = _band_rows(sig.filter(F.col("doc_id") % 10 < 7))
+    bat_b = _band_rows(sig.filter(F.col("doc_id") % 10 >= 7))
+    cand = (
+        bat_b.alias("x")
+        .join(
+            ref_b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(
+            F.col("x.doc_id").alias("bid"),
+            F.col("y.doc_id").alias("rid"),
+            F.col("x.sig").alias("sa"),
+            F.col("y.sig").alias("sb"),
+        )
+        .dropDuplicates(["bid", "rid"])
+    )
+    matches = sum(
+        F.when(F.col("sa")[i] == F.col("sb")[i], 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    est = cand.select(
+        "bid", "rid", (matches / F.lit(float(_N_HASHES))).alias("e")
+    )
+    per = est.groupBy("bid").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(F.when(F.col("e") >= _MSTORE_THRESH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near"),
+        F.min(F.when(F.col("e") >= _MSTORE_THRESH, F.col("rid"))).alias("best_ref"),
+        F.round(F.max("e"), 4).alias("best_est"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 >= 7)
+        .select("doc_id")
+    )
+    has_sig = sig.select(F.col("doc_id"), F.lit(1).alias("_sig"))
+    return (
+        batch.join(has_sig, "doc_id", "left")
+        .join(per, batch["doc_id"] == per["bid"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.col("best_ref").cast("long").alias("best_ref"),
+            F.col("best_est").cast("double").alias("best_est"),
+            F.when(F.col("_sig").isNull(), "no_signature")
+            .when(F.coalesce("n_near", F.lit(0)) > 0, "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mstore_oracle() -> str:
+    h_defs = ",\n         ".join(
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" concat_ws(',', h{4 * b}, h{4 * b + 1}, h{4 * b + 2}, h{4 * b + 3}) AS bucket"
+        f" FROM sig"
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+    )
+    return f"""
+WITH shs AS ({_SHINGLE_SQL}),
+s AS (SELECT doc_id, unnest(shset) AS sh FROM shs),
+hh AS (
+  SELECT doc_id,
+         {_minhash_hex32_sql("md5(sh)", 1)} AS h1,
+         {_minhash_hex32_sql("md5(sh)", 9)} AS h2
+  FROM s
+),
+sig AS (
+  SELECT doc_id,
+         {h_defs}
+  FROM hh GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS rid
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id % 10 >= 7 AND y.doc_id % 10 < 7
+),
+est AS (
+  SELECT bid, rid, ({matches}) / 16.0 AS e
+  FROM pairs
+  JOIN sig a ON bid = a.doc_id
+  JOIN sig b ON rid = b.doc_id
+),
+per AS (
+  SELECT bid,
+         count(*) AS n_cand,
+         sum(CASE WHEN e >= {_MSTORE_THRESH} THEN 1 ELSE 0 END) AS n_near,
+         min(CASE WHEN e >= {_MSTORE_THRESH} THEN rid END) AS best_ref,
+         round(max(e), 4) AS best_est
+  FROM est GROUP BY bid
+),
+batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near,
+       CAST(p.best_ref AS BIGINT) AS best_ref,
+       CAST(p.best_est AS DOUBLE) AS best_est,
+       CASE WHEN g.doc_id IS NULL THEN 'no_signature'
+            WHEN coalesce(p.n_near, 0) > 0 THEN 'near_dup'
+            ELSE 'unique' END AS verdict
+FROM batch d
+LEFT JOIN (SELECT DISTINCT doc_id FROM sig) g ON d.doc_id = g.doc_id
+LEFT JOIN per p ON d.doc_id = p.bid
+ORDER BY d.doc_id
+"""
+
+
+DEDUP_MINHASH_STORE_INCREMENTAL_ORACLE = _mstore_oracle()
+
+STAGED["dedup_minhash_store_incremental"] = (
+    dedup_minhash_store_incremental,
+    DEDUP_MINHASH_STORE_INCREMENTAL_ORACLE,
+)

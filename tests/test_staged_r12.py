@@ -1,0 +1,265 @@
+"""Oracle proofs for the STAGED round-12 keys (sources/staged_r12.py).
+
+Round 11's driver window is committed to the _ADDED_R11 keys plus
+stalest-evidence re-proofs, so the round-11-built surface stages
+through this round exactly as r10/r11 keys staged before it — held to
+the registration bar (the driver's own `oracle.compare` hash gate,
+both fixture SFs) without touching the registry."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_scripts_spark.oracle import compare, duck_connection
+from datapipeline_scripts_spark.registry import all_queries
+from datapipeline_scripts_spark.sources.staged_r12 import STAGED
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_staged_key_matches_oracle(spark, key, sf_dir):
+    build, oracle = STAGED[key]
+    sdf = build(spark, sf_dir)
+    with duck_connection(sf_dir) as con:
+        opdf = con.execute(oracle).fetch_df()
+    report = compare(key, sdf, opdf)
+    assert report.ok, str(report)
+    assert report.spark_rows > 0
+
+
+def test_staged_r12_keys_not_registered_during_round_11():
+    """The staging invariant: the catalog is 350 this round; the r12
+    keys enter the registry only with round 12's deliberate flip."""
+    registered = set(all_queries())
+    assert len(registered) == 350
+    assert not (set(STAGED) & registered)
+
+
+def test_inference_weights_match_registered_eval_trajectory(spark, sf_dir):
+    """The shared-chain guarantee: `_pe_weights` over the even split
+    must land on the same final weight vector the REGISTERED
+    quality_eval_perceptron trains (same _PE_ITERS, same features,
+    same update rule) — if either side drifts, the inference report
+    is grading a different model than the eval key published."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.sources.staged_r11 import (
+        _perceptron_features,
+    )
+    from datapipeline_scripts_spark.sources.staged_r12 import _pe_weights
+
+    feats = _perceptron_features(spark, sf_dir)
+    train = feats.filter(F.col("doc_id") % 2 == 0)
+    w = _pe_weights(spark, train).collect()[0].asDict()
+
+    # the registered eval key's oracle-proven weights, recomputed via
+    # its own DuckDB train CTEs
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        _PE_FEATS_SQL,
+        _PE_ITERS,
+        _pe_train_sql,
+    )
+
+    with duck_connection(sf_dir) as con:
+        got = con.execute(
+            f"WITH {_PE_FEATS_SQL}, {_pe_train_sql()} SELECT * FROM w{_PE_ITERS}"
+        ).fetch_df()
+    duck_w = {k: int(got[k][0]) for k in ("w0", "w1", "w2", "w3")}
+    assert {k: int(v) for k, v in w.items()} == duck_w
+
+
+def test_calibration_monotone_and_covers_both_classes():
+    """The calibration report must actually calibrate on the fixtures:
+    the lowest bin is (near-)pure negative, the highest (near-)pure
+    positive, and pos_bp is non-decreasing across bins — the margin
+    orders the held-out labels. DuckDB-side (both SFs), cheap."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        QUALITY_SCORE_CALIBRATION_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(QUALITY_SCORE_CALIBRATION_ORACLE).fetch_df()
+        assert len(b) >= 3, (sf_dir, "margins collapsed into <3 bins")
+        assert b.pos_bp.is_monotonic_increasing, (sf_dir, list(b.pos_bp))
+        assert b.pos_bp.iloc[0] <= 500 and b.pos_bp.iloc[-1] >= 9500, (
+            sf_dir,
+            list(b.pos_bp),
+        )
+
+
+def test_store_merge_novelty_accounting():
+    """Semantic invariants of the compaction report (DuckDB-side,
+    both SFs): novel+repeat == store size per crawl, crawl 0 is 100%
+    novel (nothing precedes it), and the total novel count across
+    crawls equals the corpus's distinct fingerprint count (every fp
+    is first-seen exactly once)."""
+    import duckdb
+
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        DEDUP_STORE_MERGE_ORACLE,
+        _STORE_NORM,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(DEDUP_STORE_MERGE_ORACLE).fetch_df()
+            n_distinct = con.execute(
+                f"SELECT count(DISTINCT md5({_STORE_NORM})) FROM documents"
+            ).fetchone()[0]
+        assert (b.novel_fps + b.repeat_fps == b.store_fps).all(), sf_dir
+        assert int(b[b.crawl_id == 0].novelty_bp.iloc[0]) == 10000, sf_dir
+        assert int(b.novel_fps.sum()) == n_distinct, sf_dir
+
+
+def test_code_detect_labels_exactly_the_synthetic_class():
+    """The injected code bodies (doc_id % 5 == 0) must all classify
+    as code and the untouched prose must all classify as prose — the
+    detector separates the classes with margin at the fixture scale."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        TEXT_CODE_DETECT_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(TEXT_CODE_DETECT_ORACLE).fetch_df()
+        code = b[b.doc_id % 5 == 0]
+        prose = b[b.doc_id % 5 != 0]
+        assert (code.label == "code").all(), sf_dir
+        assert (prose.label == "prose").all(), sf_dir
+        # separation, not threshold-grazing
+        assert code.code_score.min() >= 100, (sf_dir, int(code.code_score.min()))
+        assert prose.code_score.max() <= 0, (sf_dir, int(prose.code_score.max()))
+
+
+def test_ivf_append_covers_all_lists_and_balances():
+    """Every one of the 16 frozen lists must receive its own centroid
+    (n_old >= 1 — a centroid is its own argmax) and the full old+new
+    populations must be conserved across lists."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        KNN_IVF_APPEND_ORACLE,
+    )
+
+    for sf_dir, n in (("/root/testdata/sf0.001", 500), ("/root/testdata/sf0.01", 500)):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(KNN_IVF_APPEND_ORACLE).fetch_df()
+        assert len(b) == 16, (sf_dir, len(b))
+        assert (b.n_old >= 1).all(), sf_dir
+        n_new = n // 4
+        assert int(b.n_old.sum()) == n - n_new and int(b.n_new.sum()) == n_new, sf_dir
+
+
+def test_staged_r12_plan_shapes(spark, sf_dir):
+    """Staged r12 contract (keys register next round; the plan shape
+    must already be right): every builder cartesian-free; the pure
+    per-row detector key additionally key-shuffle-free; exact per-scan
+    schema pinning (the r11 multiset discipline). Keys whose corpus
+    scan hides behind an eager localCheckpoint (the perceptron
+    precedent: both quality keys, the minhash signature store, the
+    fingerprint store) pin the scans that REMAIN in the final plan."""
+    from datapipeline_scripts_spark.plans.audit import read_schemas
+    from datapipeline_scripts_spark.sources.staged_r12 import STAGED as R12
+
+    want_scans = {
+        # train + score legs read the eager feature checkpoint
+        "quality_score_inference": [],
+        "quality_score_calibration": [],
+        # the store is checkpointed (it IS the persisted artifact);
+        # no corpus scan may survive into the merge plan
+        "dedup_store_merge": [],
+        "text_code_detect": [("doc_id", "text")],
+        "knn_ivf_append": [
+            ("embedding", "vec_id"),
+            ("embedding", "vec_id"),  # centroid-seed scan (pruned by vec_id)
+        ],
+        # signatures checkpointed; only the batch-roster scan remains
+        "dedup_minhash_store_incremental": [("doc_id",)],
+    }
+    for key, (build, _oracle) in R12.items():
+        df = build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        if key == "text_code_detect":
+            assert "hashpartitioning" not in plan, (key, "unexpected key shuffle")
+        schemas = read_schemas(df)
+        got = sorted(tuple(sorted(s)) for s in schemas)
+        assert got == sorted(want_scans[key]), (key, got)
+
+
+def test_mstore_no_signature_verdict_surfaces_loudly(spark, tmp_path):
+    """Fixture docs all shingle (≥3 tokens), so the 'no_signature'
+    class can't fire there — drill it with an augmented documents
+    table holding a 2-token batch doc: the doc must appear in the
+    output as no_signature on BOTH engines (hash-compared), never
+    silently vanish from the probe."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipeline_scripts_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_short"
+    d.mkdir()
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{src}/{name}.parquet", d / f"{name}.parquet")
+    t = pq.read_table(f"{src}/documents.parquet")
+    schema = pa.schema([(f.name, f.type) for f in t.schema])
+    extra = pa.table(
+        {
+            "doc_id": [707],  # % 10 >= 7 → batch side
+            "text": ["too short"],
+            "lang": ["en"],
+            "source": ["short-drill"],
+            "n_chars": [9],
+        },
+        schema=schema,
+    )
+    pq.write_table(pa.concat_tables([t.cast(schema), extra]), d / "documents.parquet")
+
+    build, oracle = STAGED["dedup_minhash_store_incremental"]
+    sdf = build(spark, str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    opdf = con.execute(oracle).fetch_df()
+    con.close()
+    report = compare("dedup_minhash_store_incremental", sdf, opdf)
+    assert report.ok, str(report)
+    got = {int(r["doc_id"]): r["verdict"] for r in sdf.collect()}
+    assert got[707] == "no_signature", got.get(707)
+
+
+def test_mstore_probe_agrees_with_registered_minhash_on_cross_split_pairs():
+    """The incremental probe must find EXACTLY the registered
+    dedup_minhash's ≥0.5 pairs that straddle the reference/batch
+    split — same hash family, same banding, same threshold, so the
+    store path can't be weaker (or stronger) than the batch path it
+    replaces. DuckDB-side, both SFs."""
+    import duckdb
+
+    from datapipeline_scripts_spark.extensions.dedup import _minhash_oracle
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        DEDUP_MINHASH_STORE_INCREMENTAL_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        batch = con.execute(_minhash_oracle()).fetch_df()
+        store = con.execute(DEDUP_MINHASH_STORE_INCREMENTAL_ORACLE).fetch_df()
+        con.close()
+        cross = set()
+        for r in batch.itertuples():
+            a, b = int(r.doc_a), int(r.doc_b)
+            if (a % 10 < 7) != (b % 10 < 7):
+                cross.add(a if a % 10 >= 7 else b)
+        flagged = set(store[store.verdict == "near_dup"].doc_id.astype(int))
+        assert flagged == cross, (sf_dir, flagged ^ cross)
