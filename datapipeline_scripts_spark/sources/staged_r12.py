@@ -801,3 +801,429 @@ STAGED["dedup_minhash_store_incremental"] = (
     dedup_minhash_store_incremental,
     DEDUP_MINHASH_STORE_INCREMENTAL_ORACLE,
 )
+
+
+# ---- embedding_prefix_recall ------------------------------------------------
+#
+# Matryoshka-style truncated-dimension retrieval audit: score the
+# corpus with only the FIRST 16 of 64 embedding dimensions (the
+# prefix an MRL-trained encoder makes usable at 1/4 the float cost)
+# and report per-query recall@5 against the registered exact
+# full-dimension top-5 (knn_brute, the same grading harness
+# knn_recall_report established for IVF). The prefix leg reuses the
+# brute key's broadcast-queries shape — only the slice differs — so
+# the report grades exactly the tradeoff a retrieval owner would
+# ship: scan cost /4 vs recall lost.
+
+_PREFIX_DIMS = 16
+
+
+def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query truncated-dim recall: (qid, n_hits, recall_bp) for
+    the 5 shared query vectors, recall@5 in basis points.
+
+    Scale shape: both legs broadcast the |Q|-row query block and
+    score map-side; the prefix leg reads 1/4 of the vector bytes (at
+    real scale: a 16-dim column pruned from the store, i.e. a true
+    I/O cut, the production MRL first-pass). The intersection is an
+    equi-join on (qid, cid) over |Q|·5 rows a side."""
+    from datapipeline_scripts_spark.extensions.similarity import knn_brute
+    from datapipeline_scripts_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pre = F.slice(F.col("embedding"), 1, _PREFIX_DIMS)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), pre.alias("qe")
+    )
+    c = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("cid"), pre.alias("ce")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    approx = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    exact = knn_brute(spark, sf_dir).filter(F.col("rn") <= 5).select("qid", "cid")
+    inter = (
+        exact.join(approx, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.groupBy("qid").agg(F.count("*").alias("k"))
+    return (
+        base.join(inter, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("CAST(coalesce(n_hits, 0) * 10000 div k AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+EMBEDDING_PREFIX_RECALL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) DESC,
+               c.vec_id) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 5
+),
+p AS (SELECT vec_id, v[1:{_PREFIX_DIMS}] AS pv FROM e),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.pv, c.pv) /
+                 (sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(c.pv, c.pv))), 4) DESC,
+               c.vec_id) AS rn
+    FROM p q CROSS JOIN p c
+    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 5
+),
+base AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
+inter AS (
+  SELECT e.qid, count(*) AS n_hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid
+)
+SELECT b.qid,
+       CAST(coalesce(i.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(i.n_hits, 0) * 10000 // b.k AS BIGINT) AS recall_bp
+FROM base b LEFT JOIN inter i ON b.qid = i.qid
+ORDER BY b.qid
+"""
+
+STAGED["embedding_prefix_recall"] = (
+    embedding_prefix_recall,
+    EMBEDDING_PREFIX_RECALL_ORACLE,
+)
+
+
+# ---- quality_margin_drift ---------------------------------------------------
+#
+# Distribution drift of the model margin between two crawls — the
+# monitoring report that tells a pipeline owner when the frozen
+# quality model has gone stale: crawl A (doc_id % 3 == 0) vs crawl B
+# (doc_id % 3 == 1) margin histograms on the calibration key's EXACT
+# bin scheme (shared _CAL_W/_CAL_CLAMP, so the drift report and the
+# calibration curve can never bin differently), per-bin shares in
+# basis points and the absolute share drift. All-integer L1-style
+# drift — no float divergence surface (a PSI-style log-ratio would
+# hang cross-engine exactness on libm).
+
+def quality_margin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin margin-distribution drift between two crawls:
+    (bin, n_a, n_b, share_a_bp, share_b_bp, drift_bp).
+
+    Scale shape: one broadcast-weights scoring pass over the two
+    crawls' union, one partial-aggregable groupBy over ≤ 11 bins,
+    and the totals ride in as a broadcast 1-row aggregate — the
+    exchange carries counters only."""
+    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
+    train = feats.filter(F.col("doc_id") % 2 == 0)
+    w = _pe_weights(spark, train)
+    c = F.lit(_CAL_CLAMP)
+    scored = (
+        feats.filter(F.col("doc_id") % 3 < 2)
+        .crossJoin(F.broadcast(w))
+        .select(
+            (F.col("doc_id") % 3).alias("crawl"),
+            F.greatest(-c, F.least(c, F.floor(_pe_score() / F.lit(float(_CAL_W)))))
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.sum(F.when(F.col("crawl") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("crawl") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    totals = per_bin.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    share_a = F.expr("CAST(n_a * 10000 div tot_a AS BIGINT)")
+    share_b = F.expr("CAST(n_b * 10000 div tot_b AS BIGINT)")
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            share_a.alias("share_a_bp"),
+            share_b.alias("share_b_bp"),
+            F.abs(share_a - share_b).cast("long").alias("drift_bp"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUALITY_MARGIN_DRIFT_ORACLE = f"""
+WITH {_PE_FEATS_SQL},
+{_pe_train_sql()},
+scored AS (
+  SELECT doc_id % 3 AS crawl,
+         greatest(-{_CAL_CLAMP}, least({_CAL_CLAMP},
+             CAST(floor(({_PE_SCORE_SQL}) / {_CAL_W}.0) AS BIGINT))) AS bin
+  FROM feats CROSS JOIN w{_PE_ITERS}
+  WHERE doc_id % 3 < 2
+),
+per_bin AS (
+  SELECT bin,
+         sum(CASE WHEN crawl = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN crawl = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM scored GROUP BY bin
+),
+totals AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM per_bin)
+SELECT bin,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a * 10000 // tot_a AS BIGINT) AS share_a_bp,
+       CAST(n_b * 10000 // tot_b AS BIGINT) AS share_b_bp,
+       CAST(abs(n_a * 10000 // tot_a - n_b * 10000 // tot_b) AS BIGINT) AS drift_bp
+FROM per_bin CROSS JOIN totals
+ORDER BY bin
+"""
+
+STAGED["quality_margin_drift"] = (quality_margin_drift, QUALITY_MARGIN_DRIFT_ORACLE)
+
+
+# ---- docs_stream_quality_gate -----------------------------------------------
+#
+# STREAMING model inference — the continuous-crawl deployment shape of
+# the quality gate: the arriving batch (odd doc_ids) flows through a
+# real Structured Streaming replay (availableNow → foreachBatch
+# parquet sink, complete mode — the registered events_stream harness),
+# scored against weights trained batch-side on the HISTORICAL evens
+# and joined in as a broadcast static side. The report is the per-
+# source acceptance of the arriving stream. The batch/stream split
+# mirrors production exactly: the model is fitted offline, frozen,
+# and applied to the live feed; Spark's stream-static join is the
+# mechanism that makes the frozen model visible to every micro-batch.
+
+
+def docs_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the arriving (odd doc_id) documents through the frozen
+    quality model; one row per source: (source, n_arrived, n_accept,
+    accept_bp).
+
+    Scale shape: the static side is the 1-row weight table
+    (materialized once, broadcast into each micro-batch); the
+    streaming side computes features and margin as codegen'd
+    projections per micro-batch and the complete-mode aggregate
+    carries |sources| counters of state. This is the exact shape a
+    Kafka-fed quality gate runs: no corpus-sized state, no
+    per-batch retrain."""
+    import os
+
+    from datapipeline_scripts_spark.functions.text import (
+        stopword_hits as _sh,
+    )
+    from datapipeline_scripts_spark.streaming.stream_jobs import _replay_to_parquet
+
+    feats = _perceptron_features(spark, sf_dir)
+    train = feats.filter(F.col("doc_id") % 2 == 0)
+    w = _pe_weights(spark, train).withColumn("jk", F.lit(1)).localCheckpoint(eager=True)
+
+    from datapipeline_scripts_spark.catalog import table_path
+
+    path = table_path(sf_dir, "documents")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    n_words = F.size(toks)
+    sh3 = shingles(toks, 3)
+    n_sh = F.when(n_words >= 3, n_words - 2).otherwise(0)
+    n_rep = F.when(
+        n_words >= 3, n_words - 2 - F.size(F.array_distinct(sh3))
+    ).otherwise(0)
+    sfeat = stream.filter(F.col("doc_id") % 2 == 1).select(
+        "source",
+        (n_words - 30).cast("long").alias("x1"),
+        _sh(toks, ("the", "a", "of")).cast("long").alias("x2"),
+        F.when(n_sh > 0, (n_rep * 10000 - (n_rep * 10000) % n_sh) / n_sh)
+        .otherwise(0)
+        .cast("long")
+        .alias("x3"),
+        F.lit(1).alias("jk"),
+    )
+    scored = sfeat.join(F.broadcast(w), "jk").select(
+        "source", _pe_score().alias("margin")
+    )
+    agg = (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_arrived"),
+            F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_accept"),
+        )
+    )
+    out = _replay_to_parquet(spark, agg, mode="complete")
+    return out.select(
+        "source",
+        "n_arrived",
+        "n_accept",
+        F.expr("CAST(n_accept * 10000 div n_arrived AS BIGINT)").alias("accept_bp"),
+    ).orderBy("source")
+
+
+DOCS_STREAM_QUALITY_GATE_ORACLE = f"""
+WITH {_PE_FEATS_SQL},
+{_pe_train_sql()},
+scored AS (
+  SELECT f.source, {_PE_SCORE_SQL} AS margin
+  FROM feats f CROSS JOIN w{_PE_ITERS}
+  WHERE f.doc_id % 2 = 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_arrived,
+       CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS accept_bp
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+STAGED["docs_stream_quality_gate"] = (
+    docs_stream_quality_gate,
+    DOCS_STREAM_QUALITY_GATE_ORACLE,
+)
+
+
+# ---- multimodal_image_tiles -------------------------------------------------
+#
+# ViT-style patch extraction — the step between image decode and a
+# vision encoder: the decoded image splits into a fixed tile grid and
+# each tile ships as a unit (here: per-tile min/max/sum features, the
+# same decode-proven integers the resize key established). The codec
+# path is REAL end-to-end: per-doc 8-bit palette BMP (identity
+# grayscale palette; RLE8 rotating on odd doc_ids) encoded and
+# decoded through the production stdlib codec, then tiled 16×8 →
+# eight 4×4 patches. The DuckDB oracle recomputes every tile's
+# min/max/sum from the pixel formula (d·3 + 5x + 11y + xy) % 256 in
+# closed form — decode, tiling arithmetic and tile order all inside
+# the hash gate.
+
+_TILE_W, _TILE_H = 4, 4
+_TILE_IMG_W, _TILE_IMG_H = 16, 8
+
+
+def _tiles_worker(batches):
+    import pandas as pd
+
+    from datapipeline_scripts_spark.extensions import bmp_stdlib as bs
+
+    identity = bytes(c for i in range(256) for c in (i, i, i))
+    cols = ("doc_id", "tile_id", "t_min", "t_max", "t_sum")
+    for pdf in batches:
+        out: dict[str, list] = {c: [] for c in cols}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            indices = bytes(
+                (d * 3 + 5 * x + 11 * y + x * y) % 256
+                for y in range(_TILE_IMG_H)
+                for x in range(_TILE_IMG_W)
+            )
+            payload = bs.encode_bmp(
+                _TILE_IMG_W, _TILE_IMG_H, indices, palette=identity, rle=bool(d % 2)
+            )
+            w, h, gray = bs.bmp_decode_gray(payload)
+            tiles_x, tiles_y = w // _TILE_W, h // _TILE_H
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    px = [
+                        gray[(ty * _TILE_H + dy) * w + tx * _TILE_W + dx]
+                        for dy in range(_TILE_H)
+                        for dx in range(_TILE_W)
+                    ]
+                    out["doc_id"].append(d)
+                    out["tile_id"].append(ty * tiles_x + tx)
+                    out["t_min"].append(min(px))
+                    out["t_max"].append(max(px))
+                    out["t_sum"].append(sum(px))
+        yield pd.DataFrame(out)
+
+
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode → fixed-grid patch extraction; one row per
+    (doc_id, tile): (doc_id, tile_id, t_min, t_max, t_sum).
+
+    Scale shape: identical to the codec siblings — embarrassingly
+    parallel Arrow-batch work, only (doc_id, 8 tiles × 3 ints)
+    across the worker boundary; at corpus scale the tiles would carry
+    patch bytes to the encoder, same partitioning, bigger payload."""
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tile_id", T.LongType()),
+            T.StructField("t_min", T.LongType()),
+            T.StructField("t_max", T.LongType()),
+            T.StructField("t_sum", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(_tiles_worker, schema=schema).orderBy(
+        "doc_id", "tile_id"
+    )
+
+
+def _tiles_oracle() -> str:
+    tiles_x = _TILE_IMG_W // _TILE_W
+    tiles_y = _TILE_IMG_H // _TILE_H
+    parts = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            terms = [
+                f"((doc_id * 3 + {5 * (tx * _TILE_W + dx) + 11 * (ty * _TILE_H + dy) + (tx * _TILE_W + dx) * (ty * _TILE_H + dy)}) % 256)"
+                for dy in range(_TILE_H)
+                for dx in range(_TILE_W)
+            ]
+            parts.append(
+                f"SELECT doc_id, CAST({ty * tiles_x + tx} AS BIGINT) AS tile_id,"
+                f" CAST(least({', '.join(terms)}) AS BIGINT) AS t_min,"
+                f" CAST(greatest({', '.join(terms)}) AS BIGINT) AS t_max,"
+                f" CAST(({' + '.join(terms)}) AS BIGINT) AS t_sum"
+                f" FROM documents WHERE doc_id % 7 = 3"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY doc_id, tile_id"
+
+
+MULTIMODAL_IMAGE_TILES_ORACLE = _tiles_oracle()
+
+STAGED["multimodal_image_tiles"] = (
+    multimodal_image_tiles,
+    MULTIMODAL_IMAGE_TILES_ORACLE,
+)

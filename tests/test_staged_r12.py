@@ -174,12 +174,20 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
         ],
         # signatures checkpointed; only the batch-roster scan remains
         "dedup_minhash_store_incremental": [("doc_id",)],
+        # both legs (exact + prefix) reuse knn_brute's broadcast-Q
+        # shape: query + candidate scans per leg, all vector-minimal
+        "embedding_prefix_recall": [("embedding", "vec_id")] * 6,
+        "quality_margin_drift": [],  # feature checkpoint hides the scan
+        # the stream replay materializes into the checkpointed sink
+        # read-back: no corpus FileScan in the returned plan
+        "docs_stream_quality_gate": [],
+        "multimodal_image_tiles": [("doc_id",)],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, key
-        if key == "text_code_detect":
+        if key in ("text_code_detect", "multimodal_image_tiles"):
             assert "hashpartitioning" not in plan, (key, "unexpected key shuffle")
         schemas = read_schemas(df)
         got = sorted(tuple(sorted(s)) for s in schemas)
@@ -263,3 +271,95 @@ def test_mstore_probe_agrees_with_registered_minhash_on_cross_split_pairs():
                 cross.add(a if a % 10 >= 7 else b)
         flagged = set(store[store.verdict == "near_dup"].doc_id.astype(int))
         assert flagged == cross, (sf_dir, flagged ^ cross)
+
+
+def test_prefix_recall_is_lossy_but_informative():
+    """The truncated-dim audit must show a real tradeoff on the
+    fixtures: recall strictly below perfect for at least one query
+    (16 of 64 uniform-random dims lose information) but nonzero
+    overall (the prefix is not noise). DuckDB-side, both SFs."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        EMBEDDING_PREFIX_RECALL_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(EMBEDDING_PREFIX_RECALL_ORACLE).fetch_df()
+        assert len(b) == 5, sf_dir
+        assert (b.recall_bp <= 10000).all() and (b.recall_bp >= 0).all(), sf_dir
+        assert b.recall_bp.min() < 10000, (sf_dir, "prefix suspiciously perfect")
+
+
+def test_margin_drift_shares_account_to_totals():
+    """Per-bin share accounting: each crawl's shares sum to ~10000
+    (within per-bin truncation: at most one bp lost per bin), drift
+    is the exact |share difference|, and the bin scheme matches the
+    calibration key's (same width, same clamp), pinned by comparing
+    occupied-bin sets on the odd/even-agnostic full population."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        QUALITY_MARGIN_DRIFT_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(QUALITY_MARGIN_DRIFT_ORACLE).fetch_df()
+        n_bins = len(b)
+        for col in ("share_a_bp", "share_b_bp"):
+            s = int(b[col].sum())
+            assert 10000 - n_bins <= s <= 10000, (sf_dir, col, s)
+        assert (b.drift_bp == (b.share_a_bp - b.share_b_bp).abs()).all(), sf_dir
+
+
+def test_stream_gate_agrees_with_batch_inference_on_odds(spark, sf_dir):
+    """The streaming replay must reproduce the batch computation it
+    deploys: per-source (n_arrived, n_accept) from the stream equals
+    a batch-side recompute over the odd docs with the same shared
+    chain — the stream path adds execution machinery, never
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.sources.staged_r11 import (
+        _perceptron_features,
+    )
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        STAGED as R12,
+        _pe_score,
+        _pe_weights,
+    )
+
+    stream_rows = {
+        r["source"]: (r["n_arrived"], r["n_accept"])
+        for r in R12["docs_stream_quality_gate"][0](spark, sf_dir).collect()
+    }
+    feats = _perceptron_features(spark, sf_dir, extra=("source",))
+    train = feats.filter(F.col("doc_id") % 2 == 0).drop("source")
+    w = _pe_weights(spark, train)
+    batch = (
+        feats.filter(F.col("doc_id") % 2 == 1)
+        .crossJoin(F.broadcast(w))
+        .select("source", _pe_score().alias("m"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("acc"),
+        )
+        .collect()
+    )
+    batch_rows = {r["source"]: (r["n"], r["acc"]) for r in batch}
+    assert stream_rows == batch_rows
+
+
+def test_image_tiles_shape_invariants():
+    """Every selected doc yields the full 4×2 tile grid; per-tile
+    min ≤ max and the sum sits inside [16·min, 16·max]."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        MULTIMODAL_IMAGE_TILES_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(MULTIMODAL_IMAGE_TILES_ORACLE).fetch_df()
+        per_doc = b.groupby("doc_id").tile_id.count()
+        assert (per_doc == 8).all(), sf_dir
+        assert (b.t_min <= b.t_max).all(), sf_dir
+        assert ((b.t_sum >= 16 * b.t_min) & (b.t_sum <= 16 * b.t_max)).all(), sf_dir
