@@ -115,34 +115,20 @@ LEFT JOIN deg d ON it3.k = d.src
 """
 
 
-@query("graph_pagerank", oracle=_PAGERANK_ORACLE, tier="ext")
-def graph_pagerank(
-    spark: SparkSession, sf_dir: str, n_rounds: int = _ITERS, checkpoint_every: int = 5
-) -> DataFrame:
-    """n-iteration PageRank (default 3, matching the unrolled oracle)
-    over the nation trade graph (edge cust-nation → supp-nation for
-    every cross-nation lineitem).
+def pagerank_rounds(
+    edges: DataFrame, n_rounds: int = _ITERS, checkpoint_every: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """The shared integer-exact PageRank iteration over any (src, dst)
+    edge DataFrame — THE one implementation every graph-ranking key
+    runs (the registered nation-trade key and the staged host-graph
+    key), so rankings can never fork formula or scale constants.
+    Returns (rank: (k, r), deg: (src, outdeg)).
 
-    The edge list is built once from the fact table (the only
-    data-sized shuffle), then each iteration joins the |V|-row rank
-    table to the edges and re-aggregates per dst. The Python for-loop
-    unrolls into ONE Catalyst plan — zero driver materialization.
-    Ranks are exact bigint micro-units (see module docstring), so the
-    DuckDB oracle's unrolled iterations match hash-for-hash.
-
-    Iteration depth (VERDICT r02 item 4): each unrolled round nests the
-    prior round's plan, so plan size grows linearly and analysis cost
-    super-linearly — beyond ~5 rounds the lineage must be cut. The
-    rank table is localCheckpoint'd every `checkpoint_every` rounds
-    (docs/SCALE.md §iterative): correct at any depth, and the default
-    3 rounds never triggers it, keeping the proven single-plan shape."""
-    na = load_table(spark, sf_dir, "nation")
-
-    edges = trade_edges(spark, sf_dir)
-    # |V| ≤ 25 and every downstream table is node-sized: localCheckpoint
-    # cuts the re-computation of the fact-table join out of each of the
-    # 3 unrolled rounds (at 100 TB you'd persist the edge list the same
-    # way — compute-once, reuse-per-iteration is the iterative contract)
+    Scale notes unchanged from graph_pagerank's docstring: the edge
+    list is localCheckpoint'd (compute-once, reuse-per-iteration),
+    every downstream table is |V|-sized, the Python loop unrolls into
+    one Catalyst plan, and lineage is cut every `checkpoint_every`
+    rounds so deep iteration counts don't explode plan analysis."""
     edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("k")).union(edges.select("dst")).distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -171,6 +157,66 @@ def graph_pagerank(
                 (teleport + F.expr(f"{_DAMP_NUM} * coalesce(contrib, 0L) div {_DAMP_DEN}")).alias("r"),
             )
         )
+    return rank, deg
+
+
+def pagerank_unroll_sql(edges_cte: str, n_rounds: int = _ITERS) -> str:
+    """DuckDB twin of `pagerank_rounds`: the CTE prefix
+    (edges → nodes → deg → n → r0 → it1..itN) over any edges CTE —
+    the generator form of the registered _PAGERANK_ORACLE's hand
+    unroll, same constants, same floor-division formula."""
+    its = []
+    prev = "r0"
+    for t in range(1, n_rounds + 1):
+        its.append(
+            f"""it{t} AS (
+  SELECT nodes.k,
+         ({_DAMP_DEN - _DAMP_NUM} * ({_SCALE} // (SELECT nn FROM n))) // {_DAMP_DEN}
+         + ({_DAMP_NUM} * coalesce(c.contrib, 0)) // {_DAMP_DEN} AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst, CAST(sum({prev}.r // d.outdeg) AS BIGINT) AS contrib
+    FROM edges e JOIN {prev} ON e.src = {prev}.k JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) c ON nodes.k = c.dst
+)"""
+        )
+        prev = f"it{t}"
+    its_sql = ",\n".join(its)
+    return f"""edges AS ({edges_cte}),
+nodes AS (
+  SELECT src AS k FROM edges UNION SELECT dst FROM edges
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS nn FROM nodes),
+r0 AS (SELECT k, {_SCALE} // (SELECT nn FROM n) AS r FROM nodes),
+{its_sql}"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE, tier="ext")
+def graph_pagerank(
+    spark: SparkSession, sf_dir: str, n_rounds: int = _ITERS, checkpoint_every: int = 5
+) -> DataFrame:
+    """n-iteration PageRank (default 3, matching the unrolled oracle)
+    over the nation trade graph (edge cust-nation → supp-nation for
+    every cross-nation lineitem).
+
+    The edge list is built once from the fact table (the only
+    data-sized shuffle), then each iteration joins the |V|-row rank
+    table to the edges and re-aggregates per dst. The Python for-loop
+    unrolls into ONE Catalyst plan — zero driver materialization.
+    Ranks are exact bigint micro-units (see module docstring), so the
+    DuckDB oracle's unrolled iterations match hash-for-hash.
+
+    Iteration depth (VERDICT r02 item 4): each unrolled round nests the
+    prior round's plan, so plan size grows linearly and analysis cost
+    super-linearly — beyond ~5 rounds the lineage must be cut. The
+    rank table is localCheckpoint'd every `checkpoint_every` rounds
+    (docs/SCALE.md §iterative): correct at any depth, and the default
+    3 rounds never triggers it, keeping the proven single-plan shape."""
+    na = load_table(spark, sf_dir, "nation")
+
+    edges = trade_edges(spark, sf_dir)
+    rank, deg = pagerank_rounds(edges, n_rounds, checkpoint_every)
     return (
         rank.join(F.broadcast(na), rank.k == na.n_nationkey)
         .join(F.broadcast(deg), rank.k == deg.src, "left")

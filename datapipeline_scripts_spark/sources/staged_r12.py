@@ -1227,3 +1227,185 @@ STAGED["multimodal_image_tiles"] = (
     multimodal_image_tiles,
     MULTIMODAL_IMAGE_TILES_ORACLE,
 )
+
+
+# ---- web_host_pagerank --------------------------------------------------------
+#
+# Host-authority ranking for crawl prioritization — the classic
+# frontier-priority signal (rank hosts by the link graph, fetch
+# high-authority hosts first): a deterministic host link graph is
+# derived from the documents (each doc contributes its host
+# doc_id % 20 → two outlinks, (7·id+3) % 20 and (13·id+5) % 20), and
+# the SHARED integer-exact PageRank machinery ranks hosts — both the
+# iteration (extensions/graph.py pagerank_rounds, the registered
+# graph_pagerank's exact loop) and the oracle unroll
+# (pagerank_unroll_sql) are the one implementation, so the host
+# ranking cannot fork formula, scale, or damping from the registered
+# key.
+
+_HOST_N = 20
+
+
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outlinks hash the DOC (md5_48, the cross-engine token hash), not
+    # its host residue — a (7·id+3) % N affine link makes the graph
+    # perfectly regular (every host outdeg = indeg = 2 → uniform rank,
+    # zero authority signal); md5 targets give hosts varied in/out
+    # degrees, which is what the ranking exists to measure
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    src = (F.col("doc_id") % _HOST_N).alias("src")
+    ds = F.col("doc_id").cast("string")
+    out1 = (md5_48(F.concat(F.lit("L"), ds)) % _HOST_N).alias("dst")
+    out2 = (md5_48(F.concat(F.lit("R"), ds)) % _HOST_N).alias("dst")
+    e = d.select(src, out1).unionByName(d.select(src, out2))
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _host_link_sql(tag: str) -> str:
+    expr = "'" + tag + "' || CAST(doc_id AS VARCHAR)"
+    return f"({md5_48_sql(expr)}) % {_HOST_N}"
+
+
+_HOST_EDGES_CTE = f"""
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % {_HOST_N} AS src, {_host_link_sql("L")} AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id % {_HOST_N} AS src, {_host_link_sql("R")} AS dst
+    FROM documents
+  ) WHERE src <> dst
+"""
+
+
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority by shared integer PageRank; one row per host:
+    (host, rank_micro, outdeg), highest authority first.
+
+    Scale shape: the host graph build is the only data-sized pass
+    (one distinct over (src, dst) host pairs — at crawl scale, hash
+    on md5(host) and the edge list is the persisted artifact);
+    everything after is |hosts|-sized with the rank table broadcast
+    per round, exactly the registered graph_pagerank's audited
+    shape."""
+    from datapipeline_scripts_spark.extensions.graph import pagerank_rounds
+
+    rank, deg = pagerank_rounds(_host_edges(spark, sf_dir))
+    return (
+        rank.join(F.broadcast(deg), rank.k == deg.src, "left")
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example.com"))
+            .alias("host"),
+            F.col("r").alias("rank_micro"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+        )
+        .orderBy(F.col("rank_micro").desc(), "host")
+    )
+
+
+def _host_pagerank_oracle() -> str:
+    from datapipeline_scripts_spark.extensions.graph import (
+        _ITERS,
+        pagerank_unroll_sql,
+    )
+
+    return f"""
+WITH {pagerank_unroll_sql(_HOST_EDGES_CTE)}
+SELECT concat('h', CAST(it{_ITERS}.k AS VARCHAR), '.example.com') AS host,
+       CAST(it{_ITERS}.r AS BIGINT) AS rank_micro,
+       CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
+FROM it{_ITERS}
+LEFT JOIN deg d ON it{_ITERS}.k = d.src
+ORDER BY rank_micro DESC, host
+"""
+
+
+WEB_HOST_PAGERANK_ORACLE = _host_pagerank_oracle()
+
+STAGED["web_host_pagerank"] = (web_host_pagerank, WEB_HOST_PAGERANK_ORACLE)
+
+
+# ---- corpus_epoch_upsample ----------------------------------------------------
+#
+# Source-weighted epoch upsampling — the data-recipe step that feeds
+# high-quality sources to the trainer more than once per pass
+# (curated corpora upsampled 2-5x is standard pretraining practice):
+# each source gets a deterministic repeat factor (1 + md5_48(source)
+# % 3 — in production the factor comes from the mixture config), each
+# doc explodes into that many epoch-tagged samples, and the report
+# shows the resulting per-source sample shares.
+
+_UPSAMPLE_MAX_EXTRA = 3
+
+
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source upsampling report: (source, factor, n_docs,
+    n_samples, share_bp) with n_samples = factor × n_docs and shares
+    over the upsampled total.
+
+    Scale shape: the factor join is a broadcast of |sources| rows;
+    the explode is map-side (sequence(1, factor) — no shuffle
+    carries the multiplied rows because the per-source counts
+    partial-aggregate in place); the share denominator rides in as a
+    broadcast 1-row aggregate. At trainer-feed scale the exploded
+    samples stream straight into the pack/shuffle stage — the
+    upsample itself never materializes the corpus ×factor."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    factor = (md5_48(F.col("source")) % _UPSAMPLE_MAX_EXTRA + 1).alias("factor")
+    samples = d.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), factor)).alias("epoch")
+    )
+    # |sources| rows; materialized once so the share denominator does
+    # not re-run the corpus explode (the un-checkpointed plan scanned
+    # the table twice)
+    per = (
+        samples.groupBy("source")
+        .agg(
+            F.max("epoch").cast("long").alias("factor"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = per.agg(F.sum("n_samples").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "factor",
+            "n_docs",
+            "n_samples",
+            F.expr("CAST(n_samples * 10000 div tot AS BIGINT)").alias("share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_EPOCH_UPSAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, ({md5_48_sql("source")}) % {_UPSAMPLE_MAX_EXTRA} + 1 AS factor
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, source, unnest(generate_series(1, factor)) AS epoch FROM d
+),
+per AS (
+  SELECT source,
+         max(epoch) AS factor,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_samples
+  FROM samples GROUP BY source
+),
+totals AS (SELECT sum(n_samples) AS tot FROM per)
+SELECT source,
+       CAST(factor AS BIGINT) AS factor,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 10000 // tot AS BIGINT) AS share_bp
+FROM per CROSS JOIN totals
+ORDER BY source
+"""
+
+STAGED["corpus_epoch_upsample"] = (
+    corpus_epoch_upsample,
+    CORPUS_EPOCH_UPSAMPLE_ORACLE,
+)

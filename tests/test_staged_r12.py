@@ -182,6 +182,13 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
         # read-back: no corpus FileScan in the returned plan
         "docs_stream_quality_gate": [],
         "multimodal_image_tiles": [("doc_id",)],
+        # pagerank_rounds checkpoints the edge list (the registered
+        # key's compute-once contract), so no FileScan survives into
+        # the iteration plan
+        "web_host_pagerank": [],
+        # the per-source table is checkpointed (sharing the explode
+        # between report and denominator), hiding the corpus scan
+        "corpus_epoch_upsample": [],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
@@ -363,3 +370,70 @@ def test_image_tiles_shape_invariants():
         assert (per_doc == 8).all(), sf_dir
         assert (b.t_min <= b.t_max).all(), sf_dir
         assert ((b.t_sum >= 16 * b.t_min) & (b.t_sum <= 16 * b.t_max)).all(), sf_dir
+
+
+def test_pagerank_unroll_generator_reproduces_registered_hand_unroll():
+    """The refactor guarantee: `pagerank_unroll_sql` applied to the
+    registered trade-edges CTE must produce EXACTLY the ranks of the
+    hand-written registered _PAGERANK_ORACLE — formula, constants and
+    floor-division semantics identical. DuckDB-side, both SFs."""
+    from datapipeline_scripts_spark.extensions.graph import (
+        _ITERS,
+        _PAGERANK_ORACLE,
+        TRADE_EDGES_CTE,
+        pagerank_unroll_sql,
+    )
+
+    gen = f"""
+WITH {pagerank_unroll_sql(TRADE_EDGES_CTE)}
+SELECT it{_ITERS}.k, CAST(it{_ITERS}.r AS BIGINT) AS rank_micro
+FROM it{_ITERS} ORDER BY k
+"""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            got = con.execute(gen).fetch_df()
+            want = con.execute(
+                f"SELECT * FROM ({_PAGERANK_ORACLE}) ORDER BY nation"
+            ).fetch_df()
+            # compare as rank multisets (the registered output keys by
+            # nation name; the generator keys by node id)
+            assert sorted(got.rank_micro) == sorted(want.rank_micro), sf_dir
+
+
+def test_host_pagerank_conserves_mass_and_ranks_all_hosts():
+    """Semantic invariants: all 20 hosts ranked; total rank mass stays
+    within floor-division slack of SCALE (each of the 3 iterations
+    loses < |V| + 2 micro-units to truncation); authority actually
+    varies (the graph is not regular)."""
+    from datapipeline_scripts_spark.extensions.graph import _SCALE
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        _HOST_N,
+        WEB_HOST_PAGERANK_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(WEB_HOST_PAGERANK_ORACLE).fetch_df()
+        assert len(b) == _HOST_N, sf_dir
+        mass = int(b.rank_micro.sum())
+        slack = 3 * (_HOST_N + 2) * 100  # per-round truncation bound
+        assert _SCALE - slack <= mass <= _SCALE, (sf_dir, mass)
+        assert b.rank_micro.nunique() > 1, (sf_dir, "regular graph? no signal")
+
+
+def test_epoch_upsample_multiplies_exactly():
+    """n_samples must equal factor × n_docs per source, factors span
+    the configured band, and shares sum to ~10000 (within per-source
+    truncation)."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        _UPSAMPLE_MAX_EXTRA,
+        CORPUS_EPOCH_UPSAMPLE_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(CORPUS_EPOCH_UPSAMPLE_ORACLE).fetch_df()
+        assert (b.n_samples == b.factor * b.n_docs).all(), sf_dir
+        assert b.factor.between(1, _UPSAMPLE_MAX_EXTRA).all(), sf_dir
+        s = int(b.share_bp.sum())
+        assert 10000 - len(b) <= s <= 10000, (sf_dir, s)
