@@ -267,34 +267,73 @@ STAGED["quality_score_inference"] = (
 # ---- quality_score_calibration ----------------------------------------------
 #
 # Reliability of the trained margin on the HELD-OUT split: margins
-# bucket into fixed-width bins (width _CAL_W, clamped to ±_CAL_CLAMP)
-# and each bin reports how often the gate label is actually positive.
-# Monotone pos_bp across bins is what justifies thresholding the
-# margin; the integer bin arithmetic (floor of an exact double
-# quotient, |margin| < 2^40 << 2^53) is bit-identical cross-engine.
+# bucket into DATA-SIZED bins (width GREATEST(1, max|margin| div
+# _CAL_CLAMP + 1), clamped to ±_CAL_CLAMP) and each bin reports how
+# often the gate label is actually positive. Monotone pos_bp across
+# bins is what justifies thresholding the margin. The width derives
+# from the scored population on BOTH engines (a fixed width saturated
+# into the clamp bins at the 100× proxy — perceptron weights grow
+# linearly in training-set size, so any constant is wrong at some
+# scale: the bloom-M lesson, VERDICT r10). Bin arithmetic is floor of
+# an exact double quotient of two BIGINTs — exact for |margin| < 2^52
+# because an integer ratio within one ulp of an integer IS that
+# integer.
 
-_CAL_W = 200_000
 _CAL_CLAMP = 5
+
+
+def _cal_bin_width(scored: DataFrame) -> DataFrame:
+    """1-row (bin_w) frame: GREATEST(1, max|margin| div clamp + 1) —
+    spans the observed margin range across ~2·clamp bins at any
+    corpus size."""
+    return scored.agg(
+        F.greatest(
+            F.lit(1),
+            (F.max(F.abs(F.col("margin"))) / F.lit(_CAL_CLAMP)).cast("long") + 1,
+        ).alias("bin_w")
+    )
+
+
+_CAL_BIN_W_SQL = (
+    f"SELECT greatest(1, max(abs(margin)) // {_CAL_CLAMP} + 1) AS bin_w FROM scored"
+)
+
+
+def _cal_bin_col():
+    c = F.lit(_CAL_CLAMP)
+    return (
+        F.greatest(
+            -c, F.least(c, F.floor(F.col("margin") / F.col("bin_w").cast("double")))
+        )
+        .cast("long")
+        .alias("bin")
+    )
+
+
+_CAL_BIN_SQL = (
+    f"greatest(-{_CAL_CLAMP}, least({_CAL_CLAMP},"
+    f" CAST(floor(margin / CAST(bin_w AS DOUBLE)) AS BIGINT)))"
+)
 
 
 def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out calibration curve; one row per non-empty margin bin:
     (bin, n, n_pos, pos_bp). Scale shape: same broadcast-weights
-    pass as inference, then one partial-aggregable groupBy over ≤
-    (2·_CAL_CLAMP+1) bins — the exchange carries 11 counter rows."""
+    pass as inference, then a 1-row width aggregate broadcast back
+    and one partial-aggregable groupBy over ≤ (2·_CAL_CLAMP+1) bins
+    — the exchange carries 11 counter rows."""
     feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
     train = feats.filter(F.col("doc_id") % 2 == 0)
     test = feats.filter(F.col("doc_id") % 2 == 1)
     w = _pe_weights(spark, train)
-    c = F.lit(_CAL_CLAMP)
     scored = test.crossJoin(F.broadcast(w)).select(
-        "y",
-        F.greatest(-c, F.least(c, F.floor(_pe_score() / F.lit(float(_CAL_W)))))
-        .cast("long")
-        .alias("bin"),
+        "y", _pe_score().alias("margin")
+    )
+    binned = scored.crossJoin(F.broadcast(_cal_bin_width(scored))).select(
+        "y", _cal_bin_col()
     )
     return (
-        scored.groupBy("bin")
+        binned.groupBy("bin")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
@@ -312,17 +351,19 @@ WITH {_PE_FEATS_SQL},
 {_pe_train_sql()},
 test AS (SELECT * FROM feats WHERE doc_id % 2 = 1),
 scored AS (
-  SELECT y,
-         greatest(-{_CAL_CLAMP}, least({_CAL_CLAMP},
-             CAST(floor(({_PE_SCORE_SQL}) / {_CAL_W}.0) AS BIGINT))) AS bin
+  SELECT y, {_PE_SCORE_SQL} AS margin
   FROM test CROSS JOIN w{_PE_ITERS}
+),
+bw AS ({_CAL_BIN_W_SQL}),
+binned AS (
+  SELECT y, {_CAL_BIN_SQL} AS bin FROM scored CROSS JOIN bw
 )
 SELECT bin,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
             AS BIGINT) AS pos_bp
-FROM scored
+FROM binned
 GROUP BY bin
 ORDER BY bin
 """
@@ -923,8 +964,9 @@ STAGED["embedding_prefix_recall"] = (
 # monitoring report that tells a pipeline owner when the frozen
 # quality model has gone stale: crawl A (doc_id % 3 == 0) vs crawl B
 # (doc_id % 3 == 1) margin histograms on the calibration key's EXACT
-# bin scheme (shared _CAL_W/_CAL_CLAMP, so the drift report and the
-# calibration curve can never bin differently), per-bin shares in
+# bin machinery (shared _cal_bin_width/_cal_bin_col — data-sized
+# width derived here from the two crawls' union, so one scheme bins
+# both crawls and neither saturates at scale), per-bin shares in
 # basis points and the absolute share drift. All-integer L1-style
 # drift — no float divergence surface (a PSI-style log-ratio would
 # hang cross-engine exactness on libm).
@@ -940,18 +982,15 @@ def quality_margin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
     train = feats.filter(F.col("doc_id") % 2 == 0)
     w = _pe_weights(spark, train)
-    c = F.lit(_CAL_CLAMP)
     scored = (
         feats.filter(F.col("doc_id") % 3 < 2)
         .crossJoin(F.broadcast(w))
-        .select(
-            (F.col("doc_id") % 3).alias("crawl"),
-            F.greatest(-c, F.least(c, F.floor(_pe_score() / F.lit(float(_CAL_W)))))
-            .cast("long")
-            .alias("bin"),
-        )
+        .select((F.col("doc_id") % 3).alias("crawl"), _pe_score().alias("margin"))
     )
-    per_bin = scored.groupBy("bin").agg(
+    binned = scored.crossJoin(F.broadcast(_cal_bin_width(scored))).select(
+        "crawl", _cal_bin_col()
+    )
+    per_bin = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("crawl") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("crawl") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
     )
@@ -978,17 +1017,19 @@ QUALITY_MARGIN_DRIFT_ORACLE = f"""
 WITH {_PE_FEATS_SQL},
 {_pe_train_sql()},
 scored AS (
-  SELECT doc_id % 3 AS crawl,
-         greatest(-{_CAL_CLAMP}, least({_CAL_CLAMP},
-             CAST(floor(({_PE_SCORE_SQL}) / {_CAL_W}.0) AS BIGINT))) AS bin
+  SELECT doc_id % 3 AS crawl, {_PE_SCORE_SQL} AS margin
   FROM feats CROSS JOIN w{_PE_ITERS}
   WHERE doc_id % 3 < 2
+),
+bw AS ({_CAL_BIN_W_SQL}),
+binned AS (
+  SELECT crawl, {_CAL_BIN_SQL} AS bin FROM scored CROSS JOIN bw
 ),
 per_bin AS (
   SELECT bin,
          sum(CASE WHEN crawl = 0 THEN 1 ELSE 0 END) AS n_a,
          sum(CASE WHEN crawl = 1 THEN 1 ELSE 0 END) AS n_b
-  FROM scored GROUP BY bin
+  FROM binned GROUP BY bin
 ),
 totals AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM per_bin)
 SELECT bin,
