@@ -57,12 +57,41 @@ verdict. Shares `_N_HASHES`/`_BANDS` and the Kirsch-Mitzenmacher
 md5-slice hash family with the registered dedup_minhash via import,
 so the stores cannot fork.
 
+Second batch (same gate): embedding_prefix_recall (Matryoshka
+truncated-dim first-pass audit vs the registered exact top-5),
+quality_margin_drift (cross-crawl margin histograms, all-integer L1,
+data-sized bins shared with calibration), docs_stream_quality_gate
+(the frozen model over the arriving docs as a REAL Structured
+Streaming replay; stream ≡ batch pinned by test),
+multimodal_image_tiles (ViT-style patch grid through the real BMP
+codec, closed-form per-tile oracles).
+
+Third batch (same gate): web_host_pagerank (host authority for crawl
+prioritization on the SHARED integer PageRank machinery —
+graph.pagerank_rounds / pagerank_unroll_sql, generator ≡ registered
+hand-unroll pinned by test), corpus_epoch_upsample (source-weighted
+epoch upsampling, the trainer-feed data recipe).
+
+Scale rungs beyond the fixture gate: all twelve keys hash-proven at
+the 10× AND 100× proxies; inference/code-detect/store-merge/upsample
+additionally at the 1000× (5M-doc) replica. The 100× sweep caught and
+fixed a real scale bug pre-registration: fixed-width margin bins
+saturate as weights grow with training-set size → widths now derive
+from the data on both engines (docs/SCALE_EXPERIMENT.md).
+
 Registration recipe (round 12): register all keys from ``STAGED``
 (the staged_r11 programmatic flip), ``_ADDED_R12`` in
 ``__spark_entry__.py``'s deferral union, staged_r12 import in
-``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED)
+``registry._ensure_loaded``, freeze counts 350 → 362
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
+
+The flip was DRY-RUN in a throwaway clone at the end of round 11:
+registering all 12 keys (the programmatic loop) + the registry import
++ the `_ADDED_R12` union took the catalog to 362 with no import-order
+issues, and `scripts/driver_sim.py sf0.01 50` over the flipped
+surface passed 0/50 including every new key through the driver's own
+adapter path.
 """
 
 from __future__ import annotations
