@@ -427,9 +427,23 @@ def dedup_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bytes. store_xor is the bit_xor checksum of the md5_48 of
     each member fp — the order-independent 64-bit-closed rollup that
     lets two store replicas be compared without moving them."""
-    d = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % _STORE_CRAWLS).alias("crawl_id"),
-        fingerprint_md5(F.col("text")).alias("fp"),
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # every 10th doc is a deterministic REFETCH of its predecessor
+    # (the bloom key's construct-the-variant idiom): doc_id and
+    # doc_id-1 always land in different crawls under % 3, so the
+    # repeat/provenance machinery is exercised by construction — the
+    # fixtures hold 500 distinct texts, and without refetches a broken
+    # min(crawl) would be invisible to the hash gate
+    src = F.when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    d = (
+        base.select("doc_id", src.alias("src_id"))
+        .join(base.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
+        .select(
+            (F.col("doc_id") % _STORE_CRAWLS).alias("crawl_id"),
+            fingerprint_md5(F.col("text")).alias("fp"),
+        )
     )
     # the store is the persisted artifact between crawls; materialize
     # it once (eager, the perceptron precedent) — without this the
@@ -467,8 +481,11 @@ _STORE_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 DEDUP_STORE_MERGE_ORACLE = f"""
 WITH d AS (
-  SELECT doc_id % {_STORE_CRAWLS} AS crawl_id, md5({_STORE_NORM}) AS fp
-  FROM documents
+  SELECT o.doc_id % {_STORE_CRAWLS} AS crawl_id,
+         md5(regexp_replace(trim(lower(s.text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents o
+  JOIN documents s
+    ON s.doc_id = CASE WHEN o.doc_id % 10 = 1 THEN o.doc_id - 1 ELSE o.doc_id END
 ),
 store AS (
   SELECT crawl_id, fp, count(*) AS n_docs FROM d GROUP BY crawl_id, fp

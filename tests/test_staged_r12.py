@@ -104,12 +104,22 @@ def test_store_merge_novelty_accounting():
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         with duck_connection(sf_dir) as con:
             b = con.execute(DEDUP_STORE_MERGE_ORACLE).fetch_df()
+            # distinct fps of the STORE universe: the refetch mapping
+            # replaces every %10==1 doc's text with its predecessor's,
+            # so those 10% of texts never enter any store
             n_distinct = con.execute(
-                f"SELECT count(DISTINCT md5({_STORE_NORM})) FROM documents"
+                "SELECT count(DISTINCT md5(regexp_replace(trim(lower(s.text)),"
+                " '\\s+', ' ', 'g')))"
+                " FROM documents o JOIN documents s ON s.doc_id ="
+                " CASE WHEN o.doc_id % 10 = 1 THEN o.doc_id - 1"
+                " ELSE o.doc_id END"
             ).fetchone()[0]
         assert (b.novel_fps + b.repeat_fps == b.store_fps).all(), sf_dir
         assert int(b[b.crawl_id == 0].novelty_bp.iloc[0]) == 10000, sf_dir
         assert int(b.novel_fps.sum()) == n_distinct, sf_dir
+        # the refetch construction must actually create cross-crawl
+        # repeats — otherwise the provenance min() is dead weight
+        assert int(b.repeat_fps.sum()) > 0, sf_dir
 
 
 def test_code_detect_labels_exactly_the_synthetic_class():
@@ -437,3 +447,71 @@ def test_epoch_upsample_multiplies_exactly():
         assert b.factor.between(1, _UPSAMPLE_MAX_EXTRA).all(), sf_dir
         s = int(b.share_bp.sum())
         assert 10000 - len(b) <= s <= 10000, (sf_dir, s)
+
+
+def test_r12_stage_fire_checks():
+    """Tamper drills for the round-12 composites (the crawl/pretraining
+    flagships' pattern): mutate ONE stage of an oracle at a time and
+    assert the report CHANGES — every stage is load-bearing in the
+    hash gate. DuckDB-only (cheap): the Spark sides are already
+    hash-locked to the unmutated oracles by the staged proofs."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        DEDUP_STORE_MERGE_ORACLE,
+        QUALITY_SCORE_INFERENCE_ORACLE,
+        WEB_HOST_PAGERANK_ORACLE,
+    )
+
+    drills = {
+        "inference: train split flipped": (
+            QUALITY_SCORE_INFERENCE_ORACLE,
+            "WHERE doc_id % 2 = 0",
+            "WHERE doc_id % 2 = 1",
+        ),
+        # (a >= vs > drill cannot fire here: no fixture margin is
+        # exactly 0 — so shift the threshold far enough that accepted
+        # docs must flip instead)
+        "inference: acceptance threshold shifted": (
+            QUALITY_SCORE_INFERENCE_ORACLE,
+            "CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept",
+            "CASE WHEN margin > 10000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept",
+        ),
+        "inference: a weight term dropped": (
+            QUALITY_SCORE_INFERENCE_ORACLE,
+            "w0 + w1 * x1 + w2 * x2 + w3 * x3 AS margin",
+            "w0 + w1 * x1 + w2 * x2 AS margin",
+        ),
+        "store merge: provenance takes the LAST crawl": (
+            DEDUP_STORE_MERGE_ORACLE,
+            "min(crawl_id) AS first_crawl",
+            "max(crawl_id) AS first_crawl",
+        ),
+        "store merge: snapshot split coarsened": (
+            DEDUP_STORE_MERGE_ORACLE,
+            "o.doc_id % 3 AS crawl_id",
+            "o.doc_id % 2 AS crawl_id",
+        ),
+        "store merge: refetch mapping disabled": (
+            DEDUP_STORE_MERGE_ORACLE,
+            "CASE WHEN o.doc_id % 10 = 1 THEN o.doc_id - 1 ELSE o.doc_id END",
+            "o.doc_id",
+        ),
+        "host rank: damping disabled": (
+            WEB_HOST_PAGERANK_ORACLE,
+            "(85 * coalesce(c.contrib, 0)) // 100",
+            "(100 * coalesce(c.contrib, 0)) // 100",
+        ),
+        "host rank: second outlink collapsed onto the first": (
+            WEB_HOST_PAGERANK_ORACLE,
+            "'R' || CAST(doc_id AS VARCHAR)",
+            "'L' || CAST(doc_id AS VARCHAR)",
+        ),
+    }
+    with duck_connection("/root/testdata/sf0.01") as con:
+        cache: dict[int, object] = {}
+        for label, (oracle, old, new) in drills.items():
+            assert old in oracle, (label, "anchor drifted")
+            if id(oracle) not in cache:
+                cache[id(oracle)] = con.execute(oracle).fetch_df()
+            base = cache[id(oracle)]
+            got = con.execute(oracle.replace(old, new)).fetch_df()
+            assert not got.equals(base), (label, "mutation did not fire")
