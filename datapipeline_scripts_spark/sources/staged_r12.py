@@ -1496,3 +1496,81 @@ STAGED["corpus_epoch_upsample"] = (
     corpus_epoch_upsample,
     CORPUS_EPOCH_UPSAMPLE_ORACLE,
 )
+
+
+# ---- text_chunk_spans ---------------------------------------------------------
+#
+# Retrieval-side chunking — the RAG-ingest twin of the packing keys:
+# where corpus_pack assembles trainer sequences ACROSS documents,
+# retrieval chunks each document WITHIN itself into fixed-size token
+# windows with overlap (the stride < window trick every embedding
+# index uses so no passage is split across a hard boundary without a
+# covering neighbor). Pure integer span arithmetic over the token
+# count: chunk k of a doc with n tokens covers
+# [k·stride, min(k·stride + window, n)), for k = 0 .. the last k
+# whose window start is inside the doc; every token lands in ≥ 1
+# chunk and interior tokens in exactly window/stride of them.
+
+_CHUNK_WINDOW = 12
+_CHUNK_STRIDE = 8  # overlap = window - stride = 4 tokens
+
+
+def text_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk spans; one row per (doc, chunk):
+    (doc_id, chunk_id, begin_tok, end_tok, n_tok, is_last).
+
+    Scale shape: one scan projection + a map-side explode of
+    ceil(n/stride) span rows per doc — no shuffle at all (the spans
+    are derived per-row); the downstream embed step consumes the
+    spans co-partitioned with their documents. At 100 TB this is the
+    cheapest operator in the RAG chain; the cost lives in the
+    embedding pass it feeds."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("n")
+    )
+    # last chunk index: the largest k with k*stride < n (k=0 always
+    # exists; empty docs still get one empty chunk row so no doc
+    # silently vanishes from the index)
+    last_k = F.greatest(
+        F.lit(0),
+        ((F.col("n") - 1) / F.lit(_CHUNK_STRIDE)).cast("long"),
+    )
+    ch = d.select(
+        "doc_id", "n", F.explode(F.sequence(F.lit(0), last_k)).alias("chunk_id")
+    )
+    begin = F.col("chunk_id") * _CHUNK_STRIDE
+    end = F.least(begin + _CHUNK_WINDOW, F.col("n"))
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        begin.cast("long").alias("begin_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - begin).cast("long").alias("n_tok"),
+        (begin + F.lit(_CHUNK_STRIDE) >= F.col("n")).alias("is_last"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+TEXT_CHUNK_SPANS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(trim(lower(coalesce(text, ''))),
+             '\\s+', ' ', 'g'), ' ')) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, greatest(0, (n - 1) // {_CHUNK_STRIDE}))) AS chunk_id
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS begin_tok,
+       CAST(least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WINDOW}, n) AS BIGINT) AS end_tok,
+       CAST(least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WINDOW}, n)
+            - chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS n_tok,
+       chunk_id * {_CHUNK_STRIDE} + {_CHUNK_STRIDE} >= n AS is_last
+FROM ch
+ORDER BY doc_id, chunk_id
+"""
+
+STAGED["text_chunk_spans"] = (text_chunk_spans, TEXT_CHUNK_SPANS_ORACLE)

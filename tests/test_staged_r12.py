@@ -199,12 +199,13 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
         # the per-source table is checkpointed (sharing the explode
         # between report and denominator), hiding the corpus scan
         "corpus_epoch_upsample": [],
+        "text_chunk_spans": [("doc_id", "text")],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, key
-        if key in ("text_code_detect", "multimodal_image_tiles"):
+        if key in ("text_code_detect", "multimodal_image_tiles", "text_chunk_spans"):
             assert "hashpartitioning" not in plan, (key, "unexpected key shuffle")
         schemas = read_schemas(df)
         got = sorted(tuple(sorted(s)) for s in schemas)
@@ -515,3 +516,26 @@ def test_r12_stage_fire_checks():
             base = cache[id(oracle)]
             got = con.execute(oracle.replace(old, new)).fetch_df()
             assert not got.equals(base), (label, "mutation did not fire")
+
+
+def test_chunk_spans_cover_every_token_exactly():
+    """Chunking invariants (DuckDB-side, both SFs): per doc, exactly
+    one is_last chunk; chunk starts advance by exactly the stride;
+    the last chunk ends at the token count (full coverage, no token
+    beyond any chunk); every chunk holds 1..window tokens."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        _CHUNK_STRIDE,
+        _CHUNK_WINDOW,
+        TEXT_CHUNK_SPANS_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(TEXT_CHUNK_SPANS_ORACLE).fetch_df()
+        g = b.groupby("doc_id")
+        assert (g.is_last.sum() == 1).all(), sf_dir
+        assert (b.begin_tok == b.chunk_id * _CHUNK_STRIDE).all(), sf_dir
+        last = b[b.is_last]
+        per_doc_max_end = g.end_tok.max()
+        assert (last.set_index("doc_id").end_tok == per_doc_max_end).all(), sf_dir
+        assert b.n_tok.between(1, _CHUNK_WINDOW).all(), sf_dir
