@@ -70,9 +70,12 @@ Third batch (same gate): web_host_pagerank (host authority for crawl
 prioritization on the SHARED integer PageRank machinery —
 graph.pagerank_rounds / pagerank_unroll_sql, generator ≡ registered
 hand-unroll pinned by test), corpus_epoch_upsample (source-weighted
-epoch upsampling, the trainer-feed data recipe).
+epoch upsampling, the trainer-feed data recipe), text_chunk_spans
+(retrieval-side fixed-window chunking with stride overlap — the
+RAG-ingest twin of the packing keys, full-coverage invariants
+pinned).
 
-Scale rungs beyond the fixture gate: all twelve keys hash-proven at
+Scale rungs beyond the fixture gate: all thirteen keys hash-proven at
 the 10× AND 100× proxies; inference/code-detect/store-merge/upsample
 additionally at the 1000× (5M-doc) replica. The 100× sweep caught and
 fixed a real scale bug pre-registration: fixed-width margin bins
@@ -82,13 +85,14 @@ from the data on both engines (docs/SCALE_EXPERIMENT.md).
 Registration recipe (round 12): register all keys from ``STAGED``
 (the staged_r11 programmatic flip), ``_ADDED_R12`` in
 ``__spark_entry__.py``'s deferral union, staged_r12 import in
-``registry._ensure_loaded``, freeze counts 350 → 362
+``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (363
+at thirteen staged keys)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
 
 The flip was DRY-RUN in a throwaway clone at the end of round 11:
-registering all 12 keys (the programmatic loop) + the registry import
-+ the `_ADDED_R12` union took the catalog to 362 with no import-order
+registering the staged keys (the programmatic loop) + the registry
+import + the `_ADDED_R12` union took the catalog past 360 with no import-order
 issues, and `scripts/driver_sim.py sf0.01 50` over the flipped
 surface passed 0/50 including every new key through the driver's own
 adapter path.
