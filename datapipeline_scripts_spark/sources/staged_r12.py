@@ -75,7 +75,14 @@ epoch upsampling, the trainer-feed data recipe), text_chunk_spans
 RAG-ingest twin of the packing keys, full-coverage invariants
 pinned).
 
-Scale rungs beyond the fixture gate: all thirteen keys hash-proven at
+Fourth batch (same gate): docs_stream_dedup_gate — the streaming
+twin of dedup_incremental (stream-static fp-store probe with the
+refetch construction so the probe provably fires) completing the
+continuous-crawl front door beside docs_stream_quality_gate;
+text_chunk_spans — retrieval-side fixed-window chunking with stride
+overlap, the RAG-ingest twin of the packing keys.
+
+Scale rungs beyond the fixture gate: every staged key hash-proven at
 the 10× AND 100× proxies; inference/code-detect/store-merge/upsample
 additionally at the 1000× (5M-doc) replica. The 100× sweep caught and
 fixed a real scale bug pre-registration: fixed-width margin bins
@@ -85,8 +92,8 @@ from the data on both engines (docs/SCALE_EXPERIMENT.md).
 Registration recipe (round 12): register all keys from ``STAGED``
 (the staged_r11 programmatic flip), ``_ADDED_R12`` in
 ``__spark_entry__.py``'s deferral union, staged_r12 import in
-``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (363
-at thirteen staged keys)
+``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (364
+at fourteen staged keys)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
 
@@ -1578,3 +1585,116 @@ ORDER BY doc_id, chunk_id
 """
 
 STAGED["text_chunk_spans"] = (text_chunk_spans, TEXT_CHUNK_SPANS_ORACLE)
+
+
+# ---- docs_stream_dedup_gate ---------------------------------------------------
+#
+# STREAMING incremental dedup — the deployment twin of the registered
+# dedup_incremental exactly as docs_stream_quality_gate is the
+# deployment twin of the inference key: the arriving batch
+# (doc_id % 10 >= 7, dedup_incremental's split) flows through a real
+# Structured Streaming replay and probes the HISTORICAL fingerprint
+# store (distinct fps of the % 10 < 7 reference corpus) via a
+# stream-static left join on the 32-byte fp. Together the two
+# streaming gates are the continuous-crawl front door: dedup the
+# feed against the store, quality-score what survives.
+
+
+def docs_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the arriving documents against the frozen fingerprint
+    store; one row per source: (source, n_arrived, n_dup_ref,
+    dup_bp).
+
+    Scale shape: the static side is the persisted fp store — at
+    continuous-crawl scale it is loaded once per micro-batch planning
+    cycle and joined by fp hash (Spark broadcasts it when small,
+    shuffles the MICRO-BATCH, never the store, when not); per-batch
+    state is |sources| counters in the complete-mode aggregate. The
+    fingerprint projection on the stream is codegen'd per
+    micro-batch."""
+    import os
+
+    from datapipeline_scripts_spark.catalog import table_path
+    from datapipeline_scripts_spark.streaming.stream_jobs import _replay_to_parquet
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    store = (
+        batch_docs.filter(F.col("doc_id") % 10 < 7)
+        .select(fingerprint_md5(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_ref", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    path = table_path(sf_dir, "documents")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    # the fixtures hold 500 distinct texts, so without refetches the
+    # store probe would never fire (the store-merge lesson): docs with
+    # doc_id % 10 == 7 arrive carrying their predecessor's text — a
+    # % 10 == 6 doc, i.e. guaranteed IN the reference store. The
+    # refetch text rides in via a static lookup joined on doc_id
+    # (stream-static, the same mechanism as the store itself).
+    refetch = (
+        batch_docs.filter(F.col("doc_id") % 10 == 6)
+        .select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            fingerprint_md5(F.col("text")).alias("refetch_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    arriving = (
+        stream.filter(F.col("doc_id") % 10 >= 7)
+        .select("doc_id", "source", fingerprint_md5(F.col("text")).alias("own_fp"))
+        .join(refetch, "doc_id", "left")
+        .select("source", F.coalesce("refetch_fp", "own_fp").alias("fp"))
+    )
+    probed = arriving.join(store, "fp", "left")
+    agg = probed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_arrived"),
+        F.sum(F.coalesce(F.col("in_ref"), F.lit(0))).cast("long").alias("n_dup_ref"),
+    )
+    out = _replay_to_parquet(spark, agg, mode="complete")
+    return out.select(
+        "source",
+        "n_arrived",
+        "n_dup_ref",
+        F.expr("CAST(n_dup_ref * 10000 div n_arrived AS BIGINT)").alias("dup_bp"),
+    ).orderBy("source")
+
+
+DOCS_STREAM_DEDUP_GATE_ORACLE = """
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 7),
+arriving AS (
+  SELECT o.source, s.fp
+  FROM fps o
+  JOIN fps s
+    ON s.doc_id = CASE WHEN o.doc_id % 10 = 7 THEN o.doc_id - 1 ELSE o.doc_id END
+  WHERE o.doc_id % 10 >= 7
+)
+SELECT a.source,
+       CAST(count(*) AS BIGINT) AS n_arrived,
+       CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_ref,
+       CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS dup_bp
+FROM arriving a LEFT JOIN store s ON a.fp = s.fp
+GROUP BY a.source
+ORDER BY a.source
+"""
+
+STAGED["docs_stream_dedup_gate"] = (
+    docs_stream_dedup_gate,
+    DOCS_STREAM_DEDUP_GATE_ORACLE,
+)

@@ -200,6 +200,9 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
         # between report and denominator), hiding the corpus scan
         "corpus_epoch_upsample": [],
         "text_chunk_spans": [("doc_id", "text")],
+        # stream replay sink read-back + checkpointed store/refetch:
+        # no corpus FileScan in the returned plan
+        "docs_stream_dedup_gate": [],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
@@ -539,3 +542,48 @@ def test_chunk_spans_cover_every_token_exactly():
         per_doc_max_end = g.end_tok.max()
         assert (last.set_index("doc_id").end_tok == per_doc_max_end).all(), sf_dir
         assert b.n_tok.between(1, _CHUNK_WINDOW).all(), sf_dir
+
+
+def test_stream_dedup_gate_agrees_with_batch_probe(spark, sf_dir):
+    """The streaming fp-store probe must reproduce the batch
+    computation it deploys (the quality-gate discipline): per-source
+    (n_arrived, n_dup_ref) from the stream equals a batch-side
+    recompute with the same refetch mapping — and the probe must
+    actually FIRE (the fixtures hold only distinct texts, so a dead
+    join would report zero duplicates everywhere)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.functions.text import fingerprint_md5
+    from datapipeline_scripts_spark.sources.staged_r12 import STAGED as R12
+
+    stream_rows = {
+        r["source"]: (r["n_arrived"], r["n_dup_ref"])
+        for r in R12["docs_stream_dedup_gate"][0](spark, sf_dir).collect()
+    }
+    assert sum(v[1] for v in stream_rows.values()) > 0, "probe never fired"
+
+    from datapipeline_scripts_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", "source", fingerprint_md5(F.col("text")).alias("fp"))
+    store = fps.filter(F.col("doc_id") % 10 < 7).select("fp").distinct()
+    src_id = F.when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    arriving = (
+        fps.filter(F.col("doc_id") % 10 >= 7)
+        .select("source", src_id.alias("src_id"))
+        .join(fps.select(F.col("doc_id").alias("src_id"), "fp"), "src_id")
+        .select("source", "fp")
+    )
+    batch = (
+        arriving.join(store.withColumn("in_ref", F.lit(1)), "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("in_ref", F.lit(0))).alias("dup"),
+        )
+        .collect()
+    )
+    batch_rows = {r["source"]: (r["n"], r["dup"]) for r in batch}
+    assert stream_rows == batch_rows
