@@ -639,7 +639,18 @@ def _perceptron_features(
     document columns (the r12 inference keys carry `source` for the
     per-source acceptance report; the registered r11 keys pass
     nothing, so their plans are untouched)."""
-    d = load_table(spark, sf_dir, "documents")
+    return _perceptron_features_of(
+        load_table(spark, sf_dir, "documents"), extra
+    )
+
+
+def _perceptron_features_of(
+    d: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """`_perceptron_features` over an arbitrary (doc_id, text, ...)
+    frame — the r12 crawl-increment flagship computes features of the
+    ARRIVED (refetch-mapped) content, not the raw table; one
+    expression set serves both so the keys cannot fork features."""
     toks = tokens(F.coalesce(F.col("text"), F.lit("")))
     n_words = F.size(toks)
     hits = stopword_hits(toks, ("the", "a", "of"))

@@ -75,6 +75,13 @@ epoch upsampling, the trainer-feed data recipe), text_chunk_spans
 RAG-ingest twin of the packing keys, full-coverage invariants
 pinned).
 
+Fifth: crawl_increment_pipeline — the INCREMENTAL FLAGSHIP: arrived
+batch (refetch-mapped) → exact fp-store probe → banded MinHash
+signature-store probe → frozen-model quality gate, one hash-gated
+per-source funnel whose stages reuse their standalone keys' machinery
+by import (verdicts disjoint by precedence, conserve arrivals, every
+stage fires at fixture scale; per-stage tamper drills).
+
 Fourth batch (same gate): docs_stream_dedup_gate — the streaming
 twin of dedup_incremental (stream-static fp-store probe with the
 refetch construction so the probe provably fires) completing the
@@ -92,8 +99,8 @@ from the data on both engines (docs/SCALE_EXPERIMENT.md).
 Registration recipe (round 12): register all keys from ``STAGED``
 (the staged_r11 programmatic flip), ``_ADDED_R12`` in
 ``__spark_entry__.py``'s deferral union, staged_r12 import in
-``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (364
-at fourteen staged keys)
+``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (365
+at fifteen staged keys)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
 
@@ -129,6 +136,7 @@ from datapipeline_scripts_spark.functions.text import (
 from datapipeline_scripts_spark.sources.staged_r11 import (
     _PE_ITERS,
     _perceptron_features,
+    _perceptron_features_of,
 )
 
 STAGED: dict[str, tuple] = {}
@@ -706,9 +714,17 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (h0..h15 + sig array) — the
     registered dedup_minhash construction, one md5 per distinct
     3-shingle, 16 Kirsch-Mitzenmacher double hashes."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    return _minhash_sigs_of(
+        load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     )
+
+
+def _minhash_sigs_of(d: DataFrame) -> DataFrame:
+    """`_minhash_sigs` over an arbitrary (doc_id, text) frame — the
+    crawl-increment flagship signs the refetch-mapped arrived content
+    with the same hash family."""
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3
     )
@@ -1697,4 +1713,261 @@ ORDER BY a.source
 STAGED["docs_stream_dedup_gate"] = (
     docs_stream_dedup_gate,
     DOCS_STREAM_DEDUP_GATE_ORACLE,
+)
+
+
+# ---- crawl_increment_pipeline --------------------------------------------------
+#
+# The INCREMENTAL flagship — the round-12 counterpart of the two
+# registered end-to-end composites (pretraining_pipeline = the batch
+# corpus build; crawl_pipeline = fetch → schedule): ONE hash-gated
+# funnel for "a new crawl increment arrives against a standing
+# corpus", chaining the round's store machinery in production order:
+#
+#   arrived batch (refetch-mapped, the store keys' construction)
+#     → exact fingerprint-store probe        (dedup_incremental shape)
+#     → banded MinHash signature-store probe (dedup_minhash family)
+#     → frozen-model quality gate            (broadcast-weights inference)
+#     → per-source funnel report
+#
+# Every stage reuses its standalone key's machinery by IMPORT or
+# shared helper (fingerprint_md5; _minhash_sigs_of + _band_rows +
+# _N_HASHES; _perceptron_features_of + _pe_weights + _pe_train_sql),
+# so the funnel cannot fork from the parts the driver has already
+# proven. Verdicts are disjoint by stage precedence (exact > near >
+# quality) and sum to the arrivals.
+
+def crawl_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source increment funnel: (source, n_arrived, n_exact_dup,
+    n_near_dup, n_quality_rejected, n_accepted, accepted_bp).
+
+    Scale shape: the arrived increment is checkpointed once and read
+    by all three stages (compute-once, the flagship contract); the
+    exact probe joins 32-byte fps against the persisted store; the
+    near probe is the banded equi-join with signatures riding along;
+    the quality gate is a broadcast of four longs; and the funnel is
+    one partial-aggregable groupBy over sources. Nothing shuffles
+    document bodies after the increment materializes — the
+    fingerprint/signature/counter discipline of every standalone
+    store key, composed."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src_id = F.when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    arrived = (
+        base.filter(F.col("doc_id") % 10 >= 7)
+        .select("doc_id", "source", src_id.alias("src_id"))
+        .join(base.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
+    )
+    ref = base.filter(F.col("doc_id") % 10 < 7)
+
+    # stage A: exact fingerprint-store probe
+    store = ref.select(fingerprint_md5(F.col("text")).alias("fp")).distinct()
+    exact = (
+        arrived.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+        .join(store.withColumn("exact", F.lit(1)), "fp", "left")
+        .select("doc_id", F.coalesce("exact", F.lit(0)).alias("exact"))
+    )
+
+    # stage B: banded MinHash signature-store probe (arrived content
+    # signed with the registered hash family)
+    bat_b = _band_rows(_minhash_sigs_of(arrived.select("doc_id", "text")))
+    ref_b = _band_rows(_minhash_sigs_of(ref.select("doc_id", "text")))
+    cand = (
+        bat_b.alias("x")
+        .join(
+            ref_b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(
+            F.col("x.doc_id").alias("bid"),
+            F.col("y.doc_id").alias("rid"),
+            F.col("x.sig").alias("sa"),
+            F.col("y.sig").alias("sb"),
+        )
+        .dropDuplicates(["bid", "rid"])
+    )
+    matches = sum(
+        F.when(F.col("sa")[i] == F.col("sb")[i], 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    near = (
+        cand.select("bid", (matches / F.lit(float(_N_HASHES))).alias("e"))
+        .filter(F.col("e") >= _MSTORE_THRESH)
+        .select(F.col("bid").alias("doc_id"))
+        .distinct()
+        .withColumn("near", F.lit(1))
+    )
+
+    # stage C: frozen quality model — trained on the HISTORICAL side
+    # (train features checkpointed eagerly, the registered keys'
+    # compute-once contract: each of the _PE_ITERS iterations reads
+    # the materialized features, not a re-run of the corpus scan)
+    w = _pe_weights(
+        spark,
+        _perceptron_features_of(ref).drop("doc_id").localCheckpoint(eager=True),
+    )
+    margins = (
+        _perceptron_features_of(arrived)
+        .crossJoin(F.broadcast(w))
+        .select("doc_id", _pe_score().alias("margin"))
+    )
+
+    verdict = (
+        F.when(F.col("exact") == 1, "exact_dup")
+        .when(F.col("near") == 1, "near_dup")
+        .when(F.col("margin") <= 0, "quality_rejected")
+        .otherwise("accepted")
+    )
+    flags = (
+        arrived.select("doc_id", "source")
+        .join(exact, "doc_id")
+        .join(near, "doc_id", "left")
+        .join(margins, "doc_id")
+        .select("source", verdict.alias("v"))
+    )
+    n_of = lambda lbl: F.sum(F.when(F.col("v") == lbl, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_arrived"),
+            n_of("exact_dup").alias("n_exact_dup"),
+            n_of("near_dup").alias("n_near_dup"),
+            n_of("quality_rejected").alias("n_quality_rejected"),
+            n_of("accepted").alias("n_accepted"),
+            F.expr(
+                "CAST(sum(CASE WHEN v = 'accepted' THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("accepted_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _increment_oracle() -> str:
+    assert "FROM documents" in _SHINGLE_SQL
+
+    def shingle_cte(src: str) -> str:
+        return _SHINGLE_SQL.replace("FROM documents", f"FROM {src}")
+
+    norm = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    feat_cols = f"""
+         CASE WHEN len(toks) >= 30 THEN 1 ELSE -1 END AS y,
+         len(toks) - 30 AS x1,
+         len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of')) AS x2,
+         CASE WHEN len(toks) >= 3 THEN
+           ((len(toks) - 2
+             - len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))))
+            * 10000) // (len(toks) - 2)
+         ELSE 0 END AS x3"""
+    h_defs = ",\n         ".join(
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(_N_HASHES)
+    )
+
+    def sig_cte(name: str, shs: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id, {h_defs}
+  FROM (
+    SELECT doc_id,
+           {_minhash_hex32_sql("md5(sh)", 1)} AS h1,
+           {_minhash_hex32_sql("md5(sh)", 9)} AS h2
+    FROM (SELECT doc_id, unnest(shset) AS sh FROM {shs})
+  ) GROUP BY doc_id
+)"""
+
+    def band_cte(name: str, sig: str) -> str:
+        rows = "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band,"
+            f" concat_ws(',', h{4 * b}, h{4 * b + 1}, h{4 * b + 2}, h{4 * b + 3}) AS bucket"
+            f" FROM {sig}"
+            for b in range(_BANDS)
+        )
+        return f"{name} AS (\n{rows}\n)"
+
+    m = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, source, text FROM documents),
+arrived AS (
+  SELECT o.doc_id, o.source, s.text
+  FROM base o
+  JOIN base s
+    ON s.doc_id = CASE WHEN o.doc_id % 10 = 7 THEN o.doc_id - 1 ELSE o.doc_id END
+  WHERE o.doc_id % 10 >= 7
+),
+ref AS (SELECT doc_id, source, text FROM base WHERE doc_id % 10 < 7),
+store AS (SELECT DISTINCT md5({norm}) AS fp FROM ref),
+exact AS (
+  SELECT a.doc_id,
+         CASE WHEN st.fp IS NOT NULL THEN 1 ELSE 0 END AS exact
+  FROM (SELECT doc_id, md5({norm}) AS fp FROM arrived) a
+  LEFT JOIN store st ON a.fp = st.fp
+),
+shs_a AS ({shingle_cte("arrived")}),
+shs_r AS ({shingle_cte("ref")}),
+{sig_cte("sig_a", "shs_a")},
+{sig_cte("sig_r", "shs_r")},
+{band_cte("bands_a", "sig_a")},
+{band_cte("bands_r", "sig_r")},
+pairs AS (
+  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS rid
+  FROM bands_a x JOIN bands_r y
+    ON x.band = y.band AND x.bucket = y.bucket
+),
+near AS (
+  SELECT DISTINCT bid AS doc_id FROM pairs
+  JOIN sig_a a ON bid = a.doc_id
+  JOIN sig_r b ON rid = b.doc_id
+  WHERE ({m}) / 16.0 >= {_MSTORE_THRESH}
+),
+feats_ref AS (
+  SELECT {feat_cols}
+  FROM (SELECT string_split({norm}, ' ') AS toks FROM ref)
+),
+train AS (SELECT * FROM feats_ref),
+{_pe_train_sql()},
+feats_arr AS (
+  SELECT doc_id, {feat_cols}
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM arrived)
+),
+margins AS (
+  SELECT doc_id, {_PE_SCORE_SQL} AS margin
+  FROM feats_arr CROSS JOIN w{_PE_ITERS}
+),
+verdicts AS (
+  SELECT ar.source,
+         CASE WHEN e.exact = 1 THEN 'exact_dup'
+              WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+              WHEN m.margin <= 0 THEN 'quality_rejected'
+              ELSE 'accepted' END AS v
+  FROM arrived ar
+  JOIN exact e ON ar.doc_id = e.doc_id
+  LEFT JOIN near n ON ar.doc_id = n.doc_id
+  JOIN margins m ON ar.doc_id = m.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_arrived,
+       CAST(sum(CASE WHEN v = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(sum(CASE WHEN v = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN v = 'quality_rejected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_rejected,
+       CAST(sum(CASE WHEN v = 'accepted' THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       CAST(sum(CASE WHEN v = 'accepted' THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS accepted_bp
+FROM verdicts
+GROUP BY source
+ORDER BY source
+"""
+
+
+CRAWL_INCREMENT_PIPELINE_ORACLE = _increment_oracle()
+
+STAGED["crawl_increment_pipeline"] = (
+    crawl_increment_pipeline,
+    CRAWL_INCREMENT_PIPELINE_ORACLE,
 )

@@ -203,6 +203,13 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
         # stream replay sink read-back + checkpointed store/refetch:
         # no corpus FileScan in the returned plan
         "docs_stream_dedup_gate": [],
+        # arrived increment + ref train features are checkpointed;
+        # what survives is the exact-store leg and the ref-signature
+        # leg (doc_id needed by the %10 split predicate on both)
+        "crawl_increment_pipeline": [
+            ("doc_id", "text"),  # exact store
+            ("doc_id", "text"),  # ref signatures
+        ],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
@@ -587,3 +594,51 @@ def test_stream_dedup_gate_agrees_with_batch_probe(spark, sf_dir):
     )
     batch_rows = {r["source"]: (r["n"], r["dup"]) for r in batch}
     assert stream_rows == batch_rows
+
+
+def test_increment_funnel_conserves_and_every_stage_fires():
+    """The increment flagship's funnel must conserve arrivals (the
+    four verdicts are disjoint by precedence and sum to n_arrived)
+    and every stage must actually fire at fixture scale — a funnel
+    with a dead stage is grading composition the gate cannot see."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        CRAWL_INCREMENT_PIPELINE_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(CRAWL_INCREMENT_PIPELINE_ORACLE).fetch_df()
+        total = (
+            b.n_exact_dup + b.n_near_dup + b.n_quality_rejected + b.n_accepted
+        )
+        assert (total == b.n_arrived).all(), sf_dir
+        for c in ("n_exact_dup", "n_near_dup", "n_quality_rejected", "n_accepted"):
+            assert int(b[c].sum()) > 0, (sf_dir, c, "stage never fired")
+
+
+def test_increment_stage_fire_drills():
+    """Per-stage tamper drills for the increment flagship (the
+    crawl/pretraining discipline): mutate one stage at a time, the
+    funnel must change."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        CRAWL_INCREMENT_PIPELINE_ORACLE as O,
+    )
+
+    drills = {
+        "refetch mapping disabled": (
+            "CASE WHEN o.doc_id % 10 = 7 THEN o.doc_id - 1 ELSE o.doc_id END",
+            "o.doc_id",
+        ),
+        "near threshold collapsed": ("/ 16.0 >= 0.5", "/ 16.0 >= 2.0"),
+        "quality gate inverted": ("WHEN m.margin <= 0", "WHEN m.margin > 0"),
+        "exact store widened to the batch itself": (
+            "SELECT DISTINCT md5(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp FROM ref",
+            "SELECT DISTINCT md5(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp FROM base",
+        ),
+    }
+    with duck_connection("/root/testdata/sf0.01") as con:
+        base = con.execute(O).fetch_df()
+        for label, (old, new) in drills.items():
+            assert old in O, (label, "anchor drifted")
+            got = con.execute(O.replace(old, new)).fetch_df()
+            assert not got.equals(base), (label, "mutation did not fire")
