@@ -75,6 +75,11 @@ epoch upsampling, the trainer-feed data recipe), text_chunk_spans
 RAG-ingest twin of the packing keys, full-coverage invariants
 pinned).
 
+Sixth: dedup_embedding_store_incremental — the embedding leg closing
+the incremental-store triple (exact fp / MinHash signatures /
+sign-bucket vectors), the registered dedup_embedding's LSH family and
+threshold imported so the store cannot fork.
+
 Fifth: crawl_increment_pipeline — the INCREMENTAL FLAGSHIP: arrived
 batch (refetch-mapped) → exact fp-store probe → banded MinHash
 signature-store probe → frozen-model quality gate, one hash-gated
@@ -99,8 +104,8 @@ from the data on both engines (docs/SCALE_EXPERIMENT.md).
 Registration recipe (round 12): register all keys from ``STAGED``
 (the staged_r11 programmatic flip), ``_ADDED_R12`` in
 ``__spark_entry__.py``'s deferral union, staged_r12 import in
-``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (365
-at fifteen staged keys)
+``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (366
+at sixteen staged keys)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
 
@@ -1970,4 +1975,121 @@ CRAWL_INCREMENT_PIPELINE_ORACLE = _increment_oracle()
 STAGED["crawl_increment_pipeline"] = (
     crawl_increment_pipeline,
     CRAWL_INCREMENT_PIPELINE_ORACLE,
+)
+
+
+# ---- dedup_embedding_store_incremental ------------------------------------------
+#
+# The EMBEDDING leg of the incremental-store triple (exact fp store →
+# dedup_store_merge; MinHash signature store →
+# dedup_minhash_store_incremental; this key closes the set): a NEW
+# vector batch (vec_id % 4 == 3, knn_ivf_append's split) probes the
+# reference corpus's persisted sign-bucket LSH store, same-bucket
+# candidates are adjudicated by exact cosine at the registered
+# dedup_embedding threshold, and every batch vector gets a verdict.
+# Bucket function (sign_bucket / sign_bucket_sql), bucket width and
+# the 0.4 cosine bar are all IMPORTED from the registered key's
+# module, so the store cannot fork the LSH family.
+
+_ESTORE_THRESH = 0.4  # the registered dedup_embedding near bar
+
+
+def dedup_embedding_store_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probe the reference sign-bucket store with a new vector batch;
+    one row per batch vector: (vec_id, n_cand, n_near, best_ref,
+    best_cos, verdict ∈ near_dup / unique).
+
+    Scale shape: the persisted store is (bucket, vec_id, vector) —
+    the bucket id is 1 byte of key per vector; the probe is an
+    equi-join on bucket (O(Σ |batch_b|·|ref_b|) scored candidates,
+    never a cross product — the registered dedup_embedding's audited
+    shape), and the per-vector verdict is one partial-aggregable
+    groupBy. Appending a day of vectors to a 10⁹-vector store costs
+    O(batch·avg-bucket), no corpus re-embedding or re-bucketing."""
+    from datapipeline_scripts_spark.extensions.dedup import _EMBED_BUCKET_DIMS
+    from datapipeline_scripts_spark.functions.vectors import cosine, sign_bucket
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), _EMBED_BUCKET_DIMS).alias("bucket"),
+    )
+    ref = e.filter(F.col("vec_id") % 4 != 3).select(
+        F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"), "bucket"
+    )
+    bat = e.filter(F.col("vec_id") % 4 == 3).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"), "bucket"
+    )
+    cand = bat.join(ref, "bucket").select(
+        "bid", "rid", F.round(cosine(F.col("bv"), F.col("rv")), 4).alias("cos")
+    )
+    per = cand.groupBy("bid").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(F.when(F.col("cos") >= _ESTORE_THRESH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near"),
+        F.min(F.when(F.col("cos") >= _ESTORE_THRESH, F.col("rid"))).alias("best_ref"),
+        F.max("cos").alias("best_cos"),
+    )
+    return (
+        bat.select("bid")
+        .join(per, "bid", "left")
+        .select(
+            F.col("bid").alias("vec_id"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.col("best_ref").cast("long").alias("best_ref"),
+            F.col("best_cos").cast("double").alias("best_cos"),
+            F.when(F.coalesce("n_near", F.lit(0)) > 0, "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _estore_oracle() -> str:
+    from datapipeline_scripts_spark.extensions.dedup import _EMBED_BUCKET_SQL
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {_EMBED_BUCKET_SQL} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+ref AS (SELECT vec_id AS rid, v AS rv, bucket FROM e WHERE vec_id % 4 <> 3),
+bat AS (SELECT vec_id AS bid, v AS bv, bucket FROM e WHERE vec_id % 4 = 3),
+cand AS (
+  SELECT bid, rid,
+         round(list_dot_product(bv, rv) /
+               (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(rv, rv))),
+               4) AS cos
+  FROM bat JOIN ref USING (bucket)
+),
+per AS (
+  SELECT bid,
+         count(*) AS n_cand,
+         sum(CASE WHEN cos >= {_ESTORE_THRESH} THEN 1 ELSE 0 END) AS n_near,
+         min(CASE WHEN cos >= {_ESTORE_THRESH} THEN rid END) AS best_ref,
+         max(cos) AS best_cos
+  FROM cand GROUP BY bid
+)
+SELECT b.bid AS vec_id,
+       CAST(coalesce(p.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near,
+       CAST(p.best_ref AS BIGINT) AS best_ref,
+       CAST(p.best_cos AS DOUBLE) AS best_cos,
+       CASE WHEN coalesce(p.n_near, 0) > 0 THEN 'near_dup' ELSE 'unique' END
+         AS verdict
+FROM bat b LEFT JOIN per p ON b.bid = p.bid
+ORDER BY vec_id
+"""
+
+
+DEDUP_EMBEDDING_STORE_INCREMENTAL_ORACLE = _estore_oracle()
+
+STAGED["dedup_embedding_store_incremental"] = (
+    dedup_embedding_store_incremental,
+    DEDUP_EMBEDDING_STORE_INCREMENTAL_ORACLE,
 )

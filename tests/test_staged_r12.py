@@ -210,6 +210,13 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
             ("doc_id", "text"),  # exact store
             ("doc_id", "text"),  # ref signatures
         ],
+        # ref + batch candidate legs carry vectors; the batch ROSTER
+        # leg (the left side of the verdict join) prunes to vec_id
+        "dedup_embedding_store_incremental": [
+            ("embedding", "vec_id"),
+            ("embedding", "vec_id"),
+            ("vec_id",),
+        ],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
@@ -642,3 +649,36 @@ def test_increment_stage_fire_drills():
             assert old in O, (label, "anchor drifted")
             got = con.execute(O.replace(old, new)).fetch_df()
             assert not got.equals(base), (label, "mutation did not fire")
+
+
+def test_embedding_store_probe_matches_registered_pairs():
+    """The embedding store probe must flag exactly the registered
+    dedup_embedding's ≥0.4 pairs that straddle the old/new split —
+    same bucket family, same threshold (the minhash-store
+    discipline). DuckDB-side, both SFs; also pins that the near class
+    fires at all."""
+    import duckdb
+
+    from datapipeline_scripts_spark.registry import get
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        DEDUP_EMBEDDING_STORE_INCREMENTAL_ORACLE,
+    )
+
+    reg_oracle = get("dedup_embedding").oracle
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        pairs = con.execute(reg_oracle).fetch_df()
+        store = con.execute(DEDUP_EMBEDDING_STORE_INCREMENTAL_ORACLE).fetch_df()
+        con.close()
+        cross = set()
+        for r in pairs.itertuples():
+            a, b = int(r.vec_a), int(r.vec_b)
+            if (a % 4 == 3) != (b % 4 == 3):
+                cross.add(a if a % 4 == 3 else b)
+        flagged = set(store[store.verdict == "near_dup"].vec_id.astype(int))
+        assert flagged == cross, (sf_dir, flagged ^ cross)
+        assert flagged, (sf_dir, "near class never fires")
