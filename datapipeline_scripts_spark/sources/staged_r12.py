@@ -75,6 +75,11 @@ epoch upsampling, the trainer-feed data recipe), text_chunk_spans
 RAG-ingest twin of the packing keys, full-coverage invariants
 pinned).
 
+Seventh: corpus_seqlen_histogram — sequence-length planning on a
+power-of-two ladder with an open-ended top bucket (the bin-width
+lesson applied by construction), doc/token shares and
+pad-to-bucket-ceiling waste per bucket.
+
 Sixth: dedup_embedding_store_incremental — the embedding leg closing
 the incremental-store triple (exact fp / MinHash signatures /
 sign-bucket vectors), the registered dedup_embedding's LSH family and
@@ -104,8 +109,8 @@ from the data on both engines (docs/SCALE_EXPERIMENT.md).
 Registration recipe (round 12): register all keys from ``STAGED``
 (the staged_r11 programmatic flip), ``_ADDED_R12`` in
 ``__spark_entry__.py``'s deferral union, staged_r12 import in
-``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (366
-at sixteen staged keys)
+``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (367
+at seventeen staged keys)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
 
@@ -2092,4 +2097,108 @@ DEDUP_EMBEDDING_STORE_INCREMENTAL_ORACLE = _estore_oracle()
 STAGED["dedup_embedding_store_incremental"] = (
     dedup_embedding_store_incremental,
     DEDUP_EMBEDDING_STORE_INCREMENTAL_ORACLE,
+)
+
+
+# ---- corpus_seqlen_histogram ----------------------------------------------------
+#
+# Sequence-length planning — the report that sizes every packing /
+# max_seq_len decision a trainer feed makes: token counts bucketed on
+# a power-of-two ladder (open-ended top bucket, so no corpus can
+# saturate the scheme — the bin-width lesson applied by construction),
+# with document and token shares per bucket and the padding waste a
+# pad-to-bucket-ceiling loader would eat. All-integer; the ladder is
+# a fixed CASE on both engines.
+
+_SEQLEN_EDGES = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def corpus_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per length-bucket report: (bucket_lo, n_docs, n_tokens,
+    doc_share_bp, token_share_bp, pad_waste_bp). pad_waste_bp is the
+    padding overhead of padding every doc to its bucket ceiling
+    (top bucket pads to its own max observed length — open-ended).
+
+    Scale shape: one scan projection, one partial-aggregable groupBy
+    over ≤ len(edges)+1 buckets, totals broadcast back as a 1-row
+    aggregate — counters only on the exchange."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("n")
+    )
+    lo = F.lit(0)
+    for e in _SEQLEN_EDGES:
+        lo = F.when(F.col("n") >= e, e).otherwise(lo)
+    binned = d.select("n", lo.alias("bucket_lo"))
+    per = binned.groupBy("bucket_lo").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    ceil_expr = "CASE "
+    for e, nxt in zip(_SEQLEN_EDGES, _SEQLEN_EDGES[1:]):
+        ceil_expr += f"WHEN bucket_lo = {e} THEN {nxt} "
+    ceil_expr += f"WHEN bucket_lo = {_SEQLEN_EDGES[-1]} THEN max_n "
+    ceil_expr += f"ELSE {_SEQLEN_EDGES[0]} END"
+    totals = per.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket_lo",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 10000 div tot_docs AS BIGINT)").alias(
+                "doc_share_bp"
+            ),
+            F.expr("CAST(n_tokens * 10000 div tot_tokens AS BIGINT)").alias(
+                "token_share_bp"
+            ),
+            F.expr(
+                f"CAST((n_docs * ({ceil_expr}) - n_tokens) * 10000"
+                f" div (n_docs * ({ceil_expr})) AS BIGINT)"
+            ).alias("pad_waste_bp"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def _seqlen_oracle() -> str:
+    lo = "0"
+    for e in _SEQLEN_EDGES:
+        lo = f"CASE WHEN n >= {e} THEN {e} ELSE {lo} END"
+    ceil_expr = "CASE "
+    for e, nxt in zip(_SEQLEN_EDGES, _SEQLEN_EDGES[1:]):
+        ceil_expr += f"WHEN bucket_lo = {e} THEN {nxt} "
+    ceil_expr += f"WHEN bucket_lo = {_SEQLEN_EDGES[-1]} THEN max_n "
+    ceil_expr += f"ELSE {_SEQLEN_EDGES[0]} END"
+    return f"""
+WITH d AS (
+  SELECT len(string_split(regexp_replace(trim(lower(coalesce(text, ''))),
+         '\\s+', ' ', 'g'), ' ')) AS n
+  FROM documents
+),
+binned AS (SELECT n, {lo} AS bucket_lo FROM d),
+per AS (
+  SELECT bucket_lo, count(*) AS n_docs, sum(n) AS n_tokens, max(n) AS max_n
+  FROM binned GROUP BY bucket_lo
+),
+totals AS (SELECT sum(n_docs) AS tot_docs, sum(n_tokens) AS tot_tokens FROM per)
+SELECT bucket_lo,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_docs * 10000 // tot_docs AS BIGINT) AS doc_share_bp,
+       CAST(n_tokens * 10000 // tot_tokens AS BIGINT) AS token_share_bp,
+       CAST((n_docs * ({ceil_expr}) - n_tokens) * 10000
+            // (n_docs * ({ceil_expr})) AS BIGINT) AS pad_waste_bp
+FROM per CROSS JOIN totals
+ORDER BY bucket_lo
+"""
+
+
+CORPUS_SEQLEN_HISTOGRAM_ORACLE = _seqlen_oracle()
+
+STAGED["corpus_seqlen_histogram"] = (
+    corpus_seqlen_histogram,
+    CORPUS_SEQLEN_HISTOGRAM_ORACLE,
 )

@@ -217,6 +217,7 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
             ("embedding", "vec_id"),
             ("vec_id",),
         ],
+        "corpus_seqlen_histogram": [("text",), ("text",)],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
@@ -682,3 +683,26 @@ def test_embedding_store_probe_matches_registered_pairs():
         flagged = set(store[store.verdict == "near_dup"].vec_id.astype(int))
         assert flagged == cross, (sf_dir, flagged ^ cross)
         assert flagged, (sf_dir, "near class never fires")
+
+
+def test_seqlen_histogram_accounting():
+    """Shares sum to ~10000 within per-bucket truncation; tokens and
+    docs are conserved against the corpus; padding waste is a valid
+    basis-point fraction everywhere."""
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        CORPUS_SEQLEN_HISTOGRAM_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(CORPUS_SEQLEN_HISTOGRAM_ORACLE).fetch_df()
+            tot = con.execute(
+                "SELECT count(*), sum(len(string_split(regexp_replace(trim(lower("
+                "coalesce(text, ''))), '\\s+', ' ', 'g'), ' '))) FROM documents"
+            ).fetchone()
+        assert int(b.n_docs.sum()) == tot[0], sf_dir
+        assert int(b.n_tokens.sum()) == tot[1], sf_dir
+        for col in ("doc_share_bp", "token_share_bp"):
+            s = int(b[col].sum())
+            assert 10000 - len(b) <= s <= 10000, (sf_dir, col, s)
+        assert b.pad_waste_bp.between(0, 9999).all(), sf_dir
