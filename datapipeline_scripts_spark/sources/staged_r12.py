@@ -114,12 +114,13 @@ at seventeen staged keys)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
 
-The flip was DRY-RUN in a throwaway clone at the end of round 11:
-registering the staged keys (the programmatic loop) + the registry
-import + the `_ADDED_R12` union took the catalog past 360 with no import-order
-issues, and `scripts/driver_sim.py sf0.01 50` over the flipped
-surface passed 0/50 including every new key through the driver's own
-adapter path.
+The flip was DRY-RUN in a throwaway clone at the end of round 11
+(re-run after the final key landed): registering all SEVENTEEN keys
+(the programmatic loop) + the registry import + the `_ADDED_R12`
+union took the catalog to 367 with no import-order issues, and
+`scripts/driver_sim.py sf0.01 50` over the flipped surface passed
+0/50 including every new key through the driver's own adapter path
+(17 new + 33 stalest re-proof slots in the window).
 """
 
 from __future__ import annotations
