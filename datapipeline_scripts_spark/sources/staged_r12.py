@@ -75,6 +75,12 @@ epoch upsampling, the trainer-feed data recipe), text_chunk_spans
 RAG-ingest twin of the packing keys, full-coverage invariants
 pinned).
 
+Eighth: corpus_mixture_temperature — the τ=0.5 sampling recipe
+(lift low-resource sources by weighting ∝ isqrt(n); IEEE sqrt is
+correctly rounded, so floor(sqrt(n)) is isqrt cross-engine — one of
+the few bit-exact float contracts), with a deterministic rare/mid/
+head tier construction so the flattening provably fires.
+
 Seventh: corpus_seqlen_histogram — sequence-length planning on a
 power-of-two ladder with an open-ended top bucket (the bin-width
 lesson applied by construction), doc/token shares and
@@ -109,18 +115,18 @@ from the data on both engines (docs/SCALE_EXPERIMENT.md).
 Registration recipe (round 12): register all keys from ``STAGED``
 (the staged_r11 programmatic flip), ``_ADDED_R12`` in
 ``__spark_entry__.py``'s deferral union, staged_r12 import in
-``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (367
-at seventeen staged keys)
+``registry._ensure_loaded``, freeze counts 350 → 350+len(STAGED) (368
+at eighteen staged keys)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
 
 The flip was DRY-RUN in a throwaway clone at the end of round 11
-(re-run after the final key landed): registering all SEVENTEEN keys
+(re-run after the final key landed): registering the staged keys
 (the programmatic loop) + the registry import + the `_ADDED_R12`
-union took the catalog to 367 with no import-order issues, and
-`scripts/driver_sim.py sf0.01 50` over the flipped surface passed
-0/50 including every new key through the driver's own adapter path
-(17 new + 33 stalest re-proof slots in the window).
+union took the catalog to 350+len(STAGED) with no import-order
+issues, and `scripts/driver_sim.py sf0.01 50` over the flipped
+surface passed 0/50 including every new key through the driver's own
+adapter path (the window holds all new keys + stalest re-proofs).
 """
 
 from __future__ import annotations
@@ -2202,4 +2208,95 @@ CORPUS_SEQLEN_HISTOGRAM_ORACLE = _seqlen_oracle()
 STAGED["corpus_seqlen_histogram"] = (
     corpus_seqlen_histogram,
     CORPUS_SEQLEN_HISTOGRAM_ORACLE,
+)
+
+
+# ---- corpus_mixture_temperature --------------------------------------------------
+#
+# Temperature-based mixture re-weighting — the τ = 0.5 sampling recipe
+# multilingual / multi-source pretraining uses to lift low-resource
+# sources (sample ∝ n^τ instead of ∝ n): per-source weights are
+# integer square roots, so the whole report stays integer-exact
+# cross-engine. floor(sqrt(n)) IS isqrt(n) for BIGINT-ranged n on
+# both engines because IEEE-754 sqrt is correctly rounded — one of
+# the few float functions with a bit-exact cross-engine contract —
+# and the floor can only land wrong if sqrt were off by an ulp at an
+# integer boundary, which correct rounding forbids for n < 2^52.
+
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source τ=0.5 mixture plan: (source, n_docs, natural_bp,
+    weight, target_bp, uplift_bp) — natural share vs the
+    temperature-flattened target share, and the signed uplift the
+    re-weighting gives the source.
+
+    Scale shape: one partial-aggregable count per source, a
+    |sources|-row weight table, totals broadcast back — counters only
+    on the exchange; the actual re-sampled draw composes downstream
+    with corpus_sample_weighted / corpus_epoch_upsample."""
+    # the fixture's sources are equal-sized, which would make the
+    # flattening a no-op the hash gate can't grade (the dead-machinery
+    # lesson) — so the mixture domain is source × a deterministic
+    # size tier (10% rare / 30% mid / 60% head by doc_id), giving the
+    # re-weighting real imbalance to correct on any corpus
+    # tier keys on doc_id div 20, NOT doc_id itself: the fixture's
+    # source IS doc_id % 20, so any doc_id-mod tier would be constant
+    # within a source and the groups equal-sized all over again
+    t = F.expr("doc_id div 20") % 10
+    tier = F.when(t == 0, "rare").when(t < 4, "mid").otherwise("head")
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.concat(F.col("source"), F.lit(":"), tier).alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn(
+            "weight", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+        )
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("weight").alias("tot_w")
+    )
+    natural = F.expr("CAST(n_docs * 10000 div tot_docs AS BIGINT)")
+    target = F.expr("CAST(weight * 10000 div tot_w AS BIGINT)")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            natural.alias("natural_bp"),
+            "weight",
+            target.alias("target_bp"),
+            (target - natural).cast("long").alias("uplift_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MIXTURE_TEMPERATURE_ORACLE = """
+WITH d AS (
+  SELECT concat(source, ':',
+           CASE WHEN (doc_id // 20) % 10 = 0 THEN 'rare'
+                WHEN (doc_id // 20) % 10 < 4 THEN 'mid'
+                ELSE 'head' END) AS source
+  FROM documents
+),
+per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+  FROM d GROUP BY source
+),
+totals AS (SELECT sum(n_docs) AS tot_docs, sum(weight) AS tot_w FROM per)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * 10000 // tot_docs AS BIGINT) AS natural_bp,
+       weight,
+       CAST(weight * 10000 // tot_w AS BIGINT) AS target_bp,
+       CAST(weight * 10000 // tot_w - n_docs * 10000 // tot_docs AS BIGINT)
+         AS uplift_bp
+FROM per CROSS JOIN totals
+ORDER BY source
+"""
+
+STAGED["corpus_mixture_temperature"] = (
+    corpus_mixture_temperature,
+    CORPUS_MIXTURE_TEMPERATURE_ORACLE,
 )

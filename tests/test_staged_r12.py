@@ -218,6 +218,10 @@ def test_staged_r12_plan_shapes(spark, sf_dir):
             ("vec_id",),
         ],
         "corpus_seqlen_histogram": [("text",), ("text",)],
+        "corpus_mixture_temperature": [
+            ("doc_id", "source"),
+            ("doc_id", "source"),  # totals leg (tiny agg, re-reads 2 cols)
+        ],
     }
     for key, (build, _oracle) in R12.items():
         df = build(spark, sf_dir)
@@ -706,3 +710,25 @@ def test_seqlen_histogram_accounting():
             s = int(b[col].sum())
             assert 10000 - len(b) <= s <= 10000, (sf_dir, col, s)
         assert b.pad_waste_bp.between(0, 9999).all(), sf_dir
+
+
+def test_temperature_mixture_flattens_in_the_right_direction():
+    """τ=0.5 flattening must LIFT the rare tiers and SHAVE the head
+    tiers (per-tier mean uplift strictly signed), targets must sum to
+    ~10000, and weight must be exactly isqrt(n_docs) — floor of the
+    correctly-rounded IEEE sqrt."""
+    import math
+
+    from datapipeline_scripts_spark.sources.staged_r12 import (
+        CORPUS_MIXTURE_TEMPERATURE_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            b = con.execute(CORPUS_MIXTURE_TEMPERATURE_ORACLE).fetch_df()
+        assert (b.weight == b.n_docs.map(math.isqrt)).all(), sf_dir
+        t = int(b.target_bp.sum())
+        assert 10000 - len(b) <= t <= 10000, (sf_dir, t)
+        rare = b[b.source.str.endswith(":rare")].uplift_bp.mean()
+        head = b[b.source.str.endswith(":head")].uplift_bp.mean()
+        assert rare > 0 > head, (sf_dir, rare, head)
