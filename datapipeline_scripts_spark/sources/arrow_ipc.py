@@ -58,14 +58,19 @@ def _norm_path(p: str) -> str:
     ``file:///a/b``) while writer manifests record plain local paths
     (``/a/b``) — without normalizing both sides the full-path lookup
     never matched and every read silently fell through to the
-    basename map (ADVICE r10)."""
+    basename map (ADVICE r10). binaryFile additionally percent-encodes
+    unsafe characters (a space becomes %20) and may carry an authority
+    (``file://host/a/b``) — parse as a URI so the authority never folds
+    into the path as a directory segment and encoded characters match
+    the manifest's plain local spelling (ADVICE r11)."""
     import os.path
+    from urllib.parse import unquote, urlparse
 
     if p.startswith("file:"):
-        p = p[5:]
-        # file:///a/b and file://host/a/b collapse to one leading /
-        while p.startswith("//"):
-            p = p[1:]
+        u = urlparse(p)
+        # drop the authority (host) — manifests record local paths;
+        # unquote AFTER parsing so %2F in a segment can't split it.
+        p = unquote(u.path)
     return os.path.normpath(p)
 
 
@@ -121,9 +126,14 @@ def read_arrow_ipc(
         if t not in _SPARK_TYPES:
             raise ValueError(f"field {f!r}: unsupported type {t!r}")
     if expected_rows is not None:
-        # normalize once driver-side; basenames that collide across
-        # directories make the fallback lookup unsafe — poison them.
-        _full_rows = {_norm_path(k): v for k, v in expected_rows.items()}
+        # normalize once driver-side; entries that collide after
+        # normalization (full path or basename) make the lookup
+        # unsafe — poison them so the reader refuses loudly instead
+        # of last-writer-wins (ADVICE r11).
+        _full_rows: dict[str, int | None] = {}
+        for k, v in expected_rows.items():
+            nk = _norm_path(k)
+            _full_rows[nk] = None if nk in _full_rows else v
         _base_rows: dict[str, int | None] = {}
         for k, v in expected_rows.items():
             b = k.rsplit("/", 1)[-1]
@@ -146,6 +156,12 @@ def read_arrow_ipc(
                 n = table.num_rows
                 if expected_rows is not None:
                     norm = _norm_path(str(p))
+                    if norm in _full_rows and _full_rows[norm] is None:
+                        raise ValueError(
+                            f"{p}: path {norm!r} is ambiguous across "
+                            "manifest entries after normalization — "
+                            "de-duplicate the manifest to disambiguate"
+                        )
                     want = _full_rows.get(norm)
                     if want is None:
                         base = norm.rsplit("/", 1)[-1]

@@ -1,9 +1,10 @@
-"""Round-11 query keys, STAGED but NOT registered (the staged_r10.py
-pattern, one round later): round 10's driver window is committed to
-the seven _ADDED_R10 keys plus stalest-evidence re-proofs, so the new
-surface built in round 10 enters the registry in round 11 — already
-held to the registration bar here: `tests/test_staged_r11.py` runs
-every builder against its DuckDB oracle at both fixture SFs.
+"""Round-11 query keys — staged through the round-10 freeze, then
+REGISTERED by the round-11 flip (the registered-from-STAGED pattern:
+the programmatic loop at the bottom of this module registers every
+key at import, catalog 326 → 350). The staging history below is kept
+as-is: each key was held to the registration bar before the flip —
+`tests/test_staged_r11.py` runs every builder against its DuckDB
+oracle at both fixture SFs.
 
 federated_ingest_union: heterogeneous-shard ingest — the situation a
 real corpus build actually faces (crawl dumps in WARC, vision sets in

@@ -143,3 +143,50 @@ def test_manifest_ambiguous_basename_refuses(spark, tmp_path):
     ambiguous = {f"runA/{base}": 1, f"runB/{base}": 1}
     with pytest.raises(Exception, match="ambiguous"):
         read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=ambiguous).collect()
+
+
+def test_norm_path_percent_decoding_and_authority():
+    """ADVICE r11: binaryFile percent-encodes unsafe characters and may
+    report a file://host authority — _norm_path must decode %20 back to
+    the manifest's plain spelling and must NOT fold the authority into
+    the path as a directory segment."""
+    from datapipeline_scripts_spark.sources.arrow_ipc import _norm_path
+
+    assert _norm_path("file:/a/my%20dir/s.arrow") == "/a/my dir/s.arrow"
+    assert _norm_path("file:///a/b/s.arrow") == "/a/b/s.arrow"
+    # authority (host) is dropped, not treated as /host/...
+    assert _norm_path("file://localhost/a/b/s.arrow") == "/a/b/s.arrow"
+    assert _norm_path("/a/b/../b/s.arrow") == "/a/b/s.arrow"
+
+
+def test_manifest_path_with_space_matches_after_decode(spark, tmp_path):
+    """End-to-end: a shard directory containing a space roundtrips —
+    binaryFile reports %20, the manifest records the plain path, and
+    the full-path lookup (not the basename fallback) must match."""
+    out = str(tmp_path / "my shards")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema="id long, text string").coalesce(1)
+    manifest = write_arrow_ipc_dataset(df, out, manifest=True)
+    good = {m["path"]: m["n_records"] for m in manifest}
+    assert all(" " in p for p in good)  # the fixture actually exercises encoding
+    got = read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=good).collect()
+    assert len(got) == 2
+    # and a tampered count still refuses via the SAME full-path match
+    bad = {m["path"]: m["n_records"] + 1 for m in manifest}
+    with pytest.raises(Exception, match="manifest"):
+        read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=bad).collect()
+
+
+def test_manifest_colliding_full_paths_refuse(spark, tmp_path):
+    """ADVICE r11: two manifest keys that normalize to the SAME path
+    must poison that entry (loud refusal), mirroring the basename map —
+    not collapse last-writer-wins."""
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame([(1, "a")], schema="id long, text string").coalesce(1)
+    manifest = write_arrow_ipc_dataset(df, out, manifest=True)
+    p = manifest[0]["path"]
+    n = manifest[0]["n_records"]
+    # same file spelled two ways: plain and with a redundant ./ segment
+    d, b = os.path.dirname(p), os.path.basename(p)
+    colliding = {p: n, f"{d}/./{b}": n + 7}
+    with pytest.raises(Exception, match="ambiguous"):
+        read_arrow_ipc(spark, out, {"id": "int64"}, expected_rows=colliding).collect()
