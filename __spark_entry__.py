@@ -206,7 +206,28 @@ _ADDED_R11 = {
     "arrow_ipc_roundtrip", "corpus_pack_offsets", "text_char_entropy",
 }
 
-_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9 | _ADDED_R10 | _ADDED_R11
+# Round-12 additions (the eighteen keys staged through the r11 freeze
+# in sources/staged_r12.py, flipped live after CORRECTNESS_r11 closed
+# the gate 350/350): quality-model inference/calibration/drift, the
+# incremental store triple (exact fp merge, MinHash probe, embedding
+# probe) + IVF append, code-vs-prose detection, the streaming quality
+# and dedup gates, ViT image tiles, host PageRank, Matryoshka prefix
+# recall, epoch upsampling, τ=0.5 temperature mixture, seqlen
+# histogram, retrieval chunk spans, and the crawl_increment_pipeline
+# incremental flagship.
+_ADDED_R12 = {
+    "quality_score_inference", "quality_score_calibration",
+    "dedup_store_merge", "text_code_detect", "knn_ivf_append",
+    "dedup_minhash_store_incremental", "embedding_prefix_recall",
+    "quality_margin_drift", "docs_stream_quality_gate",
+    "multimodal_image_tiles", "web_host_pagerank",
+    "corpus_epoch_upsample", "text_chunk_spans",
+    "docs_stream_dedup_gate", "crawl_increment_pipeline",
+    "dedup_embedding_store_incremental", "corpus_seqlen_histogram",
+    "corpus_mixture_temperature",
+}
+
+_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9 | _ADDED_R10 | _ADDED_R11 | _ADDED_R12
 
 
 def _ordered_keys() -> list[str]:

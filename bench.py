@@ -144,6 +144,17 @@ BENCH_KEYS = (
     "text_bpe_train",
     "embedding_pca_power",
     "dedup_bloom_incremental",
+    # round-12 registrations (VERDICT r11 order 2): the four heavy/
+    # representative new shapes — broadcast-model quality inference,
+    # the incremental MinHash signature-store probe, the streaming
+    # quality gate (micro-batch replay startup dominates, the
+    # events_stream_session precedent), and host-graph PageRank.
+    # Probed warm at sf0.1 before inclusion (docs/BENCH_NOTES.md
+    # "Round-12 prospective": 2.12 / 1.43 / 4.94 / 0.97 s).
+    "quality_score_inference",
+    "dedup_minhash_store_incremental",
+    "docs_stream_quality_gate",
+    "web_host_pagerank",
 )
 
 

@@ -1,9 +1,10 @@
-"""Round-12 query keys, STAGED but NOT registered (the staged_r10/r11
-pattern, one round later): round 11's driver window is committed to the
-twenty-four _ADDED_R11 keys plus stalest-evidence re-proofs, so the new
-surface built in round 11 enters the registry in round 12 — already
-held to the registration bar here: `tests/test_staged_r12.py` runs
-every builder against its DuckDB oracle at both fixture SFs.
+"""Round-12 query keys — staged through the round-11 freeze, then
+REGISTERED by the round-12 flip (the registered-from-STAGED pattern:
+the programmatic loop at the bottom of this module registers every
+key at import, catalog 350 → 368). The staging history below is kept
+as-is: each key was held to the registration bar before the flip —
+`tests/test_staged_r12.py` runs every builder against its DuckDB
+oracle at both fixture SFs.
 
 The round-11 steer (VERDICT r10 item 8) named the two frontier gaps
 this module closes first, then widens around them:
@@ -671,9 +672,17 @@ def knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("vec_id") % 4 == 3, 1).otherwise(0))
             .cast("long")
             .alias("n_new"),
+            # explicit zero-old guard: a list seeded only by new
+            # vectors is unreachable under the current seed-self-
+            # assignment tiebreak, but Spark's `div` and DuckDB's `//`
+            # disagree on /0 (NULL vs error) — make the NULL contract
+            # explicit on BOTH engines so a future quantizer change
+            # cannot silently diverge (ADVICE r11).
             F.expr(
-                "CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) * 10000"
-                " div sum(CASE WHEN vec_id % 4 != 3 THEN 1 ELSE 0 END)"
+                "CAST(CASE WHEN sum(CASE WHEN vec_id % 4 != 3 THEN 1 ELSE 0 END) = 0"
+                " THEN NULL"
+                " ELSE sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) * 10000"
+                " div sum(CASE WHEN vec_id % 4 != 3 THEN 1 ELSE 0 END) END"
                 " AS BIGINT)"
             ).alias("growth_bp"),
         )
@@ -700,8 +709,11 @@ asg AS (
 SELECT list_id,
        CAST(sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
        CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-       CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) * 10000
-            // sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS growth_bp
+       CAST(CASE WHEN sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) = 0
+            THEN NULL
+            ELSE sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) * 10000
+                 // sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) END
+            AS BIGINT) AS growth_bp
 FROM asg
 GROUP BY list_id
 ORDER BY list_id
@@ -1163,9 +1175,6 @@ def docs_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch retrain."""
     import os
 
-    from datapipeline_scripts_spark.functions.text import (
-        stopword_hits as _sh,
-    )
     from datapipeline_scripts_spark.streaming.stream_jobs import _replay_to_parquet
 
     feats = _perceptron_features(spark, sf_dir)
@@ -1184,23 +1193,13 @@ def docs_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
-    n_words = F.size(toks)
-    sh3 = shingles(toks, 3)
-    n_sh = F.when(n_words >= 3, n_words - 2).otherwise(0)
-    n_rep = F.when(
-        n_words >= 3, n_words - 2 - F.size(F.array_distinct(sh3))
-    ).otherwise(0)
-    sfeat = stream.filter(F.col("doc_id") % 2 == 1).select(
-        "source",
-        (n_words - 30).cast("long").alias("x1"),
-        _sh(toks, ("the", "a", "of")).cast("long").alias("x2"),
-        F.when(n_sh > 0, (n_rep * 10000 - (n_rep * 10000) % n_sh) / n_sh)
-        .otherwise(0)
-        .cast("long")
-        .alias("x3"),
-        F.lit(1).alias("jk"),
-    )
+    # the shared feature expressions work unchanged on a streaming
+    # frame (pure projections — nothing stateful), so the stream key
+    # reuses _perceptron_features_of and cannot fork features from
+    # the batch train/eval keys (ADVICE r11).
+    sfeat = _perceptron_features_of(
+        stream.filter(F.col("doc_id") % 2 == 1), extra=("source",)
+    ).select("source", "x1", "x2", "x3", F.lit(1).alias("jk"))
     scored = sfeat.join(F.broadcast(w), "jk").select(
         "source", _pe_score().alias("margin")
     )
@@ -2300,3 +2299,23 @@ STAGED["corpus_mixture_temperature"] = (
     corpus_mixture_temperature,
     CORPUS_MIXTURE_TEMPERATURE_ORACLE,
 )
+
+
+# ---- round-12 registration flip ---------------------------------------------
+#
+# The deliberate flip (this module's docstring "Registration recipe"):
+# every staged key enters the registry, catalog 350 → 368. Programmatic
+# registration over STAGED is the decorator applied in a loop — the
+# oracles live below their builders in this module, so decorating at
+# definition sites would force every oracle above its function. The
+# STAGED dict stays authoritative for tests/test_staged_r12.py's
+# both-SF hash gate; registering from it guarantees the registry and
+# the staged proofs can never cover different (builder, oracle) pairs.
+
+_R12_CORE = {"crawl_increment_pipeline"}
+
+from datapipeline_scripts_spark.registry import query as _query  # noqa: E402
+
+for _key, (_fn, _oracle) in STAGED.items():
+    _query(_key, oracle=_oracle, tier="core" if _key in _R12_CORE else "ext")(_fn)
+del _key, _fn, _oracle

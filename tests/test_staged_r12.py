@@ -27,12 +27,18 @@ def test_staged_key_matches_oracle(spark, key, sf_dir):
     assert report.spark_rows > 0
 
 
-def test_staged_r12_keys_not_registered_during_round_11():
-    """The staging invariant: the catalog is 350 this round; the r12
-    keys enter the registry only with round 12's deliberate flip."""
-    registered = set(all_queries())
-    assert len(registered) == 350
-    assert not (set(STAGED) & registered)
+def test_r12_keys_registered_with_correct_builders():
+    """Round 12 flipped the staged keys live: every STAGED key must be
+    in the registry, bound to the SAME builder and oracle the proofs
+    above ran (the decorating-the-wrong-function failure mode breaks
+    the driver contract silently), and the catalog is 368 (350 + the
+    eighteen round-12 registrations)."""
+    specs = all_queries()
+    assert len(specs) == 368
+    for key, (fn, oracle) in STAGED.items():
+        assert key in specs, key
+        assert specs[key].build is fn, key
+        assert specs[key].oracle == oracle, key
 
 
 def test_inference_weights_match_registered_eval_trajectory(spark, sf_dir):
@@ -155,6 +161,10 @@ def test_ivf_append_covers_all_lists_and_balances():
             b = con.execute(KNN_IVF_APPEND_ORACLE).fetch_df()
         assert len(b) == 16, (sf_dir, len(b))
         assert (b.n_old >= 1).all(), sf_dir
+        # ADVICE r11: the explicit zero-old NULL guard must stay dead
+        # under the seed-self-assignment tiebreak — every list reports
+        # a concrete growth figure.
+        assert b.growth_bp.notna().all(), sf_dir
         n_new = n // 4
         assert int(b.n_old.sum()) == n - n_new and int(b.n_new.sum()) == n_new, sf_dir
 
