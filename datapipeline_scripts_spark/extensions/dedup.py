@@ -284,6 +284,33 @@ _N_HASHES = 16
 _BANDS = 4  # 4 bands × 4 rows
 
 
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared MinHash(16) signature table: (doc_id, h0..h15, sig)
+    — dedup_minhash's exact construction (ONE md5 per distinct
+    3-shingle, Kirsch-Mitzenmacher double hashes h1 + i*h2 mod 2^32),
+    factored out so signature-consuming keys (band tuning, store
+    probes) import it and cannot fork the hash family."""
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
+    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
+    hh = sh.select("doc_id", F.md5("sh").alias("m")).select(
+        "doc_id",
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    two32 = F.lit(4294967296)
+    return (
+        hh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h1") + F.lit(i) * F.col("h2")) % two32).alias(f"h{i}")
+                for i in range(_N_HASHES)
+            ]
+        )
+        .withColumn("sig", F.array(*[f"h{i}" for i in range(_N_HASHES)]))
+    )
+
+
 def _minhash_hex32_sql(hex_expr: str, start: int) -> str:
     """DuckDB: 32-bit int from 8 hex chars of `hex_expr` at `start`."""
     return "(" + " + ".join(
@@ -367,33 +394,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster end-to-end than re-joining the signature table twice after
     candidate generation, and at warehouse scale it removes two
     |docs|-sized hash joins."""
-    # the fixture file is one row group → one scan task; rebalance the
-    # (tiny) input so the hashing uses every core. At warehouse scale
-    # the input arrives pre-partitioned and this is a no-op cost.
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
-    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
-    sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
-    # ONE md5 per shingle; the 16 functions are Kirsch-Mitzenmacher
-    # double hashes (h1 + i*h2 mod 2^32) of its first two 32-bit words.
-    # The digest is materialized in its own projection: whole-stage
-    # codegen does NOT common-subexpression the two F.md5("sh") calls
-    # (measured ~30% slower when written inline twice)
-    hh = sh.select("doc_id", F.md5("sh").alias("m")).select(
-        "doc_id",
-        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
-    )
-    two32 = F.lit(4294967296)
-    sig = (
-        hh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.col("h1") + F.lit(i) * F.col("h2")) % two32).alias(f"h{i}")
-                for i in range(_N_HASHES)
-            ]
-        )
-        .withColumn("sig", F.array(*[f"h{i}" for i in range(_N_HASHES)]))
-    )
+    # signature construction shared via minhash_signatures (the
+    # repartition, one-md5-per-shingle and KM double-hash notes live
+    # on the helper).
+    sig = minhash_signatures(spark, sf_dir)
     rows_per_band = _N_HASHES // _BANDS
     band_structs = F.array(
         *[

@@ -32,8 +32,9 @@ from datapipeline_scripts_spark.sources.staged_r9 import STAGED as STAGED_R9
 from datapipeline_scripts_spark.sources.staged_r10 import STAGED as STAGED_R10
 from datapipeline_scripts_spark.sources.staged_r11 import STAGED as STAGED_R11
 from datapipeline_scripts_spark.sources.staged_r12 import STAGED as STAGED_R12
+from datapipeline_scripts_spark.sources.staged_r13 import STAGED as STAGED_R13
 
-STAGED = {**STAGED_R9, **STAGED_R10, **STAGED_R11, **STAGED_R12}
+STAGED = {**STAGED_R9, **STAGED_R10, **STAGED_R11, **STAGED_R12, **STAGED_R13}
 
 
 def main() -> int:

@@ -1,0 +1,302 @@
+"""Oracle proofs for the STAGED round-13 keys (sources/staged_r13.py).
+
+Round 12's driver window is committed to the _ADDED_R12 keys plus
+stalest-evidence re-proofs, so the round-12-built surface stages
+through this round exactly as r10/r11/r12 keys staged before it —
+held to the registration bar (the driver's own `oracle.compare` hash
+gate, both fixture SFs) without touching the registry."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_scripts_spark.oracle import compare, duck_connection
+from datapipeline_scripts_spark.registry import all_queries
+from datapipeline_scripts_spark.sources.staged_r13 import STAGED
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_staged_key_matches_oracle(spark, key, sf_dir):
+    build, oracle = STAGED[key]
+    sdf = build(spark, sf_dir)
+    with duck_connection(sf_dir) as con:
+        opdf = con.execute(oracle).fetch_df()
+    report = compare(key, sdf, opdf)
+    assert report.ok, str(report)
+    assert report.spark_rows > 0
+
+
+def test_staged_r13_keys_not_registered_during_round_12():
+    """The staging invariant: the catalog is 368 this round; the r13
+    keys enter the registry only with round 13's deliberate flip."""
+    registered = set(all_queries())
+    assert len(registered) == 368
+    assert not (set(STAGED) & registered)
+
+
+def test_substring_spans_both_classes_fire():
+    """The scale-honesty bar: every verdict class must fire at fixture
+    scale. The constructed class — every doc_id % 9 == 5 doc (with an
+    existing predecessor) must pair with that predecessor at a span
+    covering most of the 12-token injected prefix; the natural class —
+    the generator's planted near-duplicates must surface as pairs far
+    longer than any injection."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _SS_INJ,
+        DEDUP_SUBSTRING_SPANS_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            d = con.execute(DEDUP_SUBSTRING_SPANS_ORACLE).fetch_df()
+            inj_ids = {
+                r[0]
+                for r in con.execute(
+                    "SELECT doc_id FROM documents WHERE doc_id % 9 = 5 AND doc_id - 1 IN "
+                    "(SELECT doc_id FROM documents)"
+                ).fetchall()
+            }
+        # every injected doc appears as the REPEATING side of some
+        # pair at >= the minimum span (the machinery fired on all of
+        # them); when the predecessor is itself a planted near-dup of
+        # an earlier doc, the prefix grams legitimately split across
+        # canonical partners, so only MOST reach the full 16-token
+        # prefix against a single partner
+        by_b = d.groupby("doc_b").max_span_tokens.max()
+        fired = {i for i in inj_ids if i in by_b.index and by_b[i] >= 10}
+        assert fired == inj_ids, (sf_dir, inj_ids - fired)
+        full = sum(1 for i in inj_ids if by_b[i] >= _SS_INJ)
+        assert full > len(inj_ids) // 2, (sf_dir, full, len(inj_ids))
+        # the natural class: planted near-duplicates yield spans far
+        # longer than any injection
+        nat = d[~d.doc_b.isin(inj_ids)]
+        assert len(nat) > 0, sf_dir
+        assert d.max_span_tokens.max() > 2 * _SS_INJ, (
+            sf_dir,
+            "planted near-duplicates should yield long natural spans",
+        )
+
+
+def test_substring_excise_accounting():
+    """Every doc reports; duplicated positions never exceed the doc;
+    both classes (clean docs, excised docs) fire; keep_bp is exact
+    integer accounting of the other two columns."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        DEDUP_SUBSTRING_EXCISE_ORACLE,
+    )
+
+    for sf_dir, n in (("/root/testdata/sf0.001", 500), ("/root/testdata/sf0.01", 500)):
+        with duck_connection(sf_dir) as con:
+            e = con.execute(DEDUP_SUBSTRING_EXCISE_ORACLE).fetch_df()
+        assert len(e) == n, sf_dir
+        assert (e.dup_tokens <= e.n_tokens).all(), sf_dir
+        assert (e.dup_tokens > 0).any() and (e.dup_tokens == 0).any(), sf_dir
+        assert (
+            e.keep_bp == (e.n_tokens - e.dup_tokens) * 10000 // e.n_tokens
+        ).all(), sf_dir
+
+
+def test_dsir_lambda_not_degenerate():
+    """The r12 probe lesson: with coarse buckets / a broad target the
+    model collapses to lam in {-1, 0} and the key grades dead
+    machinery. Pin the signal: >= 3 distinct lambda values and both
+    signs present at both SFs."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        CORPUS_DSIR_WEIGHTS_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            w = con.execute(CORPUS_DSIR_WEIGHTS_ORACLE).fetch_df()
+        assert w.lam.nunique() >= 3, (sf_dir, sorted(w.lam.unique()))
+        assert (w.lam > 0).any() and (w.lam < 0).any(), sf_dir
+        # the bound the no-overflow argument rests on
+        assert w.lam.between(-10, 20).all(), sf_dir
+
+
+def test_dsir_resample_provable_uplift():
+    """THE DSIR contract: the resampled corpus's hashed-bigram bucket
+    distribution is strictly closer (L1, integer millionths) to the
+    target distribution than the raw corpus's is — at both SFs. This
+    is the provable-uplift idiom (corpus_mixture_temperature
+    precedent): if a future edit breaks the weighting direction, the
+    mapping, or the draw, this trips before any oracle does."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _dsir_ctes_sql,
+        _dsir_resample_tail_sql,
+    )
+
+    uplift_sql = f"""
+WITH {_dsir_ctes_sql()},
+{_dsir_resample_tail_sql()},
+tgt AS (SELECT b, count(*) AS c FROM grams WHERE is_t = 1 GROUP BY b),
+rawd AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+doc_copies AS (
+  SELECT doc_id,
+         least(30000, greatest(0, 10000 + (s_shift - m) * 400)) // 10000
+           + CASE WHEN ({{u}}) < least(30000, greatest(0, 10000 + (s_shift - m) * 400)) % 10000
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM scored CROSS JOIN mean_s
+),
+res AS (SELECT g.b, sum(c.n_copies) AS c FROM grams g JOIN doc_copies c USING (doc_id) GROUP BY g.b),
+tots AS (SELECT (SELECT sum(c) FROM tgt) AS Tt, (SELECT sum(c) FROM rawd) AS Tr,
+                (SELECT sum(c) FROM res) AS Ts),
+dist AS (
+  SELECT r.b, coalesce(t.c, 0) * 1000000 // Tt AS p_t,
+         r.c * 1000000 // Tr AS p_r,
+         coalesce(s.c, 0) * 1000000 // greatest(1, Ts) AS p_s
+  FROM rawd r LEFT JOIN tgt t USING (b) LEFT JOIN res s USING (b) CROSS JOIN tots
+)
+SELECT sum(abs(p_r - p_t)) AS l1_raw, sum(abs(p_s - p_t)) AS l1_resampled FROM dist
+"""
+    from datapipeline_scripts_spark.functions.text import md5_48_sql
+
+    uplift_sql = uplift_sql.replace("{u}", f"({md5_48_sql('CAST(doc_id AS VARCHAR)')}) % 10000")
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            l1_raw, l1_res = con.execute(uplift_sql).fetchone()
+        assert l1_res < l1_raw, (sf_dir, l1_raw, l1_res)
+        # and the improvement is substantive, not a rounding artifact
+        assert l1_res * 100 < l1_raw * 95, (sf_dir, l1_raw, l1_res)
+
+
+def test_dsir_resample_upweights_target_lang():
+    """Direction check on the report itself: en docs draw more copies
+    per doc than every other lang (the target-matching behavior the
+    uplift test proves distributionally)."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        CORPUS_DSIR_RESAMPLE_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            r = con.execute(CORPUS_DSIR_RESAMPLE_ORACLE).fetch_df()
+        r = r.set_index("lang")
+        en_rate = r.loc["en", "total_copies"] / r.loc["en", "n_docs"]
+        for lang in r.index:
+            if lang != "en":
+                assert en_rate > r.loc[lang, "total_copies"] / r.loc[lang, "n_docs"], (
+                    sf_dir,
+                    lang,
+                )
+
+
+def test_band_tuning_nesting_monotonicity():
+    """Band boundaries nest, so candidates/verified must be
+    non-decreasing in band count, precision non-increasing, and the
+    8-band row's recall_bp exactly 10000 (it IS the reference set);
+    nothing may be NULL at fixture scale."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        DEDUP_MINHASH_BAND_TUNING_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            t = con.execute(DEDUP_MINHASH_BAND_TUNING_ORACLE).fetch_df()
+        t = t.sort_values("n_bands").reset_index(drop=True)
+        assert list(t.n_bands) == [2, 4, 8], sf_dir
+        assert t.n_candidates.is_monotonic_increasing, sf_dir
+        assert t.n_verified.is_monotonic_increasing, sf_dir
+        assert t.precision_bp.is_monotonic_decreasing, sf_dir
+        assert t.loc[2, "recall_bp"] == 10000, sf_dir
+        assert t.notna().all().all(), sf_dir
+        # the curve must actually curve (distinct configs behave
+        # differently) or the report grades nothing
+        assert t.n_candidates.nunique() >= 2, sf_dir
+
+
+def test_ivf_rebalance_conservation_and_split():
+    """15 kept lists + 2 split halves; the halves partition the hot
+    list exactly; kept lists are untouched; the split actually
+    improves balance (each half strictly smaller than the hot list)."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        KNN_IVF_REBALANCE_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            r = con.execute(KNN_IVF_REBALANCE_ORACLE).fetch_df()
+        kept = r[r.status == "kept"]
+        split = r[r.status == "split"]
+        assert len(kept) == 15 and len(split) == 2, sf_dir
+        assert (kept.n_before == kept.n_after).all(), sf_dir
+        assert split.n_before.nunique() == 1, sf_dir
+        hot_n = int(split.n_before.iloc[0])
+        assert int(split.n_after.sum()) == hot_n, sf_dir
+        assert (split.n_after < hot_n).all(), (sf_dir, "split must shrink the list")
+        assert r.list_id.nunique() == len(r), (sf_dir, "list ids must stay unique")
+        # total vectors conserved across the whole index
+        assert int(kept.n_after.sum()) + int(split.n_after.sum()) == 500, sf_dir
+
+
+def test_dsir_agreement_all_cells_fire():
+    """The 2x2 confusion must be non-degenerate at both SFs (the
+    dead-machinery lesson) and conserve the corpus. The signals are
+    deliberately DIFFERENT axes (margin = length-quality, DSIR =
+    domain-match) — the report's value is showing they are near-
+    orthogonal, so no association direction is pinned; instead pin
+    that the margin column behaves (accepted cells carry positive
+    summed margins, rejected negative) so a regression in either
+    chain still trips."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        QUALITY_DSIR_AGREEMENT_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            a = con.execute(QUALITY_DSIR_AGREEMENT_ORACLE).fetch_df()
+        assert len(a) == 4, (sf_dir, a)
+        assert (a.n_docs > 0).all(), sf_dir
+        assert int(a.n_docs.sum()) == 500, sf_dir
+        acc = a[a.perc_accept == 1]
+        rej = a[a.perc_accept == 0]
+        assert (acc.sum_margin > 0).all() and (rej.sum_margin < 0).all(), (sf_dir, a)
+
+
+def test_staged_r13_plan_shapes(spark, sf_dir):
+    """Staged r13 contract (keys register next round; the plan shape
+    must already be right): every builder cartesian-free; exact
+    per-scan schema pinning (the r11/r12 multiset discipline). Keys
+    whose corpus scan hides behind an eager localCheckpoint (the
+    gram table, the DSIR bucket model, the signature table, the IVF
+    assignment) pin the scans that REMAIN in the final plan."""
+    from datapipeline_scripts_spark.plans.audit import read_schemas
+    from datapipeline_scripts_spark.sources.staged_r13 import STAGED as R13
+
+    want_scans = {
+        # the gram checkpoint hides every corpus scan
+        "dedup_substring_spans": [],
+        # ntok's body construction re-reads the corpus (self + prev)
+        "dedup_substring_excise": [("doc_id", "text"), ("doc_id", "text")],
+        # the bucket-model checkpoint hides the scan
+        "corpus_dsir_weights": [],
+        # model build scan hidden; scoring re-scans grams once, the
+        # report joins the 3-column roster
+        "corpus_dsir_resample": [
+            ("doc_id",),
+            ("doc_id", "lang", "n_chars"),
+            ("doc_id", "text"),
+            ("doc_id", "text"),
+        ],
+        # the signature checkpoint hides everything
+        "dedup_minhash_band_tuning": [],
+        # the assignment checkpoint hides everything
+        "knn_ivf_rebalance": [],
+        # perceptron feature scan (doc_id, text) x2 via the shared
+        # chain + DSIR scoring scan + the doc_id rosters
+        "quality_dsir_agreement": [
+            ("doc_id",),
+            ("doc_id",),
+            ("doc_id", "text"),
+            ("doc_id", "text"),
+            ("doc_id", "text"),
+        ],
+    }
+    for key, (build, _oracle) in R13.items():
+        df = build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        schemas = read_schemas(df)
+        got = sorted(tuple(sorted(s)) for s in schemas)
+        assert got == sorted(want_scans[key]), (key, got)
