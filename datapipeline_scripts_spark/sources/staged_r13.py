@@ -110,7 +110,15 @@ Registration recipe (round 13): register all keys from ``STAGED``
 ``__spark_entry__.py``'s deferral union, staged_r13 import in
 ``registry._ensure_loaded``, freeze counts 368 -> 368+len(STAGED)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
-heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
+heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs
+(docs/BENCH_NOTES.md "Round-13 prospective").
+
+The flip was DRY-RUN in a throwaway clone at the end of round 12:
+registering the staged keys + the registry import + the
+``_ADDED_R13`` union took the catalog to 368+len(STAGED) with no
+import-order issues, and ``scripts/driver_sim.py sf0.01 50`` over the
+flipped surface passed 0/50 including every new key through the
+driver's own adapter path.
 """
 
 from __future__ import annotations
@@ -400,20 +408,31 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SUBSTRING_EXCISE_ORACLE = f"""
-WITH {_span_ctes_sql()},
+def _excise_ctes_sql() -> str:
+    """The per-doc duplicated-coverage chain (composes after
+    _span_ctes_sql; shared by the excise oracle and the
+    selection-pipeline composite so the accounting cannot fork)."""
+    return f"""
 ntok AS (SELECT doc_id, len(string_split(body, ' ')) AS n_tokens FROM bodies),
 cover AS (
   SELECT DISTINCT doc_id, pos + u.x AS p
   FROM dupg, unnest(range({_SS_K})) AS u(x)
   WHERE self_packed <> packed
 ),
-dup AS (SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id)
-SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
-       CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-       CAST((n.n_tokens - coalesce(d.dup_tokens, 0)) * 10000 // n.n_tokens AS BIGINT) AS keep_bp
-FROM ntok n LEFT JOIN dup d USING (doc_id)
-ORDER BY n.doc_id
+dupcnt AS (SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id),
+excise AS (
+  SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+         CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         CAST((n.n_tokens - coalesce(d.dup_tokens, 0)) * 10000 // n.n_tokens AS BIGINT) AS keep_bp
+  FROM ntok n LEFT JOIN dupcnt d USING (doc_id)
+)
+"""
+
+
+DEDUP_SUBSTRING_EXCISE_ORACLE = f"""
+WITH {_span_ctes_sql()},
+{_excise_ctes_sql()}
+SELECT doc_id, n_tokens, dup_tokens, keep_bp FROM excise ORDER BY doc_id
 """
 
 STAGED["dedup_substring_excise"] = (dedup_substring_excise, DEDUP_SUBSTRING_EXCISE_ORACLE)
@@ -427,10 +446,11 @@ _DSIR_SHIFT = 32  # lam is bounded in [-10, 20]; shift keeps division non-negati
 _DSIR_SLOPE = 400  # bp of weight per centi-lambda of score deviation
 
 
-def _dsir_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, source, is_t, b): one row per bigram occurrence,
-    bucketed md5_48 % B; is_t marks the target (lang='en') slice."""
-    d = load_table(spark, sf_dir, "documents")
+def _dsir_grams_of(d: DataFrame) -> DataFrame:
+    """`_dsir_grams` over an arbitrary (doc_id, lang, source, text)
+    frame — the selection-pipeline composite fits the model on the
+    dedup SURVIVORS, not the raw table; one expression set serves
+    both so the keys cannot fork features."""
     t = d.select(
         "doc_id",
         "lang",
@@ -449,13 +469,24 @@ def _dsir_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, is_t, b): one row per bigram occurrence,
+    bucketed md5_48 % B; is_t marks the target (lang='en') slice."""
+    return _dsir_grams_of(load_table(spark, sf_dir, "documents"))
+
+
 def _dsir_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(b, t_occ, r_occ, lam): integer log2 likelihood ratio of
     add-one-smoothed target vs raw bucket shares. The ratio is
     computed as (num * 1024) div den with num/den the 2^20-scaled
     shares, so no intermediate exceeds 2^31 at any corpus size and
     lam is bounded in [-10, 20] by construction."""
-    g = _dsir_grams(spark, sf_dir)
+    return _dsir_lambda_of(_dsir_grams(spark, sf_dir))
+
+
+def _dsir_lambda_of(g: DataFrame) -> DataFrame:
+    """`_dsir_lambda` over an arbitrary grams frame (the shared-
+    expression contract; see _dsir_grams_of)."""
     # EAGER: per feeds both the totals scalar and the lambda rows —
     # without the checkpoint the corpus scan + bigram hash runs twice.
     # <= B=1024 rows, trivially materialized.
@@ -494,33 +525,38 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_lambda(spark, sf_dir).orderBy("b")
 
 
-def _dsir_ctes_sql() -> str:
+def _dsir_ctes_sql(src: str = "documents", p: str = "") -> str:
+    """The model-build CTE chain over `src` (a table or CTE name with
+    documents' columns) — parameterized so the selection-pipeline
+    oracle can fit the model on the dedup survivors; `p` prefixes the
+    CTE names so the chain composes with the span CTEs (which also
+    define tok/grams) in one oracle."""
     bigram = "concat(toks[pos + 1], ' ', toks[pos + 2])"
     return f"""
-tok AS (
+{p}tok AS (
   SELECT doc_id, lang, source, n_chars, toks, len(toks) AS n_words,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
   FROM (SELECT doc_id, lang, source, n_chars, string_split({_NORM_SQL}, ' ') AS toks
-        FROM documents)
+        FROM {src})
 ),
-grams AS (
+{p}grams AS (
   SELECT doc_id, lang, source, is_t, ({md5_48_sql(bigram)}) % {_DSIR_B} AS b
   FROM (SELECT doc_id, lang, source, is_t, toks, unnest(range(n_words - 1)) AS pos
-        FROM tok WHERE n_words >= 2)
+        FROM {p}tok WHERE n_words >= 2)
 ),
-per AS (
+{p}per AS (
   SELECT b, CAST(count(*) AS BIGINT) AS r_occ,
          CAST(sum(is_t) AS BIGINT) AS t_occ
-  FROM grams GROUP BY b
+  FROM {p}grams GROUP BY b
 ),
-tot AS (SELECT sum(r_occ) AS R, sum(t_occ) AS T FROM per),
-lam AS (
+{p}tot AS (SELECT sum(r_occ) AS R, sum(t_occ) AS T FROM {p}per),
+{p}lam AS (
   SELECT b, t_occ, r_occ,
          CAST(length(bin(greatest(1,
            (((t_occ + 1) * {_DSIR_SCALE} // (T + {_DSIR_B})) * 1024)
            // greatest(1, (r_occ + 1) * {_DSIR_SCALE} // (R + {_DSIR_B}))
          ))) - 1 - 10 AS BIGINT) AS lam
-  FROM per CROSS JOIN tot
+  FROM {p}per CROSS JOIN {p}tot
 )
 """
 
@@ -605,30 +641,31 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_resample_tail_sql() -> str:
-    """The doc-score -> copies chain shared by the resample oracle and
-    the staged uplift test."""
+def _dsir_resample_tail_sql(p: str = "", doc_src: str = "documents") -> str:
+    """The doc-score -> copies chain shared by the resample oracle,
+    the staged uplift test, and (prefixed, over the dedup survivors)
+    the selection-pipeline composite."""
     u = f"({md5_48_sql('CAST(doc_id AS VARCHAR)')}) % 10000"
     w = "least(30000, greatest(0, 10000 + (s_shift - m) * {slope}))".format(
         slope=_DSIR_SLOPE
     )
     return f"""
-doc_s AS (
+{p}doc_s AS (
   SELECT doc_id, (sum(l.lam + {_DSIR_SHIFT}) * 100) // count(*) AS s_shift
-  FROM grams g JOIN lam l USING (b)
+  FROM {p}grams g JOIN {p}lam l USING (b)
   GROUP BY doc_id
 ),
-scored AS (
+{p}scored AS (
   SELECT d.doc_id, d.lang, d.n_chars,
          coalesce(s.s_shift, {100 * _DSIR_SHIFT}) AS s_shift
-  FROM documents d LEFT JOIN doc_s s USING (doc_id)
+  FROM {doc_src} d LEFT JOIN {p}doc_s s USING (doc_id)
 ),
-mean_s AS (SELECT sum(s_shift) // count(*) AS m FROM scored),
-drawn AS (
-  SELECT lang, n_chars, s_shift - m AS dev,
+{p}mean_s AS (SELECT sum(s_shift) // count(*) AS m FROM {p}scored),
+{p}drawn AS (
+  SELECT doc_id, lang, n_chars, s_shift - m AS dev,
          {w} // 10000
            + CASE WHEN {u} < {w} % 10000 THEN 1 ELSE 0 END AS n_copies
-  FROM scored CROSS JOIN mean_s
+  FROM {p}scored CROSS JOIN {p}mean_s
 )
 """
 
@@ -1020,3 +1057,132 @@ ORDER BY 1, 2
 QUALITY_DSIR_AGREEMENT_ORACLE = _agreement_oracle()
 
 STAGED["quality_dsir_agreement"] = (quality_dsir_agreement, QUALITY_DSIR_AGREEMENT_ORACLE)
+
+
+# ---- corpus_selection_pipeline -------------------------------------------------
+
+_SEL_KEEP_BP = 5000  # survive the dedup gate iff less than half duplicated
+
+
+def _dsir_doc_scores_of(d: DataFrame) -> DataFrame:
+    """`_dsir_doc_scores` over an arbitrary (doc_id, lang, source,
+    text, n_chars) frame — the model is fitted on THAT frame (the
+    composite fits on the dedup survivors, the production recipe)."""
+    g = _dsir_grams_of(d)
+    lam = _dsir_lambda_of(g).select("b", "lam").localCheckpoint(eager=True)
+    doc_s = (
+        g.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("lam") + _DSIR_SHIFT).alias("lam_sum"),
+        )
+        .select("doc_id", F.expr("(lam_sum * 100) div n_grams").alias("s_shift"))
+    )
+    return d.join(doc_s, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce("s_shift", F.lit(100 * _DSIR_SHIFT)).alias("s_shift"),
+    )
+
+
+def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe composite — the selection funnel a pretraining
+    run executes end-to-end: exact-substring dedup gate (drop docs
+    more than half duplicated, dedup_substring_excise's accounting) →
+    DSIR model FITTED ON THE SURVIVORS (the production order: dedup
+    first, or duplicated text dominates the importance model) →
+    deterministic importance resample. One row per lang: (lang,
+    n_arrived, n_kept, n_drawn, total_copies, chars_out).
+
+    Every stage reuses its standalone key's machinery by import
+    (_span_* / _excise chain, _dsir_grams_of / _dsir_lambda_of /
+    _dsir_doc_scores_of, the corpus_sample_weighted draw), so the
+    funnel cannot fork semantics from the keys that prove each stage.
+
+    Scale shape: the dedup gate is the excise key's linear
+    canonical-occurrence pass reduced to a doc_id roster join; the
+    DSIR fit/score is the B=1024-counter model over survivors; the
+    report is |langs| counters. Nothing here exceeds the standalone
+    keys' audited shapes."""
+    d = load_table(spark, sf_dir, "documents")
+    excise = dedup_substring_excise(spark, sf_dir)
+    keep_ids = excise.filter(F.col("keep_bp") >= _SEL_KEEP_BP).select("doc_id")
+    survivors = d.join(keep_ids, "doc_id").localCheckpoint(eager=True)
+    scored = _dsir_doc_scores_of(survivors)
+    mean_s = scored.agg(F.expr("sum(s_shift) div count(*)").alias("m"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        % 10000
+    )
+    w_bp = F.least(
+        F.lit(30000),
+        F.greatest(F.lit(0), F.lit(10000) + (F.col("s_shift") - F.col("m")) * _DSIR_SLOPE),
+    )
+    drawn = (
+        scored.crossJoin(F.broadcast(mean_s))
+        .withColumn("w_bp", w_bp)
+        .withColumn(
+            "n_copies",
+            F.expr("w_bp div 10000")
+            + F.when(u < F.col("w_bp") % 10000, 1).otherwise(0),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("n_copies") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_drawn"),
+            F.sum("n_copies").cast("long").alias("total_copies"),
+            F.sum(F.col("n_chars") * F.col("n_copies")).cast("long").alias("chars_out"),
+        )
+    )
+    arrived = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_arrived"))
+    return (
+        arrived.join(drawn, "lang", "left")
+        .select(
+            "lang",
+            "n_arrived",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_drawn", F.lit(0)).cast("long").alias("n_drawn"),
+            F.coalesce("total_copies", F.lit(0)).cast("long").alias("total_copies"),
+            F.coalesce("chars_out", F.lit(0)).cast("long").alias("chars_out"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_SELECTION_PIPELINE_ORACLE = f"""
+WITH {_span_ctes_sql()},
+{_excise_ctes_sql()},
+survivors AS (
+  SELECT d.doc_id, d.lang, d.source, d.text, d.n_chars
+  FROM documents d JOIN excise e USING (doc_id)
+  WHERE e.keep_bp >= {_SEL_KEEP_BP}
+),
+{_dsir_ctes_sql(src="survivors", p="d_")},
+{_dsir_resample_tail_sql(p="d_", doc_src="survivors")},
+rep AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_drawn,
+         CAST(sum(n_copies) AS BIGINT) AS total_copies,
+         CAST(sum(n_chars * n_copies) AS BIGINT) AS chars_out
+  FROM d_drawn GROUP BY lang
+),
+arrived AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_arrived FROM documents GROUP BY lang)
+SELECT a.lang, a.n_arrived,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(r.n_drawn, 0) AS BIGINT) AS n_drawn,
+       CAST(coalesce(r.total_copies, 0) AS BIGINT) AS total_copies,
+       CAST(coalesce(r.chars_out, 0) AS BIGINT) AS chars_out
+FROM arrived a LEFT JOIN rep r USING (lang)
+ORDER BY a.lang
+"""
+
+STAGED["corpus_selection_pipeline"] = (
+    corpus_selection_pipeline,
+    CORPUS_SELECTION_PIPELINE_ORACLE,
+)

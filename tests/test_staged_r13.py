@@ -292,6 +292,9 @@ def test_staged_r13_plan_shapes(spark, sf_dir):
             ("doc_id", "text"),
             ("doc_id", "text"),
         ],
+        # the survivor checkpoint hides every corpus-text scan; only
+        # the arrived-counts roster remains
+        "corpus_selection_pipeline": [("lang",)],
     }
     for key, (build, _oracle) in R13.items():
         df = build(spark, sf_dir)
@@ -300,3 +303,96 @@ def test_staged_r13_plan_shapes(spark, sf_dir):
         schemas = read_schemas(df)
         got = sorted(tuple(sorted(s)) for s in schemas)
         assert got == sorted(want_scans[key]), (key, got)
+
+
+def test_selection_pipeline_funnel_accounting():
+    """Funnel honesty at both SFs: arrivals conserve (kept <= arrived,
+    with genuine drops — the dedup stage fires), every lang is
+    present, resample copies land only on survivors, and the gate
+    threshold is live: re-running the oracle with the gate at 0 bp
+    (nothing dropped) must change the report (the per-stage tamper
+    drill)."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _SEL_KEEP_BP,
+        CORPUS_SELECTION_PIPELINE_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            r = con.execute(CORPUS_SELECTION_PIPELINE_ORACLE).fetch_df()
+            tampered = con.execute(
+                CORPUS_SELECTION_PIPELINE_ORACLE.replace(
+                    f">= {_SEL_KEEP_BP}", ">= 0"
+                )
+            ).fetch_df()
+        assert len(r) == 5, (sf_dir, r)
+        assert int(r.n_arrived.sum()) == 500, sf_dir
+        assert (r.n_kept <= r.n_arrived).all(), sf_dir
+        # the dedup gate fires somewhere
+        assert int(r.n_kept.sum()) < int(r.n_arrived.sum()), sf_dir
+        # ...but does not wipe the corpus
+        assert int(r.n_kept.sum()) > 400, sf_dir
+        assert (r.n_drawn <= r.n_kept).all(), sf_dir
+        assert (r.total_copies >= r.n_drawn).all(), sf_dir
+        # tamper drill: the gate threshold is load-bearing
+        assert not r.equals(tampered), sf_dir
+        assert int(tampered.n_kept.sum()) == 500, sf_dir
+
+
+def test_selection_pipeline_fits_model_on_survivors():
+    """The production-order pin: the composite's DSIR model is fitted
+    on the SURVIVORS, not the raw corpus — fitting on raw (the
+    tempting shortcut) must produce a DIFFERENT report at both SFs,
+    or the dedup-first ordering claim is untested."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _SEL_KEEP_BP,
+        CORPUS_SELECTION_PIPELINE_ORACLE,
+    )
+
+    raw_fit = CORPUS_SELECTION_PIPELINE_ORACLE.replace(
+        'src="survivors"', 'src="documents"'
+    )
+    # the replace above edits nothing (the src= text is python-side);
+    # rebuild the raw-fit oracle properly instead
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _dsir_ctes_sql,
+        _dsir_resample_tail_sql,
+        _excise_ctes_sql,
+        _span_ctes_sql,
+    )
+
+    raw_fit = f"""
+WITH {_span_ctes_sql()},
+{_excise_ctes_sql()},
+survivors AS (
+  SELECT d.doc_id, d.lang, d.source, d.text, d.n_chars
+  FROM documents d JOIN excise e USING (doc_id)
+  WHERE e.keep_bp >= {_SEL_KEEP_BP}
+),
+{_dsir_ctes_sql(src="documents", p="d_")},
+{_dsir_resample_tail_sql(p="d_", doc_src="survivors")},
+rep AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_drawn,
+         CAST(sum(n_copies) AS BIGINT) AS total_copies,
+         CAST(sum(n_chars * n_copies) AS BIGINT) AS chars_out
+  FROM d_drawn GROUP BY lang
+),
+arrived AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_arrived FROM documents GROUP BY lang)
+SELECT a.lang, a.n_arrived,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(r.n_drawn, 0) AS BIGINT) AS n_drawn,
+       CAST(coalesce(r.total_copies, 0) AS BIGINT) AS total_copies,
+       CAST(coalesce(r.chars_out, 0) AS BIGINT) AS chars_out
+FROM arrived a LEFT JOIN rep r USING (lang)
+ORDER BY a.lang
+"""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        CORPUS_SELECTION_PIPELINE_ORACLE as REAL,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            real = con.execute(REAL).fetch_df()
+            shortcut = con.execute(raw_fit).fetch_df()
+        assert not real.equals(shortcut), sf_dir
