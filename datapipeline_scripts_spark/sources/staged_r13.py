@@ -91,6 +91,14 @@ old one. Both machineries arrive by import (_pe_weights /
 _perceptron_features from the r11/r12 chain, the DSIR helpers above)
 so neither can fork.
 
+corpus_selection_pipeline: the data-recipe composite flagship — the
+selection funnel a pretraining run executes end-to-end: the excise
+key's dedup gate (drop docs more than half duplicated) → DSIR model
+FITTED ON THE SURVIVORS (the production order; fitting on raw
+provably changes the report, test-pinned) → deterministic importance
+resample; per-lang funnel report with conservation and gate-tamper
+pins. Every stage is its standalone key's machinery by import.
+
 Scale shapes (docs/SCALE.md §E1/E2 arguments carry over):
 - spans/excise: every duplicated occurrence links to exactly one
   canonical partner (min packed (doc, pos) per gram — one
