@@ -1418,6 +1418,36 @@ STAGED["quality_eval_perceptron"] = (
 _BPE_ITERS = 6
 
 
+def _bpe_apply_merge(vframe: DataFrame, top: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+    """Apply ONE merge (a 1-row frame with columns l, r) to a
+    symbolized frame — the positional greedy merge the trainer uses,
+    factored out so the APPLY side (tokenizer deployment: the r13
+    fertility key) runs the trainer's exact expression and cannot
+    fork. With l != r matches cannot overlap, so position i is
+    consumed iff (syms[i-1], syms[i]) matches, and emits the merged
+    symbol iff (syms[i], syms[i+1]) does."""
+    syms = F.col("syms")
+    left, right = F.col("l"), F.col("r")
+    e = lambda i: F.try_element_at(syms, i)  # noqa: E731 — null-safe indexing
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size(syms)),
+        lambda i: ~(
+            (i > F.lit(1))
+            & F.coalesce((e(i - 1) == left) & (e(i) == right), F.lit(False))
+        ),
+    )
+    newsyms = F.transform(
+        keep,
+        lambda i: F.when(
+            (e(i) == left) & F.coalesce(e(i + 1) == right, F.lit(False)),
+            F.concat(left, right),
+        ).otherwise(e(i)),
+    )
+    return vframe.crossJoin(F.broadcast(top.select("l", "r"))).select(
+        newsyms.alias("syms"), *extra
+    )
+
+
 def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared BPE learning chain: (merge rows, final symbolized
     vocabulary). The vocabulary carries (syms, freq, n_chars) so the
@@ -1467,29 +1497,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
         out = row if out is None else out.unionByName(row)
 
-        # Positional greedy merge: with l != r matches cannot overlap,
-        # so position i is consumed iff (syms[i-1], syms[i]) matches,
-        # and emits the merged symbol iff (syms[i], syms[i+1]) does.
-        syms = F.col("syms")
-        left, right = F.col("l"), F.col("r")
-        e = lambda i: F.try_element_at(syms, i)  # noqa: E731 — null-safe indexing
-        keep = F.filter(
-            F.sequence(F.lit(1), F.size(syms)),
-            lambda i: ~(
-                (i > F.lit(1))
-                & F.coalesce((e(i - 1) == left) & (e(i) == right), F.lit(False))
-            ),
-        )
-        newsyms = F.transform(
-            keep,
-            lambda i: F.when(
-                (e(i) == left) & F.coalesce(e(i + 1) == right, F.lit(False)),
-                F.concat(left, right),
-            ).otherwise(e(i)),
-        )
-        vocab = vocab.crossJoin(F.broadcast(top)).select(
-            newsyms.alias("syms"), "freq", "n_chars"
-        )
+        vocab = _bpe_apply_merge(vocab, top, ("freq", "n_chars"))
     assert out is not None
     return out, vocab
 
@@ -1512,6 +1520,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("merge_rank")
 
 
+def _bpe_apply_sql(t: int) -> str:
+    """The SQL select-expression applying merge m{t} to syms — the
+    trainer chain's exact text, shared with the apply-side oracles."""
+    return f"""list_transform(
+           list_filter(generate_series(1, len(syms)),
+             i -> NOT (i > 1 AND syms[i - 1] = m{t}.l AND syms[i] = m{t}.r)),
+           i -> CASE WHEN syms[i] = m{t}.l AND coalesce(syms[i + 1] = m{t}.r, FALSE)
+                     THEN m{t}.l || m{t}.r ELSE syms[i] END) AS syms"""
+
+
 def _bpe_chain_sql(iters: int) -> str:
     """WITH-body producing wf, v0..v{iters} (symbolized vocabulary
     after each merge) and m1..m{iters} (the merges) — shared by the
@@ -1529,11 +1547,7 @@ def _bpe_chain_sql(iters: int) -> str:
 ),
 m{t} AS (SELECT l, r, pair_freq FROM p{t} ORDER BY pair_freq DESC, l, r LIMIT 1),
 v{t} AS (
-  SELECT list_transform(
-           list_filter(generate_series(1, len(syms)),
-             i -> NOT (i > 1 AND syms[i - 1] = m{t}.l AND syms[i] = m{t}.r)),
-           i -> CASE WHEN syms[i] = m{t}.l AND coalesce(syms[i + 1] = m{t}.r, FALSE)
-                     THEN m{t}.l || m{t}.r ELSE syms[i] END) AS syms,
+  SELECT {_bpe_apply_sql(t)},
          freq, n_chars
   FROM v{t - 1}, m{t}
 )""")

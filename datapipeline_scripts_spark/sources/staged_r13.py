@@ -99,6 +99,21 @@ provably changes the report, test-pinned) → deterministic importance
 resample; per-lang funnel report with conservation and gate-tamper
 pins. Every stage is its standalone key's machinery by import.
 
+Third batch (same gate): dedup_substring_families — the cluster-
+level rollup of the span report (one row per canonical doc: family
+width, spans, max span), the boilerplate-vs-near-dup triage input;
+docs_stream_dsir_gate — the streaming twin of DSIR selection (model
+fitted offline on the reference split and FROZEN, arriving docs
+scored through a real Structured Streaming replay with one per-doc
+aggregation of state, accept = above the frozen reference mean);
+text_bpe_fertility — the APPLY side of the BPE family: the registered
+trainer's merge table applied through the trainer's exact factored
+expression (`_bpe_apply_merge` / `_bpe_apply_sql`, shared by refactor
+so train and apply cannot fork) to the per-source word table, per-
+source symbols-per-100-words and compression — cross-key-consistent
+with text_bpe_compression by test (sums reproduce the corpus totals
+exactly).
+
 Scale shapes (docs/SCALE.md §E1/E2 arguments carry over):
 - spans/excise: every duplicated occurrence links to exactly one
   canonical partner (min packed (doc, pos) per gram — one
@@ -1194,3 +1209,285 @@ STAGED["corpus_selection_pipeline"] = (
     corpus_selection_pipeline,
     CORPUS_SELECTION_PIPELINE_ORACLE,
 )
+
+
+# ---- dedup_substring_families ---------------------------------------------------
+
+
+def dedup_substring_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-level rollup of the span report — one row per
+    CANONICAL document that has at least one repeating partner:
+    (doc_a, n_repeat_docs, n_spans, max_span_tokens, dup_grams).
+    This is the family inventory a span-dedup pass publishes (which
+    sources seed duplication, how wide each family spreads) and the
+    re-crawl prioritization input: a canonical doc with hundreds of
+    repeaters is boilerplate; one with a single long-span partner is
+    a true near-duplicate.
+
+    Scale shape: one further partial-aggregable groupBy over the
+    island table (already linear in duplicated occurrences); output
+    is bounded by the number of canonical docs."""
+    isl = _span_islands(spark, sf_dir)
+    return (
+        isl.groupBy("doc_a")
+        .agg(
+            F.countDistinct("doc_b").cast("long").alias("n_repeat_docs"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.max(F.col("run") + _SS_K - 1).cast("long").alias("max_span_tokens"),
+            F.sum("run").cast("long").alias("dup_grams"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+DEDUP_SUBSTRING_FAMILIES_ORACLE = f"""
+WITH {_span_ctes_sql()}
+SELECT doc_a, CAST(count(DISTINCT doc_b) AS BIGINT) AS n_repeat_docs,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(run + {_SS_K} - 1) AS BIGINT) AS max_span_tokens,
+       CAST(sum(run) AS BIGINT) AS dup_grams
+FROM spans GROUP BY doc_a ORDER BY doc_a
+"""
+
+STAGED["dedup_substring_families"] = (
+    dedup_substring_families,
+    DEDUP_SUBSTRING_FAMILIES_ORACLE,
+)
+
+
+# ---- docs_stream_dsir_gate -------------------------------------------------------
+
+
+def docs_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl deployment shape of DSIR selection — the
+    streaming twin of corpus_dsir_resample's scoring half, beside the
+    registered docs_stream_quality_gate / docs_stream_dedup_gate in
+    the crawl front door: the DSIR model is fitted OFFLINE on the
+    reference corpus (doc_id % 10 < 7) and FROZEN (the 1024-row
+    lambda table and the scalar mean threshold), then the arriving
+    batch (doc_id % 10 >= 7) flows through a REAL Structured
+    Streaming replay: per-micro-batch codegen'd bigram explode,
+    stream-static broadcast join against the frozen lambdas, and ONE
+    streaming aggregation (complete mode) holding per-arriving-doc
+    (gram count, lambda sum) state. The accept decision (score above
+    the FROZEN reference mean) and the per-lang rollup read the
+    materialized replay batch-side. One row per lang: (lang,
+    n_arrived, n_accept, accept_bp).
+
+    Scale shape: the model is ~8 KB broadcast; streaming state is
+    |arriving docs| 3-long rows (the per-doc partial sums), the exact
+    shape a Kafka-fed selection gate holds; nothing corpus-sized
+    crosses micro-batch boundaries."""
+    import os
+
+    from datapipeline_scripts_spark.catalog import table_path
+    from datapipeline_scripts_spark.streaming.stream_jobs import _replay_to_parquet
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 10 < 7)
+    lam = _dsir_lambda_of(_dsir_grams_of(ref)).select("b", "lam").localCheckpoint(
+        eager=True
+    )
+    ref_mean = (
+        _dsir_doc_scores_of(ref)
+        .agg(F.expr("sum(s_shift) div count(*)").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+
+    path = table_path(sf_dir, "documents")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    toks = tokens(F.col("text"))
+    sgrams = (
+        stream.filter(F.col("doc_id") % 10 >= 7)
+        .select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", "lang", F.explode(ngram_join(F.col("toks"), 2)).alias("g"))
+        .select("doc_id", "lang", (md5_48(F.col("g")) % _DSIR_B).alias("b"))
+    )
+    per_doc = (
+        sgrams.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("lam") + _DSIR_SHIFT).alias("lam_sum"),
+        )
+    )
+    scored = _replay_to_parquet(spark, per_doc, mode="complete")
+    # batch-side: docs too short to gram (n_words < 2) never reach the
+    # stream aggregate — re-join the arriving roster so they report
+    # with the neutral score, exactly as the batch twin treats them
+    roster = d.filter(F.col("doc_id") % 10 >= 7).select("doc_id", "lang")
+    s_shift = F.coalesce(
+        F.expr("(lam_sum * 100) div n_grams"), F.lit(100 * _DSIR_SHIFT)
+    )
+    out = (
+        roster.join(scored.drop("lang"), "doc_id", "left")
+        .crossJoin(F.broadcast(ref_mean))
+        .select("lang", (s_shift > F.col("m")).cast("int").alias("accept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_arrived"),
+            F.sum("accept").cast("long").alias("n_accept"),
+        )
+    )
+    return out.select(
+        "lang",
+        "n_arrived",
+        "n_accept",
+        F.expr("CAST(n_accept * 10000 div n_arrived AS BIGINT)").alias("accept_bp"),
+    ).orderBy("lang")
+
+
+DOCS_STREAM_DSIR_GATE_ORACLE = f"""
+WITH ref AS (SELECT * FROM documents WHERE doc_id % 10 < 7),
+{_dsir_ctes_sql(src="ref", p="r_")},
+{_dsir_resample_tail_sql(p="r_", doc_src="ref")},
+arriving AS (SELECT * FROM documents WHERE doc_id % 10 >= 7),
+a_tok AS (
+  SELECT doc_id, lang, toks, len(toks) AS n_words
+  FROM (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks FROM arriving)
+),
+a_grams AS (
+  SELECT doc_id, lang,
+         ({md5_48_sql("concat(toks[pos + 1], ' ', toks[pos + 2])")}) % {_DSIR_B} AS b
+  FROM (SELECT doc_id, lang, toks, unnest(range(n_words - 1)) AS pos
+        FROM a_tok WHERE n_words >= 2)
+),
+a_doc_s AS (
+  SELECT doc_id, (sum(l.lam + {_DSIR_SHIFT}) * 100) // count(*) AS s_shift
+  FROM a_grams g JOIN r_lam l USING (b)
+  GROUP BY doc_id
+),
+a_scored AS (
+  SELECT a.doc_id, a.lang, coalesce(s.s_shift, {100 * _DSIR_SHIFT}) AS s_shift
+  FROM arriving a LEFT JOIN a_doc_s s USING (doc_id)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_arrived,
+       CAST(sum(CASE WHEN s_shift > (SELECT m FROM r_mean_s) THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       CAST(sum(CASE WHEN s_shift > (SELECT m FROM r_mean_s) THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS accept_bp
+FROM a_scored GROUP BY lang ORDER BY lang
+"""
+
+STAGED["docs_stream_dsir_gate"] = (docs_stream_dsir_gate, DOCS_STREAM_DSIR_GATE_ORACLE)
+
+
+# ---- text_bpe_fertility -----------------------------------------------------------
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — the APPLY side of the BPE
+    family (the registered text_bpe_train/_compression keys train and
+    measure corpus-wide; a deployed tokenizer is a frozen merge table
+    APPLIED to new text, and fertility — symbols emitted per word —
+    is the per-source diagnostic a pretraining owner reads to spot
+    sources the tokenizer serves poorly). One row per source:
+    (source, corpus_words, chars_total, symbols_total,
+    symbols_per_100w, compression_bp).
+
+    The merge table comes from the registered trainer (`_bpe_learn`,
+    eager-checkpointed — 6 rows), and each merge applies through the
+    trainer's exact positional-greedy expression
+    (`_bpe_apply_merge`, factored for exactly this reuse) over the
+    per-source word table, so train and apply cannot fork.
+
+    Scale shape: the apply side is |sources| x |vocab| rows (word-
+    level, never corpus-positional) re-symbolized against 6 broadcast
+    1-row merges — codegen'd array algebra, one groupBy(source, w)
+    shuffle up front and a |sources|-group rollup at the end."""
+    from datapipeline_scripts_spark.sources.staged_r11 import (
+        _BPE_ITERS,
+        _bpe_apply_merge,
+        _bpe_learn,
+    )
+
+    merges, _vocab = _bpe_learn(spark, sf_dir)
+    merges = merges.localCheckpoint(eager=True)
+    d = load_table(spark, sf_dir, "documents")
+    swf = (
+        d.select(
+            "source",
+            F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substr(F.col("w"), i, F.lit(1)),
+    )
+    sv = swf.select(
+        "source", chars.alias("syms"), "freq", F.length("w").cast("long").alias("n_chars")
+    )
+    for rank in range(1, _BPE_ITERS + 1):
+        top = merges.filter(F.col("merge_rank") == rank).select(
+            F.col("left_sym").alias("l"), F.col("right_sym").alias("r")
+        )
+        sv = _bpe_apply_merge(sv, top, ("source", "freq", "n_chars"))
+    return (
+        sv.groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("corpus_words"),
+            F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("chars_total"),
+            F.sum(F.col("freq") * F.size("syms")).cast("long").alias("symbols_total"),
+            F.expr("CAST(sum(freq * size(syms)) * 100 div sum(freq) AS BIGINT)").alias(
+                "symbols_per_100w"
+            ),
+            F.expr(
+                "CAST(sum(freq * size(syms)) * 10000 div sum(freq * n_chars) AS BIGINT)"
+            ).alias("compression_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _fertility_oracle() -> str:
+    from datapipeline_scripts_spark.sources.staged_r11 import (
+        _BPE_ITERS,
+        _bpe_apply_sql,
+        _bpe_chain_sql,
+    )
+
+    norm = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    applies = ",\n".join(
+        f"""s{t} AS (
+  SELECT source, {_bpe_apply_sql(t)},
+         freq, n_chars
+  FROM s{t - 1}, m{t}
+)"""
+        for t in range(1, _BPE_ITERS + 1)
+    )
+    return f"""
+WITH {_bpe_chain_sql(_BPE_ITERS)},
+swf AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest(string_split({norm}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY source, w
+),
+s0 AS (
+  SELECT source, list_transform(generate_series(1, length(w)), i -> w[i]) AS syms,
+         freq, CAST(length(w) AS BIGINT) AS n_chars
+  FROM swf
+),
+{applies}
+SELECT source, CAST(sum(freq) AS BIGINT) AS corpus_words,
+       CAST(sum(freq * n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(freq * len(syms)) AS BIGINT) AS symbols_total,
+       CAST(sum(freq * len(syms)) * 100 // sum(freq) AS BIGINT) AS symbols_per_100w,
+       CAST(sum(freq * len(syms)) * 10000 // sum(freq * n_chars) AS BIGINT) AS compression_bp
+FROM s{_BPE_ITERS} GROUP BY source ORDER BY source
+"""
+
+
+TEXT_BPE_FERTILITY_ORACLE = _fertility_oracle()
+
+STAGED["text_bpe_fertility"] = (text_bpe_fertility, TEXT_BPE_FERTILITY_ORACLE)

@@ -295,6 +295,14 @@ def test_staged_r13_plan_shapes(spark, sf_dir):
         # the survivor checkpoint hides every corpus-text scan; only
         # the arrived-counts roster remains
         "corpus_selection_pipeline": [("lang",)],
+        # the island rollup reads only the gram checkpoint
+        "dedup_substring_families": [],
+        # frozen model + replay sink are checkpointed; the arriving
+        # roster re-join is the only surviving scan
+        "docs_stream_dsir_gate": [("doc_id", "lang")],
+        # the merge table is checkpointed; the per-source word table
+        # is the one remaining corpus scan
+        "text_bpe_fertility": [("source", "text")],
     }
     for key, (build, _oracle) in R13.items():
         df = build(spark, sf_dir)
@@ -396,3 +404,70 @@ ORDER BY a.lang
             real = con.execute(REAL).fetch_df()
             shortcut = con.execute(raw_fit).fetch_df()
         assert not real.equals(shortcut), sf_dir
+
+
+def test_substring_families_consistent_with_spans():
+    """The family rollup must account for exactly the span report's
+    rows: per-canonical n_spans/dup_grams sum to the pair report's,
+    and every family has at least one repeater."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        DEDUP_SUBSTRING_FAMILIES_ORACLE,
+        DEDUP_SUBSTRING_SPANS_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            fam = con.execute(DEDUP_SUBSTRING_FAMILIES_ORACLE).fetch_df()
+            spans = con.execute(DEDUP_SUBSTRING_SPANS_ORACLE).fetch_df()
+        assert (fam.n_repeat_docs >= 1).all(), sf_dir
+        assert set(fam.doc_a) == set(spans.doc_a), sf_dir
+        assert int(fam.n_spans.sum()) == int(spans.n_spans.sum()), sf_dir
+        assert int(fam.dup_grams.sum()) == int(spans.dup_grams.sum()), sf_dir
+        by_a = spans.groupby("doc_a").max_span_tokens.max()
+        f = fam.set_index("doc_a")
+        assert all(int(f.loc[a, "max_span_tokens"]) == int(v) for a, v in by_a.items()), sf_dir
+
+
+def test_stream_dsir_gate_mix_not_degenerate():
+    """Both accept classes fire at both SFs (the frozen reference mean
+    splits the arriving distribution), and the arriving roster is
+    conserved — including docs too short to gram (they score neutral,
+    never vanish)."""
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        DOCS_STREAM_DSIR_GATE_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            g = con.execute(DOCS_STREAM_DSIR_GATE_ORACLE).fetch_df()
+            n_arriving = con.execute(
+                "SELECT count(*) FROM documents WHERE doc_id % 10 >= 7"
+            ).fetchone()[0]
+        assert int(g.n_arrived.sum()) == n_arriving, sf_dir
+        assert (g.n_accept <= g.n_arrived).all(), sf_dir
+        total_acc = int(g.n_accept.sum())
+        assert 0 < total_acc < n_arriving, (sf_dir, total_acc, n_arriving)
+
+
+def test_bpe_fertility_consistent_with_corpus_compression():
+    """Cross-key consistency: the per-source fertility report summed
+    over sources must reproduce the registered corpus-level
+    text_bpe_compression totals exactly (same merges, same apply
+    expression — factored sharing, proven here), and the tokenizer
+    must actually compress every source (symbols < chars)."""
+    from datapipeline_scripts_spark.sources.staged_r11 import (
+        TEXT_BPE_COMPRESSION_ORACLE,
+    )
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        TEXT_BPE_FERTILITY_ORACLE,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        with duck_connection(sf_dir) as con:
+            fert = con.execute(TEXT_BPE_FERTILITY_ORACLE).fetch_df()
+            comp = con.execute(TEXT_BPE_COMPRESSION_ORACLE).fetch_df()
+        assert (fert.symbols_total < fert.chars_total).all(), sf_dir
+        assert (fert.compression_bp < 10000).all() and (fert.compression_bp > 0).all(), sf_dir
+        assert int(fert.corpus_words.sum()) == int(comp.corpus_words[0]), sf_dir
+        assert int(fert.chars_total.sum()) == int(comp.chars_total[0]), sf_dir
+        assert int(fert.symbols_total.sum()) == int(comp.symbols_total[0]), sf_dir
