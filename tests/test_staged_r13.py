@@ -354,15 +354,6 @@ def test_selection_pipeline_fits_model_on_survivors():
     or the dedup-first ordering claim is untested."""
     from datapipeline_scripts_spark.sources.staged_r13 import (
         _SEL_KEEP_BP,
-        CORPUS_SELECTION_PIPELINE_ORACLE,
-    )
-
-    raw_fit = CORPUS_SELECTION_PIPELINE_ORACLE.replace(
-        'src="survivors"', 'src="documents"'
-    )
-    # the replace above edits nothing (the src= text is python-side);
-    # rebuild the raw-fit oracle properly instead
-    from datapipeline_scripts_spark.sources.staged_r13 import (
         _dsir_ctes_sql,
         _dsir_resample_tail_sql,
         _excise_ctes_sql,
