@@ -389,3 +389,57 @@ def test_shingles_matches_python_model(spark, tok_lists):
         for t in tok_lists
     ]
     assert got == want
+
+
+def _py_bpe_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python model of the positional greedy merge (l != r, so
+    matches cannot overlap): position i is consumed iff
+    (syms[i-1], syms[i]) matches, and emits the merged symbol iff
+    (syms[i], syms[i+1]) does."""
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([("a", "b"), ("b", "a"), ("c", "a"), ("ab", "c")]),
+)
+def test_bpe_apply_merge_matches_python_model(spark, sym_lists, pair):
+    """The shared trainer/apply merge expression (`_bpe_apply_merge`,
+    staged_r11 — imported by the r13 fertility key) against a direct
+    scan-left Python model on arbitrary symbol sequences, including
+    repeated and overlapping-looking runs (aaab, abab, …). Also pins
+    the two invariants the fertility accounting rests on: symbol count
+    never increases, and concatenation is preserved."""
+    from pyspark.sql import Row
+
+    from datapipeline_scripts_spark.sources.staged_r11 import _bpe_apply_merge
+
+    left, right = pair
+    df = spark.createDataFrame(
+        [Row(syms=s, idx=i) for i, s in enumerate(sym_lists)],
+        schema="syms array<string>, idx long",
+    )
+    top = spark.createDataFrame([Row(l=left, r=right)], schema="l string, r string")
+    got = {
+        r["idx"]: list(r["syms"])
+        for r in _bpe_apply_merge(df, top, ("idx",)).collect()
+    }
+    for i, s in enumerate(sym_lists):
+        want = _py_bpe_merge(s, left, right)
+        assert got[i] == want, (s, pair, got[i], want)
+        assert len(got[i]) <= len(s)
+        assert "".join(got[i]) == "".join(s)
