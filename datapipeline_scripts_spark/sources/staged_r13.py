@@ -46,9 +46,11 @@ recipe, integer-exact end-to-end. Bigrams hash into B=1024 buckets
 "match English Wikipedia" shape); per-bucket lambda is the integer
 log2 likelihood ratio of add-one-smoothed target vs raw shares
 (ilog2 via length(bin(x)) - 1, identical in Spark and DuckDB; the
-ratio arithmetic is ordered so no intermediate exceeds 2^31 — the
-hash-sum-overflow lesson applied by construction, and lam is bounded
-in [-10, 20] at ANY corpus size). A document's score is its
+ratio arithmetic divides before multiplying, so the quotient shares
+are <= 2^20 and the scaled numerator <= 2^30, while the raw products
+(t_occ + 1) * 2^20 stay inside BIGINT for per-bucket counts up to
+~2^43 — the hash-sum-overflow lesson applied by construction, and
+lam is bounded in [-10, 20] at ANY corpus size). A document's score is its
 occurrence-weighted mean lambda (computed on the +32-shifted value so
 integer division never sees a negative operand — Spark `div`
 truncates toward zero while DuckDB `//` floors, and they agree only
@@ -169,6 +171,9 @@ from datapipeline_scripts_spark.functions.text import (
 STAGED: dict[str, tuple] = {}
 
 _NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# The span-bodies chain coalesces NULL text to '' (matching the Spark
+# side — see _span_bodies) so the injection CASE cannot fork on NULLs.
+_NORM_SAFE_SQL = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
 
 
 # ---- dedup_substring_spans ---------------------------------------------------
@@ -200,16 +205,23 @@ def _span_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, body): normalized text, with the constructed 16-token
     predecessor-prefix injection for doc_id % 9 == 5 (the refetch
     idiom — guarantees the long-span class fires at every SF; the
-    fixtures' planted near-duplicates provide the natural class)."""
+    fixtures' planted near-duplicates provide the natural class).
+
+    NULL text is coalesced to '' on BOTH engines (ADVICE r12): without
+    it Spark's concat_ws over a null token slice yields '' (non-null,
+    so the injection branch fires) while DuckDB's
+    array_to_string(string_split(NULL)) yields NULL and skips it —
+    a cross-engine fork on any corpus with NULL bodies."""
     d = load_table(spark, sf_dir, "documents")
+    safe_text = F.coalesce(F.col("text"), F.lit(""))
     prev = d.select(
         (F.col("doc_id") + 1).alias("doc_id"),
         F.concat_ws(
-            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, _SS_INJ)
+            " ", F.slice(F.split(normalize_text(safe_text), " "), 1, _SS_INJ)
         ).alias("inj"),
     )
     return (
-        d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        d.select("doc_id", normalize_text(safe_text).alias("norm"))
         .join(prev, "doc_id", "left")
         .select(
             "doc_id",
@@ -238,7 +250,15 @@ def _dup_gram_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     100x proxy's ~100-member text families) makes the output grow
     linearly, not quadratically, and no doc-frequency cap exists to
     saturate."""
-    bodies = _span_bodies(spark, sf_dir)
+    return _dup_gram_occurrences_of(_span_bodies(spark, sf_dir))
+
+
+def _dup_gram_occurrences_of(bodies: DataFrame) -> DataFrame:
+    """`_dup_gram_occurrences` over an arbitrary (doc_id, body) frame —
+    the excise key checkpoints the bodies frame once and feeds it to
+    both its n_tokens leg and this chain (ADVICE r12: without the
+    shared frame the normalized-text + injection build ran two full
+    corpus scans per excise run)."""
     toks = bodies.select("doc_id", F.split("body", " ").alias("toks")).filter(
         F.size("toks") >= _SS_K
     )
@@ -325,7 +345,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _span_ctes_sql() -> str:
     gram = "concat(" + ", ' ', ".join(f"toks[pos + {i + 1}]" for i in range(_SS_K)) + ")"
     return f"""
-raw AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+raw AS (SELECT doc_id, {_NORM_SAFE_SQL} AS norm FROM documents),
 prev AS (
   SELECT doc_id + 1 AS doc_id,
          array_to_string(string_split(norm, ' ')[1:{_SS_INJ}], ' ') AS inj
@@ -402,11 +422,14 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     both); the canonical occurrence itself is what survives. The
     union is distinct, so overlapping occurrences never
     double-count."""
-    bodies = _span_bodies(spark, sf_dir)
+    # EAGER: bodies feeds BOTH the n_tokens leg and the gram chain —
+    # without the checkpoint the normalized-text + injection build
+    # runs two full corpus scans per excise run (ADVICE r12).
+    bodies = _span_bodies(spark, sf_dir).localCheckpoint(eager=True)
     ntok = bodies.select(
         "doc_id", F.size(F.split("body", " ")).cast("long").alias("n_tokens")
     )
-    dup = _dup_gram_occurrences(spark, sf_dir)
+    dup = _dup_gram_occurrences_of(bodies)
     cover = (
         dup.filter(F.col("self_packed") != F.col("packed"))
         .select(
@@ -502,8 +525,10 @@ def _dsir_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(b, t_occ, r_occ, lam): integer log2 likelihood ratio of
     add-one-smoothed target vs raw bucket shares. The ratio is
     computed as (num * 1024) div den with num/den the 2^20-scaled
-    shares, so no intermediate exceeds 2^31 at any corpus size and
-    lam is bounded in [-10, 20] by construction."""
+    quotient shares (each <= 2^20, so the scaled numerator <= 2^30);
+    the raw products (t_occ + 1) * 2^20 stay inside BIGINT for
+    per-bucket occurrence counts up to ~2^43, and lam is bounded in
+    [-10, 20] by construction."""
     return _dsir_lambda_of(_dsir_grams(spark, sf_dir))
 
 
@@ -596,25 +621,12 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda per doc, on the +{shift} shifted value so the integer
     division never sees a negative operand (Spark div truncates
     toward zero, DuckDB // floors — they agree only on
-    non-negatives)."""
-    g = _dsir_grams(spark, sf_dir)
-    lam = _dsir_lambda(spark, sf_dir).select("b", "lam").localCheckpoint(eager=True)
-    doc_s = (
-        g.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.col("lam") + _DSIR_SHIFT).alias("lam_sum"),
-        )
-        .select("doc_id", F.expr("(lam_sum * 100) div n_grams").alias("s_shift"))
-    )
-    d = load_table(spark, sf_dir, "documents")
-    return d.join(doc_s, "doc_id", "left").select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.coalesce("s_shift", F.lit(100 * _DSIR_SHIFT)).alias("s_shift"),
-    )
+    non-negatives).
+
+    Delegates to _dsir_doc_scores_of (ADVICE r12): one code path, so
+    the grams frame is built ONCE per run and the raw-corpus and
+    survivors-corpus scorers cannot drift."""
+    return _dsir_doc_scores_of(load_table(spark, sf_dir, "documents"))
 
 
 def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,8 +1102,14 @@ _SEL_KEEP_BP = 5000  # survive the dedup gate iff less than half duplicated
 def _dsir_doc_scores_of(d: DataFrame) -> DataFrame:
     """`_dsir_doc_scores` over an arbitrary (doc_id, lang, source,
     text, n_chars) frame — the model is fitted on THAT frame (the
-    composite fits on the dedup survivors, the production recipe)."""
-    g = _dsir_grams_of(d)
+    composite fits on the dedup survivors, the production recipe).
+
+    EAGER: the grams frame feeds BOTH the lambda model build and the
+    scoring join — without the checkpoint the corpus scan + tokenize
+    + md5 runs twice per consuming key (ADVICE r12). The rows are
+    narrow (ids + one bucket int), the compute-once contract the
+    module's other checkpoints follow."""
+    g = _dsir_grams_of(d).localCheckpoint(eager=True)
     lam = _dsir_lambda_of(g).select("b", "lam").localCheckpoint(eager=True)
     doc_s = (
         g.join(F.broadcast(lam), "b")

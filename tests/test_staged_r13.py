@@ -39,7 +39,7 @@ def test_substring_spans_both_classes_fire():
     """The scale-honesty bar: every verdict class must fire at fixture
     scale. The constructed class — every doc_id % 9 == 5 doc (with an
     existing predecessor) must pair with that predecessor at a span
-    covering most of the 12-token injected prefix; the natural class —
+    covering most of the 16-token injected prefix; the natural class —
     the generator's planted near-duplicates must surface as pairs far
     longer than any injection."""
     from datapipeline_scripts_spark.sources.staged_r13 import (
@@ -267,29 +267,29 @@ def test_staged_r13_plan_shapes(spark, sf_dir):
     want_scans = {
         # the gram checkpoint hides every corpus scan
         "dedup_substring_spans": [],
-        # ntok's body construction re-reads the corpus (self + prev)
-        "dedup_substring_excise": [("doc_id", "text"), ("doc_id", "text")],
+        # the shared bodies checkpoint (ADVICE r12) hides every
+        # corpus scan — ntok and the gram chain read the same frame
+        "dedup_substring_excise": [],
         # the bucket-model checkpoint hides the scan
         "corpus_dsir_weights": [],
-        # model build scan hidden; scoring re-scans grams once, the
-        # report joins the 3-column roster
+        # the shared grams checkpoint (ADVICE r12) hides both the
+        # model-build and scoring text scans; only the doc_id roster
+        # and the 3-column report join remain
         "corpus_dsir_resample": [
             ("doc_id",),
             ("doc_id", "lang", "n_chars"),
-            ("doc_id", "text"),
-            ("doc_id", "text"),
         ],
         # the signature checkpoint hides everything
         "dedup_minhash_band_tuning": [],
         # the assignment checkpoint hides everything
         "knn_ivf_rebalance": [],
-        # perceptron feature scan (doc_id, text) x2 via the shared
-        # chain + DSIR scoring scan + the doc_id rosters
+        # the perceptron margin scan is the one surviving text scan
+        # (the weights checkpoint hides the training leg; the shared
+        # grams checkpoint, ADVICE r12, hides the DSIR text scans);
+        # plus the two doc_id rosters the score join reads
         "quality_dsir_agreement": [
             ("doc_id",),
             ("doc_id",),
-            ("doc_id", "text"),
-            ("doc_id", "text"),
             ("doc_id", "text"),
         ],
         # the survivor checkpoint hides every corpus-text scan; only
