@@ -227,7 +227,28 @@ _ADDED_R12 = {
     "corpus_mixture_temperature",
 }
 
-_DEFERRED = _ADDED_R3 | _ADDED_R8 | _ADDED_R9 | _ADDED_R10 | _ADDED_R11 | _ADDED_R12
+# Round-13 additions (the eleven keys staged through the r12 freeze
+# in sources/staged_r13.py, flipped live after CORRECTNESS_r12 closed
+# the gate 368/368): exact duplicate-span detection and its excise
+# accounting (Lee et al. 2107.06499, canonical-first-occurrence form),
+# span families rollup, DSIR importance weights + deterministic
+# resample (Xie et al. 2302.03169, integer-exact), the streaming DSIR
+# gate, MinHash band tuning (the LSH operating curve), IVF hot-list
+# rebalance, DSIR-vs-perceptron agreement, BPE fertility (apply side),
+# and the corpus_selection_pipeline composite flagship.
+_ADDED_R13 = {
+    "dedup_substring_spans", "dedup_substring_excise",
+    "corpus_dsir_weights", "corpus_dsir_resample",
+    "dedup_minhash_band_tuning", "knn_ivf_rebalance",
+    "quality_dsir_agreement", "corpus_selection_pipeline",
+    "dedup_substring_families", "docs_stream_dsir_gate",
+    "text_bpe_fertility",
+}
+
+_DEFERRED = (
+    _ADDED_R3 | _ADDED_R8 | _ADDED_R9 | _ADDED_R10 | _ADDED_R11 | _ADDED_R12
+    | _ADDED_R13
+)
 
 
 def _ordered_keys() -> list[str]:

@@ -155,6 +155,19 @@ BENCH_KEYS = (
     "dedup_minhash_store_incremental",
     "docs_stream_quality_gate",
     "web_host_pagerank",
+    # round-13 registrations (VERDICT r12 order 4): the four heavy/
+    # representative new shapes — exact duplicate-span detection
+    # (canonical-first-occurrence form), the deterministic DSIR
+    # resample, the MinHash band-tuning operating curve (3× the
+    # registered banded join), and the corpus_selection_pipeline
+    # composite flagship (excise gate → survivor-fitted DSIR →
+    # resample). Probed warm at sf0.1 before inclusion
+    # (docs/BENCH_NOTES.md "Round-13 prospective": 2.44 / 1.71 /
+    # 2.60 / 4.55 s).
+    "dedup_substring_spans",
+    "corpus_dsir_resample",
+    "dedup_minhash_band_tuning",
+    "corpus_selection_pipeline",
 )
 
 

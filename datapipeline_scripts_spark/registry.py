@@ -67,6 +67,6 @@ def _ensure_loaded() -> None:
         return
     from datapipeline_scripts_spark import operators, extensions, streaming  # noqa: F401
     from datapipeline_scripts_spark.pipeline import roundtrip  # noqa: F401
-    from datapipeline_scripts_spark.sources import bucketed_query, compaction, format_queries, pysource, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12  # noqa: F401
+    from datapipeline_scripts_spark.sources import bucketed_query, compaction, format_queries, pysource, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13  # noqa: F401
 
     _LOADED = True

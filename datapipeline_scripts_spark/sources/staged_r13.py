@@ -1509,3 +1509,24 @@ FROM s{_BPE_ITERS} GROUP BY source ORDER BY source
 TEXT_BPE_FERTILITY_ORACLE = _fertility_oracle()
 
 STAGED["text_bpe_fertility"] = (text_bpe_fertility, TEXT_BPE_FERTILITY_ORACLE)
+
+
+# ---- round-13 registration flip ---------------------------------------------
+#
+# The deliberate flip (this module's docstring "Registration recipe",
+# dry-run in a throwaway clone at the end of round 12): every staged
+# key enters the registry, catalog 368 → 379. Programmatic
+# registration over STAGED is the decorator applied in a loop — the
+# oracles live below their builders in this module, so decorating at
+# definition sites would force every oracle above its function. The
+# STAGED dict stays authoritative for tests/test_staged_r13.py's
+# both-SF hash gate; registering from it guarantees the registry and
+# the staged proofs can never cover different (builder, oracle) pairs.
+
+_R13_CORE = {"corpus_selection_pipeline"}
+
+from datapipeline_scripts_spark.registry import query as _query  # noqa: E402
+
+for _key, (_fn, _oracle) in STAGED.items():
+    _query(_key, oracle=_oracle, tier="core" if _key in _R13_CORE else "ext")(_fn)
+del _key, _fn, _oracle

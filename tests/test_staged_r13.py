@@ -1,10 +1,10 @@
-"""Oracle proofs for the STAGED round-13 keys (sources/staged_r13.py).
+"""Oracle proofs for the round-13 keys (sources/staged_r13.py).
 
-Round 12's driver window is committed to the _ADDED_R12 keys plus
-stalest-evidence re-proofs, so the round-12-built surface stages
-through this round exactly as r10/r11/r12 keys staged before it —
-held to the registration bar (the driver's own `oracle.compare` hash
-gate, both fixture SFs) without touching the registry."""
+Built and staged during round 12 (held to the registration bar — the
+driver's own `oracle.compare` hash gate, both fixture SFs — without
+touching the registry), then flipped live in round 13: the STAGED
+dict stays authoritative, and the registration test below pins that
+the registry carries exactly these (builder, oracle) pairs."""
 
 from __future__ import annotations
 
@@ -27,12 +27,18 @@ def test_staged_key_matches_oracle(spark, key, sf_dir):
     assert report.spark_rows > 0
 
 
-def test_staged_r13_keys_not_registered_during_round_12():
-    """The staging invariant: the catalog is 368 this round; the r13
-    keys enter the registry only with round 13's deliberate flip."""
-    registered = set(all_queries())
-    assert len(registered) == 368
-    assert not (set(STAGED) & registered)
+def test_r13_keys_registered_with_correct_builders():
+    """Round 13 flipped the staged keys live: every STAGED key must be
+    in the registry, bound to the SAME builder and oracle the proofs
+    above ran (the decorating-the-wrong-function failure mode breaks
+    the driver contract silently), and the catalog is 379 (368 + the
+    eleven round-13 registrations)."""
+    specs = all_queries()
+    assert len(specs) == 379
+    for key, (fn, oracle) in STAGED.items():
+        assert key in specs, key
+        assert specs[key].build is fn, key
+        assert specs[key].oracle == oracle, key
 
 
 def test_substring_spans_both_classes_fire():

@@ -30,10 +30,10 @@ def test_r8_keys_registered_with_correct_builders():
     """Round 8 flipped the staged keys live: every STAGED key must be
     in the registry, bound to the SAME builder and oracle the proofs
     above ran (the decorating-the-wrong-function failure mode breaks
-    the driver contract silently), and the catalog is 368 (350 + the
-    eighteen round-12 registrations)."""
+    the driver contract silently), and the catalog is 379 (368 + the
+    eleven round-13 registrations)."""
     specs = all_queries()
-    assert len(specs) == 368
+    assert len(specs) == 379
     for key, (fn, oracle) in STAGED.items():
         assert key in specs, key
         assert specs[key].build is fn, key
