@@ -33,8 +33,9 @@ from datapipeline_scripts_spark.sources.staged_r10 import STAGED as STAGED_R10
 from datapipeline_scripts_spark.sources.staged_r11 import STAGED as STAGED_R11
 from datapipeline_scripts_spark.sources.staged_r12 import STAGED as STAGED_R12
 from datapipeline_scripts_spark.sources.staged_r13 import STAGED as STAGED_R13
+from datapipeline_scripts_spark.sources.staged_r14 import STAGED as STAGED_R14
 
-STAGED = {**STAGED_R9, **STAGED_R10, **STAGED_R11, **STAGED_R12, **STAGED_R13}
+STAGED = {**STAGED_R9, **STAGED_R10, **STAGED_R11, **STAGED_R12, **STAGED_R13, **STAGED_R14}
 
 
 def main() -> int:

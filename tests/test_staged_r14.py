@@ -1,0 +1,204 @@
+"""Oracle proofs for the STAGED round-14 keys (sources/staged_r14.py).
+
+Round 13's driver window is committed to the _ADDED_R13 keys plus
+stalest-evidence re-proofs, so the round-13-built surface (the PII
+detection / redaction / anonymization family + the integer-exact IVF
+training step) stages through this round exactly as r10-r13 keys
+staged before it — held to the registration bar (the driver's own
+`oracle.compare` hash gate, both fixture SFs) without touching the
+registry."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_scripts_spark.oracle import compare, duck_connection
+from datapipeline_scripts_spark.registry import all_queries
+from datapipeline_scripts_spark.sources.staged_r14 import STAGED
+
+_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", _SFS)
+def test_staged_key_matches_oracle(spark, key, sf_dir):
+    build, oracle = STAGED[key]
+    sdf = build(spark, sf_dir)
+    with duck_connection(sf_dir) as con:
+        opdf = con.execute(oracle).fetch_df()
+    report = compare(key, sdf, opdf)
+    assert report.ok, str(report)
+    assert report.spark_rows > 0
+
+
+def test_staged_r14_keys_not_registered_during_round_13():
+    """The staging invariant: the catalog is 379 this round; the r14
+    keys enter the registry only with round 14's deliberate flip."""
+    registered = set(all_queries())
+    assert len(registered) == 379
+    assert not (set(STAGED) & registered)
+
+
+def test_detect_every_class_fires():
+    """Scale-honesty lesson 3: the fixtures carry NO natural PII, so
+    the constructed classes must ALL fire at every SF — a class whose
+    n_spans is 0 means the injection or its regex is dead machinery."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _PII_CLASSES,
+        PII_DETECT_CLASSES_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            d = con.execute(PII_DETECT_CLASSES_ORACLE).fetch_df()
+        per_class = d.groupby("pii_class").n_spans.sum()
+        for k in _PII_CLASSES:
+            assert per_class[k] > 0, (sf_dir, k)
+        # the multi-class docs make ipv4 and email co-fire: both
+        # classes carry MORE spans than their dedicated doc share
+        assert per_class["email"] > per_class["phone"], sf_dir
+        assert per_class["ipv4"] > per_class["phone"], sf_dir
+
+
+def test_gate_both_drop_reasons_fire_and_conserve():
+    """Both gate verdicts must fire (SSN unconditional, density bar),
+    survivors must exist, and the funnel must conserve arrivals."""
+    from datapipeline_scripts_spark.sources.staged_r14 import PII_GATE_FILTER_ORACLE
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            g = con.execute(PII_GATE_FILTER_ORACLE).fetch_df()
+        assert int(g.n_drop_ssn.sum()) > 0, sf_dir
+        assert int(g.n_drop_density.sum()) > 0, sf_dir
+        assert int(g.n_kept.sum()) > 0, sf_dir
+        assert (
+            g.n_arrived == g.n_kept + g.n_drop_ssn + g.n_drop_density
+        ).all(), sf_dir
+        assert int(g.n_arrived.sum()) == 500, sf_dir
+
+
+def test_residual_audit_zero_after_and_tamper_drill():
+    """The audit must read 0 residual spans per class after the full
+    chain — and the drill must be able to fire: dropping the ipv4
+    stage from the chain must surface exactly ipv4's residuals (the
+    per-stage oracle tamper discipline; an audit that cannot go
+    nonzero proves nothing)."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _residual_oracle,
+        PII_RESIDUAL_AUDIT_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            r = con.execute(PII_RESIDUAL_AUDIT_ORACLE).fetch_df().set_index("pii_class")
+            t = con.execute(_residual_oracle(skip=("ipv4",))).fetch_df().set_index(
+                "pii_class"
+            )
+        assert (r.n_spans_before > 0).all(), sf_dir
+        assert (r.n_spans_after == 0).all(), sf_dir
+        assert t.loc["ipv4", "n_spans_after"] == r.loc["ipv4", "n_spans_before"], sf_dir
+        for k in ("email", "phone", "ssn"):
+            assert t.loc[k, "n_spans_after"] == 0, (sf_dir, k)
+
+
+def test_anonymize_consistency_machinery_fires():
+    """The pseudonymization invariants: surrogate count == email count
+    (no collisions at fixture scale), and the REUSE machinery is
+    live — one address provably spans multiple docs and sources
+    (max_global_reuse >= 2, n_cross_source_emails >= 1). A
+    per-source reuse count would be structurally 1 on these fixtures
+    (the dead-machinery trap this key's design note records)."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        PII_ANONYMIZE_CONSISTENT_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            a = con.execute(PII_ANONYMIZE_CONSISTENT_ORACLE).fetch_df()
+        assert (a.n_distinct_emails == a.n_distinct_surrogates).all(), sf_dir
+        assert int(a.max_global_reuse.max()) >= 2, sf_dir
+        assert int(a.n_cross_source_emails.sum()) >= 1, sf_dir
+        assert int(a.n_mentions.sum()) > 0, sf_dir
+
+
+def test_privacy_pipeline_funnel_accounting():
+    """Composite honesty: arrivals conserve, the gate fires, the kept
+    set still carries redactable PII (spans_removed > 0 — the
+    pipeline provably rewrites, not just drops), and the gate
+    threshold is live: re-running the oracle with an infinite density
+    bar must change the report."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _PII_MAX_BP,
+        PRIVACY_PIPELINE_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            p = con.execute(PRIVACY_PIPELINE_ORACLE).fetch_df()
+            tampered = con.execute(
+                PRIVACY_PIPELINE_ORACLE.replace(f"> {_PII_MAX_BP}", "> 1000000")
+            ).fetch_df()
+        assert int(p.n_arrived.sum()) == 500, sf_dir
+        assert (p.n_arrived == p.n_kept + p.n_gated_out).all(), sf_dir
+        assert int(p.n_gated_out.sum()) > 0, sf_dir
+        assert int(p.spans_removed.sum()) > 0, sf_dir
+        assert int(p.chars_removed.sum()) > 0, sf_dir
+        assert not p.equals(tampered), sf_dir
+
+
+def test_ivf_train_int_moves_and_conserves():
+    """The Lloyd step must be live: membership conserves across the
+    re-centering (sum n_before == sum n_after == |vectors|) and at
+    least one vector provably moves lists (a training step that
+    changes nothing is dead machinery). The quantized components must
+    also sit far inside the _IVT_SHIFT bound the shifted division
+    depends on."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _IVT_S,
+        _IVT_SHIFT,
+        KNN_IVF_TRAIN_INT_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            k = con.execute(KNN_IVF_TRAIN_INT_ORACLE).fetch_df()
+            mx = con.execute(
+                f"""SELECT max(list_max(list_transform(embedding,
+                      x -> abs(CAST(floor(CAST(x AS DOUBLE) * {_IVT_S} + 0.5) AS BIGINT)))))
+                    FROM embeddings"""
+            ).fetchone()[0]
+        assert len(k) == 16, sf_dir
+        assert int(k.n_before.sum()) == int(k.n_after.sum()), sf_dir
+        assert int(k.n_before.sum()) == 500, sf_dir
+        assert int(k.n_moved_out.sum()) > 0, sf_dir
+        assert mx < _IVT_SHIFT, (sf_dir, mx)
+
+
+def test_stream_gate_matches_batch_policy():
+    """The streaming gate's oracle is the batch gate restricted to the
+    arriving split — the policy (SSN + density bar) must agree with
+    pii_gate_filter's on that split, so the two keys cannot fork."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        DOCS_STREAM_PII_GATE_ORACLE,
+        PII_GATE_FILTER_ORACLE,
+    )
+
+    batch_on_arrivals = PII_GATE_FILTER_ORACLE.replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 10 >= 7)"
+    )
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            s = con.execute(DOCS_STREAM_PII_GATE_ORACLE).fetch_df()
+            b = con.execute(batch_on_arrivals).fetch_df()
+        assert (s.n_arrived == b.n_arrived).all(), sf_dir
+        assert (s.n_blocked == b.n_drop_ssn + b.n_drop_density).all(), sf_dir
+
+
+def test_staged_r14_plan_shapes(spark):
+    """No CartesianProduct in any staged key's executed plan (the
+    knn key's K-row centroid table rides a broadcast join)."""
+    sf_dir = "/root/testdata/sf0.001"
+    for key, (build, _oracle) in sorted(STAGED.items()):
+        df = build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
