@@ -208,13 +208,46 @@ def main() -> None:
         "sf": float(sf) if sf else sf_dir,
     }
     out.update(_shared_set_vs_previous(timings))
+    out.update(_vs_quiet_baseline(timings, out["sf"]))
     # one-line drift context for readers of BENCH_r*.json: raw
     # cross-round ratios on this VM conflate code and box; the
     # controlled same-box code-for-code attribution method and its
     # per-round measurements live in docs/BENCH_NOTES.md (ADVICE r04:
     # no round-specific figures here, they go stale)
-    out["bench_note"] = "cross-round ratios include VM drift; docs/BENCH_NOTES.md has the same-box code-for-code attribution"
+    out["bench_note"] = "cross-round ratios include VM drift; quiet_baseline_ratio compares against the canonical quiet-box table (docs/QUIET_BASELINE_r13.json); docs/BENCH_NOTES.md has the same-box code-for-code attribution"
     print(json.dumps(out), flush=True)
+
+
+def _vs_quiet_baseline(timings: dict[str, float], sf) -> dict:
+    """Renormalized comparison (VERDICT r12 item 5): the raw
+    cross-round ratios conflate code with VM drift, so also report
+    this run against the checked-in CANONICAL quiet-box per-key table
+    (docs/QUIET_BASELINE_r13.json — idle box, best-of-5 warm,
+    recorded round 13; docs/BENCH_NOTES.md documents the protocol).
+    A mover is real only if it also exceeds its quiet-baseline row on
+    a quiet box. Best-effort: silent no-op if the table is absent."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "docs", "QUIET_BASELINE_r13.json")
+    try:
+        with open(path) as fh:
+            baseline = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if baseline.get("sf") != sf:
+        # the table is an sf0.1 quiet reading; a different-SF run has
+        # no apples-to-apples row to compare against
+        return {}
+    base = baseline.get("queries", {})
+    shared = sorted(set(timings) & set(base))
+    if not shared:
+        return {}
+    cur = round(sum(timings[k] for k in shared), 3)
+    ref = round(sum(base[k] for k in shared), 3)
+    return {
+        "quiet_baseline_keys": len(shared),
+        "quiet_baseline_total": ref,
+        "quiet_baseline_ratio": round(cur / ref, 3) if ref else None,
+    }
 
 
 def _shared_set_vs_previous(timings: dict[str, float]) -> dict:
