@@ -99,7 +99,14 @@ Registration recipe (round 14): register all keys from ``STAGED``
 ``__spark_entry__.py``'s deferral union, staged_r14 import in
 ``registry._ensure_loaded``, freeze counts 379 -> 379+len(STAGED)
 across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
-heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs.
+heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs
+(docs/BENCH_NOTES.md "Round-14 prospective").
+
+The flip was DRY-RUN in a throwaway clone at the end of round 13:
+registering the staged keys + the registry import + the
+``_ADDED_R14`` union took the catalog to 388 with no import-order
+issues, and ``scripts/driver_sim.py sf0.01 50`` over the flipped
+surface passed 0/50 with all nine new keys in the window head.
 """
 
 from __future__ import annotations
