@@ -80,6 +80,20 @@ zero, DuckDB // floors), and reassigns against the integer centroids:
 bit-reproducible across engines at any parallelism, the registrable
 form of the same maintenance operation.
 
+dedup_semantic_crowding: the SemDeDup-shaped centroid-crowding report
+(Abbas et al., arXiv:2303.09540) — every vector assigns to its
+nearest seed centroid and members whose cosine to the CENTROID clears
+0.95 are the near-duplicates a semantic dedup pass prunes (keep one
+per list). Integer-exact cosine via 2^8 quantization and a squared
+comparison (dot^2 * 10^4 >= t^2*10^4 * |q|^2 * |c|^2 — no sqrt, no
+float), and the crowding form is member-to-PROTOTYPE only: linear in
+members under any duplication profile, never pairwise-within-cluster
+(the canonical-partner lesson applied to vectors). The fixtures'
+embeddings are near-orthogonal, so the crowding class is CONSTRUCTED
+(vec_id % 125 == 7 carries seed (vec_id % 16)'s embedding scaled by
+2 + vec_id % 3 — the scaling makes the cosine semantics load-bearing:
+a dot-threshold bug rejects the scaled copies).
+
 Scale shapes:
 - The PII keys are single-scan codegen'd projections + one groupBy on
   (source|lang|class): no joins, no explodes beyond per-mention email
@@ -93,6 +107,12 @@ Scale shapes:
   (array-local zip_with, no explode); recentering is one
   partial-aggregable groupBy over (K x dims) cells; the model that
   ships is K rows.
+- dedup_semantic_crowding: |vectors| x K broadcast dots (the
+  knn_ivf_train_int assignment shape) + one K-counter rollup; no
+  member-to-member comparison exists in the plan, so cost is linear
+  in members at any duplication profile. Proxy ladder: crowded counts
+  grow exactly linearly (310 -> 3,100 at 10x/100x), value-exact at
+  the 2M-vector 1000x rung in 71 s.
 
 Registration recipe (round 14): register all keys from ``STAGED``
 (the staged_r11/r12/r13 programmatic flip), ``_ADDED_R14`` in
@@ -102,11 +122,12 @@ across tests/test_staged_r*.py, COVERAGE.md + docs/SCALE.md, and any
 heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs
 (docs/BENCH_NOTES.md "Round-14 prospective").
 
-The flip was DRY-RUN in a throwaway clone at the end of round 13:
-registering the staged keys + the registry import + the
-``_ADDED_R14`` union took the catalog to 388 with no import-order
-issues, and ``scripts/driver_sim.py sf0.01 50`` over the flipped
-surface passed 0/50 with all nine new keys in the window head.
+The flip was DRY-RUN in a throwaway clone at the end of round 13
+(re-run after dedup_semantic_crowding joined the family): registering
+the staged keys + the registry import + the ``_ADDED_R14`` union took
+the catalog to 389 with no import-order issues, and
+``scripts/driver_sim.py sf0.01 50`` over the flipped surface passed
+0/50 with all ten new keys inside the window.
 """
 
 from __future__ import annotations
@@ -947,3 +968,169 @@ ORDER BY s.cid
 """
 
 STAGED["knn_ivf_train_int"] = (knn_ivf_train_int, KNN_IVF_TRAIN_INT_ORACLE)
+
+
+# ---- dedup_semantic_crowding ---------------------------------------------------
+
+_SD_S = 1 << 8  # 2^8 quantization: keeps dot^2 * 10^4 inside BIGINT
+_SD_T2 = 9025  # cos >= 0.95  <=>  dot^2 * 10000 >= 9025 * |q|^2 * |c|^2
+_SD_INJ_MOD = 125  # vec_id % 125 == 7 (vec_id >= 16) carries a scaled seed copy
+
+
+def _sd_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): embeddings quantized to 2^8-scaled BIGINTs, with
+    the constructed near-duplicate class — vec_id % 125 == 7 vectors
+    (excluding the seeds themselves, so centroid magnitudes stay
+    bounded) carry seed (vec_id % 16)'s embedding scaled by an
+    integer factor 2 + vec_id % 3 (the refetch idiom for vectors: the
+    fixtures' embeddings are near-orthogonal, so without construction
+    only the 16 seeds would ever crowd — dead machinery at every
+    scale). The scaling makes the key's COSINE semantics load-bearing:
+    a dot-threshold bug would reject the scaled copies."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _IVT_K).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+    )
+    tagged = e.withColumn(
+        "sid",
+        F.when(
+            (F.col("vec_id") % _SD_INJ_MOD == 7) & (F.col("vec_id") >= _IVT_K),
+            F.col("vec_id") % _IVT_K,
+        ),
+    ).join(F.broadcast(seeds), "sid", "left")
+    k = (F.lit(2) + F.col("vec_id") % 3).cast("double")
+    emb = F.when(
+        F.col("semb").isNotNull(), F.transform("semb", lambda x: x.cast("double") * k)
+    ).otherwise(F.transform("embedding", lambda x: x.cast("double")))
+    return tagged.select(
+        "vec_id",
+        F.transform(emb, lambda v: F.floor(v * _SD_S + F.lit(0.5)).cast("long")).alias(
+            "q"
+        ),
+    )
+
+
+def dedup_semantic_crowding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped centroid-crowding report (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540 — the cluster-then-prune-near-
+    the-prototype recipe, in its linear centroid-proximity form): every
+    vector assigns to its nearest seed centroid (the registered
+    knn_ivf convention), and a member "crowds" its list when its
+    cosine to the CENTROID clears 0.95 — the prototypical near-
+    duplicates a semantic dedup pass prunes, keeping one per list. One
+    row per list: (cid, n_members, n_crowded, n_dropped, crowd_bp).
+
+    Integer-exact end-to-end: cos >= t is evaluated as
+    dot > 0 AND dot^2 * 10^4 >= t^2*10^4 * |q|^2 * |c|^2 — no sqrt,
+    no float comparison; with 2^8 quantization every intermediate
+    stays inside BIGINT (dot <= 2^24, dot^2 * 10^4 < 2^62).
+
+    Scale shape: ONE dot per (vector, K centroids) against a K-row
+    broadcast — each member compares to its list's prototype only,
+    never member-to-member (the canonical-partner lesson: pairwise
+    within clusters is quadratic under pervasive duplication; the
+    crowding form is linear in members at any duplication profile).
+    The report is K counters."""
+    qf = _sd_quantized(spark, sf_dir)
+    seeds = qf.filter(F.col("vec_id") < _IVT_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "cq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    qq = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    rr = F.aggregate(
+        F.transform("cq", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    scored = qf.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cid", dot.alias("dot"), qq.alias("qq"), rr.alias("rr")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("dot"), (-F.col("cid")).alias("nc"), "qq", "rr")
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.nc")).alias("cid"),
+            F.col("b.dot").alias("dot"),
+            F.col("b.qq").alias("qq"),
+            F.col("b.rr").alias("rr"),
+        )
+    )
+    crowded = (
+        (F.col("dot") > 0)
+        & (F.col("dot") * F.col("dot") * 10000 >= _SD_T2 * F.col("qq") * F.col("rr"))
+    ).cast("int")
+    return (
+        best.select("cid", crowded.alias("crowded"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("crowded").cast("long").alias("n_crowded"),
+            F.greatest(F.sum("crowded") - 1, F.lit(0)).cast("long").alias("n_dropped"),
+            F.expr("CAST(sum(crowded) * 10000 div count(*) AS BIGINT)").alias(
+                "crowd_bp"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+DEDUP_SEMANTIC_CROWDING_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS semb FROM embeddings WHERE vec_id < {_IVT_K}
+),
+tagged AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % {_SD_INJ_MOD} = 7 AND e.vec_id >= {_IVT_K}
+              THEN list_transform(s.semb,
+                     x -> CAST(x AS DOUBLE) * (2 + e.vec_id % 3))
+              ELSE list_transform(e.embedding, x -> CAST(x AS DOUBLE)) END AS emb
+  FROM embeddings e
+  LEFT JOIN seeds s ON s.sid = CASE WHEN e.vec_id % {_SD_INJ_MOD} = 7
+                                         AND e.vec_id >= {_IVT_K}
+                                    THEN e.vec_id % {_IVT_K} END
+),
+q AS (
+  SELECT vec_id,
+         list_transform(emb, x -> CAST(floor(x * {_SD_S} + 0.5) AS BIGINT)) AS q
+  FROM tagged
+),
+c AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < {_IVT_K}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_dot_product(CAST(q.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS dot,
+         CAST(list_dot_product(CAST(q.q AS DOUBLE[]), CAST(q.q AS DOUBLE[])) AS BIGINT) AS qq,
+         CAST(list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT) AS rr
+  FROM q, c
+),
+best AS (
+  SELECT vec_id, cid, dot, qq, rr FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+flagged AS (
+  SELECT cid,
+         CASE WHEN dot > 0 AND dot*dot*10000 >= {_SD_T2}*qq*rr THEN 1 ELSE 0 END AS crowded
+  FROM best
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(crowded) AS BIGINT) AS n_crowded,
+       CAST(greatest(sum(crowded) - 1, 0) AS BIGINT) AS n_dropped,
+       CAST(sum(crowded) * 10000 // count(*) AS BIGINT) AS crowd_bp
+FROM flagged GROUP BY cid ORDER BY cid
+"""
+
+STAGED["dedup_semantic_crowding"] = (
+    dedup_semantic_crowding,
+    DEDUP_SEMANTIC_CROWDING_ORACLE,
+)

@@ -202,3 +202,34 @@ def test_staged_r14_plan_shapes(spark):
         df = build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, key
+
+
+def test_semantic_crowding_both_classes_fire():
+    """The fixtures' embeddings are near-orthogonal, so crowding must
+    be driven by construction: the 16 seeds (cos 1 to their own
+    centroid) plus the injected scaled seed copies — the SCALED
+    copies are the load-bearing class (cos 1, dot != |c|^2), so a
+    dot-threshold bug fails this test. Non-crowded members must also
+    exist, and lists with an injected copy must drop exactly the
+    surplus."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _IVT_K,
+        _SD_INJ_MOD,
+        DEDUP_SEMANTIC_CROWDING_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            k = con.execute(DEDUP_SEMANTIC_CROWDING_ORACLE).fetch_df()
+            n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+            n_inj = con.execute(
+                f"""SELECT count(*) FROM embeddings
+                    WHERE vec_id % {_SD_INJ_MOD} = 7 AND vec_id >= {_IVT_K}"""
+            ).fetchone()[0]
+        assert len(k) == _IVT_K, sf_dir
+        assert int(k.n_members.sum()) == n_vecs, sf_dir
+        # every seed crowds its own list; every injected copy crowds
+        assert int(k.n_crowded.sum()) == _IVT_K + n_inj, sf_dir
+        assert n_inj > 0, sf_dir  # the constructed class exists
+        assert int(k.n_crowded.sum()) < n_vecs, sf_dir  # non-crowded exists
+        assert int(k.n_dropped.sum()) == n_inj, sf_dir
