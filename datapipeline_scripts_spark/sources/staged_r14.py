@@ -94,6 +94,15 @@ embeddings are near-orthogonal, so the crowding class is CONSTRUCTED
 2 + vec_id % 3 — the scaling makes the cosine semantics load-bearing:
 a dot-threshold bug rejects the scaled copies).
 
+pii_k_anonymity: the k-anonymity / l-diversity release audit
+(Sweeney 2002; Machanavajjhala et al. 2007) over the customer
+quasi-identifiers — the structured-microdata counterpart of the
+free-text keys above: a 5-level generalization ladder (exact balance
+cents -> 2500-band -> drop band -> nation->region -> drop segment,
+each a strict coarsening, so suppression is provably monotone), per
+level the class census, forced suppression at k=10, and minimum
+surviving-class sensitive diversity.
+
 Scale shapes:
 - The PII keys are single-scan codegen'd projections + one groupBy on
   (source|lang|class): no joins, no explodes beyond per-mention email
@@ -107,6 +116,8 @@ Scale shapes:
   (array-local zip_with, no explode); recentering is one
   partial-aggregable groupBy over (K x dims) cells; the model that
   ships is K rows.
+- pii_k_anonymity: one broadcast dim join + |levels| counter-only
+  groupBys; the report is |levels| rows at any population size.
 - dedup_semantic_crowding: |vectors| x K broadcast dots (the
   knn_ivf_train_int assignment shape) + one K-counter rollup; no
   member-to-member comparison exists in the plan, so cost is linear
@@ -1134,3 +1145,178 @@ STAGED["dedup_semantic_crowding"] = (
     dedup_semantic_crowding,
     DEDUP_SEMANTIC_CROWDING_ORACLE,
 )
+
+
+# ---- pii_k_anonymity ------------------------------------------------------------
+
+_KA_K = 10  # the k-anonymity bar: classes below 10 members are suppressed
+# Quasi-identifier generalization ladder (each level a strict
+# coarsening of the previous, so the suppressed set can only shrink):
+#   L0 (nation, segment, exact balance cents) -> L1 (nation, segment,
+#   balance div 2500) -> L2 (nation, segment) -> L3 (region, segment)
+#   -> L4 (region)
+# L0 is the near-identifying precision level (the classic
+# "zip+dob+sex re-identifies" phenomenon): its class count GROWS with
+# the data, so the below-k verdict class stays live at every scale —
+# the bounded coarser levels alone would leave suppression
+# structurally zero at 100x+ (scale-honesty lesson 3: bigger
+# populations are more anonymous at fixed QI granularity, so a
+# bounded-QI-only ladder has dead machinery at scale). The sensitive
+# attribute is the 2000-unit balance band — the 2500 grid at L1 is
+# deliberately NOT nested in it, so within-class sensitive diversity
+# is a real measurement rather than a function of the QI.
+_KA_LEVELS = [
+    (0, "nation,segment,balcents", ["c_nationkey", "c_mktsegment", "bal_cents"]),
+    (1, "nation,segment,bal2500", ["c_nationkey", "c_mktsegment", "bal_band"]),
+    (2, "nation,segment", ["c_nationkey", "c_mktsegment"]),
+    (3, "region,segment", ["regionkey", "c_mktsegment"]),
+    (4, "region", ["regionkey"]),
+]
+
+
+def _ka_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer rows with the generalization hierarchy attached: the
+    region parent via a BROADCAST nation join (25 rows), the 2500-unit
+    QI balance band and the 2000-unit sensitive band, both via the
+    shift-then-divide idiom (acctbal >= -1000, so +1000 keeps every
+    div operand non-negative — Spark div truncates toward zero while
+    DuckDB // floors; they agree only at >= 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    shifted = "CAST(floor(c_acctbal) AS BIGINT) + 1000"
+    return c.join(F.broadcast(n), "c_nationkey").select(
+        "c_nationkey",
+        "c_mktsegment",
+        "regionkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT) + 100000").alias("bal_cents"),
+        F.expr(f"({shifted}) div 2500").alias("bal_band"),
+        F.expr(f"({shifted}) div 2000").alias("sens"),
+    )
+
+
+def pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the customer quasi-
+    identifiers (Sweeney, "k-anonymity: a model for protecting
+    privacy", IJUFKS 2002; Machanavajjhala et al., "l-diversity",
+    TKDD 2007) — the release-risk report a privacy pipeline runs
+    before publishing a microdata extract, and the generalization
+    counterpart of this family's free-text redaction keys. One row
+    per generalization level: class census (n_classes, min/max size),
+    the suppression this level would force (rows in classes below
+    k=10, as count and bp), and the minimum within-class sensitive
+    diversity among the classes that survive.
+
+    Levels are a strict coarsening chain (drop cents precision, then
+    the balance band, then nation->region via the dimension
+    hierarchy, then segment), so suppression_bp is provably
+    non-increasing in level — the structural invariant the staged
+    test pins. (Same-cents rows provably share floor(balance): a
+    whole-dollar boundary m has m*100 exactly representable, so a
+    product that rounds into cents class c can never straddle one —
+    the coarsening is exact even in IEEE arithmetic.)
+
+    Scale shape: one BROADCAST join to the 25-row nation dim, then
+    per level ONE partial-aggregable groupBy whose shuffle carries
+    (QI, counter) pairs — never a customer row — followed by a
+    singleton rollup; the report is |levels| rows. At 10^9 customers
+    each level costs one counter shuffle; nothing is quadratic and
+    nothing collects.
+
+    Proxy-ladder honesty note: the /tmp proxies replicate each base
+    customer exactly Nx (L0 reads min_class == max_class == replica
+    count), which inflates every class uniformly past k — the one
+    population shape where k-anonymity holds at every level, so
+    below-k goes structurally quiet there BY THE DATA, not by dead
+    machinery. Liveness at scale is carried by L0's class count
+    growing linearly with the population (625 -> 15,000 at 100x) and
+    by the k=1 tamper oracle the staged test pins; the verdict mix
+    itself is proven at the fixture SFs, whose balances are distinct."""
+    base = _ka_base(spark, sf_dir)
+    per_level = []
+    for lvl, desc, cols in _KA_LEVELS:
+        cls = base.groupBy(*cols).agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("sens").alias("nsens"),
+        )
+        below = F.col("cnt") < _KA_K
+        row = cls.agg(
+            F.lit(lvl).cast("long").alias("level"),
+            F.lit(desc).alias("qi"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(below.cast("long")).cast("long").alias("n_below_k"),
+            F.sum(F.when(below, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_suppressed"),
+            F.min("cnt").cast("long").alias("min_class"),
+            F.max("cnt").cast("long").alias("max_class"),
+            F.coalesce(F.min(F.when(~below, F.col("nsens"))), F.lit(0))
+            .cast("long")
+            .alias("l_div_min"),
+        )
+        per_level.append(
+            row.withColumn(
+                "suppression_bp",
+                F.expr("CAST(n_suppressed * 10000 div n_rows AS BIGINT)"),
+            )
+        )
+    out = per_level[0]
+    for f in per_level[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "level",
+        "qi",
+        "n_rows",
+        "n_classes",
+        "n_below_k",
+        "n_suppressed",
+        "suppression_bp",
+        "min_class",
+        "max_class",
+        "l_div_min",
+    ).orderBy("level")
+
+
+def _ka_oracle(k: int = _KA_K) -> str:
+    """The DuckDB twin, parametrized on k so the staged tamper drill
+    can prove the suppression columns are live (k=1 zeroes them)."""
+    blocks = []
+    for lvl, desc, cols in _KA_LEVELS:
+        qi = ", ".join(cols)
+        blocks.append(
+            f"""
+SELECT CAST({lvl} AS BIGINT) AS level, '{desc}' AS qi,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(*) FILTER (WHERE cnt < {k}) AS BIGINT) AS n_below_k,
+       CAST(coalesce(sum(cnt) FILTER (WHERE cnt < {k}), 0) AS BIGINT) AS n_suppressed,
+       CAST(coalesce(sum(cnt) FILTER (WHERE cnt < {k}), 0) * 10000 // sum(cnt) AS BIGINT) AS suppression_bp,
+       CAST(min(cnt) AS BIGINT) AS min_class,
+       CAST(max(cnt) AS BIGINT) AS max_class,
+       CAST(coalesce(min(nsens) FILTER (WHERE cnt >= {k}), 0) AS BIGINT) AS l_div_min
+FROM (
+  SELECT {qi}, count(*) AS cnt, count(DISTINCT sens) AS nsens
+  FROM base GROUP BY {qi}
+)"""
+        )
+    return (
+        """
+WITH base AS (
+  SELECT c.c_nationkey, c.c_mktsegment, n.n_regionkey AS regionkey,
+         CAST(floor(c.c_acctbal * 100) AS BIGINT) + 100000 AS bal_cents,
+         (CAST(floor(c.c_acctbal) AS BIGINT) + 1000) // 2500 AS bal_band,
+         (CAST(floor(c.c_acctbal) AS BIGINT) + 1000) // 2000 AS sens
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT * FROM ("""
+        + " UNION ALL ".join(blocks)
+        + ") ORDER BY level"
+    )
+
+
+PII_K_ANONYMITY_ORACLE = _ka_oracle()
+
+STAGED["pii_k_anonymity"] = (pii_k_anonymity, PII_K_ANONYMITY_ORACLE)

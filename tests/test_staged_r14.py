@@ -233,3 +233,36 @@ def test_semantic_crowding_both_classes_fire():
         assert n_inj > 0, sf_dir  # the constructed class exists
         assert int(k.n_crowded.sum()) < n_vecs, sf_dir  # non-crowded exists
         assert int(k.n_dropped.sum()) == n_inj, sf_dir
+
+
+def test_k_anonymity_structure_fires_and_tamper_drill():
+    """Scale-honesty lesson 3 for the microdata audit: both verdict
+    classes must fire at every SF (below-k classes at the finest
+    levels, surviving classes at every level), suppression must be
+    provably NON-INCREASING along the coarsening chain (each level is
+    a strict merge of the previous partition, so a row kept at a fine
+    level can never become suppressed at a coarser one), l-diversity
+    must be a real measurement (> 1 somewhere — the 2500/2000 grid
+    offset exists precisely so L0's sensitive band is not a function
+    of its QI), and the k=1 tamper oracle must zero exactly the
+    suppression columns (proving they are live, not fixture
+    accidents)."""
+    from datapipeline_scripts_spark.sources.staged_r14 import _ka_oracle
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            r = con.execute(_ka_oracle()).fetch_df().set_index("level")
+            t = con.execute(_ka_oracle(k=1)).fetch_df().set_index("level")
+        assert (r.n_rows == r.n_rows.iloc[0]).all(), sf_dir  # conservation
+        assert r.loc[0, "n_below_k"] > 0, sf_dir  # fine level suppresses
+        kept = r.n_classes - r.n_below_k
+        assert kept.loc[4] > 0, sf_dir  # coarse level survives
+        # at least one level is a genuine MIX (both verdicts live in
+        # one partition — at sf0.001 the finest levels suppress
+        # everything, which is itself the k-anonymity phenomenon)
+        assert ((kept > 0) & (r.n_below_k > 0)).any(), sf_dir
+        assert (r.suppression_bp.diff().dropna() <= 0).all(), sf_dir  # monotone
+        assert (r.n_classes.diff().dropna() < 0).all(), sf_dir  # strict coarsening
+        assert int(r.loc[4, "l_div_min"]) > 1, sf_dir  # diversity is live
+        assert (t.n_below_k == 0).all() and (t.suppression_bp == 0).all(), sf_dir
+        assert (t.n_classes == r.n_classes).all(), sf_dir  # census unchanged
