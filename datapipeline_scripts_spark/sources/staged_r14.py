@@ -134,11 +134,11 @@ heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs
 (docs/BENCH_NOTES.md "Round-14 prospective").
 
 The flip was DRY-RUN in a throwaway clone at the end of round 13
-(re-run after dedup_semantic_crowding joined the family): registering
-the staged keys + the registry import + the ``_ADDED_R14`` union took
-the catalog to 389 with no import-order issues, and
-``scripts/driver_sim.py sf0.01 50`` over the flipped surface passed
-0/50 with all ten new keys inside the window.
+(re-run after dedup_semantic_crowding and pii_k_anonymity joined the
+family): registering the staged keys + the registry import + the
+``_ADDED_R14`` union took the catalog to 390 with no import-order
+issues, and ``scripts/driver_sim.py sf0.01 50`` over the flipped
+surface passed 0/50 with all eleven new keys inside the window.
 """
 
 from __future__ import annotations
