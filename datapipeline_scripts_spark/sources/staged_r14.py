@@ -103,6 +103,16 @@ each a strict coarsening, so suppression is provably monotone), per
 level the class census, forced suppression at k=10, and minimum
 surviving-class sensitive diversity.
 
+split_leakage_audit: the dedup-across-splits contamination check
+(Lee et al. 2107.06499; Dodge et al. 2104.08758) — MinHash-LSH near-
+dup clusters (the registered dedup_minhash + connected_components
+machinery by import) crossed with the registered 80/10/10 md5 split:
+one row per cluster split-mix, with per-split doc counts; '+' rows
+are the contamination and their n_val/n_test the eval docs a clean
+pipeline drops. The oracle reuses the registered recursive-closure
+twin at fixture SFs and the staged iterative twin
+(proxy_oracles.py::twin_split_leakage_audit) at deep rungs.
+
 Scale shapes:
 - The PII keys are single-scan codegen'd projections + one groupBy on
   (source|lang|class): no joins, no explodes beyond per-mention email
@@ -118,6 +128,10 @@ Scale shapes:
   ships is K rows.
 - pii_k_anonymity: one broadcast dim join + |levels| counter-only
   groupBys; the report is |levels| rows at any population size.
+- split_leakage_audit: inherits dedup_minhash's proven banded pair
+  shape + diameter-bounded CC on the pairs frame; the census is two
+  counter-only groupBys. 100x fingerprint-proven over the 27M-pair
+  adversarial profile via the staged iterative twin.
 - dedup_semantic_crowding: |vectors| x K broadcast dots (the
   knn_ivf_train_int assignment shape) + one K-counter rollup; no
   member-to-member comparison exists in the plan, so cost is linear
@@ -134,11 +148,12 @@ heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs
 (docs/BENCH_NOTES.md "Round-14 prospective").
 
 The flip was DRY-RUN in a throwaway clone at the end of round 13
-(re-run after dedup_semantic_crowding and pii_k_anonymity joined the
-family): registering the staged keys + the registry import + the
-``_ADDED_R14`` union took the catalog to 390 with no import-order
-issues, and ``scripts/driver_sim.py sf0.01 50`` over the flipped
-surface passed 0/50 with all eleven new keys inside the window.
+(re-run after dedup_semantic_crowding, pii_k_anonymity and
+split_leakage_audit joined the family): registering the staged keys +
+the registry import + the ``_ADDED_R14`` union took the catalog to
+391 with no import-order issues, and ``scripts/driver_sim.py sf0.01
+50`` over the flipped surface passed 0/50 with all twelve new keys
+inside the window.
 """
 
 from __future__ import annotations
@@ -1034,8 +1049,12 @@ def dedup_semantic_crowding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-exact end-to-end: cos >= t is evaluated as
     dot > 0 AND dot^2 * 10^4 >= t^2*10^4 * |q|^2 * |c|^2 — no sqrt,
-    no float comparison; with 2^8 quantization every intermediate
-    stays inside BIGINT (dot <= 2^24, dot^2 * 10^4 < 2^62).
+    no float comparison. Bound (holds whenever raw |component| <= 1;
+    the fixtures are unit-norm-ish, max |component| 0.58): with 2^8
+    quantization and the <= 4x injection scale, |q_i| <= 1024, so
+    |q|^2 <= 2^26, centroid |c|^2 <= 2^22, dot <= 2^24, and both
+    compared products stay under 2^62 — inside BIGINT on either
+    engine at any dimension count up to 64.
 
     Scale shape: ONE dot per (vector, K centroids) against a K-row
     broadcast — each member compares to its list's prototype only,
@@ -1320,3 +1339,127 @@ SELECT * FROM ("""
 PII_K_ANONYMITY_ORACLE = _ka_oracle()
 
 STAGED["pii_k_anonymity"] = (pii_k_anonymity, PII_K_ANONYMITY_ORACLE)
+
+
+# ---- split_leakage_audit -------------------------------------------------------
+
+_SL_TRAIN_PCT, _SL_VAL_PCT = 80, 10  # the registered split_assign arithmetic
+
+
+def _sl_split_col() -> Column:
+    """The registered 80/10/10 md5(doc_id)-mod-100 split assignment
+    (extensions/mixture.py::split_assign), duplicated as an expression
+    so the audit provably audits THE split the corpus ships with."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < _SL_TRAIN_PCT, "train")
+        .when(bucket < _SL_TRAIN_PCT + _SL_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit across NEAR-DUPLICATE clusters —
+    the dedup-across-splits check every published pretraining pipeline
+    runs before trusting held-out loss (Lee et al., "Deduplicating
+    training data makes language models better", arXiv:2107.06499
+    §train/test leakage; Dodge et al., arXiv:2104.08758 document the
+    same contamination in C4): a val/test document whose near-dup
+    lives in train is memorization, not generalization. MinHash-LSH
+    candidate pairs (the registered dedup_minhash machinery by
+    import) -> connected components -> each cluster's SPLIT MIX under
+    the registered 80/10/10 md5 split. One row per observed mix
+    ('train', 'test+train', 'train+val', ...): clusters, docs, and
+    per-split doc counts — rows whose mix contains '+' are the
+    contamination; their n_val/n_test are exactly the eval documents
+    a leakage-clean pipeline drops.
+
+    Scale shape: pair generation is the banded-LSH self-join (linear
+    in bucket-local pairs, cartesian-free — dedup_minhash's proven
+    100x shape); connected components runs diameter-bounded rounds on
+    the pairs frame (≪ corpus); the mix census is one groupBy(cluster)
+    carrying (split, counter) pairs and one groupBy(mix) over cluster
+    rows. Nothing touches document text after the signature scan.
+    The DuckDB twin replays the identical pair set and closes the
+    components with a recursive CTE — exact at fixture SFs; at deep
+    proxy rungs the closure uses the staged iterative twin
+    (scripts/proxy_oracles.py), the dedup_clusters precedent.
+
+    Pair-volume honesty (lesson 4): the audit deliberately audits THE
+    registered dedup_minhash pair semantics, so it inherits that
+    key's documented adversarial profile — under pervasive
+    duplication (the 100x replica's 100-member identical families)
+    band buckets go dense and pair volume grows with family size
+    squared, which the 100x fingerprint proof exercises directly
+    (27M pairs, engine 152 s). A continuous-crawl deployment would
+    feed the census from dedup_minhash_store_incremental's
+    batch-sized pair stream instead; the census itself is cluster-
+    local counters either way."""
+    from datapipeline_scripts_spark.extensions.dedup import (
+        connected_components,
+        dedup_minhash,
+    )
+
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    cc = connected_components(spark, pairs)
+    sp = cc.select("doc_id", "cluster_id", _sl_split_col().alias("split"))
+    mix = sp.groupBy("cluster_id").agg(
+        F.array_join(F.array_sort(F.collect_set("split")), "+").alias("split_mix"),
+        F.count("*").alias("nd"),
+        F.sum((F.col("split") == "train").cast("long")).alias("nt"),
+        F.sum((F.col("split") == "val").cast("long")).alias("nv"),
+        F.sum((F.col("split") == "test").cast("long")).alias("ns"),
+    )
+    return (
+        mix.groupBy("split_mix")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("nd").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_train"),
+            F.sum("nv").cast("long").alias("n_val"),
+            F.sum("ns").cast("long").alias("n_test"),
+        )
+        .orderBy("split_mix")
+    )
+
+
+def _sl_oracle(train_pct: int = _SL_TRAIN_PCT, val_pct: int = _SL_VAL_PCT) -> str:
+    """The DuckDB twin, parametrized on the split percentages so the
+    staged tamper drill can prove the mix machinery is live (a
+    100/0/0 split collapses every mix to 'train')."""
+    from datapipeline_scripts_spark.extensions.dedup import _minhash_clusters_oracle
+
+    split_sql = f"""CASE WHEN ({md5_48_sql("CAST(doc_id AS VARCHAR)")}) % 100 < {train_pct} THEN 'train'
+              WHEN ({md5_48_sql("CAST(doc_id AS VARCHAR)")}) % 100 < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END"""
+    return f"""
+WITH clusters AS ({_minhash_clusters_oracle()}),
+sp AS (
+  SELECT doc_id, cluster_id, {split_sql} AS split FROM clusters
+),
+mix AS (
+  SELECT cluster_id,
+         string_agg(DISTINCT split, '+' ORDER BY split) AS split_mix,
+         count(*) AS nd,
+         count(*) FILTER (WHERE split = 'train') AS nt,
+         count(*) FILTER (WHERE split = 'val') AS nv,
+         count(*) FILTER (WHERE split = 'test') AS ns
+  FROM sp GROUP BY cluster_id
+)
+SELECT split_mix,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(nd) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_train,
+       CAST(sum(nv) AS BIGINT) AS n_val,
+       CAST(sum(ns) AS BIGINT) AS n_test
+FROM mix GROUP BY split_mix ORDER BY split_mix
+"""
+
+
+SPLIT_LEAKAGE_AUDIT_ORACLE = _sl_oracle()
+
+STAGED["split_leakage_audit"] = (split_leakage_audit, SPLIT_LEAKAGE_AUDIT_ORACLE)

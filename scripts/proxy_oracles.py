@@ -117,6 +117,64 @@ def twin_dedup_minhash(con) -> str:
     return "mh_final"
 
 
+
+def _label_prop(con, pairs_table: str, p: str, max_iters: int = 50) -> str:
+    """Iterative min-label propagation over a (doc_a, doc_b) pair
+    table -> temp table `{p}_membership` (doc_id, cluster_id): the
+    engine's own connected-components algorithm replayed in SQL,
+    bounded by graph diameter, replacing the O(sum cluster_size^2)-row
+    recursive closure that budget-outs at deep rungs. Shared by the
+    clusters and split-leakage twins so the two cannot drift."""
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE {p}_edges AS
+        SELECT doc_a AS a, doc_b AS b FROM {pairs_table}
+        UNION ALL
+        SELECT doc_b, doc_a FROM {pairs_table}
+        """
+    )
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE {p}_labels AS
+        SELECT DISTINCT a AS node, a AS lbl FROM {p}_edges
+        """
+    )
+    for it in range(max_iters):
+        con.execute(
+            f"""
+            CREATE OR REPLACE TEMP TABLE {p}_labels_next AS
+            SELECT l.node, least(l.lbl, coalesce(m.nbr, l.lbl)) AS lbl
+            FROM {p}_labels l
+            LEFT JOIN (
+              SELECT e.a, min(lb.lbl) AS nbr
+              FROM {p}_edges e JOIN {p}_labels lb ON e.b = lb.node
+              GROUP BY e.a
+            ) m ON l.node = m.a
+            """
+        )
+        changed = con.execute(
+            f"""
+            SELECT count(*) FROM {p}_labels_next n
+            JOIN {p}_labels o USING (node) WHERE n.lbl < o.lbl
+            """
+        ).fetchone()[0]
+        con.execute(
+            f"CREATE OR REPLACE TEMP TABLE {p}_labels AS SELECT * FROM {p}_labels_next"
+        )
+        if changed == 0:
+            print(f"#   label propagation converged after {it + 1} iterations", flush=True)
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} iterations")
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE {p}_membership AS
+        SELECT node AS doc_id, lbl AS cluster_id FROM {p}_labels
+        """
+    )
+    return f"{p}_membership"
+
+
 def twin_dedup_clusters(con, max_iters: int = 50) -> str:
     con.execute(
         f"""
@@ -162,52 +220,13 @@ def twin_dedup_clusters(con, max_iters: int = 50) -> str:
         WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.6
         """
     )
-    con.execute(
-        """
-        CREATE OR REPLACE TEMP TABLE dc_edges AS
-        SELECT doc_a AS a, doc_b AS b FROM dc_pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM dc_pairs
-        """
-    )
-    con.execute(
-        """
-        CREATE OR REPLACE TEMP TABLE dc_labels AS
-        SELECT DISTINCT a AS node, a AS lbl FROM dc_edges
-        """
-    )
-    for it in range(max_iters):
-        con.execute(
-            """
-            CREATE OR REPLACE TEMP TABLE dc_labels_next AS
-            SELECT l.node, least(l.lbl, coalesce(m.nbr, l.lbl)) AS lbl
-            FROM dc_labels l
-            LEFT JOIN (
-              SELECT e.a, min(lb.lbl) AS nbr
-              FROM dc_edges e JOIN dc_labels lb ON e.b = lb.node
-              GROUP BY e.a
-            ) m ON l.node = m.a
-            """
-        )
-        changed = con.execute(
-            """
-            SELECT count(*) FROM dc_labels_next n
-            JOIN dc_labels o USING (node) WHERE n.lbl < o.lbl
-            """
-        ).fetchone()[0]
-        con.execute("CREATE OR REPLACE TEMP TABLE dc_labels AS SELECT * FROM dc_labels_next")
-        if changed == 0:
-            print(f"#   label propagation converged after {it + 1} iterations", flush=True)
-            break
-    else:
-        raise RuntimeError(f"label propagation did not converge in {max_iters} iterations")
+    _label_prop(con, "dc_pairs", "dc", max_iters)
     con.execute(
         """
         CREATE OR REPLACE TEMP TABLE dc_final AS
-        WITH membership AS (SELECT node AS doc_id, lbl AS cluster_id FROM dc_labels)
         SELECT m.doc_id, m.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
-        FROM membership m
-        JOIN (SELECT cluster_id, count(*) AS n FROM membership GROUP BY 1) c
+        FROM dc_membership m
+        JOIN (SELECT cluster_id, count(*) AS n FROM dc_membership GROUP BY 1) c
           USING (cluster_id)
         """
     )
@@ -260,10 +279,57 @@ def twin_text_contamination(con) -> str:
     return "tc_final"
 
 
+def twin_split_leakage_audit(con) -> str:
+    """Staged twin for the STAGED split_leakage_audit key: minhash
+    pairs via the staged signature table (twin_dedup_minhash), the
+    shared iterative label propagation, then the split-mix census —
+    the plain oracle's recursive closure budget-outs past the 10x
+    rung exactly like dedup_clusters' did."""
+    from datapipeline_scripts_spark.functions.text import md5_48_sql
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _SL_TRAIN_PCT,
+        _SL_VAL_PCT,
+    )
+
+    twin_dedup_minhash(con)
+    _label_prop(con, "mh_final", "sl")
+    h = md5_48_sql("CAST(doc_id AS VARCHAR)")
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE sl_final AS
+        WITH sp AS (
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ({h}) % 100 < {_SL_TRAIN_PCT} THEN 'train'
+                      WHEN ({h}) % 100 < {_SL_TRAIN_PCT + _SL_VAL_PCT} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM sl_membership
+        ),
+        mix AS (
+          SELECT cluster_id,
+                 string_agg(DISTINCT split, '+' ORDER BY split) AS split_mix,
+                 count(*) AS nd,
+                 count(*) FILTER (WHERE split = 'train') AS nt,
+                 count(*) FILTER (WHERE split = 'val') AS nv,
+                 count(*) FILTER (WHERE split = 'test') AS ns
+          FROM sp GROUP BY cluster_id
+        )
+        SELECT split_mix,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(nd) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_train,
+               CAST(sum(nv) AS BIGINT) AS n_val,
+               CAST(sum(ns) AS BIGINT) AS n_test
+        FROM mix GROUP BY split_mix
+        """
+    )
+    return "sl_final"
+
+
 _TWINS = {
     "dedup_minhash": twin_dedup_minhash,
     "dedup_clusters": twin_dedup_clusters,
     "text_contamination": twin_text_contamination,
+    "split_leakage_audit": twin_split_leakage_audit,
 }
 
 # Keys whose RESULT is too large to distinct/fingerprint in one Spark
@@ -328,7 +394,17 @@ def main() -> int:
     if unknown:
         raise SystemExit(f"no twin oracle for: {sorted(unknown)}")
     spark = get_spark("proxy_oracles")
-    specs = all_queries()
+    specs = dict(all_queries())
+    # staged keys are twin-provable before registration (the
+    # split_leakage_audit precedent): resolve them from the staged
+    # dict when the registry does not know them yet
+    from types import SimpleNamespace
+
+    from datapipeline_scripts_spark.sources.staged_r14 import STAGED as _STAGED_R14
+
+    for _k, (_fn, _orc) in _STAGED_R14.items():
+        if _k not in specs:
+            specs[_k] = SimpleNamespace(build=_fn, oracle=_orc)
     failures = 0
     for key in sorted(only):
         t0 = time.time()

@@ -266,3 +266,31 @@ def test_k_anonymity_structure_fires_and_tamper_drill():
         assert int(r.loc[4, "l_div_min"]) > 1, sf_dir  # diversity is live
         assert (t.n_below_k == 0).all() and (t.suppression_bp == 0).all(), sf_dir
         assert (t.n_classes == r.n_classes).all(), sf_dir  # census unchanged
+
+
+def test_split_leakage_both_classes_fire_and_tamper():
+    """Straddling mixes (the contamination) AND pure single-split
+    clusters must both exist at every SF; per-row split counts must
+    conserve into n_docs; the all-train tamper oracle (100/0/0 split)
+    must collapse every mix to 'train' while preserving the clustered
+    doc total — proving the mix machinery is live, not a fixture
+    accident."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _sl_oracle,
+        SPLIT_LEAKAGE_AUDIT_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            r = con.execute(SPLIT_LEAKAGE_AUDIT_ORACLE).fetch_df()
+            t = con.execute(_sl_oracle(train_pct=100, val_pct=0)).fetch_df()
+        mixes = set(r.split_mix)
+        assert any("+" in m for m in mixes), sf_dir  # contamination fires
+        assert any("+" not in m for m in mixes), sf_dir  # pure clusters exist
+        assert (r.n_train + r.n_val + r.n_test == r.n_docs).all(), sf_dir
+        # eval-side leakage is non-empty: some val/test doc shares a
+        # cluster with a train doc (the thing the audit exists to catch)
+        leak = r[r.split_mix.str.contains("train") & r.split_mix.str.contains("+", regex=False)]
+        assert int((leak.n_val + leak.n_test).sum()) > 0, sf_dir
+        assert list(t.split_mix) == ["train"], sf_dir
+        assert int(t.n_docs.sum()) == int(r.n_docs.sum()), sf_dir
