@@ -1063,8 +1063,13 @@ def dedup_semantic_crowding(spark: SparkSession, sf_dir: str) -> DataFrame:
     crowding form is linear in members at any duplication profile).
     The report is K counters."""
     qf = _sd_quantized(spark, sf_dir)
-    seeds = qf.filter(F.col("vec_id") < _IVT_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    # the K-row centroid side is materialized once: deriving it lazily
+    # from qf would re-run the quantization scan (and its seed join)
+    # a second time just to produce 16 broadcast rows
+    seeds = (
+        qf.filter(F.col("vec_id") < _IVT_K)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        .localCheckpoint()
     )
     dot = F.aggregate(
         F.zip_with("q", "cq", lambda x, y: x * y),
@@ -1253,7 +1258,10 @@ def pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing linearly with the population (625 -> 15,000 at 100x) and
     by the k=1 tamper oracle the staged test pins; the verdict mix
     itself is proven at the fixture SFs, whose balances are distinct."""
-    base = _ka_base(spark, sf_dir)
+    # one materialized scan feeds all five level aggregations — the
+    # shared-frame convention (ADVICE r12): without it each level
+    # re-scans customer + re-runs the dim join
+    base = _ka_base(spark, sf_dir).localCheckpoint()
     per_level = []
     for lvl, desc, cols in _KA_LEVELS:
         cls = base.groupBy(*cols).agg(
