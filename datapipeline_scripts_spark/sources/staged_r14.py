@@ -113,6 +113,14 @@ pipeline drops. The oracle reuses the registered recursive-closure
 twin at fixture SFs and the staged iterative twin
 (proxy_oracles.py::twin_split_leakage_audit) at deep rungs.
 
+pii_randomized_response: the local-DP release stage (Warner 1965;
+RAPPOR's core) — per-category counts published through deterministic
+md5 coins (keep p = 3/4, else uniform over the k OBSERVED
+categories, k and the category table derived from the data) plus the
+integer-exact debiased estimate, GREATEST-shifted so no cross-engine
+division ever sees a negative operand. Deterministic coins are what
+make a DP mechanism hash-testable at all.
+
 Scale shapes:
 - The PII keys are single-scan codegen'd projections + one groupBy on
   (source|lang|class): no joins, no explodes beyond per-mention email
@@ -128,6 +136,9 @@ Scale shapes:
   ships is K rows.
 - pii_k_anonymity: one broadcast dim join + |levels| counter-only
   groupBys; the report is |levels| rows at any population size.
+- pii_randomized_response: one scan + a k-row broadcast category
+  join; the release is k counter rows from one partial-aggregable
+  groupBy. Hash-exact at the 5M-doc 1000x rung in 23 s.
 - split_leakage_audit: inherits dedup_minhash's proven banded pair
   shape + diameter-bounded CC on the pairs frame; the census is two
   counter-only groupBys. 100x fingerprint-proven over the 27M-pair
@@ -148,12 +159,13 @@ heavy keys into ``bench.py`` BENCH_KEYS with probed warm costs
 (docs/BENCH_NOTES.md "Round-14 prospective").
 
 The flip was DRY-RUN in a throwaway clone at the end of round 13
-(re-run after dedup_semantic_crowding, pii_k_anonymity and
-split_leakage_audit joined the family): registering the staged keys +
-the registry import + the ``_ADDED_R14`` union took the catalog to
-391 with no import-order issues, and ``scripts/driver_sim.py sf0.01
-50`` over the flipped surface passed 0/50 with all twelve new keys
-inside the window.
+(re-run after each late addition; final family: the 8 PII keys +
+knn_ivf_train_int, dedup_semantic_crowding, pii_k_anonymity,
+split_leakage_audit, pii_randomized_response): registering the staged
+keys + the registry import + the ``_ADDED_R14`` union took the
+catalog to 392 with no import-order issues, and
+``scripts/driver_sim.py sf0.01 50`` over the flipped surface passed
+0/50 with all thirteen new keys inside the window.
 """
 
 from __future__ import annotations
@@ -1471,3 +1483,136 @@ FROM mix GROUP BY split_mix ORDER BY split_mix
 SPLIT_LEAKAGE_AUDIT_ORACLE = _sl_oracle()
 
 STAGED["split_leakage_audit"] = (split_leakage_audit, SPLIT_LEAKAGE_AUDIT_ORACLE)
+
+
+# ---- pii_randomized_response ---------------------------------------------------
+
+_RR_KEEP_PCT = 75  # report the true category with p = 3/4
+
+
+def pii_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP categorical frequency release via randomized response
+    (Warner, JASA 1965; the RAPPOR mechanism's core, Erlingsson et
+    al. CCS 2014) over the documents language column — the release
+    stage after this family's detection/redaction/k-anonymity keys:
+    each row keeps its true category with p = 3/4, otherwise reports
+    a uniform draw over the k observed categories, and the curator
+    publishes per-category reported counts plus the debiased
+    estimate. One row per lang: (lang, n_true, n_kept, n_reported,
+    est_milli) where est = (n_reported - N*(1-p)/k) / p is the
+    unbiased inverse, published as GREATEST(numerator, 0) in
+    integer millis (negative estimates truncate to 0, the standard
+    release convention — and the shift keeps every cross-engine
+    division non-negative).
+
+    Determinism: both "coins" are md5_48 draws — keep when
+    md5_48(doc_id || ':rr') % 100 < 75, replacement index
+    md5_48(doc_id || ':alt') % k — so both engines flip literally
+    the same coins and the release is hash-exact, which is what
+    makes a DP mechanism testable here at all (a true RNG release
+    could only be distribution-tested). k and the category table are
+    DERIVED from the data (row_number over the distinct langs — no
+    fixture-tied constant, lesson 1), so new categories change the
+    mechanism identically on both engines.
+
+    Scale shape: one scan + a broadcast join against the k-row
+    category table (k = |langs|, bounded); the release is k counter
+    rows from one partial-aggregable groupBy. est arithmetic:
+    4*k*n_reported <= 4*k*N stays inside BIGINT for any N < 2^59/k."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.sql.window import Window
+
+    langs = (
+        d.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            (F.row_number().over(Window.orderBy("lang")) - 1).alias("idx"),
+        )
+        .localCheckpoint()
+    )
+    k = langs.count()
+    keep = md5_48(F.concat_ws(":", F.col("doc_id"), F.lit("rr"))) % 100 < _RR_KEEP_PCT
+    alt_idx = md5_48(F.concat_ws(":", F.col("doc_id"), F.lit("alt"))) % k
+    tagged = (
+        d.withColumn("keep", keep.cast("int"))
+        .withColumn("idx", F.when(~keep, alt_idx))
+        .join(
+            F.broadcast(langs.select(F.col("lang").alias("alt_lang"), "idx")),
+            "idx",
+            "left",
+        )
+        .select(
+            "lang",
+            "keep",
+            F.coalesce(F.col("alt_lang"), F.col("lang")).alias("reported"),
+        )
+        .localCheckpoint()
+    )
+    n = tagged.count()
+    true_counts = tagged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("keep").cast("long").alias("n_kept"),
+    )
+    rep_counts = (
+        tagged.groupBy(F.col("reported").alias("lang"))
+        .agg(F.count("*").cast("long").alias("n_reported"))
+    )
+    out = true_counts.join(rep_counts, "lang", "full").select(
+        "lang",
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_reported", F.lit(0)).alias("n_reported"),
+        F.expr(
+            f"CAST(greatest(4 * {k} * coalesce(n_reported, 0) - {n}, 0) * 1000 "
+            f"div (3 * {k}) AS BIGINT)"
+        ).alias("est_milli"),
+    )
+    return out.orderBy("lang")
+
+
+def _rr_oracle(keep_pct: int = _RR_KEEP_PCT) -> str:
+    """DuckDB twin, parametrized on the keep probability so the
+    keep_pct=100 tamper oracle can pin the flip machinery
+    (n_reported == n_true everywhere when no coin flips)."""
+    h_rr = md5_48_sql("CAST(doc_id AS VARCHAR) || ':rr'")
+    h_alt = md5_48_sql("CAST(doc_id AS VARCHAR) || ':alt'")
+    return f"""
+WITH langs AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+k AS (SELECT count(*) AS k FROM langs),
+n AS (SELECT count(*) AS n FROM documents),
+tagged AS (
+  SELECT d.lang,
+         CASE WHEN ({h_rr}) % 100 < {keep_pct} THEN 1 ELSE 0 END AS keep,
+         CASE WHEN ({h_rr}) % 100 < {keep_pct} THEN d.lang ELSE l.lang END AS reported
+  FROM documents d
+  LEFT JOIN langs l ON l.idx = ({h_alt}) % (SELECT k FROM k)
+),
+tc AS (
+  SELECT lang, count(*) AS n_true, sum(keep) AS n_kept
+  FROM tagged GROUP BY lang
+),
+rc AS (
+  SELECT reported AS lang, count(*) AS n_reported FROM tagged GROUP BY reported
+)
+SELECT coalesce(tc.lang, rc.lang) AS lang,
+       CAST(coalesce(tc.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(tc.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(rc.n_reported, 0) AS BIGINT) AS n_reported,
+       CAST(greatest(4 * (SELECT k FROM k) * coalesce(rc.n_reported, 0)
+                     - (SELECT n FROM n), 0) * 1000
+            // (3 * (SELECT k FROM k)) AS BIGINT) AS est_milli
+FROM tc FULL JOIN rc ON tc.lang = rc.lang
+ORDER BY lang
+"""
+
+
+PII_RANDOMIZED_RESPONSE_ORACLE = _rr_oracle()
+
+STAGED["pii_randomized_response"] = (
+    pii_randomized_response,
+    PII_RANDOMIZED_RESPONSE_ORACLE,
+)

@@ -294,3 +294,29 @@ def test_split_leakage_both_classes_fire_and_tamper():
         assert int((leak.n_val + leak.n_test).sum()) > 0, sf_dir
         assert list(t.split_mix) == ["train"], sf_dir
         assert int(t.n_docs.sum()) == int(r.n_docs.sum()), sf_dir
+
+
+def test_randomized_response_flips_debiases_and_tamper():
+    """The flip machinery must be live at every SF (kept AND flipped
+    rows both exist), the release must conserve (reported counts sum
+    to N), the debiased estimate must track the true counts within
+    the mechanism's sampling envelope (deterministic coins make the
+    realized error a fixture constant, so the bound is stable), and
+    the keep_pct=100 tamper oracle must read a no-flip release
+    (n_reported == n_kept == n_true everywhere)."""
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _rr_oracle,
+        PII_RANDOMIZED_RESPONSE_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        with duck_connection(sf_dir) as con:
+            r = con.execute(PII_RANDOMIZED_RESPONSE_ORACLE).fetch_df()
+            t = con.execute(_rr_oracle(keep_pct=100)).fetch_df()
+        assert int(r.n_kept.sum()) > 0, sf_dir
+        assert int((r.n_true - r.n_kept).sum()) > 0, sf_dir  # flips fire
+        assert int(r.n_reported.sum()) == int(r.n_true.sum()), sf_dir
+        dev = (r.est_milli / 1000.0 - r.n_true).abs()
+        assert (dev <= 0.25 * r.n_true + 10).all(), (sf_dir, dev.tolist())
+        assert (t.n_reported == t.n_true).all(), sf_dir
+        assert (t.n_kept == t.n_true).all(), sf_dir
