@@ -196,12 +196,31 @@ def test_stream_gate_matches_batch_policy():
 
 def test_staged_r14_plan_shapes(spark):
     """No CartesianProduct in any staged key's executed plan (the
-    knn key's K-row centroid table rides a broadcast join)."""
+    knn key's K-row centroid table rides a broadcast join) — and the
+    keys whose scale shape DEPENDS on a broadcast dimension actually
+    plan one (a silent fallback to a shuffle join on the bounded side
+    would survive the hash gate while breaking the 100 TB story)."""
     sf_dir = "/root/testdata/sf0.001"
+    must_broadcast = {
+        "knn_ivf_train_int",  # K-row centroid table
+        "dedup_semantic_crowding",  # K-row prototype table
+    }
     for key, (build, _oracle) in sorted(STAGED.items()):
         df = build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, key
+        if key in must_broadcast:
+            assert "Broadcast" in plan, key
+    # pii_k_anonymity and pii_randomized_response broadcast their
+    # bounded dimension INSIDE an eagerly-materialized frame (the
+    # localCheckpoint hides the join from the final plan string), so
+    # their broadcast shape is asserted on the pre-checkpoint frame
+    from datapipeline_scripts_spark.sources.staged_r14 import _ka_base
+
+    base_plan = (
+        _ka_base(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in base_plan, "pii_k_anonymity dim join"
 
 
 def test_semantic_crowding_both_classes_fire():
