@@ -1415,7 +1415,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication (the 100x replica's 100-member identical families)
     band buckets go dense and pair volume grows with family size
     squared, which the 100x fingerprint proof exercises directly
-    (27M pairs, engine 152 s). A continuous-crawl deployment would
+    (27M pairs, engine 152 s); the 1000x total-replication replica
+    (~2.5e8 pairs) exceeds ONE box's shuffle-spill disk — the
+    join_band single-box precedent, documented in
+    docs/SCALE_EXPERIMENT.md. A continuous-crawl deployment would
     feed the census from dedup_minhash_store_incremental's
     batch-sized pair stream instead; the census itself is cluster-
     local counters either way."""
