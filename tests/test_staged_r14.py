@@ -339,3 +339,164 @@ def test_randomized_response_flips_debiases_and_tamper():
         assert (dev <= 0.25 * r.n_true + 10).all(), (sf_dir, dev.tolist())
         assert (t.n_reported == t.n_true).all(), sf_dir
         assert (t.n_kept == t.n_true).all(), sf_dir
+
+
+def _h48(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_k_anonymity_python_model():
+    """Third-implementation triangle check: the hash gate proves
+    Spark == DuckDB, but a shared misreading of the spec would
+    survive it — a pure pandas model of the 5-level census must
+    reproduce the oracle row-for-row."""
+    import math
+
+    import pandas as pd
+
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _KA_K,
+        _KA_LEVELS,
+        PII_K_ANONYMITY_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+        nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+        df = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        shifted = df.c_acctbal.map(math.floor).astype("int64") + 1000
+        base = pd.DataFrame(
+            {
+                "c_nationkey": df.c_nationkey,
+                "c_mktsegment": df.c_mktsegment,
+                "regionkey": df.n_regionkey,
+                "bal_cents": (df.c_acctbal * 100).map(math.floor).astype("int64")
+                + 100000,
+                "bal_band": shifted // 2500,
+                "sens": shifted // 2000,
+            }
+        )
+        rows = []
+        for lvl, desc, cols in _KA_LEVELS:
+            g = base.groupby(cols).agg(
+                cnt=("sens", "size"), nsens=("sens", "nunique")
+            )
+            below = g.cnt < _KA_K
+            kept_ns = g.nsens[~below]
+            n_rows, n_sup = int(g.cnt.sum()), int(g.cnt[below].sum())
+            rows.append(
+                (
+                    lvl,
+                    desc,
+                    n_rows,
+                    len(g),
+                    int(below.sum()),
+                    n_sup,
+                    n_sup * 10000 // n_rows,
+                    int(g.cnt.min()),
+                    int(g.cnt.max()),
+                    int(kept_ns.min()) if len(kept_ns) else 0,
+                )
+            )
+        with duck_connection(sf_dir) as con:
+            r = con.execute(PII_K_ANONYMITY_ORACLE).fetch_df()
+        got = [tuple(x) for x in r.itertuples(index=False)]
+        assert [tuple(map(lambda v: v, t)) for t in got] == rows, sf_dir
+
+
+def test_randomized_response_python_model():
+    """The RR release replayed with hashlib coins: proves the shared
+    md5_48 coin convention end-to-end against a third engine."""
+    import pandas as pd
+
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _RR_KEEP_PCT,
+        PII_RANDOMIZED_RESPONSE_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang"]]
+        langs = sorted(docs.lang.unique())
+        k, n = len(langs), len(docs)
+        true_c: dict = {}
+        kept_c: dict = {}
+        rep_c: dict = {}
+        for doc_id, lang in docs.itertuples(index=False):
+            keep = _h48(f"{doc_id}:rr") % 100 < _RR_KEEP_PCT
+            rep = lang if keep else langs[_h48(f"{doc_id}:alt") % k]
+            true_c[lang] = true_c.get(lang, 0) + 1
+            kept_c[lang] = kept_c.get(lang, 0) + (1 if keep else 0)
+            rep_c[rep] = rep_c.get(rep, 0) + 1
+        model = [
+            (
+                lang,
+                true_c.get(lang, 0),
+                kept_c.get(lang, 0),
+                rep_c.get(lang, 0),
+                max(4 * k * rep_c.get(lang, 0) - n, 0) * 1000 // (3 * k),
+            )
+            for lang in langs
+        ]
+        with duck_connection(sf_dir) as con:
+            r = con.execute(PII_RANDOMIZED_RESPONSE_ORACLE).fetch_df()
+        assert [tuple(x) for x in r.itertuples(index=False)] == model, sf_dir
+
+
+def test_semantic_crowding_python_model():
+    """The crowding report replayed in numpy (float64 widening and
+    integer dot products match both engines exactly): every
+    quantization, argmax tie-break, and squared-threshold decision
+    must agree."""
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _IVT_K,
+        _SD_INJ_MOD,
+        _SD_S,
+        _SD_T2,
+        DEDUP_SEMANTIC_CROWDING_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        vecs = {
+            int(t.vec_id): np.asarray(t.embedding, dtype=np.float64)
+            for t in emb.itertuples(index=False)
+        }
+        seeds = {i: vecs[i] for i in range(_IVT_K)}
+        q = {}
+        for vid, v in vecs.items():
+            vv = (
+                seeds[vid % _IVT_K] * (2 + vid % 3)
+                if vid % _SD_INJ_MOD == 7 and vid >= _IVT_K
+                else v
+            )
+            q[vid] = np.floor(vv * _SD_S + 0.5).astype(np.int64)
+        cq = {i: q[i] for i in range(_IVT_K)}
+        members = {i: 0 for i in range(_IVT_K)}
+        crowded = {i: 0 for i in range(_IVT_K)}
+        for vid, qv in q.items():
+            best = max(
+                ((int(qv @ cq[c]), -c) for c in range(_IVT_K)),
+            )
+            dot, cid = best[0], -best[1]
+            qq, rr = int(qv @ qv), int(cq[cid] @ cq[cid])
+            members[cid] += 1
+            if dot > 0 and dot * dot * 10000 >= _SD_T2 * qq * rr:
+                crowded[cid] += 1
+        model = [
+            (
+                c,
+                members[c],
+                crowded[c],
+                max(crowded[c] - 1, 0),
+                crowded[c] * 10000 // members[c],
+            )
+            for c in range(_IVT_K)
+        ]
+        with duck_connection(sf_dir) as con:
+            r = con.execute(DEDUP_SEMANTIC_CROWDING_ORACLE).fetch_df()
+        assert [tuple(x) for x in r.itertuples(index=False)] == model, sf_dir
