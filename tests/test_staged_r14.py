@@ -500,3 +500,98 @@ def test_semantic_crowding_python_model():
         with duck_connection(sf_dir) as con:
             r = con.execute(DEDUP_SEMANTIC_CROWDING_ORACLE).fetch_df()
         assert [tuple(x) for x in r.itertuples(index=False)] == model, sf_dir
+
+
+def test_split_leakage_python_model():
+    """The full chain replayed in pure Python — shingles, one md5 per
+    shingle with Kirsch-Mitzenmacher double hashing, 16-minimum
+    signatures, 4x4 banded candidate pairs, the >= 8/16 estimate
+    gate, union-find components, md5 split, mix census — a third
+    engine for the most compositional staged key."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from datapipeline_scripts_spark.sources.staged_r14 import (
+        _SL_TRAIN_PCT,
+        _SL_VAL_PCT,
+        SPLIT_LEAKAGE_AUDIT_ORACLE,
+    )
+
+    for sf_dir in _SFS:
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        sigs = {}
+        for doc_id, text in docs.itertuples(index=False):
+            # mirror the SQL: lower -> trim(spaces) -> \s+ collapse -> split(' ')
+            toks = re.sub(r"\s+", " ", str(text).lower().strip(" ")).split(" ")
+            if len(toks) < 3:
+                continue
+            shset = {
+                f"{toks[i]} {toks[i+1]} {toks[i+2]}" for i in range(len(toks) - 2)
+            }
+            mins = [2**33] * 16
+            for sh in shset:
+                hx = hashlib.md5(sh.encode()).hexdigest()
+                h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+                for i in range(16):
+                    v = (h1 + i * h2) % 4294967296
+                    if v < mins[i]:
+                        mins[i] = v
+            sigs[int(doc_id)] = mins
+        buckets: dict = {}
+        for d, s in sigs.items():
+            for b in range(4):
+                buckets.setdefault((b, tuple(s[4 * b : 4 * b + 4])), []).append(d)
+        parent = {d: d for d in sigs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        linked = set()
+        for members in buckets.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, b = min(members[i], members[j]), max(members[i], members[j])
+                    if (a, b) in linked:
+                        continue
+                    linked.add((a, b))
+                    if sum(x == y for x, y in zip(sigs[a], sigs[b])) >= 8:
+                        ra, rb = find(a), find(b)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for d in sigs:
+            comp.setdefault(find(d), []).append(d)
+        mixes: dict = {}
+        for members in comp.values():
+            if len(members) < 2:
+                # a union-find singleton has no est >= 0.5 edge by
+                # construction, and the oracle's clusters carry only
+                # docs that appear in the pair table — skip it
+                continue
+            splits = {}
+            for d in members:
+                h = int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16) % 100
+                sp = (
+                    "train"
+                    if h < _SL_TRAIN_PCT
+                    else "val" if h < _SL_TRAIN_PCT + _SL_VAL_PCT else "test"
+                )
+                splits[sp] = splits.get(sp, 0) + 1
+            mix = "+".join(sorted(splits))
+            agg = mixes.setdefault(mix, [0, 0, 0, 0, 0])
+            agg[0] += 1
+            agg[1] += len(members)
+            agg[2] += splits.get("train", 0)
+            agg[3] += splits.get("val", 0)
+            agg[4] += splits.get("test", 0)
+        model = [
+            (m, *mixes[m]) for m in sorted(mixes)
+        ]
+        with duck_connection(sf_dir) as con:
+            r = con.execute(SPLIT_LEAKAGE_AUDIT_ORACLE).fetch_df()
+        assert [tuple(x) for x in r.itertuples(index=False)] == model, sf_dir
