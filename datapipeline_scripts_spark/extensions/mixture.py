@@ -22,7 +22,7 @@ sources joined to a 1-row total) — nothing materializes per-row state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -50,6 +50,28 @@ GROUP BY split, source
 """
 
 
+def split_bucket_col() -> Column:
+    """md5_48(doc_id) % 100 — the registered split's hash bucket.
+    Shared with the staged split_leakage_audit so the audited split
+    and the shipped split cannot drift. Materialize it in a
+    projection before branching on it: codegen does not CSE the md5
+    across WHEN branches."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def split_of_bucket(b: Column) -> Column:
+    """The 80/10/10 bucket-to-split mapping over a materialized bucket."""
+    return (
+        F.when(b < _TRAIN_PCT, "train")
+        .when(b < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
 @query("split_assign", oracle=_SPLIT_ORACLE, tier="ext")
 def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by md5(doc_id) mod
@@ -63,17 +85,9 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the assignment is a codegen'd expression inside the single
     aggregate scan; no shuffle beyond the (3×sources)-group agg."""
     d = load_table(spark, sf_dir, "documents")
-    # materialize the hash bucket once: codegen does not CSE the md5
-    # across the two WHEN branches (same finding as dedup_minhash)
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long") % 100
-    split = (
-        F.when(F.col("b") < _TRAIN_PCT, "train")
-        .when(F.col("b") < _TRAIN_PCT + _VAL_PCT, "val")
-        .otherwise("test")
-    )
     return (
-        d.select(bucket.alias("b"), "source", "n_chars")
-        .select(split.alias("split"), "source", "n_chars")
+        d.select(split_bucket_col().alias("b"), "source", "n_chars")
+        .select(split_of_bucket(F.col("b")).alias("split"), "source", "n_chars")
         .groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
     )

@@ -1363,23 +1363,12 @@ STAGED["pii_k_anonymity"] = (pii_k_anonymity, PII_K_ANONYMITY_ORACLE)
 
 # ---- split_leakage_audit -------------------------------------------------------
 
-_SL_TRAIN_PCT, _SL_VAL_PCT = 80, 10  # the registered split_assign arithmetic
-
-
-def _sl_split_col() -> Column:
-    """The registered 80/10/10 md5(doc_id)-mod-100 split assignment
-    (extensions/mixture.py::split_assign), duplicated as an expression
-    so the audit provably audits THE split the corpus ships with."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        % 100
-    )
-    return (
-        F.when(bucket < _SL_TRAIN_PCT, "train")
-        .when(bucket < _SL_TRAIN_PCT + _SL_VAL_PCT, "val")
-        .otherwise("test")
-    )
+from datapipeline_scripts_spark.extensions.mixture import (  # noqa: E402
+    _TRAIN_PCT as _SL_TRAIN_PCT,
+    _VAL_PCT as _SL_VAL_PCT,
+    split_bucket_col,
+    split_of_bucket,
+)
 
 
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,7 +1418,12 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     cc = connected_components(spark, pairs)
-    sp = cc.select("doc_id", "cluster_id", _sl_split_col().alias("split"))
+    # the SHARED split expressions (extensions/mixture.py) — the audit
+    # provably audits the split the corpus ships with, and the bucket
+    # is materialized before branching per split_assign's convention
+    sp = cc.withColumn("b", split_bucket_col()).select(
+        "doc_id", "cluster_id", split_of_bucket(F.col("b")).alias("split")
+    )
     mix = sp.groupBy("cluster_id").agg(
         F.array_join(F.array_sort(F.collect_set("split")), "+").alias("split_mix"),
         F.count("*").alias("nd"),
