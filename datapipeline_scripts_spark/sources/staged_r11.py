@@ -1418,16 +1418,15 @@ STAGED["quality_eval_perceptron"] = (
 _BPE_ITERS = 6
 
 
-def _bpe_apply_merge(vframe: DataFrame, top: DataFrame, extra: tuple[str, ...]) -> DataFrame:
-    """Apply ONE merge (a 1-row frame with columns l, r) to a
-    symbolized frame — the positional greedy merge the trainer uses,
-    factored out so the APPLY side (tokenizer deployment: the r13
-    fertility key) runs the trainer's exact expression and cannot
+def _bpe_merged_syms(left, right):
+    """The positional greedy-merge EXPRESSION over `syms` for one
+    (left, right) merge pair — the single construction both the
+    trainer (literal pair, see `_bpe_learn`) and the apply side
+    (1-row joined pair, `_bpe_apply_merge`) evaluate, so they cannot
     fork. With l != r matches cannot overlap, so position i is
     consumed iff (syms[i-1], syms[i]) matches, and emits the merged
     symbol iff (syms[i], syms[i+1]) does."""
     syms = F.col("syms")
-    left, right = F.col("l"), F.col("r")
     e = lambda i: F.try_element_at(syms, i)  # noqa: E731 — null-safe indexing
     keep = F.filter(
         F.sequence(F.lit(1), F.size(syms)),
@@ -1436,15 +1435,23 @@ def _bpe_apply_merge(vframe: DataFrame, top: DataFrame, extra: tuple[str, ...]) 
             & F.coalesce((e(i - 1) == left) & (e(i) == right), F.lit(False))
         ),
     )
-    newsyms = F.transform(
+    return F.transform(
         keep,
         lambda i: F.when(
             (e(i) == left) & F.coalesce(e(i + 1) == right, F.lit(False)),
             F.concat(left, right),
         ).otherwise(e(i)),
     )
+
+
+def _bpe_apply_merge(vframe: DataFrame, top: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+    """Apply ONE merge (a 1-row frame with columns l, r) to a
+    symbolized frame — the positional greedy merge the trainer uses
+    (`_bpe_merged_syms`), factored out so the APPLY side (tokenizer
+    deployment: the r13 fertility key) runs the trainer's exact
+    expression and cannot fork."""
     return vframe.crossJoin(F.broadcast(top.select("l", "r"))).select(
-        newsyms.alias("syms"), *extra
+        _bpe_merged_syms(F.col("l"), F.col("r")).alias("syms"), *extra
     )
 
 
@@ -1468,10 +1475,27 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         chars.alias("syms"), "freq", F.length("w").cast("long").alias("n_chars")
     ).localCheckpoint(eager=True)
 
-    out: DataFrame | None = None
+    # Optimization round 13 (guide §5/§7.2/§3.3): the previous loop
+    # chained each iteration's 1-row arg-max back into the next
+    # iteration via crossJoin(broadcast(top)), so the FINAL merge
+    # frame's physical plan nested ~21 broadcast-exchange subtrees
+    # (4,244 plan lines — plans/r13/text_bpe_train_before.txt) and
+    # iteration t re-applied merges 1..t-1 to the checkpointed v0
+    # (quadratic re-application). Now each iteration (1) collects the
+    # single arg-max row — a bounded 1-row driver fan-in, the
+    # sketches.py:270 class, O(1) at any corpus size — and (2) applies
+    # it as LITERALS through the shared `_bpe_merged_syms` expression,
+    # eager-checkpointing the re-symbolized vocabulary so every
+    # iteration runs on materialized vocabulary-sized data exactly
+    # once (the compute-once contract; linear, not quadratic, in
+    # iterations). The merge table itself becomes a literal 6-row
+    # frame. Pair counts, tie-breaks and merge application are the
+    # same expressions — every BPE oracle hash is unchanged.
+    merge_rows: list[tuple[int, str, str, int]] = []
+    exhausted = False
     for rank in range(1, _BPE_ITERS + 1):
         n = F.size("syms")
-        top = (
+        top_rows = (
             vocab.filter(n >= 2)
             .select(
                 F.explode(
@@ -1488,17 +1512,32 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             .agg(F.sum("freq").alias("pair_freq"))
             .orderBy(F.desc("pair_freq"), "l", "r")
             .limit(1)
+            .collect()
         )
-        row = top.select(
-            F.lit(rank).cast("int").alias("merge_rank"),
-            F.col("l").alias("left_sym"),
-            F.col("r").alias("right_sym"),
-            F.col("pair_freq").cast("long").alias("pair_freq"),
-        )
-        out = row if out is None else out.unionByName(row)
-
-        vocab = _bpe_apply_merge(vocab, top, ("freq", "n_chars"))
-    assert out is not None
+        if not top_rows:
+            # no mergeable pair left: the old crossJoin-with-empty-top
+            # form emptied the vocabulary and produced no further
+            # merge rows — reproduce that exactly
+            exhausted = True
+            break
+        l, r, pf = top_rows[0]["l"], top_rows[0]["r"], int(top_rows[0]["pair_freq"])
+        merge_rows.append((rank, l, r, pf))
+        vocab = vocab.select(
+            _bpe_merged_syms(F.lit(l), F.lit(r)).alias("syms"), "freq", "n_chars"
+        ).localCheckpoint(eager=True)
+    if exhausted:
+        vocab = vocab.limit(0)
+    out = spark.createDataFrame(
+        merge_rows,
+        schema=T.StructType(
+            [
+                T.StructField("merge_rank", T.IntegerType(), False),
+                T.StructField("left_sym", T.StringType()),
+                T.StructField("right_sym", T.StringType()),
+                T.StructField("pair_freq", T.LongType(), False),
+            ]
+        ),
+    )
     return out, vocab
 
 

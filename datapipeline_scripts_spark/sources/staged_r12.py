@@ -223,31 +223,45 @@ def _pe_weights(spark: SparkSession, train: DataFrame) -> DataFrame:
     """Run the registered eval key's _PE_ITERS-iteration batch
     perceptron over `train` (columns y, x1..x3); returns the 1-row
     (w0..w3) weight frame. Each iteration is one keyless
-    partial-aggregable sum with the weights broadcast back."""
-    wdf = spark.range(1).select(
-        *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
-    )
+    partial-aggregable sum whose 1-row gradient is collected to the
+    driver (the bounded singleton-aggregate fan-in, the
+    sketches.py:270 class) and fed back as literals.
+
+    Optimization round 13 (guide §5/§7.2): the previous form chained
+    each iteration's weights back through crossJoin(broadcast(agg)),
+    so the final weight frame's plan nested one broadcast-exchange
+    subtree per iteration and every consumer paid _PE_ITERS chained
+    broadcast builds plus that plan's construction cost (measured
+    3.97 s of docs_stream_quality_gate's 5.75 s at sf0.1 just to
+    produce w). Collecting the 4-long gradient row per iteration runs
+    the same aggregates as plain jobs and makes the weight frame a
+    literal row — the driver holds four longs, never data, at any
+    scale. The arithmetic is unchanged (same integer sums, same
+    literal-weight margins), so the weight trajectory is
+    bit-identical — proven by the unchanged oracle hashes of all six
+    consuming keys."""
+    w = [0, 0, 0, 0]
     for _ in range(_PE_ITERS):
-        j = train.crossJoin(F.broadcast(wdf))
         margin = F.col("y") * (
-            F.col("w0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
         )
-        agg = j.filter(margin <= 0).agg(
-            F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
-            F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0)).alias("d1"),
-            F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
-            F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
+        row = (
+            train.filter(margin <= 0)
+            .agg(
+                F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
+                F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0)).alias("d1"),
+                F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
+                F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
+            )
+            .collect()[0]
         )
-        wdf = wdf.crossJoin(F.broadcast(agg)).select(
-            *[
-                (F.col(f"w{k}") + F.col(f"d{k}")).cast("long").alias(f"w{k}")
-                for k in range(4)
-            ]
-        )
-    return wdf
+        w = [w[k] + int(row[f"d{k}"]) for k in range(4)]
+    return spark.range(1).select(
+        *[F.lit(w[k]).cast("long").alias(f"w{k}") for k in range(4)]
+    )
 
 
 def _pe_score():
@@ -1177,9 +1191,19 @@ def docs_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapipeline_scripts_spark.streaming.stream_jobs import _replay_to_parquet
 
-    feats = _perceptron_features(spark, sf_dir)
-    train = feats.filter(F.col("doc_id") % 2 == 0)
-    w = _pe_weights(spark, train).withColumn("jk", F.lit(1)).localCheckpoint(eager=True)
+    # EAGER train checkpoint (optimization r13, guide §5 compute-once):
+    # _pe_weights runs one aggregate job per iteration over `train`;
+    # without the checkpoint each job re-ran the corpus scan + the x3
+    # shingle-distinct feature build (the expensive column). The
+    # checkpointed rows are five longs per train doc. w itself is a
+    # literal 1-row frame (see _pe_weights), so no further checkpoint
+    # is needed — jk rides along for the stream-static join key.
+    train = (
+        _perceptron_features(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .localCheckpoint(eager=True)
+    )
+    w = _pe_weights(spark, train).withColumn("jk", F.lit(1))
 
     from datapipeline_scripts_spark.catalog import table_path
 

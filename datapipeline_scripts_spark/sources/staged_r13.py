@@ -1022,9 +1022,14 @@ def quality_dsir_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_scripts_spark.sources.staged_r11 import _perceptron_features
     from datapipeline_scripts_spark.sources.staged_r12 import _pe_score, _pe_weights
 
-    feats = _perceptron_features(spark, sf_dir)
+    # EAGER feats checkpoint (optimization r13, guide §5 compute-once):
+    # the frame feeds the _PE_ITERS gradient jobs inside _pe_weights
+    # AND the margins scan below — without it each consumer re-ran the
+    # corpus scan + the x3 shingle-distinct build. w is a literal
+    # 1-row frame now (see _pe_weights), so it needs no checkpoint.
+    feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
     train = feats.filter(F.col("doc_id") % 2 == 0)
-    w = _pe_weights(spark, train).withColumn("jk", F.lit(1)).localCheckpoint(eager=True)
+    w = _pe_weights(spark, train).withColumn("jk", F.lit(1))
     margins = (
         feats.withColumn("jk", F.lit(1))
         .join(F.broadcast(w), "jk")

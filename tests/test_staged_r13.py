@@ -289,14 +289,13 @@ def test_staged_r13_plan_shapes(spark, sf_dir):
         "dedup_minhash_band_tuning": [],
         # the assignment checkpoint hides everything
         "knn_ivf_rebalance": [],
-        # the perceptron margin scan is the one surviving text scan
-        # (the weights checkpoint hides the training leg; the shared
-        # grams checkpoint, ADVICE r12, hides the DSIR text scans);
-        # plus the two doc_id rosters the score join reads
+        # the eager feats checkpoint (optimization r13) hides the
+        # perceptron text scan too — the training gradients AND the
+        # margin scan read the materialized features, so only the two
+        # doc_id rosters the score join reads survive
         "quality_dsir_agreement": [
             ("doc_id",),
             ("doc_id",),
-            ("doc_id", "text"),
         ],
         # the survivor checkpoint hides every corpus-text scan; only
         # the arrived-counts roster remains
