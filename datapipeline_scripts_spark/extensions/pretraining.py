@@ -148,18 +148,16 @@ def _winnow_drop(gated: DataFrame, pin) -> DataFrame:
     AND both sides of the pair join, and recomputing the posexplode +
     window chain per consumer multiplies the chain's cost — the same
     dedup-index materialization a production pipeline persists."""
-    sh = gated.select(
-        "doc_id", F.posexplode(shingles(F.col("toks"), 3)).alias("pos", "sh")
-    )
-    hashed = sh.select("doc_id", "pos", md5_48(F.col("sh")).alias("h"))
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _PW_WINDOW - 1)
-    wcount = W.partitionBy("doc_id")
+    # fingerprints computed IN-ROW (optimization r13, guide §2.4:
+    # winnow_fps replaces the posexplode → two-window → distinct
+    # form, which shuffled every shingle triple twice; bit-identical
+    # values, oracle-reproven through the chain hash)
+    from datapipeline_scripts_spark.functions.text import winnow_fps
+
     fps = pin(
-        hashed.withColumn("n", F.count("*").over(wcount))
-        .withColumn("fp", F.min("h").over(w))
-        .filter(F.col("pos") <= F.greatest(F.col("n") - _PW_WINDOW, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
+        gated.select(
+            "doc_id", F.explode(winnow_fps(F.col("toks"), _PW_WINDOW)).alias("fp")
+        )
     )
     capped = (
         fps.groupBy("fp")

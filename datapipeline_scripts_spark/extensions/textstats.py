@@ -239,26 +239,17 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-engine md5_48, so the fingerprint VALUES are proven, not
     just counted; the winnowing coverage guarantee is additionally
     asserted in tests/test_extensions.py."""
-    from pyspark.sql import Window as W
+    from datapipeline_scripts_spark.functions.text import tokens, winnow_fps
 
-    from datapipeline_scripts_spark.functions.text import md5_48, shingles, tokens
-
+    # Optimization round 13 (guide §2.4): the fingerprint set is
+    # computed IN-ROW by functions.text.winnow_fps (bit-identical to
+    # the old posexplode → two-window → distinct form, which shuffled
+    # every shingle triple twice); the only exchange left is the
+    # per-doc rollup, partial-aggregated map-side.
     window = 4
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
-    sh = tok.select("doc_id", F.posexplode(shingles(F.col("toks"), 3)).alias("pos", "sh"))
-    hashed = sh.select("doc_id", "pos", md5_48(F.col("sh")).alias("h"))
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    wcount = W.partitionBy("doc_id")
-    # only full windows (plus the single short window for docs with < w
-    # shingles) — trailing suffix windows are not part of the scheme
-    winnowed = (
-        hashed.withColumn("n", F.count("*").over(wcount))
-        .withColumn("fp", F.min("h").over(w))  # min BEFORE dropping tail rows
-        .filter(F.col("pos") <= F.greatest(F.col("n") - window, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    winnowed = tok.select("doc_id", F.explode(winnow_fps(F.col("toks"), window)).alias("fp"))
     return winnowed.groupBy("doc_id").agg(
         F.count("*").alias("n_fingerprints"), F.min("fp").alias("min_fp")
     )

@@ -89,3 +89,44 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
 def stopword_hits(tok_col: Column, stopwords: tuple[str, ...]) -> Column:
     """Count of tokens that are in `stopwords` (int)."""
     return F.size(F.filter(tok_col, lambda t: t.isin(*stopwords)))
+
+
+def winnow_fps(tok_col: Column, window: int) -> Column:
+    """Per-document winnowing fingerprint set, computed IN-ROW:
+    md5_48-hash every 3-shingle, slide a `window`-wide min over the
+    hash sequence keeping only full windows (plus the single short
+    window of a doc with < `window` shingles), dedupe — all as
+    higher-order array functions over the token array.
+
+    Optimization round 13 (guide §2.4 — remove shuffles outright):
+    this replaces the posexplode → md5 → two window functions
+    (count + min, each needing the rows hash-partitioned by doc_id)
+    → DISTINCT construction, which shuffled every (doc_id, pos, hash)
+    shingle triple and then the fingerprint table again, with a pure
+    projection: ZERO exchanges until a consumer aggregates the
+    fingerprints. Values are bit-identical to the window form — the
+    window min over `ROWS BETWEEN CURRENT AND window-1 FOLLOWING`
+    (truncating at the partition end) is `array_min(slice(hs, pos+1,
+    window))` (slice truncates at the array end), and the
+    `pos <= greatest(n - window, 0)` full-window filter is the
+    sequence bound — re-proven by the unchanged oracle hashes of
+    every winnow-consuming key.
+
+    The hash array is let-bound through a single-element-array
+    `transform` so the per-shingle md5 runs ONCE per document even
+    though the sliding windows reference it `n_fps` times — without
+    the binding, CollapseProject would inline the whole hash-array
+    expression into every window position (the guide §4.4 duplication
+    problem, in expression form)."""
+    hs_expr = F.transform(shingles(tok_col, 3), md5_48)
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array(hs_expr),
+                lambda hs: F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(hs) - window, F.lit(0))),
+                    lambda p: F.array_min(F.slice(hs, p + F.lit(1), F.lit(window))),
+                ),
+            )
+        )
+    )

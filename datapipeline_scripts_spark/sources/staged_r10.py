@@ -256,10 +256,12 @@ _PW_MIN_SHARED = 2
 
 def _winnowed_fps(spark: SparkSession, sf_dir: str):
     """(doc_id, fp) winnowing fingerprints — text_winnow's exact
-    construction (same window, same md5_48 shingle hash)."""
-    from pyspark.sql import Window as W
-
-    from datapipeline_scripts_spark.functions.text import md5_48, shingles, tokens
+    construction (same window, same md5_48 shingle hash), computed
+    IN-ROW by functions.text.winnow_fps (optimization r13, guide
+    §2.4: the old posexplode → two-window → distinct form shuffled
+    every shingle triple twice; this form is a pure projection —
+    bit-identical values, oracle-reproven)."""
+    from datapipeline_scripts_spark.functions.text import tokens, winnow_fps
 
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -267,18 +269,8 @@ def _winnowed_fps(spark: SparkSession, sf_dir: str):
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3
     )
-    sh = tok.select(
-        "doc_id", F.posexplode(shingles(F.col("toks"), 3)).alias("pos", "sh")
-    )
-    hashed = sh.select("doc_id", "pos", md5_48(F.col("sh")).alias("h"))
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _PW_WINDOW - 1)
-    wcount = W.partitionBy("doc_id")
-    return (
-        hashed.withColumn("n", F.count("*").over(wcount))
-        .withColumn("fp", F.min("h").over(w))
-        .filter(F.col("pos") <= F.greatest(F.col("n") - _PW_WINDOW, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
+    return tok.select(
+        "doc_id", F.explode(winnow_fps(F.col("toks"), _PW_WINDOW)).alias("fp")
     )
 
 

@@ -2149,35 +2149,92 @@ def _pca_learn(
             lambda v: F.floor(v.cast("double") / F.col("sc") + F.lit(0.5)).cast("long"),
         ).alias("qv"),
     )
-    e1 = qz.select(F.posexplode("qv").alias("i0", "qi"), F.col("qv"))
-    e2 = e1.select("i0", "qi", F.posexplode("qv").alias("j0", "qj"))
-    g = (
-        e2.groupBy((F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j"))
-        .agg(F.sum(F.col("qi") * F.col("qj")).alias("gij"))
-    ).localCheckpoint(eager=True)
+
+    # Optimization round 13 (guide §4.2, §5, §7.2). The Gram build was
+    # a DOUBLE posexplode (N·dim² = 8.2M rows at sf0.1 through a
+    # partial aggregate); it is now one `mapInArrow` pass that hands
+    # each Arrow batch of quantized vectors to a NumPy int64 matmul —
+    # X.T @ X per batch, one 4096-row partial Gram per task, summed by
+    # a dim²-group aggregate. Exact: the quantized entries are int64
+    # (|q| <= 127 plus the 0.5-rounding headroom), NumPy int64 matmul
+    # is exact integer arithmetic, and the cross-task sum is the same
+    # BIGINT sum as before. Only `qv` crosses the Python boundary
+    # (guide §4.1: project first).
+    #
+    # The power iteration then runs DRIVER-SIDE on the collected Gram:
+    # G is dim² = 4,096 longs — bounded by the embedding width, never
+    # by corpus size, at ANY scale (the canonical production shape:
+    # distributed Gram fan-in, local eigensolve). The old form chained
+    # each iterate through crossJoin(broadcast(m)) joins, nesting
+    # broadcast subtrees exactly like the perceptron loop (1,636 plan
+    # lines — plans/r13/embedding_pca_power_before.txt). Python-int
+    # arithmetic reproduces the engines' BIGINT trajectory exactly
+    # inside the documented overflow headroom (|w| <= 64·|G|·1024,
+    # see the key docstring); the iterates become literal 64-row
+    # frames. Oracle hashes of both PCA keys are unchanged.
+    gram_rows = (
+        qz.select("qv")
+        .mapInArrow(_pca_gram_worker, schema="i int, j int, gij long")
+        .groupBy("i", "j")
+        .agg(F.sum("gij").alias("gij"))
+        .collect()
+    )
+    G = [[0] * _PCA_DIMS for _ in range(_PCA_DIMS)]
+    for r in gram_rows:
+        G[r["i"] - 1][r["j"] - 1] = int(r["gij"])
 
     dims = spark.range(1, _PCA_DIMS + 1).select(F.col("id").cast("int").alias("dim"))
-    v = dims.select(
-        "dim",
-        F.when(F.col("dim") == 1, F.lit(_PCA_VSCALE)).otherwise(0).cast("long").alias("vj"),
-    )
+    v = [_PCA_VSCALE if d == 0 else 0 for d in range(_PCA_DIMS)]
     vs = []
     for _t in range(1, _PCA_ITERS + 1):
-        w = (
-            g.join(F.broadcast(v.withColumnRenamed("dim", "j")), "j")
-            .groupBy(F.col("i").alias("dim"))
-            .agg(F.sum(F.col("gij") * F.col("vj")).alias("w"))
+        w = [sum(G[i][j] * v[j] for j in range(_PCA_DIMS)) for i in range(_PCA_DIMS)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [
+            -((-x) * _PCA_VSCALE // m) if x < 0 else (x * _PCA_VSCALE) // m
+            for x in w
+        ]
+        vs.append(
+            spark.createDataFrame(
+                [(d + 1, v[d]) for d in range(_PCA_DIMS)],
+                schema=T.StructType(
+                    [
+                        T.StructField("dim", T.IntegerType(), False),
+                        T.StructField("vj", T.LongType(), False),
+                    ]
+                ),
+            )
         )
-        m = w.agg(F.greatest(F.max(F.abs("w")), F.lit(1)).alias("m"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            "dim",
-            F.expr(
-                f"CAST(CASE WHEN w < 0 THEN -((-w) * {_PCA_VSCALE} div m)"
-                f" ELSE (w * {_PCA_VSCALE}) div m END AS BIGINT)"
-            ).alias("vj"),
-        )
-        vs.append(v)
     return vs, qz, dims
+
+
+def _pca_gram_worker(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    """Per-task partial Gram: NumPy int64 X.T @ X over each Arrow
+    batch of quantized vectors (one 4,096-row partial per task; exact
+    integer arithmetic — see the _pca_learn comment). A ragged or
+    null-carrying batch fails loudly at the reshape."""
+    import numpy as np
+    import pyarrow as pa
+
+    acc = None
+    for batch in batches:
+        col = batch.column(0)
+        n = len(col)
+        if n == 0:
+            continue
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        X = flat.reshape(n, _PCA_DIMS)
+        p = X.T @ X
+        acc = p if acc is None else acc + p
+    if acc is not None:
+        idx = np.arange(_PCA_DIMS, dtype=np.int32) + 1
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(idx, _PCA_DIMS)),
+                pa.array(np.tile(idx, _PCA_DIMS)),
+                pa.array(acc.ravel()),
+            ],
+            names=["i", "j", "gij"],
+        )
 
 
 def _pca_chain_sql() -> str:
