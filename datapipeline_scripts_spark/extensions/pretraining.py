@@ -221,7 +221,17 @@ def _minhash_drop(docs: DataFrame, pin) -> DataFrame:
     bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cand = (
+    # the match count is a pure function of the pair and this stage
+    # only needs the distinct doc_b set past the threshold, so the
+    # filter runs at the join output and the terminal .distinct()
+    # absorbs the pair-level dedup — the exchange that used to carry
+    # two 16-long arrays per collision now never happens; only the
+    # surviving doc_b longs shuffle.
+    matches = sum(
+        F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -229,20 +239,8 @@ def _minhash_drop(docs: DataFrame, pin) -> DataFrame:
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.sig").alias("sa"),
-            F.col("y.sig").alias("sb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    matches = sum(
-        F.when(F.col("sa")[i] == F.col("sb")[i], 1).otherwise(0) for i in range(_N_HASHES)
-    )
-    return (
-        cand.filter(matches >= _MH_MIN_MATCHES)
-        .select(F.col("doc_b").alias("doc_id"))
+        .filter(matches >= _MH_MIN_MATCHES)
+        .select(F.col("y.doc_id").alias("doc_id"))
         .distinct()
     )
 

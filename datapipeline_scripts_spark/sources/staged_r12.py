@@ -832,7 +832,14 @@ def dedup_minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     sig = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
     ref_b = _band_rows(sig.filter(F.col("doc_id") % 10 < 7))
     bat_b = _band_rows(sig.filter(F.col("doc_id") % 10 >= 7))
-    cand = (
+    # the estimate is a pure function of the (bid, rid) pair, so it is
+    # folded to a scalar at the join output and the candidate-dedup
+    # exchange carries 3 scalars per collision, not two 16-long arrays
+    matches = sum(
+        F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    est = (
         bat_b.alias("x")
         .join(
             ref_b.alias("y"),
@@ -842,17 +849,9 @@ def dedup_minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             F.col("x.doc_id").alias("bid"),
             F.col("y.doc_id").alias("rid"),
-            F.col("x.sig").alias("sa"),
-            F.col("y.sig").alias("sb"),
+            (matches / F.lit(float(_N_HASHES))).alias("e"),
         )
         .dropDuplicates(["bid", "rid"])
-    )
-    matches = sum(
-        F.when(F.col("sa")[i] == F.col("sb")[i], 1).otherwise(0)
-        for i in range(_N_HASHES)
-    )
-    est = cand.select(
-        "bid", "rid", (matches / F.lit(float(_N_HASHES))).alias("e")
     )
     per = est.groupBy("bid").agg(
         F.count("*").cast("long").alias("n_cand"),
@@ -1815,29 +1814,24 @@ def crawl_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signed with the registered hash family)
     bat_b = _band_rows(_minhash_sigs_of(arrived.select("doc_id", "text")))
     ref_b = _band_rows(_minhash_sigs_of(ref.select("doc_id", "text")))
-    cand = (
+    # the estimate is computed and thresholded at the join output (it
+    # is a pure function of the pair), and the terminal per-doc
+    # .distinct() already dedups — so the pair-level dedup exchange
+    # (which used to carry two 16-long arrays per collision) is gone
+    # entirely; only passing bid longs reach the remaining distinct.
+    matches = sum(
+        F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    near = (
         bat_b.alias("x")
         .join(
             ref_b.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket")),
         )
-        .select(
-            F.col("x.doc_id").alias("bid"),
-            F.col("y.doc_id").alias("rid"),
-            F.col("x.sig").alias("sa"),
-            F.col("y.sig").alias("sb"),
-        )
-        .dropDuplicates(["bid", "rid"])
-    )
-    matches = sum(
-        F.when(F.col("sa")[i] == F.col("sb")[i], 1).otherwise(0)
-        for i in range(_N_HASHES)
-    )
-    near = (
-        cand.select("bid", (matches / F.lit(float(_N_HASHES))).alias("e"))
-        .filter(F.col("e") >= _MSTORE_THRESH)
-        .select(F.col("bid").alias("doc_id"))
+        .filter((matches / F.lit(float(_N_HASHES))) >= _MSTORE_THRESH)
+        .select(F.col("x.doc_id").alias("doc_id"))
         .distinct()
         .withColumn("near", F.lit(1))
     )

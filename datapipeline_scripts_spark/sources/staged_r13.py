@@ -759,6 +759,13 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
             "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
+        # match count folded to a scalar at the join output (it is a
+        # pure function of the pair), so the candidate-dedup exchange
+        # carries (doc_a, doc_b, m) instead of two 16-long arrays
+        matches = sum(
+            F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0)
+            for i in range(_N_HASHES)
+        )
         cand = (
             bands.alias("x")
             .join(
@@ -770,17 +777,12 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("x.doc_id").alias("doc_a"),
                 F.col("y.doc_id").alias("doc_b"),
-                F.col("x.sig").alias("sa"),
-                F.col("y.sig").alias("sb"),
+                matches.alias("m"),
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        matches = sum(
-            F.when(F.col("sa")[i] == F.col("sb")[i], 1).otherwise(0)
-            for i in range(_N_HASHES)
-        )
         per_config.append(
-            cand.select(matches.alias("m")).agg(
+            cand.agg(
                 F.lit(n_bands).cast("long").alias("n_bands"),
                 F.lit(rows).cast("long").alias("rows_per_band"),
                 F.count("*").cast("long").alias("n_candidates"),
