@@ -125,18 +125,35 @@ def pagerank_rounds(
     Returns (rank: (k, r), deg: (src, outdeg)).
 
     Scale notes unchanged from graph_pagerank's docstring: the edge
-    list is localCheckpoint'd (compute-once, reuse-per-iteration),
+    list, node list and degree table are localCheckpoint'd
+    (compute-once, reuse-per-iteration — without the node/degree
+    checkpoints every iteration's plan subtree re-derives both from
+    the edge list: 3 rounds planned 68 Exchanges, r13 before-plan),
     every downstream table is |V|-sized, the Python loop unrolls into
     one Catalyst plan, and lineage is cut every `checkpoint_every`
-    rounds so deep iteration counts don't explode plan analysis."""
-    edges = edges.localCheckpoint(eager=False)
-    nodes = edges.select(F.col("src").alias("k")).union(edges.select("dst")).distinct()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    n_nodes = nodes.agg(F.count("*").alias("nn"))
+    rounds so deep iteration counts don't explode plan analysis.
 
-    base = F.expr(f"{_SCALE} div nn")
-    teleport = F.expr(f"{_DAMP_DEN - _DAMP_NUM} * ({_SCALE} div nn) div {_DAMP_DEN}")
-    rank = nodes.crossJoin(F.broadcast(n_nodes)).select("k", base.alias("r"))
+    The node count folds to a literal via one bounded 1-scalar
+    driver fan-in (the sketches.py:270 singleton-aggregate class):
+    `_SCALE div nn` and the teleport term are exact non-negative
+    integer floor divisions, identical in Python and Spark, so the
+    per-node base rank is the same bigint either way — it just stops
+    being a per-iteration crossJoin(broadcast(count)) subtree."""
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("k"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=False)
+    nn = nodes.count()
+
+    # nn == 0 means nodes is empty, so rank has zero rows whatever the
+    # literals say — just avoid the Python ZeroDivisionError
+    base = _SCALE // nn if nn else 0
+    teleport = (_DAMP_DEN - _DAMP_NUM) * base // _DAMP_DEN
+    rank = nodes.select("k", F.lit(base).cast("long").alias("r"))
     for i in range(n_rounds):
         # cut lineage every k rounds so deep iteration counts don't
         # explode the unrolled plan (checkpoint-per-k, docs/SCALE.md);
@@ -150,11 +167,13 @@ def pagerank_rounds(
             .agg(F.sum(F.expr("r div outdeg")).alias("contrib"))
         )
         rank = (
-            nodes.crossJoin(F.broadcast(n_nodes))
-            .join(F.broadcast(contrib), nodes.k == contrib.dst, "left")
+            nodes.join(F.broadcast(contrib), nodes.k == contrib.dst, "left")
             .select(
                 "k",
-                (teleport + F.expr(f"{_DAMP_NUM} * coalesce(contrib, 0L) div {_DAMP_DEN}")).alias("r"),
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(f"{_DAMP_NUM} * coalesce(contrib, 0L) div {_DAMP_DEN}")
+                ).alias("r"),
             )
         )
     return rank, deg

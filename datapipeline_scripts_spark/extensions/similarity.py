@@ -590,12 +590,62 @@ SELECT qid, cid, l2sq_micro, CAST(rn AS INTEGER) AS rn FROM (
 """
 
 
-def _pq_subspaces(e: DataFrame) -> DataFrame:
-    """(vec_id, m, s): the M subvector slices of every embedding."""
-    slices = F.array(
-        *[F.slice(F.col("embedding"), m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
-    )
-    return e.select("vec_id", F.posexplode(slices).alias("m", "s"))
+def _pq_encode_worker(cb_flat: list, codes_only: bool):
+    """mapInArrow worker factory for the PQ encode/LUT passes, closed
+    over the flat (m-major, then j, then i) codebook doubles.
+
+    Exactness contract — every value is bit-identical to the
+    _pq_dist_micro expression it replaces: embeddings are float32 →
+    float64 (exact); ss/sc/cc accumulate as explicit left folds from
+    0.0 in index order (NumPy elementwise float64 add/mul == the JVM's
+    zip_with/aggregate fold, op for op); the combination keeps the
+    textual ((aa - 2ab) + cc) order; floor(x * 1e6 + 0.5) runs in
+    float64 before the int64 cast. np.argmin returns the FIRST
+    minimum — exactly min(struct(d, j))'s (d, then lowest j)
+    tie-break. A ragged or null-carrying batch fails loudly at the
+    reshape (same contract as _pca_gram_worker)."""
+
+    def work(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cb_flat, dtype=np.float64).reshape(_PQ_M, _PQ_K, _PQ_SUB)
+        cc = np.zeros((_PQ_M, _PQ_K))
+        for i in range(_PQ_SUB):
+            cc = cc + C[:, :, i] * C[:, :, i]
+        for batch in batches:
+            vid = batch.column(0)
+            col = batch.column(1)
+            n = len(col)
+            if n == 0:
+                continue
+            X = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, _PQ_M * _PQ_SUB)
+            )
+            d_all = np.empty((n, _PQ_M * _PQ_K), dtype=np.int64)
+            for m in range(_PQ_M):
+                S = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                ss = np.zeros(n)
+                sc = np.zeros((n, _PQ_K))
+                for i in range(_PQ_SUB):
+                    ss = ss + S[:, i] * S[:, i]
+                    sc = sc + S[:, i, None] * C[m, :, i][None, :]
+                d = np.floor((ss[:, None] - 2 * sc + cc[m][None, :]) * 1000000 + 0.5)
+                d_all[:, m * _PQ_K : (m + 1) * _PQ_K] = d.astype(np.int64)
+            if codes_only:
+                codes = np.argmin(
+                    d_all.reshape(n, _PQ_M, _PQ_K), axis=2
+                ).astype(np.int32)
+                out = pa.array(codes.tolist(), type=pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays([vid, out], names=["vec_id", "codes"])
+            else:
+                out = pa.array(d_all.tolist(), type=pa.list_(pa.int64()))
+                yield pa.RecordBatch.from_arrays([vid, out], names=["qid", "lut"])
+
+    return work
 
 
 def _pq_dist_micro(a, b):
@@ -635,43 +685,47 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py::test_pq_rerank_recall_vs_exact."""
     e = load_table(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    subs = _pq_subspaces(e)
-    cb = (
-        subs.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("j"), "m", F.col("s").alias("c"))
+    # The codebook is the first K vectors' M subvector slices — K·M =
+    # 256 rows of _PQ_SUB floats, bounded by CONSTRUCTION (never by
+    # corpus size): the sketches.py:270 singleton-collect class. Fold
+    # it to literals so both the encode pass and the query LUT become
+    # single in-row projections of the scan — the r13-before form
+    # instead posexploded every embedding into M subvector rows and
+    # ran two groupBy legs (argmin re-aggregate + collect_list
+    # re-pack), shuffling N·M subvector rows twice per run
+    # (plans/r13/knn_pq_before.txt (13)(17)(30): 3 Exchanges and two
+    # ObjectHashAggregate pairs that no longer exist).
+    cb_rows = e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "embedding").collect()
+    cb: dict[tuple[int, int], list[float]] = {}
+    for r in cb_rows:
+        for m in range(_PQ_M):
+            cb[(m, int(r["vec_id"]))] = [
+                float(x) for x in r["embedding"][m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            ]
+
+    cb_flat = [v for m in range(_PQ_M) for j in range(_PQ_K) for v in cb[(m, j)]]
+    # One vectorized Arrow pass computes the M-entry code array per
+    # candidate row (and a second, query-filtered pass the M·K-entry
+    # LUT per query) — the _pca_gram_worker pattern (guide §4.2): only
+    # (vec_id, embedding) crosses the boundary, zero shuffles, and the
+    # argmin tie-break (d, then lowest j) is NumPy argmin's
+    # first-minimum. Distance arithmetic is bit-identical to
+    # _pq_dist_micro — see _pq_encode_batches. (Two pure-SQL in-row
+    # forms were tried first: a per-(m,j) literal unroll planned ~12k
+    # expression nodes / 10.8 MiB task binaries, and a
+    # transform/aggregate HOF form evaluated interpreted, 0.75 s
+    # SLOWER than the exploded join at sf0.1.)
+    enc_map = e.select("vec_id", "embedding").mapInArrow(
+        _pq_encode_worker(cb_flat, codes_only=True),
+        schema="vec_id long, codes array<int>",
     )
-    scored = subs.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "j", _pq_dist_micro(F.col("s"), F.col("c")).alias("d")
-    )
-    # argmin over j as a partial-aggregable min(struct(d, j)) — same
-    # (d, then j) tie-break as the oracle's row_number, no window sort
-    enc = scored.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d", "j")).getField("j").alias("code")
-    )
-    # the scale-shaped ADC: one M-entry code array per candidate row
-    # and one M·K-entry LUT array per query (broadcast), the distance
-    # sum an in-row fold of O(1) positional lookups — the exploded
-    # join+groupBy form materializes N·M·|Q| rows, this form N·|Q|.
-    # Arrays, not maps: Spark map element_at is a linear scan; a
-    # position-indexed array (sorted by key once at build) is O(1).
-    enc_map = enc.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda x: x["code"]
-        ).alias("codes")
-    )
-    lut = (
-        subs.filter(F.col("vec_id") < _PQ_NQ)
-        .join(F.broadcast(cb), "m")
-        .select(
-            F.col("vec_id").alias("qid"),
-            (F.col("m") * _PQ_K + F.col("j")).alias("k"),
-            _pq_dist_micro(F.col("s"), F.col("c")).alias("d"),
+    lut_map = (
+        e.filter(F.col("vec_id") < _PQ_NQ)
+        .select("vec_id", "embedding")
+        .mapInArrow(
+            _pq_encode_worker(cb_flat, codes_only=False),
+            schema="qid long, lut array<long>",
         )
-    )
-    lut_map = lut.groupBy("qid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("k", "d"))), lambda x: x["d"]
-        ).alias("lut")
     )
     # unrolled (no higher-order fold): 16 positional lookups summed as
     # plain codegen'd expressions
