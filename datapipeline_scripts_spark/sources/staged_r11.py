@@ -693,20 +693,27 @@ def quality_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("doc_id")
         .localCheckpoint(eager=True)
     )
-    wdf = spark.range(1).select(
-        *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
-    )
+    # optimization r13 (guide §5/§7.2, the _pe_weights pattern): each
+    # iteration's gradient aggregate runs as a plain job and its
+    # single 5-long row is collected (the bounded singleton-aggregate
+    # fan-in, sketches.py:270 class — O(1) rows at any corpus scale),
+    # feeding the next margin as literals. The previous form chained
+    # each iteration through crossJoin(broadcast(agg)) AND unioned the
+    # per-iteration rows, so iteration t's union branch replayed the
+    # whole prefix chain — 68 Exchanges for 3 iterations. The integer
+    # trajectory is unchanged (same sums, same literal-weight
+    # margins); the report becomes a 3-row literal frame.
+    w = [0, 0, 0, 0]
     out: DataFrame | None = None
     for it in range(1, _PT_ITERS + 1):
-        j = feats.crossJoin(F.broadcast(wdf))
         margin = F.col("y") * (
-            F.col("w0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
         )
-        agg = (
-            j.filter(margin <= 0)
+        r = (
+            feats.filter(margin <= 0)
             .agg(
                 F.count("*").alias("n_mis"),
                 F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
@@ -714,15 +721,15 @@ def quality_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
                 F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
             )
+            .collect()[0]
         )
-        step = wdf.crossJoin(F.broadcast(agg))
-        row = step.select(
+        w = [w[k] + int(r[f"d{k}"]) for k in range(4)]
+        row = spark.range(1).select(
             F.lit(it).alias("iteration"),
-            F.col("n_mis").cast("long").alias("n_mis"),
-            *[(F.col(f"w{k}") + F.col(f"d{k}")).cast("long").alias(f"w{k}") for k in range(4)],
+            F.lit(int(r["n_mis"])).cast("long").alias("n_mis"),
+            *[F.lit(w[k]).cast("long").alias(f"w{k}") for k in range(4)],
         )
         out = row if out is None else out.unionByName(row)
-        wdf = row.select(*[f"w{k}" for k in range(4)])
     assert out is not None
     return out.orderBy("iteration")
 
@@ -1268,39 +1275,37 @@ def quality_eval_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _perceptron_features(spark, sf_dir).localCheckpoint(eager=True)
     train = feats.filter(F.col("doc_id") % 2 == 0)
     test = feats.filter(F.col("doc_id") % 2 == 1)
-    wdf = spark.range(1).select(
-        *[F.lit(0).cast("long").alias(f"w{k}") for k in range(4)]
-    )
+    # optimization r13: bounded per-iteration gradient collect (the
+    # _pe_weights pattern — see quality_train_perceptron's comment);
+    # the trained weights reach the scoring pass as four literal longs
+    # instead of a chained broadcast subtree per iteration
+    w = [0, 0, 0, 0]
     for _ in range(_PE_ITERS):
-        j = train.crossJoin(F.broadcast(wdf))
         margin = F.col("y") * (
-            F.col("w0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
         )
-        agg = j.filter(margin <= 0).agg(
-            F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
-            F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0)).alias("d1"),
-            F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
-            F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
-        )
-        wdf = (
-            wdf.crossJoin(F.broadcast(agg))
-            .select(
-                *[(F.col(f"w{k}") + F.col(f"d{k}")).cast("long").alias(f"w{k}") for k in range(4)]
+        r = (
+            train.filter(margin <= 0)
+            .agg(
+                F.coalesce(F.sum("y"), F.lit(0)).alias("d0"),
+                F.coalesce(F.sum(F.col("y") * F.col("x1")), F.lit(0)).alias("d1"),
+                F.coalesce(F.sum(F.col("y") * F.col("x2")), F.lit(0)).alias("d2"),
+                F.coalesce(F.sum(F.col("y") * F.col("x3")), F.lit(0)).alias("d3"),
             )
+            .collect()[0]
         )
+        w = [w[k] + int(r[f"d{k}"]) for k in range(4)]
     score = (
-        F.col("w0")
-        + F.col("w1") * F.col("x1")
-        + F.col("w2") * F.col("x2")
-        + F.col("w3") * F.col("x3")
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
     )
     pred = F.when(score > 0, 1).otherwise(-1)
-    scored = test.crossJoin(F.broadcast(wdf)).select(
-        "y", pred.alias("pred")
-    )
+    scored = test.select("y", pred.alias("pred"))
     y, p = F.col("y"), F.col("pred")
     return scored.agg(
         F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).cast("long").alias("tp"),
