@@ -590,9 +590,46 @@ SELECT qid, cid, l2sq_micro, CAST(rn AS INTEGER) AS rn FROM (
 """
 
 
-def _pq_encode_worker(cb_flat: list, codes_only: bool):
+def _pq_codebook(id_embedding_pairs: list) -> tuple[list, tuple]:
+    """Flat (m-major, then j, then i) codebook doubles from the
+    collected [0, K) embedding rows, plus the tuple of MISSING code
+    ids.
+
+    Degenerate-input contract (ADVICE r13): a vec_id GAP in [0, K)
+    degrades gracefully — the missing code's subvectors are zero-filled
+    here and its distance columns pinned to INT64 max inside
+    _pq_encode_worker, so neither the encode argmin nor the
+    (never-referenced) LUT slot can select it: exactly the old join
+    form's behavior of ranking over whatever codebook rows exist. A
+    DUPLICATE vec_id is a broken key (both the old join and the oracle
+    would fan out rows) and fails loudly instead of silently
+    last-write-winning."""
+    seen_ids = [j for j, _emb in id_embedding_pairs]
+    if len(seen_ids) != len(set(seen_ids)):
+        raise ValueError(
+            f"knn_pq: duplicate vec_id rows in the codebook slice [0, {_PQ_K}): "
+            f"{sorted(i for i in set(seen_ids) if seen_ids.count(i) > 1)} — "
+            "vec_id must be a key of the embeddings table"
+        )
+    cb: dict[tuple[int, int], list[float]] = {
+        (m, j): [0.0] * _PQ_SUB for m in range(_PQ_M) for j in range(_PQ_K)
+    }
+    for j, emb in id_embedding_pairs:
+        for m in range(_PQ_M):
+            cb[(m, j)] = [float(x) for x in emb[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+    missing_js = tuple(sorted(set(range(_PQ_K)) - set(seen_ids)))
+    cb_flat = [v for m in range(_PQ_M) for j in range(_PQ_K) for v in cb[(m, j)]]
+    return cb_flat, missing_js
+
+
+def _pq_encode_worker(cb_flat: list, codes_only: bool, missing_js: tuple = ()):
     """mapInArrow worker factory for the PQ encode/LUT passes, closed
     over the flat (m-major, then j, then i) codebook doubles.
+    ``missing_js`` lists code ids absent from the embeddings table
+    (gapped vec_ids — ADVICE r13): their distance columns are pinned
+    to INT64 max so argmin can never select them and their LUT slots
+    are never referenced, mirroring the old join form's ranking over
+    only the codebook rows that exist.
 
     Exactness contract — every value is bit-identical to the
     _pq_dist_micro expression it replaces: embeddings are float32 →
@@ -634,7 +671,10 @@ def _pq_encode_worker(cb_flat: list, codes_only: bool):
                     ss = ss + S[:, i] * S[:, i]
                     sc = sc + S[:, i, None] * C[m, :, i][None, :]
                 d = np.floor((ss[:, None] - 2 * sc + cc[m][None, :]) * 1000000 + 0.5)
-                d_all[:, m * _PQ_K : (m + 1) * _PQ_K] = d.astype(np.int64)
+                di = d.astype(np.int64)
+                for j_missing in missing_js:
+                    di[:, j_missing] = np.iinfo(np.int64).max
+                d_all[:, m * _PQ_K : (m + 1) * _PQ_K] = di
             if codes_only:
                 codes = np.argmin(
                     d_all.reshape(n, _PQ_M, _PQ_K), axis=2
@@ -696,34 +736,29 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plans/r13/knn_pq_before.txt (13)(17)(30): 3 Exchanges and two
     # ObjectHashAggregate pairs that no longer exist).
     cb_rows = e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "embedding").collect()
-    cb: dict[tuple[int, int], list[float]] = {}
-    for r in cb_rows:
-        for m in range(_PQ_M):
-            cb[(m, int(r["vec_id"]))] = [
-                float(x) for x in r["embedding"][m * _PQ_SUB : (m + 1) * _PQ_SUB]
-            ]
-
-    cb_flat = [v for m in range(_PQ_M) for j in range(_PQ_K) for v in cb[(m, j)]]
+    cb_flat, missing_js = _pq_codebook(
+        [(int(r["vec_id"]), r["embedding"]) for r in cb_rows]
+    )
     # One vectorized Arrow pass computes the M-entry code array per
     # candidate row (and a second, query-filtered pass the M·K-entry
     # LUT per query) — the _pca_gram_worker pattern (guide §4.2): only
     # (vec_id, embedding) crosses the boundary, zero shuffles, and the
     # argmin tie-break (d, then lowest j) is NumPy argmin's
     # first-minimum. Distance arithmetic is bit-identical to
-    # _pq_dist_micro — see _pq_encode_batches. (Two pure-SQL in-row
+    # _pq_dist_micro — see _pq_encode_worker. (Two pure-SQL in-row
     # forms were tried first: a per-(m,j) literal unroll planned ~12k
     # expression nodes / 10.8 MiB task binaries, and a
     # transform/aggregate HOF form evaluated interpreted, 0.75 s
     # SLOWER than the exploded join at sf0.1.)
     enc_map = e.select("vec_id", "embedding").mapInArrow(
-        _pq_encode_worker(cb_flat, codes_only=True),
+        _pq_encode_worker(cb_flat, codes_only=True, missing_js=missing_js),
         schema="vec_id long, codes array<int>",
     )
     lut_map = (
         e.filter(F.col("vec_id") < _PQ_NQ)
         .select("vec_id", "embedding")
         .mapInArrow(
-            _pq_encode_worker(cb_flat, codes_only=False),
+            _pq_encode_worker(cb_flat, codes_only=False, missing_js=missing_js),
             schema="qid long, lut array<long>",
         )
     )

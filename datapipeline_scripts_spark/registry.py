@@ -11,6 +11,15 @@ Conventions (SURVEY.md §7.0):
 - Alias every computed column identically on both sides.
 - round(double_agg, 2) on both sides to dodge float summation-order drift.
 - Render timestamps as strings (UTC) when they appear in output columns.
+
+Eager-build contract (ADVICE r13): ``build()`` is NOT guaranteed lazy.
+Iterative keys (the perceptron family, pagerank_rounds, knn_pq, BPE,
+PCA) run bounded Spark jobs inside the builder — singleton-aggregate
+collects whose results feed back as literals, plus eager checkpoints of
+reused intermediates — so constructing the DataFrame executes real
+scans. Plan-only consumers (EXPLAIN tooling, deferred pipelines) must
+expect build-time execution; the driver/bench/oracle harnesses all time
+build()+action together, so nothing is hidden from measurement.
 """
 
 from __future__ import annotations

@@ -2128,7 +2128,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     |G| ≤ 127²·N and |w| ≤ 64·|G|·1024, safe in BIGINT to N ≈ 10⁹
     vectors per partition-group; beyond that production scales G
     down by a power of two first (same integer semantics)."""
-    vs, _qz, dims = _pca_learn(spark, sf_dir)
+    vs, _qz, dims, _v_lists = _pca_learn(spark, sf_dir)
     out = dims
     for t, vt in enumerate(vs, start=1):
         out = out.join(vt.withColumnRenamed("vj", f"v{t}"), "dim")
@@ -2137,11 +2137,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pca_learn(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[DataFrame], DataFrame, DataFrame]:
+) -> tuple[list[DataFrame], DataFrame, DataFrame, list[list[int]]]:
     """Shared PCA chain: ([v after each iteration], quantized vectors
-    (vec_id, qv), dims frame). The power key reads the trajectory;
-    the projection key reuses the quantized table and the final
-    iterate — shared code, so the pair cannot fork."""
+    (vec_id, qv), dims frame, [raw iterate values]). The power key
+    reads the trajectory; the projection key reuses the quantized
+    table and the final iterate — shared code, so the pair cannot
+    fork. The raw Python-int iterates (last element) let consumers
+    fold the final direction into literal expressions (optimization
+    r14: the projection becomes an in-row dot product, no explode /
+    broadcast join / corpus-sized groupBy)."""
     e = load_table(spark, sf_dir, "embeddings")
     sc = F.greatest(
         F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))),
@@ -2191,6 +2195,7 @@ def _pca_learn(
     dims = spark.range(1, _PCA_DIMS + 1).select(F.col("id").cast("int").alias("dim"))
     v = [_PCA_VSCALE if d == 0 else 0 for d in range(_PCA_DIMS)]
     vs = []
+    v_lists: list[list[int]] = []
     for _t in range(1, _PCA_ITERS + 1):
         w = [sum(G[i][j] * v[j] for j in range(_PCA_DIMS)) for i in range(_PCA_DIMS)]
         m = max(max(abs(x) for x in w), 1)
@@ -2198,6 +2203,7 @@ def _pca_learn(
             -((-x) * _PCA_VSCALE // m) if x < 0 else (x * _PCA_VSCALE) // m
             for x in w
         ]
+        v_lists.append(list(v))
         vs.append(
             spark.createDataFrame(
                 [(d + 1, v[d]) for d in range(_PCA_DIMS)],
@@ -2209,7 +2215,7 @@ def _pca_learn(
                 ),
             )
         )
-    return vs, qz, dims
+    return vs, qz, dims, v_lists
 
 
 def _pca_gram_worker(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -3027,19 +3033,28 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 dominant-direction outliers; (out_rank, vec_id,
     projection) ordered by |projection| DESC, vec_id tiebreak.
 
-    Scale shape: the projection is one posexplode + broadcast join on
-    the 64-row iterate + a partial-aggregable per-vector sum; the
-    top-k is orderBy+limit (TakeOrdered — per-partition heaps, no
-    global sort materialization), then a 20-row window for the rank."""
+    Scale shape (optimization r14, guide §2.4 — remove shuffles
+    outright): the final iterate is 64 Python ints already on the
+    driver (_pca_learn's power iteration runs there), so the
+    projection is an IN-ROW dot product — 64 codegen'd
+    element_at(qv, i) * literal terms per vector, no posexplode, no
+    broadcast join, no corpus-sized groupBy exchange (the r13 form
+    shuffled N·64 (vec_id, qi, vj) rows through a per-vector sum).
+    BIGINT addition is exact and order-independent, so the in-row
+    left-to-right sum equals the old groupBy sum bit-for-bit (oracle
+    hashes unchanged). The top-k is orderBy+limit (TakeOrdered —
+    per-partition heaps, no global sort materialization), then a
+    20-row window for the rank."""
     from pyspark.sql.window import Window as W
 
-    vs, qz, _dims = _pca_learn(spark, sf_dir)
-    v_final = vs[-1].withColumnRenamed("dim", "j0dim")
-    pe = qz.select("vec_id", F.posexplode("qv").alias("i0", "qi"))
-    proj = (
-        pe.join(F.broadcast(v_final), pe["i0"] + 1 == v_final["j0dim"])
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("qi") * F.col("vj")).alias("projection"))
+    _vs, qz, _dims, v_lists = _pca_learn(spark, sf_dir)
+    v_final = v_lists[-1]
+    terms = [
+        F.element_at(F.col("qv"), d + 1) * F.lit(int(v_final[d]))
+        for d in range(_PCA_DIMS)
+    ]
+    proj = qz.select(
+        "vec_id", sum(terms[1:], terms[0]).cast("long").alias("projection")
     )
     top = proj.orderBy(F.abs(F.col("projection")).desc(), "vec_id").limit(_PCA_TOPK)
     w = W.orderBy(F.abs(F.col("projection")).desc(), "vec_id")

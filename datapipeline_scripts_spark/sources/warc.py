@@ -158,10 +158,20 @@ def write_warc_record(
     content_type: str | None = None,
     extra: dict[str, str] | None = None,
     gzip_member: bool = True,
+    gzip_level: int = 1,
 ) -> bytes:
     """One spec-conformant record, optionally as its own gzip member
     (the splittable .warc.gz layout). Deterministic: the caller owns
-    ids and dates, nothing is sampled here."""
+    ids and dates, nothing is sampled here.
+
+    ``gzip_level`` defaults to 1 (fastest): every consumer of this
+    writer immediately re-parses the member (roundtrip proof keys) or
+    ships it once, and gzip decompression is level-independent, so the
+    only effect of a higher level is encode CPU per byte (measured ~2×
+    at level 6 — optimization r14, guide §1.2 per-task work). An
+    archival writer that keeps .warc.gz on disk long-term can pass 6+
+    for the better ratio; parse/roundtrip semantics are identical at
+    any level."""
     head = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode(),
@@ -178,7 +188,7 @@ def write_warc_record(
     raw = _CRLF.join(head) + _CRLF + _CRLF + content + _CRLF + _CRLF
     if not gzip_member:
         return raw
-    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    co = zlib.compressobj(gzip_level, zlib.DEFLATED, 31)
     return co.compress(raw) + co.flush()
 
 

@@ -1,5 +1,6 @@
 """Optimization-round probe: time keys bench-style (warm best-of-N
-count()) and dump their formatted plans for plans/r13/.
+count()) and dump their formatted plans for plans/<round>/ (round dir
+from $SPARK_GRAFT_PLAN_DIR, default r14).
 
 Usage:
   python scripts/opt_probe.py time key1,key2,...   [sf_dir]
@@ -7,7 +8,7 @@ Usage:
 
 `time` prints per-key warm best-of-5 (bench.py's exact convention:
 2 untimed warmups then best of 5 timed count() runs).
-`plan` writes plans/r13/<key>_<suffix>.txt with explain("formatted").
+`plan` writes plans/<round>/<key>_<suffix>.txt with explain("formatted").
 """
 
 from __future__ import annotations
@@ -47,7 +48,11 @@ def main() -> int:
         suffix = sys.argv[3]
         sf_dir = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
         spark = get_spark("opt_probe")
-        out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+        out_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans",
+            os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
+        )
         os.makedirs(out_dir, exist_ok=True)
         from datapipeline_scripts_spark.plans.audit import formatted_plan
 

@@ -385,6 +385,55 @@ def test_pq_rerank_recall_vs_exact(spark, sf_dir):
     assert mean_recall >= 0.7, f"mean recall {mean_recall:.2f}"
 
 
+def test_pq_codebook_gapped_and_duplicate_ids():
+    """Degenerate codebook inputs (ADVICE r13 / optimization r14): a
+    vec_id GAP in [0, K) must degrade gracefully — the encode argmin
+    never emits a missing code id (old join semantics: rank over the
+    codebook rows that exist) — and a DUPLICATE vec_id must fail
+    loudly instead of silently last-write-winning."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from datapipeline_scripts_spark.extensions.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _pq_codebook,
+        _pq_encode_worker,
+    )
+
+    dim = _PQ_M * _PQ_SUB
+    rng = np.random.default_rng(7)
+    # codebook rows for every id EXCEPT 3 and 11
+    present = [j for j in range(_PQ_K) if j not in (3, 11)]
+    pairs = [(j, rng.normal(size=dim).astype(np.float32).tolist()) for j in present]
+    cb_flat, missing = _pq_codebook(pairs)
+    assert missing == (3, 11)
+    assert len(cb_flat) == _PQ_M * _PQ_K * _PQ_SUB
+
+    vecs = rng.normal(size=(50, dim)).astype(np.float32)
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(range(50)), type=pa.int64()),
+            pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    (enc,) = list(_pq_encode_worker(cb_flat, codes_only=True, missing_js=missing)([batch]))
+    codes = enc.column(1).to_pylist()
+    assert all(c not in (3, 11) for row in codes for c in row)
+    # the LUT pass pins missing slots to INT64 max (never selectable)
+    (lut,) = list(_pq_encode_worker(cb_flat, codes_only=False, missing_js=missing)([batch]))
+    imax = np.iinfo(np.int64).max
+    for row in lut.column(1).to_pylist():
+        for m in range(_PQ_M):
+            assert row[m * _PQ_K + 3] == imax and row[m * _PQ_K + 11] == imax
+
+    with _pytest.raises(ValueError, match="duplicate vec_id"):
+        _pq_codebook(pairs + [pairs[0]])
+
+
 def test_feature_hashing_preserves_token_mass(spark, sf_dir):
     """Sum of hashed-bucket tf over a doc == that doc's token count
     (hashing moves tokens between buckets, never loses them), and
