@@ -259,9 +259,17 @@ def _dup_gram_occurrences_of(bodies: DataFrame) -> DataFrame:
     both its n_tokens leg and this chain (ADVICE r12: without the
     shared frame the normalized-text + injection build ran two full
     corpus scans per excise run)."""
-    toks = bodies.select("doc_id", F.split("body", " ").alias("toks")).filter(
-        F.size("toks") >= _SS_K
+    return _dup_gram_occurrences_of_toks(
+        bodies.select("doc_id", F.split("body", " ").alias("toks"))
     )
+
+
+def _dup_gram_occurrences_of_toks(tok_frame: DataFrame) -> DataFrame:
+    """`_dup_gram_occurrences` over a pre-split (doc_id, toks) frame —
+    the selection composite tokenizes ONCE for both its gram streams
+    (optimization r14) and delegates here, so the dup-gram chain
+    cannot fork between the standalone keys and the composite."""
+    toks = tok_frame.filter(F.size("toks") >= _SS_K)
     # EAGER: the gram table feeds the stats pass, the annotate join
     # and (in the excise key) the coverage leg — without the
     # checkpoint each consumer re-runs the corpus scan + gram hash
@@ -430,6 +438,14 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("body", " ")).cast("long").alias("n_tokens")
     )
     dup = _dup_gram_occurrences_of(bodies)
+    return _excise_of(ntok, dup).orderBy("doc_id")
+
+
+def _excise_of(ntok: DataFrame, dup: DataFrame) -> DataFrame:
+    """The excise accounting over an (doc_id, n_tokens) frame and a
+    dup-gram occurrence frame — ONE code path shared by the standalone
+    excise key and the selection composite (optimization r14), so the
+    keep_bp arithmetic cannot fork."""
     cover = (
         dup.filter(F.col("self_packed") != F.col("packed"))
         .select(
@@ -440,17 +456,13 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("dup_tokens"))
     )
-    return (
-        ntok.join(cover, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-            F.expr(
-                "CAST((n_tokens - coalesce(dup_tokens, 0)) * 10000 div n_tokens AS BIGINT)"
-            ).alias("keep_bp"),
-        )
-        .orderBy("doc_id")
+    return ntok.join(cover, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "CAST((n_tokens - coalesce(dup_tokens, 0)) * 10000 div n_tokens AS BIGINT)"
+        ).alias("keep_bp"),
     )
 
 
@@ -1135,6 +1147,88 @@ def _dsir_doc_scores_of(d: DataFrame) -> DataFrame:
     )
 
 
+def _sel_fused_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE documents scan + ONE tokenize for the whole selection
+    composite (optimization r14, guide §2.1 compute-once): (doc_id,
+    lang, source, n_chars, n_inj, toks), eager-checkpointed, where
+    `toks` is split(body, ' ') of the excise chain's injected body
+    (_span_bodies' exact construction) and `n_inj` the injected
+    predecessor-prefix token count (0 when no injection fired).
+
+    Equivalence contract: for a single-char separator,
+    split(a || ' ' || b) == split(a) ++ split(b) for ALL strings a, b
+    (including empties — split preserves empty pieces), so
+    slice(toks, n_inj + 1, size(toks) - n_inj) IS split(norm, ' '),
+    the non-injected token array the DSIR bigram stream is defined
+    over. tests/test_staged_r13.py pins both identities against
+    _span_bodies / tokens(text) on fixture data; the unchanged oracle
+    hashes of the composite prove the funnel end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    safe_text = F.coalesce(F.col("text"), F.lit(""))
+    prev = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(safe_text), " "), 1, _SS_INJ)
+        ).alias("inj"),
+    )
+    base = d.select(
+        "doc_id", "lang", "source", "n_chars", normalize_text(safe_text).alias("norm")
+    )
+    injected = (F.col("doc_id") % 9 == 5) & F.col("inj").isNotNull()
+    body = F.when(injected, F.concat_ws(" ", F.col("inj"), F.col("norm"))).otherwise(
+        F.col("norm")
+    )
+    n_inj = F.when(injected, F.size(F.split(F.col("inj"), " "))).otherwise(F.lit(0))
+    return (
+        base.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            n_inj.cast("int").alias("n_inj"),
+            F.split(body, " ").alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _dsir_doc_scores_of_toks(surv: DataFrame) -> DataFrame:
+    """`_dsir_doc_scores_of` over a pre-tokenized (doc_id, lang,
+    n_chars, ntoks) frame — the composite's fused path (optimization
+    r14). Same bigram stream (ngram_join over the identical token
+    array), same lambda model (_dsir_lambda_of), same scoring
+    arithmetic; the gram checkpoint is narrowed to (doc_id, is_t, b) —
+    lang/source never ride the per-occurrence rows (guide §2.3), they
+    rejoin at the per-doc score."""
+    g = (
+        surv.filter(F.size("ntoks") >= 2)
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_t"),
+            F.explode(ngram_join(F.col("ntoks"), 2)).alias("g"),
+        )
+        .select("doc_id", "is_t", (md5_48(F.col("g")) % _DSIR_B).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    lam = _dsir_lambda_of(g).select("b", "lam").localCheckpoint(eager=True)
+    doc_s = (
+        g.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("lam") + _DSIR_SHIFT).alias("lam_sum"),
+        )
+        .select("doc_id", F.expr("(lam_sum * 100) div n_grams").alias("s_shift"))
+    )
+    return surv.join(doc_s, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce("s_shift", F.lit(100 * _DSIR_SHIFT)).alias("s_shift"),
+    )
+
+
 def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-recipe composite — the selection funnel a pretraining
     run executes end-to-end: exact-substring dedup gate (drop docs
@@ -1145,20 +1239,50 @@ def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_arrived, n_kept, n_drawn, total_copies, chars_out).
 
     Every stage reuses its standalone key's machinery by import
-    (_span_* / _excise chain, _dsir_grams_of / _dsir_lambda_of /
-    _dsir_doc_scores_of, the corpus_sample_weighted draw), so the
-    funnel cannot fork semantics from the keys that prove each stage.
+    (_dup_gram_occurrences_of_toks / _excise_of, _dsir_lambda_of, the
+    corpus_sample_weighted draw), so the funnel cannot fork semantics
+    from the keys that prove each stage.
+
+    Optimization r14 (guide §2.1 — don't compute things twice): the
+    r13 form tokenized the corpus TWICE (the excise chain split the
+    injected bodies; the DSIR fit re-scanned parquet and re-normalized
+    the survivors' text) and checkpointed the survivors' full text.
+    The fused form tokenizes ONCE (_sel_fused_toks), derives the DSIR
+    token array by slicing off the injection prefix, and checkpoints
+    the narrow keep_ids roster instead of the survivor text — one
+    corpus scan, one normalize+split, for the whole funnel.
 
     Scale shape: the dedup gate is the excise key's linear
     canonical-occurrence pass reduced to a doc_id roster join; the
     DSIR fit/score is the B=1024-counter model over survivors; the
     report is |langs| counters. Nothing here exceeds the standalone
     keys' audited shapes."""
-    d = load_table(spark, sf_dir, "documents")
-    excise = dedup_substring_excise(spark, sf_dir)
-    keep_ids = excise.filter(F.col("keep_bp") >= _SEL_KEEP_BP).select("doc_id")
-    survivors = d.join(keep_ids, "doc_id").localCheckpoint(eager=True)
-    scored = _dsir_doc_scores_of(survivors)
+    fused = _sel_fused_toks(spark, sf_dir)
+    ntok = fused.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    dup = _dup_gram_occurrences_of_toks(fused.select("doc_id", "toks"))
+    # EAGER: the roster feeds the survivor join in BOTH the bigram
+    # checkpoint job and the final report job; it is |survivors| longs
+    # (narrow at any scale), and checkpointing it keeps the whole
+    # excise chain from re-running in the final job — the slot the r13
+    # form spent a full-text survivors checkpoint on.
+    keep_ids = (
+        _excise_of(ntok, dup)
+        .filter(F.col("keep_bp") >= _SEL_KEEP_BP)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    survivors = fused.join(keep_ids, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(
+            F.col("n_inj") > 0,
+            F.slice(F.col("toks"), F.col("n_inj") + 1, F.size("toks") - F.col("n_inj")),
+        )
+        .otherwise(F.col("toks"))
+        .alias("ntoks"),
+    )
+    scored = _dsir_doc_scores_of_toks(survivors)
     mean_s = scored.agg(F.expr("sum(s_shift) div count(*)").alias("m"))
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
@@ -1188,7 +1312,14 @@ def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars") * F.col("n_copies")).cast("long").alias("chars_out"),
         )
     )
-    arrived = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_arrived"))
+    # the arrival census reads ONLY the lang column — a fresh
+    # column-pruned parquet scan is cheaper than re-reading the wide
+    # fused checkpoint for one column
+    arrived = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_arrived"))
+    )
     return (
         arrived.join(drawn, "lang", "left")
         .select(

@@ -41,6 +41,51 @@ def test_r13_keys_registered_with_correct_builders():
         assert specs[key].oracle == oracle, key
 
 
+def test_sel_fused_toks_identities(spark):
+    """The fused selection-composite tokenize (optimization r14) rests
+    on two identities, pinned here on real fixture data (which always
+    contains injected docs — _span_bodies guarantees the class fires):
+    (1) `toks` == split(_span_bodies.body, ' ') for every doc, and
+    (2) slice(toks, n_inj+1, ...) == tokens(text) (the DSIR token
+    array) for every doc with non-null text."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.functions.text import tokens
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _sel_fused_toks,
+        _span_bodies,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fused = _sel_fused_toks(spark, sf_dir)
+    bodies = _span_bodies(spark, sf_dir).select(
+        "doc_id", F.split("body", " ").alias("ref_toks")
+    )
+    j = fused.join(bodies, "doc_id")
+    assert j.filter(F.col("toks") != F.col("ref_toks")).count() == 0
+    assert fused.filter(F.col("n_inj") > 0).count() > 0  # class fires
+    norm = fused.select(
+        "doc_id",
+        F.when(
+            F.col("n_inj") > 0,
+            F.slice(
+                F.col("toks"), F.col("n_inj") + 1, F.size("toks") - F.col("n_inj")
+            ),
+        )
+        .otherwise(F.col("toks"))
+        .alias("ntoks"),
+    )
+    ref = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("ref_ntoks"))
+    )
+    j2 = norm.join(ref, "doc_id")
+    assert j2.count() > 0
+    assert j2.filter(F.col("ntoks") != F.col("ref_ntoks")).count() == 0
+
+
 def test_substring_spans_both_classes_fire():
     """The scale-honesty bar: every verdict class must fire at fixture
     scale. The constructed class — every doc_id % 9 == 5 doc (with an
