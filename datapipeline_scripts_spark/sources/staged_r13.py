@@ -505,31 +505,36 @@ _DSIR_SLOPE = 400  # bp of weight per centi-lambda of score deviation
 
 
 def _dsir_grams_of(d: DataFrame) -> DataFrame:
-    """`_dsir_grams` over an arbitrary (doc_id, lang, source, text)
-    frame — the selection-pipeline composite fits the model on the
-    dedup SURVIVORS, not the raw table; one expression set serves
-    both so the keys cannot fork features."""
+    """`_dsir_grams` over an arbitrary (doc_id, lang, text) frame —
+    the selection-pipeline composite fits the model on the dedup
+    SURVIVORS, not the raw table; one expression set serves both so
+    the keys cannot fork features.
+
+    Optimization r14 (guide §2.3 — shuffle/materialize fewer bytes):
+    the per-occurrence rows are (doc_id, is_t, b) — three ints. The
+    r13 form carried lang AND source strings on every bigram
+    occurrence through the eager checkpoint every consumer
+    materializes, though no consumer ever read them from the gram
+    rows (the model uses is_t/b, the per-doc score joins back to the
+    document frame for lang/n_chars). At 100 TB the gram table is the
+    corpus-token-sized intermediate; two strings per row were most of
+    its bytes."""
     t = d.select(
         "doc_id",
-        "lang",
-        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_t"),
         tokens(F.col("text")).alias("toks"),
-    ).withColumn("is_t", F.when(F.col("lang") == "en", 1).otherwise(0))
+    )
     g = t.filter(F.size("toks") >= 2).select(
         "doc_id",
-        "lang",
-        "source",
         "is_t",
         F.explode(ngram_join(F.col("toks"), 2)).alias("g"),
     )
-    return g.select(
-        "doc_id", "lang", "source", "is_t", (md5_48(F.col("g")) % _DSIR_B).alias("b")
-    )
+    return g.select("doc_id", "is_t", (md5_48(F.col("g")) % _DSIR_B).alias("b"))
 
 
 def _dsir_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, source, is_t, b): one row per bigram occurrence,
-    bucketed md5_48 % B; is_t marks the target (lang='en') slice."""
+    """(doc_id, is_t, b): one row per bigram occurrence, bucketed
+    md5_48 % B; is_t marks the target (lang='en') slice."""
     return _dsir_grams_of(load_table(spark, sf_dir, "documents"))
 
 
