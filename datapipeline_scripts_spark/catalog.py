@@ -131,6 +131,87 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_jvm_bytes(s: str) -> int:
+    """Parse a JVM byte-size conf value ('134217728', '128m', '1g')."""
+    s = str(s).strip().lower()
+    for suf, mult in (
+        ("tb", 1024**4),
+        ("gb", 1024**3),
+        ("mb", 1024**2),
+        ("kb", 1024),
+        ("t", 1024**4),
+        ("g", 1024**3),
+        ("m", 1024**2),
+        ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(s)
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def est_scan_splits(spark: SparkSession, path: str) -> int:
+    """Lower bound on the number of input splits a parquet scan of
+    `path` produces: ceil(bytes / maxPartitionBytes). Spark's real
+    packing (openCostInBytes per file) only ever yields MORE splits
+    for many-small-file layouts, so this underestimates — the safe
+    direction for the spread decision below (an unnecessary spread is
+    today's behavior; a missing spread would serialize the scan)."""
+    nbytes = _path_bytes(path)
+    maxpb = _parse_jvm_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if maxpb <= 0:
+        return 1
+    return max(1, -(-nbytes // maxpb))
+
+
+def scan_spread(spark: SparkSession, sf_dir: str, name: str):
+    """Scale-adaptive scan spreading (optimization r14, guide §2 —
+    every Exchange must pay for itself, and partitioning must derive
+    from input size, not a constant).
+
+    The fixture tables load as ONE scan partition (a few MB against a
+    128 MB split size), which would serialize any compute-heavy
+    downstream (per-row codecs, shingle md5, winnow projections) on a
+    single core — measured this round: dropping the spread outright
+    costs +20% on text_winnow and +35% on dedup_passage_winnow at
+    sf0.1. But the unconditional `repartition(defaultParallelism)` the
+    r10-r13 keys used is a full corpus round-robin SHUFFLE at any
+    scale — at 100 TB the scan already yields thousands of splits and
+    the exchange moves every byte for nothing. This helper keeps the
+    spread exactly when the scan is too small to split: use as
+    `df.transform(scan_spread(spark, sf_dir, "documents"))`.
+
+    Returns df unchanged when ceil(table_bytes / maxPartitionBytes) >=
+    defaultParallelism — i.e. the Exchange is structurally GONE from
+    the plan on any input big enough to feed the cores from splits
+    alone (demonstrated in plans/r14/text_winnow_splitdemo.txt, dumped
+    with a 64 KB split size so the fixture itself crosses the
+    threshold)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        n = spark.sparkContext.defaultParallelism
+        if est_scan_splits(spark, table_path(sf_dir, name)) >= n:
+            return df
+        return df.repartition(n)
+
+    return _apply
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.functions.text import fingerprint_md5, md5_48, md5_48_sql, normalize_text, shingles, tokens
 from datapipeline_scripts_spark.registry import query
 
@@ -290,7 +290,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingle, Kirsch-Mitzenmacher double hashes h1 + i*h2 mod 2^32),
     factored out so signature-consuming keys (band tuning, store
     probes) import it and cannot fork the hash family."""
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    d = load_table(spark, sf_dir, "documents").transform(scan_spread(spark, sf_dir, "documents"))
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
     sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
     hh = sh.select("doc_id", F.md5("sh").alias("m")).select(
@@ -523,7 +523,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, same plan shape)."""
     from datapipeline_scripts_spark.functions.vectors import cosine, sign_bucket
 
-    e = load_table(spark, sf_dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    e = load_table(spark, sf_dir, "embeddings").transform(scan_spread(spark, sf_dir, "embeddings"))
     eb = e.select("vec_id", "embedding", sign_bucket(F.col("embedding"), _EMBED_BUCKET_DIMS).alias("bucket"))
     a = eb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket")
     b = eb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket")
@@ -544,7 +544,7 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_scripts_spark.functions.vectors import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+    a = e.transform(scan_spread(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
     )
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
@@ -600,7 +600,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted per element, while the conditional sums run inside
     whole-stage codegen. Near-dup retrieval would band the fingerprint
     into 4×12-bit keys (same LSH idea as MinHash)."""
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    d = load_table(spark, sf_dir, "documents").transform(scan_spread(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
     h = tok.select("doc_id", md5_48(F.col("tok")).alias("h"))
     votes = h.groupBy("doc_id").agg(

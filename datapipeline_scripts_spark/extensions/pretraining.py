@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.extensions.curation import (
     _H_DE,
     _H_EN,
@@ -416,7 +416,7 @@ def pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     ingested = docs.mapInPandas(
         _ingest_worker,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.functions.vectors import cosine, sign_bucket
 from datapipeline_scripts_spark.registry import query
 
@@ -61,8 +61,9 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     # single-row-group fixture file → rebalance so the O(|Q|·N) scoring
-    # stage runs on all cores, not one scan task
-    c = e.repartition(spark.sparkContext.defaultParallelism).select(
+    # stage runs on all cores, not one scan task (scan_spread skips the
+    # exchange once the scan splits feed the cores — optimization r14)
+    c = e.transform(scan_spread(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     sims = (
@@ -261,7 +262,7 @@ def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = qz.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("qv").alias("qe"))
-    c = qz.repartition(spark.sparkContext.defaultParallelism).select(
+    c = qz.transform(scan_spread(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("ce")
     )
     sims = (

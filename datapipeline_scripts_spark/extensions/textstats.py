@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.functions.text import fingerprint_md5, shingles, stopword_hits, tokens
 from datapipeline_scripts_spark.registry import query
 
@@ -247,7 +247,7 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every shingle triple twice); the only exchange left is the
     # per-doc rollup, partial-aggregated map-side.
     window = 4
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    d = load_table(spark, sf_dir, "documents").transform(scan_spread(spark, sf_dir, "documents"))
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
     winnowed = tok.select("doc_id", F.explode(winnow_fps(F.col("toks"), window)).alias("fp"))
     return winnowed.groupBy("doc_id").agg(

@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.registry import query
 
 
@@ -112,10 +112,10 @@ def tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 1)
         .select("doc_id", "text")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row CRC/gzip work — spread it across cores
-        # (at scale the source is already multi-partition and this is
-        # a no-op to drop; same idiom as the r9 keys)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row CRC/gzip work — scan_spread spreads it
+        # across cores and skips the exchange once the scan splits
+        # feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _tfrecord_worker,
@@ -201,7 +201,7 @@ def tfexample_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     records = docs.mapInPandas(
         _tfexample_encode_worker,
@@ -263,9 +263,7 @@ def _winnowed_fps(spark: SparkSession, sf_dir: str):
     bit-identical values, oracle-reproven)."""
     from datapipeline_scripts_spark.functions.text import tokens, winnow_fps
 
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table(spark, sf_dir, "documents").transform(scan_spread(spark, sf_dir, "documents"))
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3
     )
@@ -390,7 +388,7 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 7 == 3)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     out = os.path.join(
         tempfile.gettempdir(),
@@ -463,7 +461,7 @@ def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 10).cast("string").alias("cls"),
             "doc_id",
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     out = os.path.join(
         tempfile.gettempdir(),
@@ -572,7 +570,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 7 == 1)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     fields = [T.StructField("doc_id", T.LongType())] + [
         T.StructField(f"p{i}", T.IntegerType()) for i in range(_RZ_TW * _RZ_TH)

@@ -175,7 +175,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.extensions.similarity import (
     _IVF_ORACLE,
     knn_brute,
@@ -273,7 +273,7 @@ def federated_ingest_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         # single-file fixture → spread the codec work (no-op at scale)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _federated_worker,
@@ -368,7 +368,7 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 1)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _audio_frames_worker,
@@ -505,7 +505,7 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 != 0)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _scene_cuts_worker,
@@ -602,7 +602,7 @@ def multimodal_real_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _tiff16_worker,
@@ -2825,9 +2825,9 @@ def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 3)
         .select("doc_id", "text")
-        # single-file fixture → spread the per-row codec work (no-op
-        # at real multi-partition scale; the jsonl_zst idiom)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # single-file fixture → spread the per-row codec work
+        # (scan_spread skips the exchange at multi-split scale)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _arrow_ipc_worker,

@@ -136,7 +136,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.extensions.dedup import (
     _BANDS,
     _N_HASHES,
@@ -991,7 +991,7 @@ def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), pre.alias("qe")
     )
-    c = e.repartition(spark.sparkContext.defaultParallelism).select(
+    c = e.transform(scan_spread(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("cid"), pre.alias("ce")
     )
     sims = (
@@ -1336,7 +1336,7 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 7 == 3)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     schema = T.StructType(
         [

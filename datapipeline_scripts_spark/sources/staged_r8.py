@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.registry import query
 
 # ---- avro_roundtrip ---------------------------------------------------------
@@ -71,7 +71,7 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 3 == 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "orders"))
     )
     out = os.path.join(
         tempfile.gettempdir(),
@@ -443,7 +443,7 @@ def avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("ship_day"),
             F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(scan_spread(spark, sf_dir, "lineitem"))
     )
     out = os.path.join(
         tempfile.gettempdir(),

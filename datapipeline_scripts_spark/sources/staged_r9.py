@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datapipeline_scripts_spark.catalog import load_table
+from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.registry import query
 
 _W, _H = 16, 8  # two 8×8 blocks side by side
@@ -145,10 +145,10 @@ def multimodal_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 4 == 0)
         .select("doc_id")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _jpeg_worker,
@@ -282,10 +282,10 @@ def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 4 == 1)
         .select("doc_id")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _gif_worker,
@@ -397,10 +397,10 @@ def multimodal_real_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _tiff_worker,
@@ -493,10 +493,10 @@ def multimodal_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 4 == 3)
         .select("doc_id")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _wav_worker,
@@ -625,10 +625,10 @@ def multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _video_worker,
@@ -718,10 +718,10 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 2)
         .select("doc_id", "text")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _warc_worker,
@@ -794,10 +794,10 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 3)
         .select("doc_id", "text")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _wds_worker,
@@ -871,10 +871,10 @@ def jsonl_zst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 4)
         .select("doc_id", "text")
         # the fixture parquet loads as ONE partition, which would
-        # serialize the per-row codec work — spread it across cores
-        # (at scale the source is already multi-partition and this
-        # is a no-op to drop; same idiom as avro_roundtrip)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # serialize the per-row codec work — scan_spread spreads it
+        # across cores, and skips the exchange outright once the scan
+        # splits feed the cores itself (optimization r14)
+        .transform(scan_spread(spark, sf_dir, "documents"))
     )
     return docs.mapInPandas(
         _jsonl_worker,

@@ -113,6 +113,8 @@ def run_sessionize_once(spark: SparkSession, sf_dir: str, sink_name: str) -> Dat
     `events_session` is the oracle-checked complete view."""
     from datapipeline_scripts_spark.streaming.stream_jobs import _events_stream
 
+    import time
+
     q = (
         sessionize_stream(_events_stream(spark, sf_dir))
         .writeStream.format("memory")
@@ -122,7 +124,29 @@ def run_sessionize_once(spark: SparkSession, sf_dir: str, sink_name: str) -> Dat
         .start()
     )
     try:
-        q.awaitTermination(timeout=300)
+        # availableNow does NOT self-terminate here: ProcessingTimeTimeout
+        # keeps the query alive spinning empty "cleaning up state"
+        # micro-batches while it waits to fire the open sessions' 30-min
+        # timeouts, so a plain awaitTermination(300) burns its full
+        # timeout (measured: 304.7 s for a replay whose data batch
+        # drains in ~5 s — optimization r14, guide §1). The emitted
+        # CLOSED sessions are complete once a data batch has run and
+        # the source is drained (a subsequent progress with
+        # numInputRows == 0 and no data available); poll for that and
+        # stop. Open sessions staying in state is the documented design
+        # (the batch twin is the complete view).
+        deadline = time.time() + 300
+        seen_data = False
+        while time.time() < deadline:
+            if q.awaitTermination(timeout=1):
+                break
+            lp = q.lastProgress
+            if lp is None:
+                continue
+            if lp.numInputRows > 0:
+                seen_data = True
+            elif seen_data and not q.status["isDataAvailable"]:
+                break
     finally:
         q.stop()
     return spark.table(sink_name)

@@ -184,3 +184,53 @@ def test_fixture_content_fingerprint(sf_path):
             "every unproven query key against the new fixtures and re-record "
             "these fingerprints — do NOT assume prior green runs still hold"
         )
+
+
+def test_scan_spread_is_scale_adaptive(spark, sf_dir):
+    """scan_spread (optimization r14) must keep the round-robin spread
+    on the tiny fixture (one scan split would serialize downstream
+    compute) and DROP the exchange once the scan itself yields enough
+    splits — pinned by flipping maxPartitionBytes at runtime."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import (
+        _parse_jvm_bytes,
+        est_scan_splits,
+        load_table,
+        scan_spread,
+        table_path,
+    )
+
+    assert _parse_jvm_bytes("134217728") == 134217728
+    assert _parse_jvm_bytes("128m") == 128 * 1024**2
+    assert _parse_jvm_bytes("1g") == 1024**3
+    assert _parse_jvm_bytes("64kb") == 64 * 1024
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny split ceiling → fixture is "small": spread fires
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        plan_small = df.transform(
+            scan_spread(spark, sf_dir, "documents")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "roundrobin" in plan_small.lower()
+        # split ceiling far below the file size → enough scan splits:
+        # the exchange must be gone
+        nbytes = __import__("os").path.getsize(table_path(sf_dir, "documents"))
+        small = max(1, nbytes // (2 * spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(small))
+        assert est_scan_splits(spark, table_path(sf_dir, "documents")) >= (
+            spark.sparkContext.defaultParallelism
+        )
+        plan_big = df.transform(
+            scan_spread(spark, sf_dir, "documents")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "roundrobin" not in plan_big.lower()
+        # results are identical either way (repartition never changes rows)
+        a = df.transform(scan_spread(spark, sf_dir, "documents"))
+        assert a.agg(F.sum("doc_id")).collect()[0][0] == df.agg(
+            F.sum("doc_id")
+        ).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
