@@ -445,16 +445,32 @@ def _excise_of(ntok: DataFrame, dup: DataFrame) -> DataFrame:
     """The excise accounting over an (doc_id, n_tokens) frame and a
     dup-gram occurrence frame — ONE code path shared by the standalone
     excise key and the selection composite (optimization r14), so the
-    keep_bp arithmetic cannot fork."""
+    keep_bp arithmetic cannot fork.
+
+    dup_tokens = |union of the K-token intervals [pos, pos+K-1]| per
+    doc, computed as an interval-union sum over the pos-sorted
+    occurrences (optimization r14, guide §2.3): each occurrence covers
+    min(K, pos - prev_pos) NEW positions (K for the first). Positions
+    are unique per doc (one gram row per (doc_id, pos)), so this
+    equals the old explode(sequence(pos, pos+K-1)) → DISTINCT →
+    count construction exactly, while the exchange carries the
+    |dup-occurrence| rows themselves instead of K× exploded positions
+    through a distinct re-aggregation (8× fewer shuffle rows at any
+    scale; the DuckDB oracle keeps the distinct-positions form, so the
+    equality is hash-proven at both fixture SFs)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
     cover = (
         dup.filter(F.col("self_packed") != F.col("packed"))
+        .select("doc_id", "pos")
+        .withColumn("gap", F.col("pos") - F.lag("pos").over(w))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + _SS_K - 1)).alias("p"),
+            F.when(F.col("gap").isNull(), F.lit(_SS_K))
+            .otherwise(F.least(F.lit(_SS_K), F.col("gap")))
+            .alias("newly_covered"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count("*").alias("dup_tokens"))
+        .agg(F.sum("newly_covered").alias("dup_tokens"))
     )
     return ntok.join(cover, "doc_id", "left").select(
         "doc_id",

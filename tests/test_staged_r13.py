@@ -148,6 +148,53 @@ def test_substring_excise_accounting():
         ).all(), sf_dir
 
 
+def test_excise_interval_union_matches_explode_distinct(spark):
+    """_excise_of computes dup_tokens as an interval-union sum over
+    pos-sorted occurrences (optimization r14) instead of
+    explode(sequence)->distinct->count. Pin the equivalence on a
+    synthetic frame exercising every regime: touching intervals
+    (gap == K), overlapping (gap < K), disjoint (gap > K), duplicate
+    positions (gap == 0 must contribute nothing, matching the old
+    distinct), a doc with no dup occurrences (LEFT join -> 0), and a
+    single-occurrence doc."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.sources.staged_r13 import _SS_K, _excise_of
+
+    occ = [
+        # doc 1: overlapping + touching + disjoint: 0..7, 3..10, 11..18, 40..47
+        (1, 0), (1, 3), (1, 11), (1, 40),
+        # doc 2: duplicate positions (same pos twice) + one far occurrence
+        (2, 5), (2, 5), (2, 100),
+        # doc 3: single occurrence
+        (3, 7),
+    ]
+    dup = spark.createDataFrame(
+        [(d, p, "a", "b") for d, p in occ], "doc_id long, pos long, self_packed string, packed string"
+    )
+    ntok = spark.createDataFrame(
+        [(1, 200), (2, 200), (3, 200), (4, 200)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in _excise_of(ntok, dup).select("doc_id", "dup_tokens").collect()
+    }
+    # reference: the old explode->distinct->count construction
+    ref_rows = (
+        dup.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + _SS_K - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dt"))
+        .collect()
+    )
+    ref = {r["doc_id"]: r["dt"] for r in ref_rows}
+    ref.setdefault(4, 0)
+    assert got == ref, (got, ref)
+
+
 def test_dsir_lambda_not_degenerate():
     """The r12 probe lesson: with coarse buckets / a broad target the
     model collapses to lam in {-1, 0} and the key grades dead
