@@ -159,13 +159,16 @@ def _winnow_drop(gated: DataFrame, pin) -> DataFrame:
             "doc_id", F.explode(winnow_fps(F.col("toks"), _PW_WINDOW)).alias("fp")
         )
     )
-    capped = (
-        fps.groupBy("fp")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= _PW_CAP))
-        .select("fp")
+    # doc-frequency cap as a WINDOW count over fp instead of
+    # groupBy(fp).count() + join-back (optimization r14, guide §2.4 —
+    # same rewrite as dedup_passage_winnow): one fp exchange instead
+    # of two, and the a×b self-join reuses it.
+    wfp = W.partitionBy("fp")
+    indexed = (
+        fps.withColumn("n_docs", F.count("*").over(wfp))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= _PW_CAP))
+        .select("fp", "doc_id")
     )
-    indexed = fps.join(capped, "fp")
     a = indexed.select("fp", F.col("doc_id").alias("doc_a"))
     b = indexed.select("fp", F.col("doc_id").alias("doc_b"))
     return (

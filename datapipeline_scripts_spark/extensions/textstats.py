@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.functions.text import fingerprint_md5, shingles, stopword_hits, tokens
@@ -596,9 +597,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # first occurrence as a WINDOW min over the gram key instead of
+    # groupBy(g) + join-back on g (optimization r14, guide §2.4): the
+    # join form shuffled the corpus-sized gram STRINGS twice and
+    # recomputed the tokenize+explode subtree for each leg; the window
+    # form shuffles them once and the join disappears. Identical
+    # values: min over the full g partition is the group min.
     per_doc = (
-        grams.join(first_seen, "g")
+        grams.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),

@@ -890,7 +890,12 @@ def _build_writer_toolkit() -> dict:
                     return
                 payload = bytes(block)
                 if codec == "deflate":
-                    co = _zlib.compressobj(level=6, wbits=-15)
+                    # level 1, not 6 (optimization r14, the WARC gzip
+                    # precedent): the OCF format records the codec
+                    # NAME, never the level; every consumer inflates
+                    # the block identically and level 1 roughly halves
+                    # encode CPU per byte. Read path unchanged.
+                    co = _zlib.compressobj(level=1, wbits=-15)
                     payload = co.compress(payload) + co.flush()
                 elif codec != "null":
                     raise NotImplementedError(

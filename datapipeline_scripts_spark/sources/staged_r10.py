@@ -58,6 +58,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.registry import query
@@ -78,7 +79,9 @@ def _tfrecord_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             body = (text or "").encode("utf-8")
             shard = tfr.write_tfrecord([body, struct.pack("<q", d)])
             if d % 2:  # rotate the gzip layer through the same proof
-                shard = gzip.compress(shard)
+                # level 1 (optimization r14, the WARC precedent): the
+                # parse below inflates identically at any level
+                shard = gzip.compress(shard, compresslevel=1)
             recs = tfr.parse_tfrecord(shard, where=f"doc{d}")
             out["doc_id"].append(d)
             out["n_records"].append(len(recs))
@@ -330,13 +333,21 @@ def dedup_passage_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_b) with partial aggregation. No CartesianProduct at any step
     (plan-asserted)."""
     fps = _winnowed_fps(spark, sf_dir)
-    capped = (
-        fps.groupBy("fp")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= _PW_CAP))
-        .select("fp")
+    # doc-frequency cap as a WINDOW count over fp instead of
+    # groupBy(fp).count() + join-back on fp (optimization r14, guide
+    # §2.4): the join form shuffled the fingerprint table twice (the
+    # count aggregate and the join probe) and replicated the whole
+    # tokenize+winnow subtree into each join leg; the window form
+    # shuffles it once, and the a×b self-join below reuses that same
+    # exchange (both legs are the identical subtree). Values are
+    # identical: a window count over the full fp partition is the
+    # group count, filtered to [2, cap] exactly as before.
+    wfp = Window.partitionBy("fp")
+    indexed = (
+        fps.withColumn("n_docs", F.count("*").over(wfp))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= _PW_CAP))
+        .select("fp", "doc_id")
     )
-    indexed = fps.join(capped, "fp")
     a = indexed.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
     b = indexed.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
     pairs = (

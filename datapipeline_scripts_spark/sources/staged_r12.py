@@ -506,8 +506,14 @@ def dedup_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .localCheckpoint(eager=True)
     )
-    first = store.groupBy("fp").agg(F.min("crawl_id").alias("first_crawl"))
-    joined = store.join(first, "fp").withColumn("fp48", md5_48(F.col("fp")))
+    # first-crawl as a WINDOW min over fp instead of groupBy(fp) +
+    # join-back on fp (optimization r14, guide §2.4): the join form
+    # shuffled the store twice (aggregate + probe) through a
+    # SortMergeJoin; the window form shuffles it once. Identical
+    # values: min over the full fp partition is the group min.
+    joined = store.withColumn(
+        "first_crawl", F.min("crawl_id").over(Window.partitionBy("fp"))
+    ).withColumn("fp48", md5_48(F.col("fp")))
     return (
         joined.groupBy("crawl_id")
         .agg(

@@ -280,16 +280,31 @@ def _dup_gram_occurrences_of_toks(tok_frame: DataFrame) -> DataFrame:
     ).select(
         "doc_id", F.col("pos").cast("long").alias("pos"), md5_48(F.col("g")).alias("h")
     ).localCheckpoint(eager=True)
-    stats = grams.groupBy("h").agg(
-        F.count("*").alias("n_occ"),
-        F.min(F.col("doc_id") * _SS_POS_PACK + F.col("pos")).alias("packed"),
-    )
-    return grams.join(stats.filter(F.col("n_occ") >= 2), "h").select(
-        "doc_id",
-        "pos",
-        (F.col("doc_id") * _SS_POS_PACK + F.col("pos")).alias("self_packed"),
-        "packed",
-        (F.col("packed") % _SS_POS_PACK).alias("f_pos"),
+    # per-gram stats (n_occ, canonical first occurrence) as WINDOW
+    # functions over the gram hash instead of groupBy(h) + join-back
+    # on h (optimization r14, guide §2.4): the join form shuffled the
+    # gram table TWICE (once under the stats aggregate, once as the
+    # SortMergeJoin probe — the partial aggregate makes the exchanges
+    # non-reusable); the window form shuffles it once and the join
+    # disappears. Values are identical: count/min over the full h
+    # partition, filtered to duplicated grams after the window.
+    wh = Window.partitionBy("h")
+    return (
+        grams.select(
+            "doc_id",
+            "pos",
+            (F.col("doc_id") * _SS_POS_PACK + F.col("pos")).alias("self_packed"),
+            F.count("*").over(wh).alias("n_occ"),
+            F.min(F.col("doc_id") * _SS_POS_PACK + F.col("pos")).over(wh).alias("packed"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select(
+            "doc_id",
+            "pos",
+            "self_packed",
+            "packed",
+            (F.col("packed") % _SS_POS_PACK).alias("f_pos"),
+        )
     )
 
 

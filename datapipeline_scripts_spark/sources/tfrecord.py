@@ -232,8 +232,13 @@ def write_tfrecord_dataset(
         payload = write_tfrecord(records)
         if compress:
             # mtime=0 → deterministic bytes for identical inputs,
-            # matching every other writer in this repo
-            payload = gzip.compress(payload, mtime=0)
+            # matching every other writer in this repo; level 1, not
+            # the stdlib default 9 (optimization r14, the WARC gzip
+            # precedent): the gzip container records no level, every
+            # reader inflates identically, and level 1 cuts encode CPU
+            # several-fold. The manifest attests the bytes actually
+            # written, so it stays self-consistent at any level.
+            payload = gzip.compress(payload, compresslevel=1, mtime=0)
         return payload, len(records)
 
     return write_shard_dataset(
