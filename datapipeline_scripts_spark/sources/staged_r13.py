@@ -786,79 +786,130 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines (the knn_ivf_append lesson).
 
     Scale shape: ONE signature build (shared by import with
-    dedup_minhash — the table is eager-checkpointed and reused three
-    times), then three bucket self-joins, each carrying the 16-long
-    signature through the join exactly as the registered key does.
-    3x the registered minhash cost, same banded-join bound."""
+    dedup_minhash — the table is eager-checkpointed), then ONE bucket
+    self-join at the loosest (8×2) config. Band boundaries nest, so
+    the (4,4) and (2,8) candidate sets are SUBSETS of the (8,2) set,
+    and membership is a pure function of the pair's signatures: an
+    r-row band of a coarser config matches iff all of its 2-row
+    sub-bands match. Each pair therefore carries per-config membership
+    flags computed at the join output, and the three per-config
+    aggregates become conditional sums over one deduped pair set
+    (optimization r14, guide §2.1/§3 — three pair-sized self-joins +
+    three candidate-dedup exchanges collapse to one of each; same
+    banded-join bound as the registered key)."""
     sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
-    per_config = []
-    for n_bands, rows in _BT_CONFIGS:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    ).alias("bucket"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
-            "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-        # match count folded to a scalar at the join output (it is a
-        # pure function of the pair), so the candidate-dedup exchange
-        # carries (doc_a, doc_b, m) instead of two 16-long arrays
-        matches = sum(
-            F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0)
-            for i in range(_N_HASHES)
-        )
-        cand = (
-            bands.alias("x")
-            .join(
-                bands.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bucket") == F.col("y.bucket"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
+    return _band_tuning_report_of(sig)
+
+
+def _band_tuning_report_of(sig: DataFrame) -> DataFrame:
+    """The operating-curve report over an arbitrary (doc_id, h0..h15,
+    sig) frame — factored so the single-join nesting construction is
+    unit-testable against the per-config form on synthetic
+    signatures."""
+    # loosest config: 8 bands × 2 rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                    "bucket"
+                ),
             )
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-                matches.alias("m"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        per_config.append(
-            cand.agg(
-                F.lit(n_bands).cast("long").alias("n_bands"),
-                F.lit(rows).cast("long").alias("rows_per_band"),
-                F.count("*").cast("long").alias("n_candidates"),
-                F.sum(F.when(F.col("m") >= _BT_MIN_MATCH, 1).otherwise(0))
-                .cast("long")
-                .alias("n_verified"),
-            )
-        )
-    rep = per_config[0]
-    for p in per_config[1:]:
-        rep = rep.unionByName(p)
-    ref = rep.filter(F.col("n_bands") == 8).select(
-        F.col("n_verified").alias("ref_verified")
+            for b in range(8)
+        ]
     )
-    return (
-        rep.crossJoin(F.broadcast(ref))
+    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # all scalars below are pure functions of the pair, so computing
+    # them at the join output and deduping after is the identical set
+    # (the r13 est-folding argument); the dedup exchange carries five
+    # ints per candidate instead of two 16-long arrays
+    matches = sum(
+        F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    # eq2[b]: the b-th 2-row band matches in full
+    eq2 = [
+        (F.col("x.sig")[2 * b] == F.col("y.sig")[2 * b])
+        & (F.col("x.sig")[2 * b + 1] == F.col("y.sig")[2 * b + 1])
+        for b in range(8)
+    ]
+    # coarser-config candidacy: some 4-row (resp. 8-row) band matches,
+    # i.e. both (resp. all four) of its 2-row sub-bands match
+    in44 = eq2[0] & eq2[1] | eq2[2] & eq2[3] | eq2[4] & eq2[5] | eq2[6] & eq2[7]
+    in28 = eq2[0] & eq2[1] & eq2[2] & eq2[3] | eq2[4] & eq2[5] & eq2[6] & eq2[7]
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(
-            "n_bands",
-            "rows_per_band",
-            "n_candidates",
-            "n_verified",
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            matches.alias("m"),
+            F.when(in44, 1).otherwise(0).alias("c44"),
+            F.when(in28, 1).otherwise(0).alias("c28"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ver = F.col("m") >= _BT_MIN_MATCH
+    # per-config counts as conditional sums; n_verified must be NULL
+    # (not 0) exactly when that config's candidate set is empty — the
+    # empty-input global-agg semantics of the per-config form
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("cand82"),
+        F.sum(F.when(ver, 1).otherwise(0)).cast("long").alias("ver82"),
+        F.coalesce(F.sum("c44"), F.lit(0)).cast("long").alias("cand44"),
+        F.when(
+            F.sum("c44") > 0,
+            F.sum(F.when(ver & (F.col("c44") == 1), 1).otherwise(0)),
+        )
+        .cast("long")
+        .alias("ver44"),
+        F.coalesce(F.sum("c28"), F.lit(0)).cast("long").alias("cand28"),
+        F.when(
+            F.sum("c28") > 0,
+            F.sum(F.when(ver & (F.col("c28") == 1), 1).otherwise(0)),
+        )
+        .cast("long")
+        .alias("ver28"),
+    )
+    # recall's denominator (the 8×2 config's verified count) is a
+    # column of the SAME one-row aggregate, so the report needs no
+    # self-referencing filter + crossJoin (which would duplicate the
+    # join subtree into both branches) — everything is computed off
+    # the single agg row and exploded to the three config rows
+    cfg_cols = {2: ("cand28", "ver28"), 4: ("cand44", "ver44"), 8: ("cand82", "ver82")}
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n_bands).cast("long").alias("n_bands"),
+                            F.lit(rows).cast("long").alias("rows_per_band"),
+                            F.col(cfg_cols[n_bands][0]).alias("n_candidates"),
+                            F.col(cfg_cols[n_bands][1]).alias("n_verified"),
+                        )
+                        for n_bands, rows in _BT_CONFIGS
+                    ]
+                )
+            ).alias("cfg"),
+            F.col("ver82").alias("ref_verified"),
+        )
+        .select(
+            "cfg.*",
             F.expr(
-                "CAST(CASE WHEN n_candidates = 0 THEN NULL"
-                " ELSE n_verified * 10000 div n_candidates END AS BIGINT)"
+                "CAST(CASE WHEN cfg.n_candidates = 0 THEN NULL"
+                " ELSE cfg.n_verified * 10000 div cfg.n_candidates END AS BIGINT)"
             ).alias("precision_bp"),
             F.expr(
                 "CAST(CASE WHEN ref_verified = 0 THEN NULL"
-                " ELSE n_verified * 10000 div ref_verified END AS BIGINT)"
+                " ELSE cfg.n_verified * 10000 div ref_verified END AS BIGINT)"
             ).alias("recall_bp"),
         )
         .orderBy("n_bands")

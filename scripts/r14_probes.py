@@ -2,9 +2,11 @@
 
 Usage: python scripts/r14_probes.py <probe> [sf_dir]
 Probes:
-  gate_stages   — docs_stream_quality_gate stage isolation
-  winnow_hist   — dedup_passage_winnow fingerprint-frequency histogram
-  sel_stages    — corpus_selection_pipeline stage isolation
+  gate_stages     — docs_stream_quality_gate stage isolation
+  winnow_hist     — dedup_passage_winnow fingerprint-frequency histogram
+  sel_stages      — corpus_selection_pipeline stage isolation
+  pretrain_stages — pretraining_pipeline leg isolation
+  dsir_stages     — corpus_dsir_resample stage isolation
 """
 
 from __future__ import annotations
@@ -167,6 +169,117 @@ def sel_stages(spark, sf_dir):
         .alias("ntoks"),
     )
     _t("DSIR fit+score over survivors (noop)", lambda: _noop(_dsir_doc_scores_of_toks(surv)))
+
+
+def pretrain_stages(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from datapipeline_scripts_spark.catalog import load_table, scan_spread
+    from datapipeline_scripts_spark.extensions import pretraining as P
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .transform(scan_spread(spark, sf_dir, "documents"))
+    )
+    ingested = docs.mapInPandas(
+        P._ingest_worker,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    _t("S0 scan+WARC ingest (noop)", lambda: _noop(ingested))
+
+    from datapipeline_scripts_spark.extensions.curation import (
+        _MIN_WORDS,
+        _lang_columns,
+    )
+    from datapipeline_scripts_spark.functions.text import shingles, tokens
+
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    h_en, h_es, h_de, predicted = _lang_columns(toks)
+    sh3 = shingles(toks, 3)
+    n_sh = F.when(n_words >= 3, n_words - 2).otherwise(0)
+    n_repeated = F.when(n_words >= 3, n_words - 2 - F.size(F.array_distinct(sh3))).otherwise(0)
+    gated_expr = (
+        ingested.select(
+            "doc_id",
+            "source",
+            "text",
+            toks.alias("toks"),
+            n_words.alias("n_words"),
+            (h_en + h_es + h_de).alias("hits"),
+            predicted.alias("predicted"),
+            n_sh.alias("n_sh"),
+            n_repeated.alias("n_repeated"),
+        )
+        .filter(
+            (F.col("n_words") >= _MIN_WORDS)
+            & (F.col("hits") > 0)
+            & (F.col("predicted") != "und")
+            & (F.col("n_sh") > 0)
+            & (F.expr(f"n_repeated * {P._MIX_MOD} div n_sh") <= P._REP_BP_MAX)
+        )
+        .select("doc_id", "source", "text", "toks")
+    )
+    _t("S0+S1 ingest+gate (noop)", lambda: _noop(gated_expr))
+
+    pinned = []
+
+    def pin(df):
+        pinned.append(df.persist())
+        return pinned[-1]
+
+    gated = pin(gated_expr)
+    gated.count()
+
+    _t("S2 minhash drop-set (from pinned gate)", lambda: P._minhash_drop(gated, pin).count())
+    s2 = pin(gated.join(P._minhash_drop(gated, pin), "doc_id", "left_anti"))
+    s2.count()
+    _t("S3 winnow drop-set (from pinned s2)", lambda: P._winnow_drop(s2, pin).count())
+    for df in pinned:
+        df.unpersist()
+
+    from datapipeline_scripts_spark.registry import get
+
+    _t("full pretraining_pipeline", lambda: get("pretraining_pipeline").build(spark, sf_dir).count())
+
+
+def dsir_stages(spark, sf_dir):
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _dsir_doc_scores_of,
+        _dsir_grams_of,
+        _dsir_lambda_of,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = None
+
+    def build_g():
+        nonlocal g
+        g = _dsir_grams_of(d).localCheckpoint(eager=True)
+
+    _t("grams build + checkpoint", build_g)
+    _t("lambda model (from ckpt)", lambda: _dsir_lambda_of(g).select("b", "lam").localCheckpoint(eager=True))
+    lam = _dsir_lambda_of(g).select("b", "lam").localCheckpoint(eager=True)
+    doc_s = (
+        g.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum(F.col("lam") + 32).alias("lam_sum"))
+        .select("doc_id", F.expr("(lam_sum * 100) div n_grams").alias("s_shift"))
+    )
+    _t("doc scores (ckpt join + groupBy, noop)", lambda: _noop(doc_s))
+    _t("scores + corpus join-back (noop)", lambda: _noop(_dsir_doc_scores_of(d)))
+
+    from datapipeline_scripts_spark.registry import get
+
+    _t("full corpus_dsir_resample", lambda: get("corpus_dsir_resample").build(spark, sf_dir).count())
 
 
 def main():

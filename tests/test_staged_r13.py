@@ -304,6 +304,141 @@ def test_band_tuning_nesting_monotonicity():
         assert t.n_candidates.nunique() >= 2, sf_dir
 
 
+def test_band_tuning_single_join_matches_per_config(spark):
+    """dedup_minhash_band_tuning runs ONE (8×2) self-join and derives
+    the coarser configs' candidacy from per-pair sub-band flags
+    (optimization r14). Pin the report against the old per-config
+    three-join construction on synthetic signatures exercising every
+    regime: a near-identical pair (verified everywhere), a pair
+    colliding on one 2-row band only (candidate at 8×2 only), a pair
+    whose first four 2-row bands match (candidate at 8×2/4×4/2×8 but
+    unverified where m < 8... m = 8 here so verified), and an isolated
+    doc. Also pin the empty-config NULL semantics: with no 4×4/2×8
+    candidates those configs report n_candidates=0, n_verified=NULL."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.sources.staged_r13 import (
+        _BT_CONFIGS,
+        _BT_MIN_MATCH,
+        _band_tuning_report_of,
+    )
+
+    def sig_frame(rows):
+        df = spark.createDataFrame(
+            [(d, *hs) for d, hs in rows],
+            "doc_id long, " + ", ".join(f"h{i} long" for i in range(16)),
+        )
+        return df.withColumn("sig", F.array(*[f"h{i}" for i in range(16)]))
+
+    def old_report(sig):
+        # the r13 per-config construction, verbatim
+        per_config = []
+        for n_bands, rows in _BT_CONFIGS:
+            band_structs = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+            bands = sig.select(
+                "doc_id", "sig", F.explode(band_structs).alias("bb")
+            ).select(
+                "doc_id",
+                "sig",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
+            matches = sum(
+                F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0)
+                for i in range(16)
+            )
+            cand = (
+                bands.alias("x")
+                .join(
+                    bands.alias("y"),
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.bucket") == F.col("y.bucket"))
+                    & (F.col("x.doc_id") < F.col("y.doc_id")),
+                )
+                .select(
+                    F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                    matches.alias("m"),
+                )
+                .dropDuplicates(["doc_a", "doc_b"])
+            )
+            per_config.append(
+                cand.agg(
+                    F.lit(n_bands).cast("long").alias("n_bands"),
+                    F.lit(rows).cast("long").alias("rows_per_band"),
+                    F.count("*").cast("long").alias("n_candidates"),
+                    F.sum(F.when(F.col("m") >= _BT_MIN_MATCH, 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_verified"),
+                )
+            )
+        rep = per_config[0]
+        for p in per_config[1:]:
+            rep = rep.unionByName(p)
+        ref = rep.filter(F.col("n_bands") == 8).select(
+            F.col("n_verified").alias("ref_verified")
+        )
+        return (
+            rep.crossJoin(F.broadcast(ref))
+            .select(
+                "n_bands",
+                "rows_per_band",
+                "n_candidates",
+                "n_verified",
+                F.expr(
+                    "CAST(CASE WHEN n_candidates = 0 THEN NULL"
+                    " ELSE n_verified * 10000 div n_candidates END AS BIGINT)"
+                ).alias("precision_bp"),
+                F.expr(
+                    "CAST(CASE WHEN ref_verified = 0 THEN NULL"
+                    " ELSE n_verified * 10000 div ref_verified END AS BIGINT)"
+                ).alias("recall_bp"),
+            )
+            .orderBy("n_bands")
+        )
+
+    def rows_of(df):
+        return [tuple(r) for r in df.collect()]
+
+    base = list(range(100, 116))
+    mixed = base[:2] + [900 + i for i in range(2, 14)] + base[14:]  # bands 0 and 7 match
+    first_half = base[:8] + [800 + i for i in range(8, 16)]  # 2-row bands 0-3 match, m=8
+    rich = sig_frame(
+        [
+            (1, base),
+            (2, list(base)),  # identical to 1: every config, verified
+            (3, mixed),  # 8×2 candidate only (m=4 < 8: unverified)
+            (4, first_half),  # all three configs, m=8: verified
+            (5, [77000 + i for i in range(16)]),  # isolated
+        ]
+    )
+    assert rows_of(_band_tuning_report_of(rich)) == rows_of(old_report(rich))
+
+    # only one 2-row band collides anywhere: 4×4 and 2×8 are EMPTY
+    sparse = sig_frame(
+        [
+            (1, base),
+            (2, base[:2] + [600 + i for i in range(2, 16)]),
+        ]
+    )
+    new_rows = rows_of(_band_tuning_report_of(sparse))
+    assert new_rows == rows_of(old_report(sparse))
+    by_bands = {r[0]: r for r in new_rows}
+    assert by_bands[2][2] == 0 and by_bands[2][3] is None, by_bands
+    assert by_bands[4][2] == 0 and by_bands[4][3] is None, by_bands
+    assert by_bands[8][2] == 1, by_bands
+
+
 def test_ivf_rebalance_conservation_and_split():
     """15 kept lists + 2 split halves; the halves partition the hot
     list exactly; kept lists are untouched; the split actually
