@@ -212,6 +212,42 @@ def scan_spread(spark: SparkSession, sf_dir: str, name: str):
     return _apply
 
 
+def group_spread(spark: SparkSession, sf_dir: str, name: str, *keys: str):
+    """Scale-adaptive PARALLELISM PIN for a Python-CPU-heavy grouped
+    stage (optimization r14, guide §4 — keep Python-stage parallelism
+    matched to the cores, §2.2 AQE coalescing).
+
+    AQE's partition coalescing targets shuffle BYTES and is blind to
+    per-row Python cost: on a small input it collapses the exchange
+    feeding a `groupBy(keys).applyInPandas(...)` stage to one or two
+    partitions, serializing every group's Python worker on a single
+    core (measured this round: pretraining's TFRecord export leg
+    2.05 s coalesced vs 0.83 s spread at sf0.1 — a 2.5× leg penalty
+    for zero shuffle-byte savings). On a large input AQE's byte-sized
+    partition count already exceeds the core count and is the right
+    call — the export shuffle carries full document text, and pinning
+    it to defaultParallelism there would make partitions huge.
+
+    Same decision rule as scan_spread, derived from the upstream
+    table's size: in the small-scan regime (the table cannot even
+    feed the cores from splits) the group shuffle is explicitly
+    `repartition(defaultParallelism, *keys)` — hash partitioning on
+    the SAME keys the downstream groups by, so it satisfies the
+    stage's clustering requirement (no extra exchange) while pinning
+    the partition count AQE would otherwise coalesce; in the
+    large regime the frame passes through untouched and AQE governs.
+    Row placement is hash-of-key deterministic either way, and each
+    group stays whole — results are unchanged by construction."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        n = spark.sparkContext.defaultParallelism
+        if est_scan_splits(spark, table_path(sf_dir, name)) >= n:
+            return df
+        return df.repartition(n, *[F.col(k) for k in keys])
+
+    return _apply
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

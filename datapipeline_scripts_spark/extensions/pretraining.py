@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
-from datapipeline_scripts_spark.catalog import load_table, scan_spread
+from datapipeline_scripts_spark.catalog import group_spread, load_table, scan_spread
 from datapipeline_scripts_spark.extensions.curation import (
     _H_DE,
     _H_EN,
@@ -519,9 +519,14 @@ def pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # S6: export — one deterministic TFRecord shard per pack,
         # written by the executors; only the manifest (one short row
-        # per shard) reaches the driver
+        # per shard) reaches the driver. group_spread pins the group
+        # shuffle's parallelism in the small-input regime where AQE's
+        # byte-targeted coalescing would serialize the per-pack Python
+        # encode work on one core (measured 2.05 -> 0.83 s for this
+        # leg at sf0.1); at scale AQE governs unchanged.
         manifest_rows = (
-            packed.groupBy("source", "pack_id")
+            packed.transform(group_spread(spark, sf_dir, "documents", "source", "pack_id"))
+            .groupBy("source", "pack_id")
             .applyInPandas(_export_writer(out_dir), schema=_INVENTORY_SCHEMA)
             .collect()
         )

@@ -234,3 +234,48 @@ def test_scan_spread_is_scale_adaptive(spark, sf_dir):
         ).collect()[0][0]
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_group_spread_is_scale_adaptive(spark, sf_dir):
+    """group_spread (optimization r14) must pin a grouped Python
+    stage's shuffle to hashpartitioning(keys, defaultParallelism) on
+    the tiny fixture (AQE's byte-targeted coalescing would serialize
+    the per-group Python work) and pass the frame through UNTOUCHED
+    once the upstream scan yields enough splits — and the grouped
+    result must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_scripts_spark.catalog import (
+        group_spread,
+        load_table,
+        table_path,
+    )
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    grouped = lambda frame: frame.groupBy("lang").agg(  # noqa: E731
+        F.sum("doc_id").alias("s")
+    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # small regime: explicit hash repartition on the keys fires
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        spread = df.transform(group_spread(spark, sf_dir, "documents", "lang"))
+        plan_small = spread._jdf.queryExecution().executedPlan().toString()
+        n = spark.sparkContext.defaultParallelism
+        assert "hashpartitioning(lang" in plan_small and str(n) in plan_small
+        # large regime: identity — no exchange added
+        nbytes = __import__("os").path.getsize(table_path(sf_dir, "documents"))
+        small = max(1, nbytes // (2 * n))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(small))
+        passthrough = df.transform(
+            group_spread(spark, sf_dir, "documents", "lang")
+        )
+        plan_big = passthrough._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan_big.lower()
+        # grouped results identical on both sides of the decision
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        want = sorted(map(tuple, grouped(df).collect()))
+        got = sorted(map(tuple, grouped(spread).collect()))
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
