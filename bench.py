@@ -214,7 +214,7 @@ def main() -> None:
     # controlled same-box code-for-code attribution method and its
     # per-round measurements live in docs/BENCH_NOTES.md (ADVICE r04:
     # no round-specific figures here, they go stale)
-    out["bench_note"] = "cross-round ratios include VM drift; quiet_baseline_ratio compares against the canonical quiet-box table (docs/QUIET_BASELINE_r13.json); docs/BENCH_NOTES.md has the same-box code-for-code attribution"
+    out["bench_note"] = "cross-round ratios include VM drift; quiet_baseline_ratio compares against the newest canonical quiet-box table (quiet_baseline_table, under docs/); docs/BENCH_NOTES.md has the same-box code-for-code attribution"
     print(json.dumps(out), flush=True)
 
 
@@ -225,9 +225,18 @@ def _vs_quiet_baseline(timings: dict[str, float], sf) -> dict:
     (docs/QUIET_BASELINE_r13.json — idle box, best-of-5 warm,
     recorded round 13; docs/BENCH_NOTES.md documents the protocol).
     A mover is real only if it also exceeds its quiet-baseline row on
-    a quiet box. Best-effort: silent no-op if the table is absent."""
+    a quiet box. Best-effort: silent no-op if the table is absent.
+    Reads the NEWEST checked-in QUIET_BASELINE_r*.json (re-recorded
+    at each optimization-round close per VERDICT r13 item 9, so the
+    drift-normalized ratio tracks the current code) and names it in
+    the output so readers know the comparison point."""
+    import glob as _glob
+
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "docs", "QUIET_BASELINE_r13.json")
+    tables = sorted(_glob.glob(os.path.join(here, "docs", "QUIET_BASELINE_r*.json")))
+    if not tables:
+        return {}
+    path = tables[-1]
     try:
         with open(path) as fh:
             baseline = json.load(fh)
@@ -244,6 +253,7 @@ def _vs_quiet_baseline(timings: dict[str, float], sf) -> dict:
     cur = round(sum(timings[k] for k in shared), 3)
     ref = round(sum(base[k] for k in shared), 3)
     return {
+        "quiet_baseline_table": os.path.basename(path),
         "quiet_baseline_keys": len(shared),
         "quiet_baseline_total": ref,
         "quiet_baseline_ratio": round(cur / ref, 3) if ref else None,
