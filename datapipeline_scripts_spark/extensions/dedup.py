@@ -311,6 +311,48 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def band_rows_hashed(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """Band rows (doc_id, sig, band, bhash) keyed by xxhash64 of the
+    band's hash values instead of the concat_ws decimal string
+    (optimization r14, guide §2.3 — shuffle narrower rows): the band
+    exchange carries a 8-byte long per row where the string form
+    carried ~40 bytes, and the join compares longs, not strings.
+
+    A 64-bit hash can collide where the underlying band values differ,
+    so every consumer MUST re-verify the candidate with
+    ``band_slices_equal`` at the join output — the sig arrays already
+    ride the join for the match count, so the exact check is free of
+    extra shuffle. bucket-string equality ≡ element-wise band equality
+    (concat_ws of decimal longs is injective), so join-on-bhash +
+    exact filter yields the IDENTICAL candidate set."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bhash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+
+
+def band_slices_equal(rows_per_band: int):
+    """Exact band-match predicate for a pair joined from
+    ``band_rows_hashed`` legs aliased x/y: the joined band's
+    ``rows_per_band`` signature values are element-wise equal. This is
+    the mandatory post-bhash verification (see band_rows_hashed) and
+    is exactly the old bucket-string equality."""
+    start = F.col("x.band") * rows_per_band + 1
+    return F.slice(F.col("x.sig"), start, rows_per_band) == F.slice(
+        F.col("y.sig"), start, rows_per_band
+    )
+
+
 def _minhash_hex32_sql(hex_expr: str, start: int) -> str:
     """DuckDB: 32-bit int from 8 hex chars of `hex_expr` at `start`."""
     return "(" + " + ".join(
@@ -370,7 +412,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) candidate pairs with estimated Jaccard.
 
     Pipeline: shingle → per-doc signature → band hash → self-join on
-    (band, bucket) → estimate = matching signature fraction.
+    (band, bhash) with exact band re-verification → estimate =
+    matching signature fraction.
 
     Fully oracle-checked since round 2: the 16 hash functions are
     Kirsch-Mitzenmacher double hashes (h1 + i*h2 mod 2^32) of the first
@@ -401,23 +444,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes through the only pair-sized shuffle)."""
     # signature construction shared via minhash_signatures (the
     # repartition, one-md5-per-shingle and KM double-hash notes live
-    # on the helper).
+    # on the helper). Band rows are keyed by xxhash64 of the band's
+    # values (8 bytes) instead of the ~40-byte concat_ws string, with
+    # the exact band equality re-verified at the join output from the
+    # sig arrays that already ride the join (optimization r14, guide
+    # §2.3) — identical candidate set, narrower band exchange.
     sig = minhash_signatures(spark, sf_dir)
     rows_per_band = _N_HASHES // _BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = band_rows_hashed(sig, _BANDS, rows_per_band)
     matches = sum(
         F.when(F.col("x.sig")[i] == F.col("y.sig")[i], 1).otherwise(0) for i in range(_N_HASHES)
     )
@@ -427,8 +461,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & band_slices_equal(rows_per_band),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),

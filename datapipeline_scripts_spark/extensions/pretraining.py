@@ -69,7 +69,13 @@ from datapipeline_scripts_spark.extensions.curation import (
     _PREDICTED_SQL,
     _lang_columns,
 )
-from datapipeline_scripts_spark.extensions.dedup import _BANDS, _N_HASHES, _minhash_hex32_sql
+from datapipeline_scripts_spark.extensions.dedup import (
+    _BANDS,
+    _N_HASHES,
+    _minhash_hex32_sql,
+    band_rows_hashed,
+    band_slices_equal,
+)
 from datapipeline_scripts_spark.functions.text import md5_48, md5_48_sql, shingles, tokens
 from datapipeline_scripts_spark.registry import query
 from datapipeline_scripts_spark.sources.staged_r10 import _PW_CAP, _PW_MIN_SHARED, _PW_WINDOW
@@ -210,20 +216,11 @@ def _minhash_drop(docs: DataFrame, pin) -> DataFrame:
         .withColumn("sig", F.array(*[f"h{i}" for i in range(_N_HASHES)]))
     )
     rows_per_band = _N_HASHES // _BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    # band rows keyed by xxhash64 of the band's values with exact band
+    # re-verification at the join output (optimization r14, guide §2.3
+    # — see dedup.band_rows_hashed): identical candidate set, long
+    # join keys instead of ~40-byte strings through the band exchange.
+    bands = band_rows_hashed(sig, _BANDS, rows_per_band)
     # the match count is a pure function of the pair and this stage
     # only needs the distinct doc_b set past the threshold, so the
     # filter runs at the join output and the terminal .distinct()
@@ -239,8 +236,9 @@ def _minhash_drop(docs: DataFrame, pin) -> DataFrame:
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & band_slices_equal(rows_per_band),
         )
         .filter(matches >= _MH_MIN_MATCHES)
         .select(F.col("y.doc_id").alias("doc_id"))

@@ -142,6 +142,8 @@ from datapipeline_scripts_spark.extensions.dedup import (
     _N_HASHES,
     _SHINGLE_SQL,
     _minhash_hex32_sql,
+    band_rows_hashed,
+    band_slices_equal,
 )
 from datapipeline_scripts_spark.extensions.similarity import _centroid_frame
 from datapipeline_scripts_spark.functions.text import (
@@ -799,25 +801,13 @@ def _minhash_sigs_of(d: DataFrame) -> DataFrame:
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:
-    rows_per_band = _N_HASHES // _BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                ).alias("bucket"),
-            )
-            for b in range(_BANDS)
-        ]
-    )
-    return sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
-        "doc_id",
-        "sig",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
+    # band rows keyed by xxhash64 of the band's values instead of the
+    # concat_ws string (optimization r14, guide §2.3 — see
+    # dedup.band_rows_hashed); every consumer re-verifies the exact
+    # band equality at the join output (dedup.band_slices_equal), so
+    # the candidate sets are identical while the band exchange carries
+    # a long, not a ~40-byte string.
+    return band_rows_hashed(sig, _BANDS, _N_HASHES // _BANDS)
 
 
 def dedup_minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,10 +815,11 @@ def dedup_minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     batch doc: (doc_id, n_cand, n_near, best_ref, best_est, verdict ∈
     near_dup / unique / no_signature).
 
-    Scale shape: the persisted store is (doc_id, band, bucket) plus
+    Scale shape: the persisted store is (doc_id, band, bhash) plus
     the 16-long signatures — 4 band rows and 128 signature bytes per
     reference doc, never bodies. The probe is an equi-join on
-    (band, bucket) — banding bounds candidates exactly as the
+    (band, bhash) with exact band re-verification from the riding
+    signatures — banding bounds candidates exactly as the
     registered dedup_minhash's self-join does (hot buckets are the
     same doc-frequency-capped story), the signatures ride the join so
     adjudication needs no second pass, and the per-batch-doc verdict
@@ -850,7 +841,8 @@ def dedup_minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .join(
             ref_b.alias("y"),
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket")),
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & band_slices_equal(_N_HASHES // _BANDS),
         )
         .select(
             F.col("x.doc_id").alias("bid"),
@@ -1834,7 +1826,8 @@ def crawl_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             ref_b.alias("y"),
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket")),
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & band_slices_equal(_N_HASHES // _BANDS),
         )
         .filter((matches / F.lit(float(_N_HASHES))) >= _MSTORE_THRESH)
         .select(F.col("x.doc_id").alias("doc_id"))

@@ -157,6 +157,8 @@ from datapipeline_scripts_spark.extensions.dedup import (
     _N_HASHES,
     _minhash_hex32_sql,
     _SHINGLE_SQL,
+    band_rows_hashed,
+    band_slices_equal,
     minhash_signatures,
 )
 from datapipeline_scripts_spark.extensions.similarity import _centroid_frame
@@ -806,21 +808,12 @@ def _band_tuning_report_of(sig: DataFrame) -> DataFrame:
     sig) frame — factored so the single-join nesting construction is
     unit-testable against the per-config form on synthetic
     signatures."""
-    # loosest config: 8 bands × 2 rows
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(8)
-        ]
-    )
-    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    # loosest config: 8 bands × 2 rows — band rows keyed by xxhash64
+    # of the band's two values with exact band re-verification at the
+    # join output (optimization r14, guide §2.3 — see
+    # dedup.band_rows_hashed): identical (8,2) candidate set, long
+    # join keys instead of ~21-byte strings through the band exchange.
+    bands = band_rows_hashed(sig, 8, 2)
     # all scalars below are pure functions of the pair, so computing
     # them at the join output and deduping after is the identical set
     # (the r13 est-folding argument); the dedup exchange carries five
@@ -844,8 +837,9 @@ def _band_tuning_report_of(sig: DataFrame) -> DataFrame:
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & band_slices_equal(2),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),

@@ -47,6 +47,90 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir, exact_pairs):
         assert abs(cand[p] - exact_pairs[p]) <= 0.4  # 16 perms → coarse but bounded
 
 
+def test_band_rows_hashed_matches_bucket_string_form(spark):
+    """band_rows_hashed + band_slices_equal (optimization r14) must
+    yield the IDENTICAL candidate pair set as the old concat_ws
+    bucket-string self-join on signatures exercising every regime:
+    a full duplicate (collides in all 4 bands — also the multi-band
+    double-count the terminal dedup must absorb), a single-band
+    collision, and an isolated doc. Also drive the collision guard
+    directly: band_slices_equal must reject a joined row whose band
+    values differ even when the join keys matched."""
+    from datapipeline_scripts_spark.extensions.dedup import (
+        _BANDS,
+        _N_HASHES,
+        band_rows_hashed,
+        band_slices_equal,
+    )
+
+    rpb = _N_HASHES // _BANDS
+    base = list(range(100, 100 + _N_HASHES))
+    rows = [
+        (1, base),  # full duplicate of 2
+        (2, base),
+        (3, [200 + i for i in range(8)] + base[8:12] + [300 + i for i in range(4)]),
+        # ^ matches 1/2 on band 2 (h8..h11) only
+        (4, [400 + i for i in range(_N_HASHES)]),  # isolated
+    ]
+    sig = spark.createDataFrame(
+        [(d, *hs) for d, hs in rows],
+        "doc_id long, " + ", ".join(f"h{i} long" for i in range(_N_HASHES)),
+    ).withColumn("sig", F.array(*[f"h{i}" for i in range(_N_HASHES)]))
+
+    new_bands = band_rows_hashed(sig, _BANDS, rpb)
+    new_pairs = (
+        new_bands.alias("x")
+        .join(
+            new_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & band_slices_equal(rpb),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    old_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"h{b * rpb + r}") for r in range(rpb)]
+                ).alias("bucket"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    old_bands = sig.select("doc_id", F.explode(old_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    old_pairs = (
+        old_bands.alias("x")
+        .join(
+            old_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    got = sorted((r["a"], r["b"]) for r in new_pairs.collect())
+    want = sorted((r["a"], r["b"]) for r in old_pairs.collect())
+    assert got == want == [(1, 2), (1, 3), (2, 3)]
+
+    # collision guard: same band id on both sides, but the band's sig
+    # values differ — the predicate must be False (an xxhash64 key
+    # collision cannot admit the pair), and True on equal slices.
+    x = spark.createDataFrame([(0, base)], "band int, sig array<long>").alias("x")
+    y_eq = spark.createDataFrame([(0, base)], "band int, sig array<long>").alias("y")
+    y_ne = spark.createDataFrame(
+        [(0, base[: rpb - 1] + [999] + base[rpb:])], "band int, sig array<long>"
+    ).alias("y")
+    assert x.crossJoin(y_eq).filter(band_slices_equal(rpb)).count() == 1
+    assert x.crossJoin(y_ne).filter(band_slices_equal(rpb)).count() == 0
+
+
 def test_simhash_identical_for_duplicate_token_sets(spark, sf_dir, exact_pairs):
     sims = {r["doc_id"]: r["simhash"] for r in get("dedup_simhash").build(spark, sf_dir).collect()}
     ones = [p for p, j in exact_pairs.items() if j >= 0.9999]
