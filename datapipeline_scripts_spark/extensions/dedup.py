@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from datapipeline_scripts_spark.catalog import load_table, scan_spread
 from datapipeline_scripts_spark.functions.text import fingerprint_md5, md5_48, md5_48_sql, normalize_text, shingles, tokens
@@ -155,9 +156,18 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
     sh = tok.select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh"))
-    # shingles are distinct per doc, so count(*) per shingle == doc-freq
-    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP).select("sh")
-    kept = sh.join(rare, "sh")
+    # shingles are distinct per doc, so count(*) per shingle == doc-freq.
+    # Doc-frequency cap as a WINDOW count over sh instead of
+    # groupBy(sh).count + join-back (optimization r14, guide §2.4 —
+    # the same rewrite as dedup_passage_winnow's cap): the window
+    # reuses the sh exchange the pair self-join needs anyway, where
+    # the join-back form shuffled the shingle frame by sh TWICE and
+    # duplicated the explode subtree into both legs.
+    kept = (
+        sh.withColumn("df", F.count("*").over(W.partitionBy("sh")))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("doc_id", "sh")
+    )
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = kept.alias("a")
     b = kept.alias("b")

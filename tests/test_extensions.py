@@ -47,6 +47,35 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir, exact_pairs):
         assert abs(cand[p] - exact_pairs[p]) <= 0.4  # 16 perms → coarse but bounded
 
 
+def test_capped_jaccard_window_cap_matches_joinback(spark, sf_dir):
+    """dedup_ngram_jaccard_capped's doc-frequency cap is a WINDOW
+    count over sh (optimization r14); pin the kept shingle set against
+    the verbatim r13 groupBy+join-back construction on fixture data."""
+    from pyspark.sql.window import Window as W
+
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.extensions.dedup import _DF_CAP
+    from datapipeline_scripts_spark.functions.text import shingles, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 3)
+    sh = tok.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 3))).alias("sh")
+    )
+    new_kept = (
+        sh.withColumn("df", F.count("*").over(W.partitionBy("sh")))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("doc_id", "sh")
+    )
+    rare = (
+        sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP).select("sh")
+    )
+    old_kept = sh.join(rare, "sh").select("doc_id", "sh")
+    got = sorted((r["doc_id"], r["sh"]) for r in new_kept.collect())
+    want = sorted((r["doc_id"], r["sh"]) for r in old_kept.collect())
+    assert got == want and got
+
+
 def test_band_rows_hashed_matches_bucket_string_form(spark):
     """band_rows_hashed + band_slices_equal (optimization r14) must
     yield the IDENTICAL candidate pair set as the old concat_ws
