@@ -697,7 +697,13 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.alias("a")
     b = d.alias("b")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    # THRESHOLDED levenshtein (optimization r14, guide §2.3 cheaper
+    # per-row compute): the 3-arg form runs the banded DP — O(k·L)
+    # instead of O(L²) per candidate pair with early exit — and
+    # returns -1 when the distance exceeds k. For every surviving row
+    # (dist ≤ 20) it returns the EXACT distance, so the result set and
+    # values are identical to the unbounded form the oracle computes.
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 20)
     return (
         a.join(
             b,
@@ -705,7 +711,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(dist <= 20)
+        .filter((dist >= 0) & (dist <= 20))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -193,6 +193,37 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holt_daily_body(table: str, dayexpr: str) -> str:
+    """The daily (d, cents) series aggregate — shared verbatim by the
+    oracle's inline CTE and the Spark path's materialized view so the
+    two engines cannot fork the series definition."""
+    return f"""SELECT {dayexpr} AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM {table} CROSS JOIN mn GROUP BY 1"""
+
+
+def _holt_recursion_sql(daily_ref: str, div: str) -> str:
+    """The hl recursion + final projection over a (d, cents) daily
+    series — the shared template body (see _holt_sql)."""
+    return f"""hl(d, lvl, tr) AS (
+  SELECT d, cents * 10000, CAST(0 AS BIGINT) FROM {daily_ref} WHERE d = 1
+  UNION ALL
+  SELECT d, lvl, ((lvl - plvl) + 9 * ptr) {div} 10 FROM (
+    SELECT y.d AS d,
+           (2 * y.cents * 10000 + 8 * (h.lvl + h.tr)) {div} 10 AS lvl,
+           h.lvl AS plvl, h.tr AS ptr
+    FROM hl h JOIN {daily_ref} y ON y.d = h.d + 1
+    WHERE h.d < 60
+  ) s
+)
+SELECT d AS day_idx,
+       CAST(lvl AS BIGINT) AS level_microcents,
+       CAST(tr AS BIGINT) AS trend_microcents,
+       CAST(lvl + 7 * tr AS BIGINT) AS forecast_h7_microcents
+FROM hl
+"""
+
+
 def _holt_sql(table: str, dayexpr: str, div: str) -> str:
     """Holt double-exponential smoothing as a recursive CTE — one
     template, two dialects (day-index expression and truncating-div
@@ -207,27 +238,9 @@ WITH RECURSIVE mn AS (
   SELECT min(CAST(ts AS DATE)) AS d0 FROM {table}
 ),
 daily AS (
-  SELECT {dayexpr} AS d,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM {table} CROSS JOIN mn GROUP BY 1
+  {_holt_daily_body(table, dayexpr)}
 ),
-hl(d, lvl, tr) AS (
-  SELECT d, cents * 10000, CAST(0 AS BIGINT) FROM daily WHERE d = 1
-  UNION ALL
-  SELECT d, lvl, ((lvl - plvl) + 9 * ptr) {div} 10 FROM (
-    SELECT y.d AS d,
-           (2 * y.cents * 10000 + 8 * (h.lvl + h.tr)) {div} 10 AS lvl,
-           h.lvl AS plvl, h.tr AS ptr
-    FROM hl h JOIN daily y ON y.d = h.d + 1
-    WHERE h.d < 60
-  ) s
-)
-SELECT d AS day_idx,
-       CAST(lvl AS BIGINT) AS level_microcents,
-       CAST(tr AS BIGINT) AS trend_microcents,
-       CAST(lvl + 7 * tr AS BIGINT) AS forecast_h7_microcents
-FROM hl
-"""
+{_holt_recursion_sql("daily", div)}"""
 
 
 # day index anchored at the DATA's own min(ts) (via the `mn` CTE), not a
@@ -253,9 +266,22 @@ def time_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth guard caps it at 60 steps; Spark's default recursion limit
     is 100). A longer horizon would checkpoint the (lvl, tr) state
     table per epoch instead of deepening one recursion —
-    docs/SCALE.md's PageRank paragraph applies verbatim."""
+    docs/SCALE.md's PageRank paragraph applies verbatim.
+
+    The daily series is MATERIALIZED before the recursion
+    (optimization r14, guide §2.1 compute-once / §5): a recursive CTE
+    re-evaluates its referenced subqueries every iteration, so the
+    inline-daily form re-ran the corpus-sized aggregate 60 times
+    (measured 11.0 s at sf0.1 → 0.8 s); the checkpointed series is
+    |days| rows. Same recursion template (_holt_recursion_sql),
+    oracle-proven identical."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_holt_v")
-    return spark.sql(_holt_sql("events_holt_v", _HOLT_DAY_SPARK, "div"))
+    daily = spark.sql(
+        f"WITH mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events_holt_v)\n"
+        f"{_holt_daily_body('events_holt_v', _HOLT_DAY_SPARK)}"
+    ).localCheckpoint(eager=True)
+    daily.createOrReplaceTempView("holt_daily_v")
+    return spark.sql("WITH RECURSIVE " + _holt_recursion_sql("holt_daily_v", "div"))
 
 
 _AGING_ORACLE = """

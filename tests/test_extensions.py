@@ -47,6 +47,41 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir, exact_pairs):
         assert abs(cand[p] - exact_pairs[p]) <= 0.4  # 16 perms → coarse but bounded
 
 
+def test_levenshtein_threshold_matches_unbounded(spark, sf_dir):
+    """dedup_levenshtein uses the banded 3-arg levenshtein
+    (optimization r14 — O(k·L) with early exit, returning -1 above
+    the bound); pin the pair set and distances against the verbatim
+    unbounded construction on fixture data."""
+    from datapipeline_scripts_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.floor(F.col("n_chars") / 50).cast("int").alias("band"),
+        F.substring("text", 1, 80).alias("pfx"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    old = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+    want = sorted(tuple(r) for r in old.collect())
+    got = sorted(tuple(r) for r in get("dedup_levenshtein").build(spark, sf_dir).collect())
+    assert got == want
+    assert got, "fixture should contain at least one near-dup pair"
+
+
 def test_capped_jaccard_window_cap_matches_joinback(spark, sf_dir):
     """dedup_ngram_jaccard_capped's doc-frequency cap is a WINDOW
     count over sh (optimization r14); pin the kept shingle set against

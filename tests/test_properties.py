@@ -231,6 +231,23 @@ def test_holt_linear_seed_is_data_anchored(spark, sf_dir):
     assert by_idx[1][2] == 0, "seed row must start with zero trend state"
 
 
+def test_holt_materialized_daily_matches_inline_recursion(spark, sf_dir):
+    """time_holt_linear materializes the |days|-row daily series before
+    the recursion (optimization r14 — a recursive CTE re-evaluates its
+    referenced subqueries every iteration, so the inline form re-ran the
+    corpus aggregate 60×); pin the output against the verbatim inline
+    single-statement form the oracle still uses."""
+    from datapipeline_scripts_spark.catalog import load_table
+    from datapipeline_scripts_spark.operators.dates import _HOLT_DAY_SPARK, _holt_sql
+    from datapipeline_scripts_spark.registry import get
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_holt_pin_v")
+    want = _rows(spark.sql(_holt_sql("events_holt_pin_v", _HOLT_DAY_SPARK, "div")))
+    got = _rows(get("time_holt_linear").build(spark, sf_dir))
+    assert sorted(got) == sorted(want)
+    assert got, "holt recursion returned nothing"
+
+
 def test_late_r3_stats_are_partition_invariant(spark, sf_dir):
     """Round-4 widening of the partition-invariance contract to the
     late-round-3 statistics: Spearman's histogram-derived ranks, the

@@ -297,3 +297,58 @@ def test_events_stream_ohlc_equals_batch(spark, sf_dir):
     assert batch.count() == stream.count()
     assert batch.exceptAll(stream).count() == 0
     assert stream.exceptAll(batch).count() == 0
+
+
+def test_merge_asof_partition_matches_per_user_form():
+    """asof_join_pandas merges the whole partition in ONE
+    merge_asof(by='user_id') pass (optimization r14); pin the worker
+    against the old per-user-group construction on a synthetic
+    partition exercising every regime: multi-user interleaving,
+    same-ts duplicate orders (max-orderkey tie-break), an event before
+    any order (NULL match), a user with no orders, and an order-only
+    user (no output rows)."""
+    import pandas as pd
+
+    from datapipeline_scripts_spark.streaming.asof import _merge_asof_partition
+
+    ts = pd.Timestamp
+    rows = [
+        # side, event_id, user_id, ts, o_orderkey
+        ("e", 1, 10, ts("2026-01-01 00:05"), None),  # after order 100
+        ("e", 2, 10, ts("2026-01-01 00:00"), None),  # exact-ts order 101 (dup-ts max wins)
+        ("e", 3, 10, ts("2025-12-31 23:00"), None),  # before any order -> NULL
+        ("e", 4, 20, ts("2026-01-01 00:10"), None),  # user 20, after order 200
+        ("e", 5, 30, ts("2026-01-01 00:10"), None),  # user 30 has no orders -> NULL
+        ("o", None, 10, ts("2026-01-01 00:00"), 100),
+        ("o", None, 10, ts("2026-01-01 00:00"), 101),  # same-ts dup: keep 101
+        ("o", None, 20, ts("2026-01-01 00:00"), 200),
+        ("o", None, 40, ts("2026-01-01 00:00"), 400),  # order-only user
+    ]
+    pdf = pd.DataFrame(rows, columns=["side", "event_id", "user_id", "ts", "o_orderkey"])
+
+    got = pd.concat(list(_merge_asof_partition(iter([pdf]))), ignore_index=True)
+    got = got.sort_values("event_id").reset_index(drop=True)
+
+    # the old per-user-group construction, verbatim
+    want_parts = []
+    for _uid, grp in pdf.groupby("user_id"):
+        events = (
+            grp[grp["side"] == "e"][["event_id", "user_id", "ts"]]
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        orders = (
+            grp[grp["side"] == "o"][["o_orderkey", "ts"]]
+            .sort_values(["ts", "o_orderkey"])
+            .drop_duplicates(subset="ts", keep="last")
+            .reset_index(drop=True)
+        )
+        if events.empty:
+            continue
+        merged = pd.merge_asof(events, orders, on="ts", direction="backward")
+        want_parts.append(merged[["event_id", "user_id", "o_orderkey"]])
+    want = pd.concat(want_parts, ignore_index=True).sort_values("event_id").reset_index(drop=True)
+
+    assert got["event_id"].tolist() == want["event_id"].tolist() == [1, 2, 3, 4, 5]
+    assert got["o_orderkey"].fillna(-1).tolist() == want["o_orderkey"].fillna(-1).tolist()
+    assert got["o_orderkey"].fillna(-1).tolist() == [101.0, 101.0, -1, 200.0, -1]
